@@ -1,0 +1,82 @@
+"""Dataset registration + loading for the driver's TPC-H-ish testdata.
+
+Mirrors the reference's per-dataset schema declarations
+(reference: scardina/datasets.py:585-890) for the synthetic star schema in
+/root/testdata (see TESTDATA.md).  Tables load as parquet DataFrames —
+columnar, pruned and predicate-pushed by the data source natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import SchemaGraph
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# PK->FK relationships of the star schema (FIXTURES.md §1).
+TPCH_RELATIONSHIPS = [
+    # (pk_table, pk_col, fk_table, fk_col)
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+    ("nation", "n_nationkey", "supplier", "s_nationkey"),
+    ("region", "r_regionkey", "nation", "n_regionkey"),
+]
+
+# Tables that participate in the relational schema graph (events/documents/
+# embeddings are extension-operator fixtures, not join-graph members).
+RELATIONAL_TABLES = ["region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem"]
+
+PKS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+}
+
+
+def build_tpch_schema(sf_dir: str | None = None,
+                      sizes: dict[str, int] | None = None) -> SchemaGraph:
+    """Register the testdata star schema as a SchemaGraph."""
+    sg = SchemaGraph("tpch")
+    for t in RELATIONAL_TABLES:
+        sg.add_table(t, size=(sizes or {}).get(t), pk=PKS.get(t))
+    for pk_t, pk_c, fk_t, fk_c in TPCH_RELATIONSHIPS:
+        sg.add_relationship(pk_t, pk_c, fk_t, fk_c)
+    return sg
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan with projection pushed to the source
+    (reference analog: include_columns CSV scan, scardina/common.py:368-396).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or RELATIONAL_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register each table as a temp view so `spark.sql` works directly."""
+    for n in names or TPCH_TABLES:
+        p = table_path(sf_dir, n)
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(n)

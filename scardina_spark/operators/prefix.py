@@ -1,0 +1,112 @@
+"""Scalable global prefix sums and dense global indexes.
+
+A single-partition ``Window.orderBy(...)`` is the textbook way to get a
+global rank/cumsum in Spark, and the textbook way to OOM a driver at
+100 TB: every row funnels through one task.  This module gives the
+scale-safe alternative, the classic two-pass ``zipWithIndex`` pattern kept
+inside the DataFrame API:
+
+1. range-partition + sort by the order columns (a single shuffle whose
+   parallelism matches the cluster),
+2. aggregate per-partition totals (tiny: one row per partition),
+3. broadcast the cumulative partition offsets and add the within-partition
+   running value via ``mapInPandas`` (Arrow-batched, streaming, O(1) memory
+   per batch).
+
+Used by dictionary building (dense sorted codes) and by the exact
+weighted-with-replacement sampler (global weight intervals).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+PID = "__pid__"
+CUM = "__cum__"
+IDX = "__idx__"
+
+
+def _with_sorted_partitions(df: DataFrame, order_cols: list[str],
+                            n_partitions: int | None) -> DataFrame:
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(f"`{c}`") for c in order_cols]
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(PID, F.spark_partition_id())
+    )
+
+
+def with_prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
+                    n_partitions: int | None = None) -> DataFrame:
+    """Add ``__cum__``: the EXCLUSIVE prefix sum of ``weight_col`` in the
+    global order defined by ``order_cols``.  Returns a persisted DataFrame
+    (unpersist when done)."""
+    d = _with_sorted_partitions(df, order_cols, n_partitions).persist()
+    part_sums = {
+        r[PID]: r["s"]
+        for r in d.groupBy(PID).agg(F.sum(F.col(f"`{weight_col}`")).alias("s")).collect()
+    }
+    offsets = {}
+    running = 0.0
+    for pid in sorted(part_sums):
+        offsets[pid] = running
+        running += float(part_sums[pid] or 0.0)
+
+    schema = StructType(d.schema.fields + [StructField(CUM, DoubleType())])
+    boff = d.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[CUM] = pd.Series([], dtype="float64")
+                yield pdf
+                continue
+            if acc is None:
+                acc = float(boff.value.get(int(pdf[PID].iloc[0]), 0.0))
+            w = pdf[weight_col].astype("float64").fillna(0.0)
+            cum = w.cumsum().shift(fill_value=0.0) + acc
+            acc += float(w.sum())
+            pdf = pdf.copy()
+            pdf[CUM] = cum
+            yield pdf
+
+    return d.mapInPandas(add_cum, schema)
+
+
+def with_global_index(df: DataFrame, order_cols: list[str],
+                      n_partitions: int | None = None) -> DataFrame:
+    """Add ``__idx__``: a dense 0-based global index in the order of
+    ``order_cols`` (distributed row_number, no single-partition window)."""
+    d = _with_sorted_partitions(df, order_cols, n_partitions).persist()
+    part_counts = {r[PID]: r["c"] for r in d.groupBy(PID).count()
+                   .withColumnRenamed("count", "c").collect()}
+    offsets = {}
+    running = 0
+    for pid in sorted(part_counts):
+        offsets[pid] = running
+        running += int(part_counts[pid])
+
+    schema = StructType(d.schema.fields + [StructField(IDX, LongType())])
+    boff = d.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[IDX] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            if acc is None:
+                acc = int(boff.value.get(int(pdf[PID].iloc[0]), 0))
+            pdf = pdf.copy()
+            pdf[IDX] = range(acc, acc + len(pdf))
+            acc += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(add_idx, schema)

@@ -1,0 +1,165 @@
+"""Distributed unbiased weighted join sampling.
+
+The reference materializes an unbiased sample of each sub-join by (a)
+sampling root rows with replacement proportional to ``__weight__`` and (b)
+walking the join tree, picking ONE matching child row per sample
+proportional to the child's ``__weight__``, null-extending when no child
+matches (reference semantics: scardina/join.py:73-245 — per-key Python
+dict loops, single-node).  This module re-derives the operator as pure
+DataFrame algebra so it scales:
+
+* Root sampling: exact multinomial-with-replacement via global weight
+  intervals.  Each row owns the interval ``[cum, cum+w)`` of the total
+  weight line (scalable prefix sum, operators/prefix.py); N uniform draws
+  in ``[0, W)`` are bucketed and equi-joined to interval fragments — an
+  all-equi-join plan, no broadcast-nested-loop, no driver loop.
+
+* Per-edge weighted pick: Efraimidis–Spirakis A-Res weighted reservoir —
+  join samples to candidate children on the key, give every candidate an
+  independent exponential-race score ``rand()^(1/w)``, and keep the argmax
+  per sample (``max_by``).  This picks child ``j`` with probability
+  ``w_j / Σ_k w_k`` exactly, with no per-key cumulative sums and no
+  floating-point interval cracks.  Skewed join keys are handled by AQE
+  skew-join splitting rather than a hand-rolled memo (the reference's
+  ≤10-distinct-keys special case, scardina/join.py:166-206).
+
+Output columns are prefixed ``<table>.<col>`` with ``__in__:<table>``
+existence markers, matching the reference layout (scardina/join.py:86-87,
+221-230): unmatched children contribute an all-NULL row with fanouts 1 and
+``__in__ = False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..schema import Subschema
+from .prefix import CUM, IDX, PID, with_prefix_sum
+from .weights import WEIGHT
+
+SAMPLE_ID = "__sample_id__"
+
+
+def _q(name: str) -> F.Column:
+    return F.col(f"`{name}`")
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame, weight_col: str, order_cols: list[str], n: int,
+    seed: int = 42, n_buckets: int | None = None,
+) -> DataFrame:
+    """Exactly ``n`` draws with replacement, P(row) ∝ ``weight_col``.
+
+    Returns the sampled rows (original columns + ``__sample_id__``); a row
+    drawn k times appears k times with distinct sample ids.
+    """
+    spark = df.sparkSession
+    pos = df.where(_q(weight_col) > 0)
+    d = with_prefix_sum(pos, weight_col, order_cols)
+    total = d.agg(
+        F.max(F.col(CUM) + _q(weight_col).cast("double")).alias("t")
+    ).collect()[0]["t"]
+    if not total or total <= 0:
+        raise ValueError("weighted_sample_with_replacement: no positive weight")
+
+    nb = n_buckets or max(1024, n)
+    bw = total / nb
+
+    # interval fragments: one row per bucket the interval overlaps
+    lo_b = F.floor(F.col(CUM) / F.lit(bw)).cast("long")
+    hi_b = F.floor((F.col(CUM) + _q(weight_col).cast("double")) / F.lit(bw)).cast("long")
+    frags = d.withColumn(
+        "__bucket__",
+        F.explode(F.sequence(lo_b, F.greatest(lo_b, F.least(hi_b, F.lit(nb - 1))))),
+    )
+
+    draws = (
+        spark.range(n).withColumnRenamed("id", SAMPLE_ID)
+        # tiny shrink keeps draws strictly inside the covered weight line
+        # despite float summation-order differences
+        .withColumn("__u__", F.rand(seed) * F.lit(total * (1.0 - 1e-12)))
+        .withColumn("__bucket__", F.floor(F.col("__u__") / F.lit(bw)).cast("long"))
+    )
+
+    hit = (
+        draws.join(frags, "__bucket__")
+        .where((F.col(CUM) <= F.col("__u__"))
+               & (F.col("__u__") < F.col(CUM) + _q(weight_col).cast("double")))
+    )
+    return hit.drop("__bucket__", "__u__", CUM, PID)
+
+
+def pick_one_child_per_sample(
+    samples: DataFrame, sample_key: str, child: DataFrame, child_key: str,
+    child_table: str, weighted: bool, seed: int,
+) -> DataFrame:
+    """Attach exactly one child row (columns prefixed ``<child_table>.``) to
+    every sample row, picked ∝ child ``__weight__`` when ``weighted`` (A-Res),
+    else via the unique PK match; null-extend when no child matches."""
+    pref = [F.col(f"`{c}`").alias(f"{child_table}.{c}") for c in child.columns]
+    c = child.select(*pref).withColumn(f"__in__:{child_table}", F.lit(True))
+    ckey = f"{child_table}.{child_key}"
+    cweight = f"{child_table}.{WEIGHT}"
+
+    cond = _q(sample_key) == _q(ckey)
+    joined = samples.join(c, cond, "left_outer")
+
+    if weighted:
+        # A-Res score: rand^(1/w) — max per sample picks ∝ w
+        z = F.when(
+            _q(f"__in__:{child_table}").isNull(), F.lit(-1.0)
+        ).otherwise(
+            F.pow(F.rand(seed), F.lit(1.0) / F.greatest(_q(cweight).cast("double"),
+                                                        F.lit(1e-300)))
+        )
+        joined = joined.withColumn("__z__", z)
+        child_struct = F.struct(*[_q(cc).alias(cc) for cc in c.columns])
+        picked = joined.groupBy(SAMPLE_ID).agg(
+            F.max_by(child_struct, F.col("__z__")).alias("__c__"))
+        out = samples.join(picked, SAMPLE_ID)
+        for cc in c.columns:
+            out = out.withColumn(cc, F.col("__c__").getField(cc))
+        out = out.drop("__c__")
+    else:
+        # many-to-one: the child key is a PK — at most one match
+        out = joined
+
+    out = out.withColumn(
+        f"__in__:{child_table}",
+        F.coalesce(_q(f"__in__:{child_table}"), F.lit(False)))
+    # null-extended rows carry fanout 1 (reference: scardina/join.py:222-230)
+    for cc in c.columns:
+        if "__fanout__:" in cc or "__adj_fanout__:" in cc:
+            out = out.withColumn(cc, F.coalesce(_q(cc), F.lit(1)).cast("long"))
+    return out
+
+
+def join_sample(
+    ss: Subschema, weighted_tables: dict[str, DataFrame], root: str,
+    n: int, seed: int = 42, drop_weights: bool = True,
+) -> DataFrame:
+    """Unbiased sample (size ``n``) of the sub-join, BFS from ``root``.
+
+    ``weighted_tables`` must carry ``__weight__`` (operators/weights.py).
+    """
+    root_df = weighted_tables[root]
+    order = [root_df.columns[0]]
+    agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed)
+    agg = agg.select(
+        F.col(SAMPLE_ID),
+        *[F.col(f"`{c}`").alias(f"{root}.{c}") for c in root_df.columns],
+    ).withColumn(f"__in__:{root}", F.lit(True))
+
+    for i, (parent, child, rel) in enumerate(ss.join_tree(root)):
+        parent_key = rel.pk_col if rel.pk_table == parent else rel.fk_col
+        child_key = rel.fk_col if rel.fk_table == child else rel.pk_col
+        many_to_one = rel.pk_table == child
+        agg = pick_one_child_per_sample(
+            agg, f"{parent}.{parent_key}", weighted_tables[child], child_key,
+            child, weighted=not many_to_one, seed=seed + 1000 + i)
+
+    if drop_weights:
+        agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])
+    # deterministic column order, as the reference does
+    # (scardina/datasets.py:362)
+    return agg.select(SAMPLE_ID, *sorted(c for c in agg.columns if c != SAMPLE_ID))

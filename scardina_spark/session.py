@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local tests run on ``local[N]``; the configs below are the ones that matter
+at 100 TB too: AQE (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow for any pandas interchange, and a shuffle-partition
+count sized to the parallelism at hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "scardina-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    AQE is the load-bearing config: at cluster scale it re-plans joins with
+    runtime statistics (skew-join splitting, dynamic coalescing, broadcast
+    demotion/promotion), which is exactly what the reference's hand-rolled
+    per-key Python loops cannot do (see /root/reference/scardina/join.py:141-219).
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        # deterministic float semantics for test reproducibility
+        .config("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif os.environ.get("SPARK_GRAFT_MASTER"):
+        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
+    else:
+        builder = builder.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
