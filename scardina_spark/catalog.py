@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema import SchemaGraph
 
@@ -57,12 +58,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (epoch nanos) under ``nanosAsLong``; we normalize to timestamp."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                columns: list[str] | None = None) -> DataFrame:
     """Parquet scan with projection pushed to the source
     (reference analog: include_columns CSV scan, scardina/common.py:368-396).
+
+    Timestamp normalization on load mirrors the reference's tz handling
+    (scardina/datasets.py:97-104): nano-precision columns are truncated to
+    microseconds — an exact integer projection, no double round-trip.
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_cols(path):
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     if columns:
         df = df.select(*columns)
     return df
@@ -79,4 +97,4 @@ def register_views(spark: SparkSession, sf_dir: str,
     for n in names or TPCH_TABLES:
         p = table_path(sf_dir, n)
         if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(n)
+            load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -30,6 +30,18 @@ CUM = "__cum__"
 IDX = "__idx__"
 
 
+def _safe_names(df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+    """Rename columns to dot-free temporaries.  PySpark's ``mapInPandas``
+    resolves ``df[col]`` per raw name and breaks on names containing dots
+    (e.g. our ``table.column`` prefixes), so we pass through safe names and
+    restore afterwards."""
+    mapping = {c: f"__sc{i}__" for i, c in enumerate(df.columns)}
+    out = df
+    for orig, safe in mapping.items():
+        out = out.withColumnRenamed(orig, safe)
+    return out, mapping
+
+
 def _with_sorted_partitions(df: DataFrame, order_cols: list[str],
                             n_partitions: int | None) -> DataFrame:
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -57,8 +69,10 @@ def with_prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
         offsets[pid] = running
         running += float(part_sums[pid] or 0.0)
 
-    schema = StructType(d.schema.fields + [StructField(CUM, DoubleType())])
     boff = d.sparkSession.sparkContext.broadcast(offsets)
+    safe, mapping = _safe_names(d)
+    w_safe, pid_safe = mapping[weight_col], mapping[PID]
+    schema = StructType(safe.schema.fields + [StructField(CUM, DoubleType())])
 
     def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
@@ -68,15 +82,18 @@ def with_prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
                 yield pdf
                 continue
             if acc is None:
-                acc = float(boff.value.get(int(pdf[PID].iloc[0]), 0.0))
-            w = pdf[weight_col].astype("float64").fillna(0.0)
+                acc = float(boff.value.get(int(pdf[pid_safe].iloc[0]), 0.0))
+            w = pdf[w_safe].astype("float64").fillna(0.0)
             cum = w.cumsum().shift(fill_value=0.0) + acc
             acc += float(w.sum())
             pdf = pdf.copy()
             pdf[CUM] = cum
             yield pdf
 
-    return d.mapInPandas(add_cum, schema)
+    out = safe.mapInPandas(add_cum, schema)
+    for orig, s in mapping.items():
+        out = out.withColumnRenamed(s, orig)
+    return out
 
 
 def with_global_index(df: DataFrame, order_cols: list[str],
@@ -92,8 +109,10 @@ def with_global_index(df: DataFrame, order_cols: list[str],
         offsets[pid] = running
         running += int(part_counts[pid])
 
-    schema = StructType(d.schema.fields + [StructField(IDX, LongType())])
     boff = d.sparkSession.sparkContext.broadcast(offsets)
+    safe, mapping = _safe_names(d)
+    pid_safe = mapping[PID]
+    schema = StructType(safe.schema.fields + [StructField(IDX, LongType())])
 
     def add_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
@@ -103,10 +122,13 @@ def with_global_index(df: DataFrame, order_cols: list[str],
                 yield pdf
                 continue
             if acc is None:
-                acc = int(boff.value.get(int(pdf[PID].iloc[0]), 0))
+                acc = int(boff.value.get(int(pdf[pid_safe].iloc[0]), 0))
             pdf = pdf.copy()
             pdf[IDX] = range(acc, acc + len(pdf))
             acc += len(pdf)
             yield pdf
 
-    return d.mapInPandas(add_idx, schema)
+    out = safe.mapInPandas(add_idx, schema)
+    for orig, s in mapping.items():
+        out = out.withColumnRenamed(s, orig)
+    return out

@@ -162,4 +162,5 @@ def join_sample(
         agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])
     # deterministic column order, as the reference does
     # (scardina/datasets.py:362)
-    return agg.select(SAMPLE_ID, *sorted(c for c in agg.columns if c != SAMPLE_ID))
+    return agg.select(
+        _q(SAMPLE_ID), *[_q(c) for c in sorted(c for c in agg.columns if c != SAMPLE_ID)])

@@ -58,7 +58,7 @@ def compute_weights(ss: Subschema, tables: dict[str, DataFrame], root: str
         p = out[parent].join(
             fsum, F.col(f"`{parent_key}`") == F.col("__k__"), "left_outer")
         p = p.withColumn(fcol, F.coalesce(F.col("__fsum__"), F.lit(1.0)))
-        p = p.withColumn(WEIGHT, F.col(WEIGHT) * F.col(fcol))
+        p = p.withColumn(WEIGHT, F.col(WEIGHT) * F.col(f"`{fcol}`"))
         out[parent] = p.drop("__k__", "__fsum__")
 
     return out

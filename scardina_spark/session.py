@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS), which the
+        # parquet reader rejects by default; read as long and normalize in
+        # catalog.load_table (reference analog: tz normalization on load,
+        # scardina/datasets.py:97-104)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,86 @@
+"""Statistical tests for the distributed weighted join sampler (SURVEY J4).
+
+Every check is against an exactly computable expectation: the sampler draws
+from a known distribution, so sampled marginals must match full-join
+marginals within multinomial tolerance.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from scardina_spark.catalog import build_tpch_schema
+from scardina_spark.operators.sampler import (
+    SAMPLE_ID, join_sample, weighted_sample_with_replacement)
+from scardina_spark.operators.weights import compute_weights
+
+
+def test_weighted_sample_exact_n_and_proportions(spark):
+    # 4 rows with weights 1,2,3,4 -> probabilities 0.1,0.2,0.3,0.4
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)], ["k", "w"])
+    n = 20_000
+    s = weighted_sample_with_replacement(df, "w", ["k"], n, seed=7)
+    counts = {r["k"]: r["c"] for r in
+              s.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == n
+    for k in range(1, 5):
+        p = k / 10.0
+        # 6-sigma multinomial bound
+        tol = 6 * math.sqrt(n * p * (1 - p))
+        assert abs(counts.get(k, 0) - n * p) < tol, (k, counts)
+
+
+def test_sample_ids_unique(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], ["k", "w"])
+    s = weighted_sample_with_replacement(df, "w", ["k"], 5000, seed=3)
+    assert s.select(SAMPLE_ID).distinct().count() == 5000
+    assert s.count() == 5000
+
+
+def test_join_sample_marginal_matches_full_join(spark, tables, duck):
+    """Sample the orders-CIN (orders ⋈ customer) from root=customer with
+    weights; the marginal distribution of o_orderpriority in the sample must
+    match its distribution in the full join."""
+    sg = build_tpch_schema()
+    subs = sg.cin_subschemas()
+    oc = [ss for ss in subs.values() if ss.center == "orders"][0]
+    w = compute_weights(oc, tables, "customer")
+    n = 20_000
+    samp = join_sample(oc, w, "customer", n, seed=11)
+    assert samp.count() == n
+    # all customers exist; orders may be missing for childless customers
+    got = {r["p"]: r["c"] for r in samp.groupBy(
+        F.col("`orders.o_orderpriority`").alias("p")).agg(
+        F.count("*").alias("c")).collect()}
+    full = dict(duck.sql("""
+        select o_orderpriority, count(*) from customer c
+        join orders o on c.c_custkey = o.o_custkey group by 1""").fetchall())
+    n_cust = duck.sql("select count(*) from customer").fetchone()[0]
+    n_childless = duck.sql("""
+        select count(*) from customer where c_custkey not in
+        (select o_custkey from orders)""").fetchone()[0]
+    total = sum(full.values()) + n_childless  # null-extended rows
+    for p, cnt in full.items():
+        frac = cnt / total
+        tol = 6 * math.sqrt(n * frac * (1 - frac)) + 1
+        assert abs(got.get(p, 0) - n * frac) < tol, (p, got.get(p, 0), n * frac)
+    # null-extension marker semantics
+    n_null = samp.where(~F.col("`__in__:orders`")).count()
+    frac0 = n_childless / total
+    tol0 = 6 * math.sqrt(n * max(frac0, 1e-9) * (1 - frac0)) + 1
+    assert abs(n_null - n * frac0) < tol0
+
+
+def test_join_sample_pk_side_exact(spark, tables):
+    """Many-to-one edges attach exactly the matching PK row (no sampling)."""
+    sg = build_tpch_schema()
+    subs = sg.cin_subschemas()
+    li = [ss for ss in subs.values() if ss.center == "lineitem"][0]
+    w = compute_weights(li, tables, "lineitem")
+    samp = join_sample(li, w, "lineitem", 2000, seed=5)
+    assert samp.count() == 2000
+    bad = samp.where(
+        F.col("`lineitem.l_orderkey`") != F.col("`orders.o_orderkey`")).count()
+    assert bad == 0
+    assert samp.where(~F.col("`__in__:orders`")).count() == 0
