@@ -1,0 +1,2 @@
+from .exact import ExactEstimator  # noqa: F401
+from .sample import SampleEstimator, prepare_tree_sample, TreeSample  # noqa: F401

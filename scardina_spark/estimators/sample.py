@@ -1,0 +1,242 @@
+"""Sampling-based join cardinality estimator (Horvitz-Thompson over a
+materialized unbiased join sample).
+
+This is the Spark-native analog of the reference's UR estimator
+(scardina/estimators.py:925-1030): the full-join row count times the mean,
+over an unbiased sample of the join, of ``1[predicates] / Π fanout`` where
+the fanout product collapses the multiplicity contributed by tables the
+query does not use.  The reference draws its rows from a learned density
+model (progressive sampling); here they come from the materialized join
+sample itself — same estimator, sample-backed instead of model-backed, and
+each query is ONE aggregate over a cached ≤500k-row DataFrame.
+
+Statistical correction vs the reference: the reference divides by its
+``__fanout__`` columns, which are *weight sums* (subtree sizes,
+scardina/datasets.py:331).  Dividing by the bridge and all unused-subtree
+edges is only unbiased when every unused subtree has depth 1 — true for its
+IMDB star schema, not in general.  We divide by per-edge *adjacency*
+fanouts (``__adj_fanout__`` counts, scardina/datasets.py:144-221
+semantics), whose per-row product telescopes to the used-projection
+multiplicity at any depth, so the estimator stays unbiased on arbitrary
+tree schemas.
+
+Scale notes: prep is the fanout/weight/sample pipeline (a handful of
+key-shuffles over base tables); query time touches only the sample —
+no base-table scan, no shuffle, broadcast-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import networkx as nx
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.fanout import adj_fanout_col, attach_count, fk_counts
+from ..operators.sampler import join_sample
+from ..operators.weights import WEIGHT, compute_weights
+from ..plans.parse import ParsedQuery, parse_query
+from ..plans.predicates import normalize_predicates, predicates_to_column, Predicate
+from ..schema import Relationship, SchemaGraph, Subschema
+
+
+class UnsupportedQueryError(ValueError):
+    pass
+
+
+def spanning_tree(sg: SchemaGraph, root: str) -> Subschema:
+    """Deterministic BFS spanning tree of the schema from ``root`` — the UR
+    join tree (cycles in the schema graph, e.g. TPC-H's
+    customer→nation←supplier diamond, are broken by dropping non-tree
+    edges; queries over dropped edges route to a CIN sample instead)."""
+    und = nx.Graph()
+    for rel in sg.relationships():
+        und.add_edge(rel.pk_table, rel.fk_table)
+    rels_by_pair: dict[frozenset, Relationship] = {}
+    for rel in sg.relationships():
+        rels_by_pair.setdefault(frozenset((rel.pk_table, rel.fk_table)), rel)
+    rels = []
+    for u, v in nx.bfs_edges(und, root):
+        rels.append(rels_by_pair[frozenset((u, v))])
+    return Subschema(f"{sg.name}__ur__{root}", root, tuple(rels))
+
+
+def cin_tree(sg: SchemaGraph, center: str) -> Subschema:
+    """The closed-in-neighborhood subschema of ``center``."""
+    subs = [ss for ss in sg.cin_subschemas().values() if ss.center == center]
+    return subs[0]
+
+
+def attach_tree_adj_fanouts(tree: Subschema, tables: dict[str, DataFrame]
+                            ) -> dict[str, DataFrame]:
+    """Per tree edge, attach both directed adjacency fanouts: the PK side
+    gets the FK side's per-key row count; the FK side gets constant 1 (a
+    PK matches at most one row).  Unmatched keys fill 1 — a null-extended
+    row contributes exactly one join row."""
+    out = {t: tables[t] for t in tree.tables}
+    for rel in tree.rels:
+        pk_col = adj_fanout_col(rel.pk_col, rel.fk_table, rel.fk_col)
+        counts = fk_counts(out[rel.fk_table], rel.fk_col)
+        out[rel.pk_table] = attach_count(
+            out[rel.pk_table], rel.pk_col, counts, rel.fk_col, pk_col)
+        fk_col = adj_fanout_col(rel.fk_col, rel.pk_table, rel.pk_col)
+        out[rel.fk_table] = out[rel.fk_table].withColumn(
+            fk_col, F.lit(1).cast("long"))
+    return out
+
+
+@dataclass
+class TreeSample:
+    tree: Subschema
+    root: str
+    sample: DataFrame          # prefixed ``table.col`` layout + markers/fanouts
+    join_size: int
+    n_sample: int
+
+    @property
+    def tables(self) -> set[str]:
+        return self.tree.tables
+
+
+def prepare_tree_sample(
+    tree: Subschema, tables: dict[str, DataFrame], root: str | None = None,
+    n_min: int = 100_000, n_max: int = 500_000, seed: int = 42,
+    cache: bool = True,
+) -> TreeSample:
+    """Materialize the unbiased weighted join sample of ``tree``
+    (reference pipeline stages b-d, scardina/datasets.py:144-378)."""
+    root = root or tree.center
+    adj = attach_tree_adj_fanouts(tree, tables)
+    w = compute_weights(tree, adj, root)
+    row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
+    join_size = int(row["s"] or 0)
+    n = max(n_min, min(n_max, join_size))
+    samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True)
+    if cache:
+        samp = samp.cache()
+        samp.count()  # materialize once; queries reuse the cached sample
+    return TreeSample(tree, root, samp, join_size, n)
+
+
+def _query_tables(pq: ParsedQuery) -> dict[str, str]:
+    tables = pq.tables
+    if len(set(tables.values())) != len(tables):
+        raise UnsupportedQueryError("self-joins unsupported by sample estimator")
+    return tables
+
+
+def _tree_edge_pairs(tree: Subschema) -> dict[frozenset, Relationship]:
+    return {
+        frozenset(((r.pk_table, r.pk_col), (r.fk_table, r.fk_col))): r
+        for r in tree.rels
+    }
+
+
+def _validate_joins(ts: TreeSample, pq: ParsedQuery,
+                    alias_to_table: dict[str, str]) -> None:
+    pairs = _tree_edge_pairs(ts.tree)
+    for a, b in pq.joins:
+        al_a, col_a = a.split(".", 1)
+        al_b, col_b = b.split(".", 1)
+        key = frozenset(((alias_to_table[al_a], col_a),
+                         (alias_to_table[al_b], col_b)))
+        if key not in pairs:
+            raise UnsupportedQueryError(
+                f"join {a}={b} is not an edge of sample tree {ts.tree.name}")
+
+
+def _divisor_cols(ts: TreeSample, used: set[str]) -> list[str]:
+    """Directed edges pointing away from the used set: bridges used→unused
+    plus all edges inside each unused component (BFS from the bridge head).
+    Reference analog: _find_fanout_cols, scardina/estimators.py:967-999."""
+    g = nx.Graph()
+    g.add_nodes_from(ts.tree.tables)
+    rel_of: dict[frozenset, Relationship] = {}
+    for r in ts.tree.rels:
+        g.add_edge(r.pk_table, r.fk_table)
+        rel_of[frozenset((r.pk_table, r.fk_table))] = r
+
+    def col_for(u: str, v: str) -> str:
+        r = rel_of[frozenset((u, v))]
+        if u == r.pk_table:
+            return f"{u}.{adj_fanout_col(r.pk_col, r.fk_table, r.fk_col)}"
+        return f"{u}.{adj_fanout_col(r.fk_col, r.pk_table, r.pk_col)}"
+
+    cols: list[str] = []
+    unused = set(ts.tree.tables) - used
+    sub_unused = g.subgraph(unused)
+    for u in sorted(used):
+        for v in sorted(g.neighbors(u)):
+            if v in used:
+                continue
+            cols.append(col_for(u, v))
+            for x, y in nx.bfs_edges(sub_unused, v):
+                cols.append(col_for(x, y))
+    return cols
+
+
+@dataclass
+class SampleEstimator:
+    """Routes each query to the smallest prepared sample covering it and
+    runs the Horvitz-Thompson aggregate (reference analog: subschema cover
+    selection, scardina/estimators.py:1196-1232)."""
+
+    samples: list[TreeSample] = field(default_factory=list)
+    name: str = "sample"
+
+    def add(self, ts: TreeSample) -> None:
+        self.samples.append(ts)
+
+    def _pick(self, q_tables: set[str], pq: ParsedQuery,
+              alias_to_table: dict[str, str]) -> TreeSample:
+        candidates = sorted(
+            (ts for ts in self.samples if q_tables <= ts.tables),
+            key=lambda ts: (len(ts.tables), ts.tree.name))
+        for ts in candidates:
+            try:
+                self._validate(ts, pq, alias_to_table, q_tables)
+                return ts
+            except UnsupportedQueryError:
+                continue
+        raise UnsupportedQueryError(
+            f"no prepared sample covers tables {sorted(q_tables)} "
+            f"with the query's join edges")
+
+    def _validate(self, ts: TreeSample, pq: ParsedQuery,
+                  alias_to_table: dict[str, str], q_tables: set[str]) -> None:
+        _validate_joins(ts, pq, alias_to_table)
+        # used set must induce a connected subtree so every unused component
+        # hangs off exactly one used table (divisor correctness)
+        if len(q_tables) > 1:
+            g = nx.Graph()
+            for r in ts.tree.rels:
+                g.add_edge(r.pk_table, r.fk_table)
+            if not nx.is_connected(g.subgraph(q_tables)):
+                raise UnsupportedQueryError(
+                    "query tables are not connected within the sample tree")
+
+    def estimate(self, query: ParsedQuery | str) -> float:
+        pq = parse_query(query) if isinstance(query, str) else query
+        alias_to_table = _query_tables(pq)
+        q_tables = set(alias_to_table.values())
+        ts = self._pick(q_tables, pq, alias_to_table)
+
+        # predicates, rewritten from alias-qualified to table-qualified
+        preds = []
+        for p in normalize_predicates(pq.filters):
+            t = alias_to_table.get(p.table or "", p.table)
+            if t not in ts.tables:
+                raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
+            preds.append(Predicate(f"{t}.{p.column}", p.o, p.v))
+
+        ind = predicates_to_column(preds, qualify=True)
+        for t in sorted(q_tables):
+            ind = ind & F.col(f"`__in__:{t}`")
+
+        div = F.lit(1.0)
+        for c in _divisor_cols(ts, q_tables):
+            div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
+
+        contrib = F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+        mean = ts.sample.agg(F.avg(contrib).alias("m")).collect()[0]["m"] or 0.0
+        return float(ts.join_size) * float(mean)

@@ -1,0 +1,203 @@
+"""SQL front-end for the reference's query language: conjunctive
+``SELECT COUNT(*)`` with equi-joins and AND-only predicates.
+
+Reference semantics (NOT code): scardina/parse.py:72-166 + run.py:796-917 —
+alias resolution, conjunct splitting on AND, join-vs-filter detection,
+BETWEEN pairing, IS NOT NULL rewriting, literal typing.  The reference
+drives sqlparse token surgery; no sqlparse here, a small scanner is enough
+for the grammar (and hand-rolling it removes the dependency).
+
+Grammar accepted::
+
+    SELECT COUNT(*) FROM t1 [AS] a [, t2 [AS] b ...]
+    [WHERE conj [AND conj ...]] [;]
+
+    conj := col op literal | col IN (lit, ...) | col BETWEEN lit AND lit
+          | col IS [NOT] NULL | col [NOT] LIKE 'pat' | col = col (join)
+
+Output is the 6-tuple-equivalent ``ParsedQuery`` (cols/ops/vals live in
+``filters``; equi-join pairs in ``joins``; alias->table in ``tables``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from .predicates import Predicate, literal_value
+
+_TOKEN = re.compile(
+    r"""
+    \s*(
+        '(?:[^']|'')*'            # single-quoted string
+      | "(?:[^"]|"")*"            # double-quoted string
+      | [A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*   # identifier / dotted ref
+      | \d+\.\d+ | \.\d+ | \d+    # numbers
+      | >= | <= | != | <> | = | > | <
+      | \( | \) | , | \*
+      | ;
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL", "LIKE",
+             "SELECT", "FROM", "WHERE", "AS", "COUNT"}
+
+
+def _tokenize(s: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos].isspace():
+                pos += 1
+                continue
+            raise ValueError(f"cannot tokenize at: {s[pos:pos+20]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+def _is_kw(tok: str, kw: str) -> bool:
+    return tok.upper() == kw
+
+
+def _is_column_ref(tok: str) -> bool:
+    return bool(re.fullmatch(r"[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)?", tok)) \
+        and tok.upper() not in _KEYWORDS
+
+
+@dataclass
+class ParsedQuery:
+    tables: dict[str, str]            # alias -> table name
+    joins: list[tuple[str, str]]      # (a.col, b.col) both alias-qualified
+    filters: list[Predicate]          # alias-qualified predicates
+    sql: str = ""
+    extras: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def table_names(self) -> set[str]:
+        return set(self.tables.values())
+
+
+def parse_query(sql: str) -> ParsedQuery:
+    toks = _tokenize(sql)
+    up = [t.upper() for t in toks]
+    try:
+        i_from = up.index("FROM")
+    except ValueError:
+        raise ValueError("query must have FROM") from None
+    i_where = up.index("WHERE") if "WHERE" in up else len(toks)
+
+    # FROM list
+    tables: dict[str, str] = {}
+    i = i_from + 1
+    while i < i_where:
+        t = toks[i]
+        if t == ",":
+            i += 1
+            continue
+        if t == ";":
+            break
+        name = t
+        alias = t
+        j = i + 1
+        if j < i_where and _is_kw(toks[j], "AS"):
+            j += 1
+        if j < i_where and toks[j] not in (",", ";") and _is_column_ref(toks[j]):
+            alias = toks[j]
+            j += 1
+        tables[alias] = name
+        i = j
+
+    joins: list[tuple[str, str]] = []
+    filters: list[Predicate] = []
+
+    def qualify(col: str) -> str:
+        if "." in col:
+            alias = col.split(".", 1)[0]
+            if alias not in tables:
+                raise ValueError(f"unknown alias in {col!r}")
+            return col
+        if len(tables) == 1:
+            return f"{next(iter(tables))}.{col}"
+        return col  # bare column in multi-table query: left unqualified
+
+    i = i_where + 1
+    n = len(toks)
+    try:
+        return _parse_where(toks, i, n, tables, joins, filters, qualify, sql)
+    except IndexError:
+        raise ValueError(f"truncated WHERE clause in: {sql!r}") from None
+
+
+def _parse_where(toks, i, n, tables, joins, filters, qualify, sql):
+    while i < n and toks[i] != ";":
+        if _is_kw(toks[i], "AND"):
+            i += 1
+            continue
+        if _is_kw(toks[i], "OR"):
+            raise ValueError("only conjunctive (AND) predicates are supported")
+        col = toks[i]
+        if not _is_column_ref(col):
+            raise ValueError(f"expected column ref, got {col!r}")
+        i += 1
+        op = toks[i].upper() if i < n else None
+
+        if op in (">", "<", ">=", "<=", "=", "!=", "<>"):
+            i += 1
+            rhs = toks[i]
+            i += 1
+            if op == "=" and _is_column_ref(rhs) and "." in rhs and "." in col:
+                joins.append((qualify(col), qualify(rhs)))
+            else:
+                filters.append(Predicate(qualify(col), op, literal_value(rhs)))
+        elif op == "IN":
+            i += 1
+            if toks[i] != "(":
+                raise ValueError("IN requires a parenthesized list")
+            i += 1
+            vals = []
+            while toks[i] != ")":
+                if toks[i] != ",":
+                    vals.append(literal_value(toks[i]))
+                i += 1
+            i += 1
+            filters.append(Predicate(qualify(col), "IN", tuple(vals)))
+        elif op == "BETWEEN":
+            i += 1
+            lo = literal_value(toks[i])
+            i += 1
+            if not _is_kw(toks[i], "AND"):
+                raise ValueError("BETWEEN requires AND")
+            i += 1
+            hi = literal_value(toks[i])
+            i += 1
+            filters.append(Predicate(qualify(col), "BETWEEN", (lo, hi)))
+        elif op == "IS":
+            i += 1
+            neg = False
+            if _is_kw(toks[i], "NOT"):
+                neg = True
+                i += 1
+            if not _is_kw(toks[i], "NULL"):
+                raise ValueError("IS [NOT] requires NULL")
+            i += 1
+            filters.append(Predicate(qualify(col), "IS NOT" if neg else "IS", None))
+        elif op == "NOT":
+            i += 1
+            if not _is_kw(toks[i], "LIKE"):
+                raise ValueError("NOT must be followed by LIKE")
+            i += 1
+            filters.append(Predicate(qualify(col), "NOT LIKE",
+                                     literal_value(toks[i])))
+            i += 1
+        elif op == "LIKE":
+            i += 1
+            filters.append(Predicate(qualify(col), "LIKE", literal_value(toks[i])))
+            i += 1
+        else:
+            raise ValueError(f"unsupported op {op!r} after {col!r}")
+
+    return ParsedQuery(tables=tables, joins=joins, filters=filters, sql=sql)

@@ -1,0 +1,161 @@
+"""Predicate model, normalization, and lowering to Spark Columns.
+
+Reference semantics (NOT code): scardina/common.py:635-645 (frozen predicate
+tuple), scardina/estimators.py:94-116 (op table: > < >= <= = != <> IN
+BETWEEN IS IS_NOT LIKE NOT_LIKE ALL_TRUE ALL_FALSE) and
+scardina/estimators.py:476-549 (normalization: BETWEEN → >= AND <=,
+``<>`` → ``!=``, ``= NULL`` → IS NULL, LIKE kept for dictionary
+compilation).
+
+Two consumers:
+* execution on base data — ``predicates_to_column`` lowers a conjunction
+  to one ``pyspark.sql.Column``, which Catalyst pushes into the parquet
+  scan (predicate pushdown is the free win the reference's numpy loop
+  cannot have);
+* the estimator — predicates evaluated over a column's *dictionary* to
+  produce valid masks (see estimators/masks.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+COMPARISON_OPS = {">", "<", ">=", "<=", "=", "!=", "<>"}
+ALL_OPS = COMPARISON_OPS | {
+    "IN", "BETWEEN", "IS", "IS NOT", "LIKE", "NOT LIKE",
+    "ALL_TRUE", "ALL_FALSE",
+}
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """``c`` is ``table.column`` (or a bare column name), ``o`` an op from
+    ALL_OPS, ``v`` the literal (tuple for IN/BETWEEN, None for IS [NOT])."""
+
+    c: str
+    o: str
+    v: Any = None
+
+    @property
+    def table(self) -> str | None:
+        return self.c.split(".", 1)[0] if "." in self.c else None
+
+    @property
+    def column(self) -> str:
+        return self.c.split(".", 1)[1] if "." in self.c else self.c
+
+
+def normalize_predicates(preds: list[Predicate]) -> list[Predicate]:
+    """Driver-side rewrite mirroring the reference's estimation-domain
+    normalization (scardina/estimators.py:476-549): BETWEEN splits into a
+    >=/<= pair, ``<>`` becomes ``!=``, equality/inequality with NULL
+    becomes IS / IS NOT NULL."""
+    out: list[Predicate] = []
+    for p in preds:
+        o = p.o.upper()
+        if o == "BETWEEN":
+            lo, hi = p.v
+            out.append(Predicate(p.c, ">=", lo))
+            out.append(Predicate(p.c, "<=", hi))
+        elif o == "<>":
+            out.append(Predicate(p.c, "!=", p.v))
+        elif o in ("=", "==") and p.v is None:
+            out.append(Predicate(p.c, "IS", None))
+        elif o == "!=" and p.v is None:
+            out.append(Predicate(p.c, "IS NOT", None))
+        else:
+            out.append(Predicate(p.c, o, p.v))
+    return out
+
+
+def _like_to_rlike(pattern: str) -> str:
+    """SQL LIKE wildcards to an anchored regex (reference analog:
+    scardina/estimators.py:29-40 — but lowered to Spark's native ``rlike``
+    instead of a numpy fullmatch loop)."""
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def predicate_to_column(p: Predicate, qualify: bool = False) -> Column:
+    """Lower one predicate to a Spark Column over base data.  With
+    ``qualify`` the prefixed sample layout (``table.column``) is used."""
+    name = p.c if qualify else p.column
+    c = F.col(f"`{name}`")
+    o = p.o.upper()
+    if o in (">", "<", ">=", "<="):
+        return {">" : c > F.lit(p.v), "<": c < F.lit(p.v),
+                ">=": c >= F.lit(p.v), "<=": c <= F.lit(p.v)}[o]
+    if o in ("=", "=="):
+        return c == F.lit(p.v)
+    if o in ("!=", "<>"):
+        return c != F.lit(p.v)
+    if o == "IN":
+        return c.isin(list(p.v))
+    if o == "BETWEEN":
+        lo, hi = p.v
+        return c.between(F.lit(lo), F.lit(hi))
+    if o == "IS":
+        return c.isNull() if p.v is None else (c == F.lit(p.v))
+    if o == "IS NOT":
+        return c.isNotNull() if p.v is None else (c != F.lit(p.v))
+    if o == "LIKE":
+        return c.rlike(_like_to_rlike(p.v))
+    if o == "NOT LIKE":
+        return ~c.rlike(_like_to_rlike(p.v))
+    if o == "ALL_TRUE":
+        return F.lit(True)
+    if o == "ALL_FALSE":
+        return F.lit(False)
+    raise ValueError(f"unsupported op: {p.o}")
+
+
+def predicates_to_column(preds: list[Predicate], qualify: bool = False) -> Column:
+    """AND-conjunction (the only connective the reference's query language
+    has, scardina/run.py:796-917)."""
+    if not preds:
+        return F.lit(True)
+    col = predicate_to_column(preds[0], qualify)
+    for p in preds[1:]:
+        col = col & predicate_to_column(p, qualify)
+    return col
+
+
+def literal_value(tok: str) -> Any:
+    """Type a SQL literal token: int, float, ISO date(time), NULL, or
+    string.  Datetime literals follow the reference's convention of parsing
+    date-looking strings (scardina/run.py:863-867) but detect by value, not
+    by column name."""
+    t = tok.strip()
+    if t.upper() == "NULL":
+        return None
+    if (t.startswith("'") and t.endswith("'")) or (
+            t.startswith('"') and t.endswith('"')):
+        s = t[1:-1]
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return datetime.strptime(s, fmt)
+            except ValueError:
+                pass
+        return s
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    return t

@@ -1,0 +1,101 @@
+"""Sample-based cardinality estimator: q-error against exact truth.
+
+The estimator is statistical; with a 100k sample over a ~6k-row join the
+relative error for moderately selective predicates is small — assert
+q-error bounds rather than equality.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scardina_spark.catalog import build_tpch_schema, RELATIONAL_TABLES
+from scardina_spark.estimators import (
+    ExactEstimator, SampleEstimator, prepare_tree_sample)
+from scardina_spark.estimators.sample import (
+    UnsupportedQueryError, cin_tree, spanning_tree)
+
+
+def qerr(est: float, true: float) -> float:
+    # zero conventions follow the reference (scardina/run.py:60-67)
+    if true == 0 and est == 0:
+        return 1.0
+    if true == 0 or est == 0:
+        return float("inf")
+    return max(est / true, true / est)
+
+
+@pytest.fixture(scope="module")
+def estimator(tables):
+    sg = build_tpch_schema()
+    ur = spanning_tree(sg, "lineitem")
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(ur, tables, "lineitem", seed=42))
+    return est
+
+
+@pytest.fixture(scope="module")
+def exact(tables):
+    return ExactEstimator(build_tpch_schema(), tables)
+
+
+QUERIES = [
+    "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+    "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 25",
+    "SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'",
+    "SELECT COUNT(*) FROM customer",
+    "SELECT COUNT(*) FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey "
+    "AND o.o_orderstatus = 'F'",
+    "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+    "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+    "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity > 10",
+    "SELECT COUNT(*) FROM orders o, customer c "
+    "WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 0",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_qerror_small(estimator, exact, sql):
+    est = estimator.estimate(sql)
+    true = exact.estimate(sql)
+    assert qerr(est, true) < 1.2, (sql, est, true)
+
+
+def test_deep_unused_subtree_unbiased(estimator, tables):
+    """used={customer} leaves unused components of depth 3 (orders→lineitem
+    →{part,supplier}) and depth 2 (nation→region) — the case where the
+    reference's weight-sum divisor is biased; adjacency divisors must
+    recover |customer| closely."""
+    est = estimator.estimate("SELECT COUNT(*) FROM customer")
+    true = tables["customer"].count()
+    assert qerr(est, true) < 1.1, (est, true)
+
+
+def test_unsupported_cross_product_rejected(estimator):
+    with pytest.raises(UnsupportedQueryError):
+        estimator.estimate("SELECT COUNT(*) FROM part p, supplier s "
+                           "WHERE p.p_size > 10 AND s.s_suppkey > 5")
+
+
+def test_unsupported_off_tree_join_rejected(estimator):
+    # the BFS spanning tree from lineitem reaches nation via supplier, so
+    # the customer-nation edge is the one dropped
+    with pytest.raises(UnsupportedQueryError):
+        estimator.estimate(
+            "SELECT COUNT(*) FROM customer c, nation n "
+            "WHERE c.c_nationkey = n.n_nationkey")
+
+
+def test_cin_sample_covers_dropped_edge(tables):
+    """A CIN sample centered on customer covers customer⋈nation."""
+    sg = build_tpch_schema()
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(cin_tree(sg, "customer"), tables, "customer",
+                                seed=7))
+    got = est.estimate(
+        "SELECT COUNT(*) FROM customer c, nation n "
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'A%'")
+    exact = ExactEstimator(sg, tables).estimate(
+        "SELECT COUNT(*) FROM customer c, nation n "
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'A%'")
+    assert qerr(got, exact) < 1.25
