@@ -1,0 +1,174 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of doing this in Spark):
+
+* exact dedup — one hash-groupBy on a 16-byte digest, not on the document
+  body: shuffle volume is O(rows × 16B) regardless of document size.
+* MinHash+LSH — shingle → per-salt min-hash signature (explode + groupBy
+  doc), band the signature, shuffle on (band_id, band_hash) so only
+  colliding docs meet.  No pairwise work outside buckets; the candidate
+  verification joins are bucket-local.
+* SimHash — per-token hashed bit votes aggregated JVM-side; near-dup =
+  equal simhash (or banded Hamming at scale).
+* n-gram Jaccard — exact verification on candidate pairs only.
+
+Determinism: every hash is md5-derived, so the DuckDB oracle can reproduce
+signatures bit-for-bit — no engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized(col: str = "text") -> F.Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), "\\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text"
+                ) -> DataFrame:
+    """Keep the lowest-id document per normalized-content digest.
+    Returns (keep_id, n_dups) per distinct content, ordered by keep_id."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(col)).alias("__h__"))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    )
+
+
+def word_shingles(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    toks = F.split(normalized(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(toks[0])))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text", k_shingle: int = 3,
+                       n_hashes: int = 8) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): per-salt min of md5(salt||shingle).
+
+    The min is over hex strings — order-stable across engines.  Explode +
+    groupBy(id) keeps the shuffle at O(shingles) with map-side combine.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(col, k_shingle)).alias("__sh__"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("__sh__"))))
+        .alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = 8, n_bands: int = 4) -> DataFrame:
+    """Docs sharing any band of the signature → candidate pairs (a < b).
+    Shuffle key is (band_id, band_hash): only colliding docs co-locate."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col).alias("__id__"),
+                F.lit(b).alias("__band__"),
+                F.md5(F.concat_ws("|", *cols)).alias("__bh__")))
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    a = exploded.select(F.col("__band__"), F.col("__bh__"),
+                        F.col("__id__").alias("id_a"))
+    b_ = exploded.select(F.col("__band__"), F.col("__bh__"),
+                         F.col("__id__").alias("id_b"))
+    return (
+        a.join(b_, ["__band__", "__bh__"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  col: str = "text", k_shingle: int = 3) -> DataFrame:
+    """Exact Jaccard over word shingles for the given candidate pairs."""
+    sh = df.select(F.col(id_col).alias("__id__"),
+                   word_shingles(col, k_shingle).alias("__sh__"))
+    a = sh.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
+    b = sh.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"))
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
+                  k_shingle: int = 3, n_hashes: int = 8, n_bands: int = 4,
+                  threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verification → pairs above threshold."""
+    sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    scored = ngram_jaccard(df, cands, id_col, col, k_shingle)
+    return scored.where(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32  # md5's first 8 hex chars; enough for near-dup bucketing
+
+
+def _hex_nibble_value(hexcol: F.Column, pos: int) -> F.Column:
+    """Value 0-15 of the hex digit at 1-based ``pos`` — expressible
+    identically in DuckDB, which keeps the oracle bit-exact."""
+    ch = F.substring(hexcol, pos, 1)
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash(col: str = "text") -> F.Column:
+    """32-bit SimHash over whitespace tokens: for each bit, majority vote of
+    token-hash bits; bit set when strictly more ones than zeros.  Pure
+    higher-order-function projection, no UDF."""
+    toks = F.filter(F.split(normalized(col), " "),
+                    lambda w: F.length(w) > 0)
+    hashes = F.transform(toks, lambda w: F.md5(w))
+    n = F.size(hashes)
+    def bit_votes(pos: int, shift: int) -> F.Column:
+        def step(acc: F.Column, h: F.Column) -> F.Column:
+            return acc + (
+                F.shiftright(_hex_nibble_value(h, pos), shift)
+                .bitwiseAND(F.lit(1)))
+
+        return F.aggregate(hashes, F.lit(0), step)
+
+    out = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        ones = bit_votes(bit // 4 + 1, 3 - bit % 4)
+        vote = F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        out = out + F.shiftleft(vote, bit)
+    return out
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", col: str = "text"
+                  ) -> DataFrame:
+    return df.select(F.col(id_col), simhash(col).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text") -> DataFrame:
+    """Groups of documents sharing a simhash (candidate near-dups)."""
+    return (
+        simhash_table(df, id_col, col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("keep_id")
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode/feature steps as Arrow-batched ``mapInPandas`` stages.
+
+The image/audio codecs are not available in this environment, so the decode
+kernel is a clearly-marked deterministic stub — but the Spark-side contract
+is real and tested: schema (binary payload + metadata struct), partitioning
+(payload-size-aware repartition so one executor never holds a skewed chunk
+of large blobs), Arrow batch shapes, and the UDF signature a real decoder
+would drop into.
+
+At 100 TB the rules encoded here matter: binary columns ride along parquet
+scans without being read when pruned (columnar projection), metadata-only
+queries never touch payload bytes, and the decode stage is the ONLY place
+payload bytes cross into Python — in Arrow batches, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),       # "image" | "audio" | "video"
+    StructField("payload", BinaryType()),
+    StructField("n_bytes", LongType()),
+    StructField("digest", StringType()),
+])
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id",
+                       col: str = "text") -> DataFrame:
+    """Build a media table from the documents fixture: payload = utf-8
+    bytes of the text (a stand-in for image/audio bytes), metadata derived
+    JVM-side.  Gives the multimodal pipeline a real, deterministic input."""
+    payload = F.encode(F.col(col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.when(F.col(id_col) % 3 == 0, "image")
+         .when(F.col(id_col) % 3 == 1, "audio")
+         .otherwise("video")).alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+def metadata_only(df: DataFrame) -> DataFrame:
+    """Metadata projection — must NOT read payload bytes (column pruning
+    reaches the parquet scan; verify with .explain ReadSchema)."""
+    return df.select("media_id", "kind", "n_bytes", "digest")
+
+
+def repartition_by_payload_size(df: DataFrame, target_bytes: int = 128 << 20
+                                ) -> DataFrame:
+    """Size-aware repartition: large payloads are the skew hazard, so the
+    partition count follows total payload bytes, not row count."""
+    total = df.agg(F.sum("n_bytes").alias("s")).collect()[0]["s"] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return df.repartition(n, "media_id")
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feat_dim", IntegerType()),
+    StructField("feat_head", StringType()),   # hex of first feature bytes
+])
+
+
+def decode_stub(payload: bytes, kind: str) -> bytes:
+    """STUB for the real codec (PIL/librosa/ffmpeg are not installed).
+
+    Deterministic fake 'decode': returns the first 16 payload bytes as the
+    'decoded frame'.  A real implementation replaces ONLY this function;
+    the Spark plumbing around it (batching, schema, partitioning) is the
+    part under test.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    return bytes(payload[:16])
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes.  The kernel is
+    the stub above; the batch loop, schema and output contract are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = [
+                decode_stub(p if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "n_bytes": pdf["n_bytes"].values,
+                "feat_dim": [len(f) for f in frames],
+                "feat_head": [f.hex() for f in frames],
+            })
+
+    return df.select("media_id", "kind", "n_bytes", "payload") \
+        .mapInPandas(run, FEATURE_SCHEMA)

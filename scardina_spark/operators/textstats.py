@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2.7): language ID, quality scoring,
+token counting, document fingerprinting over a ``documents(doc_id, text,
+lang, source, n_chars)`` table.
+
+Everything here is a narrow projection built from JVM-side higher-order
+functions (``filter``, ``transform``, ``regexp_*``) — no Python UDFs, so the
+whole stage stays inside whole-stage codegen and scales linearly with no
+shuffle at all.  At 100 TB these run at parquet-scan speed; the only
+shuffle in this module is the groupBy of ``source_quality_profile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deliberately small, deterministic marker sets — the operator contract is
+# the heuristic, not a trained model
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def words(col: str = "text") -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.col(col), "\\s+"), lambda w: F.length(w) > 0)
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, or single
+    punctuation — a cheap, deterministic proxy for subword tokenizers."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)),
+                                       F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(col), "[A-Za-z0-9\\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(F.col(col)), F.lit(1)), 4)
+
+
+def stopword_ratio(col: str = "text",
+                   stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = words(col)
+    hits = F.size(F.filter(
+        toks, lambda w: F.lower(w).isin(*stopwords)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def mean_word_len(col: str = "text") -> Column:
+    toks = words(col)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length in a healthy band,
+    few punctuation bursts, some (but not only) stopwords.  The exact
+    weights are part of the operator contract (tested against the SQL
+    oracle), not a claim about linguistics."""
+    length_ok = F.when(
+        F.length(F.col(col)).between(50, 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    p = punct_ratio(col)
+    s = stopword_ratio(col)
+    punct_ok = F.when(p <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.when((s >= 0.05) & (s <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok, 4)
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # NB: a two-arg lambda means (element, index) to F.filter — close over
+    # the marker set instead of passing it as a default arg
+    def pred(w: Column) -> Column:
+        return F.lower(w).isin(*markers)
+
+    return F.size(F.filter(toks, pred))
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    toks = words(col)
+    return {
+        lang: _marker_hits(toks, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: str = "text") -> Column:
+    """Argmax of marker-word hits, ties broken by language code order,
+    'und' when nothing matches."""
+    scores = lang_scores(col)
+    pairs = sorted(scores.items())  # deterministic tie-break: code order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in pairs:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the case- and
+    whitespace-normalized text (analog of a rolling-hash shingle print,
+    exact-dup robust to spacing)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), "\\s+", " ")
+    return F.md5(norm)
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """All per-document stats in one projection pass."""
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("n_bpe_tokens", bpe_token_count(col))
+        .withColumn("punct_ratio", punct_ratio(col))
+        .withColumn("stopword_ratio", stopword_ratio(col))
+        .withColumn("mean_word_len", mean_word_len(col))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_pred", lang_id(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )
+
+
+def source_quality_profile(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-source corpus profile — the rollup a data-curation pipeline
+    monitors.  One shuffle on ``source``; partial aggregation map-side."""
+    stats = with_text_stats(df, col)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+            .alias("n_pred_en"),
+        )
+        .orderBy("source")
+    )

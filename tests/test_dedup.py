@@ -1,0 +1,110 @@
+"""Dedup operators: exact, minhash signatures, LSH candidates, simhash."""
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators import dedup as D
+
+
+def _docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE QUICK  BROWN FOX jumps over the lazy dog"),   # near-exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),    # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),    # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(_docs_with_dups(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    # normalization folds case+whitespace: 1,2,5 identical
+    assert by_keep[1] == 3
+    assert by_keep[3] == 1
+    assert by_keep[4] == 1
+
+
+def test_exact_dedup_on_documents_matches_duckdb(tables, duck):
+    got = [(r["keep_id"], r["n_dups"])
+           for r in D.exact_dedup(tables["documents"]).collect()]
+    want = duck.sql("""
+        select min(doc_id) as keep_id, count(*) as n_dups from documents
+        group by md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        order by keep_id""").fetchall()
+    assert got == [(k, n) for k, n in want]
+
+
+def test_minhash_signatures_match_duckdb(spark, duck):
+    df = _docs_with_dups(spark)
+    sigs = D.minhash_signatures(df, n_hashes=4).collect()
+    got = {r["doc_id"]: [r[f"sig_{i}"] for i in range(4)] for r in sigs}
+    df.toPandas().to_parquet("/tmp/_dup_docs.parquet")
+    want_rows = duck.sql("""
+        with norm as (
+          select doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') as toks
+          from '/tmp/_dup_docs.parquet'),
+        sh as (
+          select doc_id, distinct_sh
+          from norm, unnest(list_distinct([
+            array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 2, 1) + 1)
+          ])) as t(distinct_sh))
+        select doc_id,
+               min(md5('salt0:' || distinct_sh)),
+               min(md5('salt1:' || distinct_sh)),
+               min(md5('salt2:' || distinct_sh)),
+               min(md5('salt3:' || distinct_sh))
+        from sh group by doc_id""").fetchall()
+    want = {r[0]: list(r[1:]) for r in want_rows}
+    assert got == want
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    out = D.minhash_dedup(_docs_with_dups(spark), threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = _docs_with_dups(spark)
+    pairs = spark.createDataFrame([(1, 5), (1, 4)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard(df, pairs).collect()}
+    assert out[(1, 5)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_identical_for_dups(spark):
+    df = _docs_with_dups(spark)
+    sh = {r["doc_id"]: r["simhash"]
+          for r in D.simhash_table(df).collect()}
+    assert sh[1] == sh[2] == sh[5]
+    assert sh[1] != sh[4]
+    groups = D.simhash_dup_groups(df).collect()
+    assert any(r["keep_id"] == 1 and r["n_docs"] == 3 for r in groups)
+
+
+def test_simhash_bit_math_matches_python(spark):
+    """Independent python recomputation of the 32-bit simhash."""
+    import hashlib
+
+    texts = {7: "alpha beta gamma delta", 8: "xyz"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash_table(df).collect()}
+
+    for doc, text in texts.items():
+        toks = text.split()
+        want = 0
+        n = len(toks)
+        for bit in range(D.SIMHASH_BITS):
+            ones = 0
+            for t in toks:
+                h = hashlib.md5(t.encode()).hexdigest()
+                nib = int(h[bit // 4], 16)
+                ones += (nib >> (3 - bit % 4)) & 1
+            if ones * 2 > n:
+                want |= 1 << bit
+        assert got[doc] == want, doc

@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing: schema, batching, stubbed decode."""
+
+import hashlib
+
+import pytest
+
+from scardina_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(tables):
+    return M.documents_as_media(tables["documents"]).cache()
+
+
+def test_media_schema_and_digest(media, duck):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "payload", "n_bytes", "digest"]
+    row = media.orderBy("media_id").first()
+    assert row["digest"] == hashlib.md5(bytes(row["payload"])).hexdigest()
+    assert row["n_bytes"] == len(bytes(row["payload"]))
+    # DuckDB 1.0 md5() is VARCHAR-only; md5 of the utf-8 blob equals md5 of
+    # the text itself
+    want = duck.sql(
+        "select md5(text), octet_length(text::BLOB) from documents "
+        "where doc_id = (select min(doc_id) from documents)").fetchone()
+    assert (row["digest"], row["n_bytes"]) == want
+
+
+def test_metadata_only_prunes_payload(media):
+    meta = M.metadata_only(media)
+    assert "payload" not in meta.columns
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.lower().split("readschema")[-1][:300] \
+        if "readschema" in plan.lower() else True
+
+
+def test_feature_extraction_contract(media):
+    feats = M.extract_features(media)
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == media.count()
+    by_id = {r["media_id"]: r for r in rows}
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, r in by_id.items():
+        payload = bytes(src[mid]["payload"])
+        assert r["feat_dim"] == min(16, len(payload))
+        assert r["feat_head"] == payload[:16].hex()
+
+
+def test_decode_stub_rejects_unknown_kind():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"abc", "hologram")
+
+
+def test_payload_size_repartition(media):
+    out = M.repartition_by_payload_size(media, target_bytes=10_000)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == media.count()

@@ -1,0 +1,75 @@
+"""Embedding similarity ops vs DuckDB list functions and numpy."""
+
+import numpy as np
+import pytest
+
+from scardina_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def query_vec(duck):
+    row = duck.sql(
+        "select embedding from embeddings where vec_id = 0").fetchone()
+    return [float(x) for x in row[0]]
+
+
+def test_topk_matches_duckdb(tables, duck, query_vec):
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in S.topk_cosine(tables["embeddings"], query_vec, 10).collect()]
+    qlit = "[" + ",".join(repr(x) for x in query_vec) + "]"
+    want = duck.sql(f"""
+        with q as (select {qlit}::DOUBLE[] as v)
+        select vec_id, round(
+            list_dot_product(embedding::DOUBLE[], q.v) /
+            greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6) as cos
+        from embeddings, q
+        order by cos desc, vec_id limit 10""").fetchall()
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-5
+
+
+def test_topk_self_is_first(tables, duck, query_vec):
+    top = S.topk_cosine(tables["embeddings"], query_vec, 1).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_lsh_bucket_deterministic_and_distributed(tables):
+    planes = S.hyperplanes(64, 8, seed=42)
+    b1 = S.with_lsh_bucket(tables["embeddings"], planes)
+    counts = {r["bucket"]: r["c"] for r in
+              b1.groupBy("bucket").count().withColumnRenamed("count", "c").collect()}
+    assert sum(counts.values()) == tables["embeddings"].count()
+    assert len(counts) > 10  # buckets actually spread
+
+
+def test_lsh_topk_subset_of_bucket(tables, query_vec):
+    planes = S.hyperplanes(64, 4, seed=42)
+    ann = S.topk_cosine_lsh(tables["embeddings"], query_vec, 5, planes)
+    rows = ann.collect()
+    assert 0 < len(rows) <= 5
+    # the query vector itself (vec_id 0) lands in its own bucket
+    assert rows[0]["vec_id"] == 0
+
+
+def test_lsh_recall_against_bruteforce(tables, query_vec):
+    planes = S.hyperplanes(64, 4, seed=42)
+    exact = {r["vec_id"] for r in
+             S.topk_cosine(tables["embeddings"], query_vec, 10).collect()}
+    approx = {r["vec_id"] for r in
+              S.topk_cosine_lsh(tables["embeddings"], query_vec, 10, planes).collect()}
+    # 4-plane LSH on near-orthogonal random vectors is coarse; demand
+    # nonzero overlap, not high recall
+    assert exact & approx
+
+
+def test_cosine_matches_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    from pyspark.sql import functions as F
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - want) < 1e-9

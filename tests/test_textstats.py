@@ -1,0 +1,63 @@
+"""Text-analysis operators vs DuckDB oracle SQL on the documents table."""
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators import textstats as T
+
+
+def test_token_count_matches_duckdb(tables, duck):
+    got = {r["doc_id"]: r["n"] for r in
+           tables["documents"].select(
+               "doc_id", T.token_count().alias("n")).collect()}
+    want = dict(duck.sql("""
+        select doc_id, len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> len(x) > 0)) from documents
+    """).fetchall())
+    assert got == want
+
+
+def test_punct_and_stopword_ratio(tables, duck):
+    rows = tables["documents"].select(
+        "doc_id", T.punct_ratio().alias("p"), T.stopword_ratio().alias("s")
+    ).collect()
+    got = {r["doc_id"]: (r["p"], r["s"]) for r in rows}
+    sw = ",".join(f"'{w}'" for w in T.STOPWORDS)
+    want = {
+        d: (p, s) for d, p, s in duck.sql(f"""
+        with toks as (
+          select doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> len(x) > 0) as ws
+          from documents)
+        select doc_id,
+          round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                / greatest(len(text), 1), 4),
+          round(len(list_filter(ws, x -> lower(x) in ({sw})))
+                / greatest(len(ws), 1), 4)
+        from toks""").fetchall()
+    }
+    for d in got:
+        assert abs(got[d][0] - want[d][0]) < 1e-9, d
+        assert abs(got[d][1] - want[d][1]) < 1e-9, d
+
+
+def test_lang_id_deterministic_and_total(tables):
+    rows = tables["documents"].select(T.lang_id().alias("l")).collect()
+    assert all(r["l"] in (*T.LANG_MARKERS, "und") for r in rows)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["id", "text"])
+    fp = df.select("id", T.fingerprint().alias("f")).collect()
+    by_id = {r["id"]: r["f"] for r in fp}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_source_profile_shapes(tables):
+    prof = T.source_quality_profile(tables["documents"])
+    rows = prof.collect()
+    assert {r["source"] for r in rows} == {
+        r[0] for r in tables["documents"].select("source").distinct().collect()}
+    assert all(r["n_docs"] > 0 and 0 <= r["avg_quality"] <= 1 for r in rows)
