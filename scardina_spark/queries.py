@@ -1,0 +1,823 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (+ extensions) as a (spark, sf_dir) -> DataFrame callable with
+a matching DuckDB oracle SQL string.
+
+Conventions that make the driver's comparison exact:
+* every computed column is aliased identically in Spark and SQL;
+* integer-ish outputs are cast to long (DuckDB counts/len are BIGINT);
+* floats are rounded (4-6 dp) on both sides;
+* deterministic ORDER BY everywhere a result is positional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import build_tpch_schema, load_table, load_tables
+from .estimators import ExactEstimator
+from .functions.dictionary import CODE, VALUE, build_dictionary, encode_with_dictionary
+from .functions.factorize import factorization_spec, sub_code_expr
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .operators.fanout import adj_fanout_col, attach_adj_fanouts
+from .operators.sampler import join_sample
+from .operators.weights import WEIGHT, compute_weights
+from .plans import parse_query, plan_query
+from .plans.planner import execute_join
+
+NORM_RE = "\\s+"
+
+
+# --------------------------------------------------------------------------
+# relational / estimation-pipeline operators (SURVEY §2.1-2.6)
+# --------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: parquet scan with projection + predicate pushed to the source."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                                "l_quantity"])
+    return (li.where(F.col("l_quantity") > 45)
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+SQL_SCAN_PROJECT = """
+select l_orderkey, l_linenumber, l_quantity from lineitem
+where l_quantity > 45 order by l_orderkey, l_linenumber
+"""
+
+
+def q_fk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A1: per-key FK multiplicity (groupBy-count)."""
+    from .operators.fanout import fk_counts
+    li = load_table(spark, sf_dir, "lineitem")
+    return (fk_counts(li, "l_partkey")
+            .select(F.col("l_partkey"), F.col("count").alias("cnt"))
+            .orderBy("l_partkey"))
+
+
+SQL_FK_COUNTS = """
+select l_partkey, count(*) as cnt from lineitem
+group by l_partkey order by l_partkey
+"""
+
+
+def q_fanout_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: adjacency fanout outer-joined onto the PK side, unmatched -> 1."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    out = attach_adj_fanouts(sg, tables)
+    col = adj_fanout_col("o_orderkey", "lineitem", "l_orderkey")
+    return (out["orders"]
+            .select(F.col("o_orderkey"), F.col(f"`{col}`").alias("fanout"))
+            .orderBy("o_orderkey"))
+
+
+SQL_FANOUT_ATTACH = """
+select o_orderkey, coalesce(c, 1)::BIGINT as fanout from orders
+left join (select l_orderkey, count(*) c from lineitem group by 1)
+on o_orderkey = l_orderkey order by o_orderkey
+"""
+
+
+def q_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: bottom-up join-multiplicity weights (root=customer over
+    customer<-orders<-lineitem chain)."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    from .schema import Subschema
+    rels = tuple(r for r in sg.relationships()
+                 if (r.pk_table, r.fk_table) in
+                 (("customer", "orders"), ("orders", "lineitem")))
+    ss = Subschema("chain", "lineitem", rels)
+    w = compute_weights(ss, tables, "customer")
+    return (w["customer"]
+            .select(F.col("c_custkey"),
+                    F.col(WEIGHT).cast("long").alias("weight"))
+            .orderBy("c_custkey"))
+
+
+SQL_WEIGHTS = """
+select c_custkey, coalesce(s, 1)::BIGINT as weight from customer
+left join (
+  select o_custkey, sum(coalesce(c, 1))::BIGINT s from orders
+  left join (select l_orderkey, count(*) c from lineitem group by 1)
+  on o_orderkey = l_orderkey group by o_custkey)
+on c_custkey = o_custkey order by c_custkey
+"""
+
+
+def q_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/A4: exact sub-join cardinality from weight aggregation (no join
+    executed) - lineitem closed-in-neighborhood."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    from .estimators.sample import cin_tree
+    tree = cin_tree(sg, "lineitem")
+    w = compute_weights(tree, tables, "lineitem")
+    return w["lineitem"].agg(F.sum(WEIGHT).cast("long").alias("n"))
+
+
+SQL_JOIN_SIZE = """
+select count(*)::BIGINT as n from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join part p on l.l_partkey = p.p_partkey
+join supplier s on l.l_suppkey = s.s_suppkey
+"""
+
+
+def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O1: sorted distinct-value dictionary with dense codes (2-based;
+    0=MASK, 1=NULL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = build_dictionary(li, "l_returnflag")
+    return (d.select(F.col(VALUE).alias("value"),
+                     F.col(CODE).cast("long").alias("code"))
+            .orderBy("code"))
+
+
+SQL_DICTIONARY = """
+select l_returnflag as value,
+       (row_number() over (order by l_returnflag) + 1)::BIGINT as code
+from (select distinct l_returnflag from lineitem where l_returnflag is not null)
+order by code
+"""
+
+
+def q_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: dictionary-encode two columns of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem",
+                    ["l_orderkey", "l_linenumber", "l_returnflag",
+                     "l_linestatus"])
+    rf = build_dictionary(li, "l_returnflag")
+    ls = build_dictionary(li, "l_linestatus")
+    enc = encode_with_dictionary(li, "l_returnflag", rf, "rf_code")
+    enc = encode_with_dictionary(enc, "l_linestatus", ls, "ls_code")
+    return (enc.select("l_orderkey", "l_linenumber",
+                       F.col("rf_code").cast("long").alias("rf_code"),
+                       F.col("ls_code").cast("long").alias("ls_code"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+SQL_ENCODE = """
+select l_orderkey, l_linenumber,
+       (dense_rank() over (order by l_returnflag) + 1)::BIGINT as rf_code,
+       (dense_rank() over (order by l_linestatus) + 1)::BIGINT as ls_code
+from lineitem order by l_orderkey, l_linenumber
+"""
+
+
+def q_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: bit-slice factorization of a large-domain code column."""
+    part = load_table(spark, sf_dir, "part", ["p_partkey"])
+    d = build_dictionary(part, "p_partkey")
+    enc = encode_with_dictionary(part, "p_partkey", d, "code")
+    n_codes = d.count() + 2
+    # threshold chosen so the code always splits into exactly two windows
+    # regardless of scale factor (keeps the output schema sf-stable and
+    # matches the oracle's width formula)
+    bits = n_codes.bit_length()
+    spec = factorization_spec("code", n_codes, threshold=max(1, (bits + 1) // 2))
+    out = enc.select(F.col("code"))
+    for sub in spec.sub_cols:
+        out = out.withColumn(sub.name.replace("code:", "sub_"),
+                             sub_code_expr("code", sub))
+    subs = [c for c in out.columns if c.startswith("sub_")]
+    return (out.select(F.col("code").cast("long").alias("code"),
+                       *[F.col(c).cast("long").alias(c) for c in subs])
+            .orderBy("code"))
+
+
+def sql_factorize(sf_dir: str | None = None) -> str:
+    # widths depend only on the dictionary size; p_partkey is dense 0..n-1
+    # so code = p_partkey + 2 and dist_size = n + 2
+    return """
+with d as (select count(distinct p_partkey) n from part),
+enc as (
+  select (dense_rank() over (order by p_partkey) + 1)::BIGINT as code
+  from part)
+select code,
+       ((code >> 0) & ((1 << (cast(ceil(log2(n + 2 + 1)) as int)
+           - (cast(ceil(log2(n + 2 + 1)) as int) // 2))) - 1)) + 1 as sub_0,
+       ((code >> (cast(ceil(log2(n + 2 + 1)) as int)
+           - (cast(ceil(log2(n + 2 + 1)) as int) // 2)))
+         & ((1 << (cast(ceil(log2(n + 2 + 1)) as int) // 2)) - 1)) + 1 as sub_1
+from enc, d order by code
+"""
+
+
+def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3: comparison, IN, BETWEEN predicates through the parser/planner
+    and Catalyst pushdown."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n = est.estimate(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 "
+        "AND l_returnflag IN ('R', 'A') AND l_discount > 0.02")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_FILTER_OPS = """
+select count(*)::BIGINT as n from lineitem
+where l_quantity between 10 and 20 and l_returnflag in ('R', 'A')
+  and l_discount > 0.02
+"""
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: LIKE lowered to rlike."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n = est.estimate("SELECT COUNT(*) FROM orders "
+                     "WHERE o_orderpriority LIKE '%URGENT' "
+                     "AND o_orderstatus IS NOT NULL")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_FILTER_LIKE = """
+select count(*)::BIGINT as n from orders
+where o_orderpriority like '%URGENT' and o_orderstatus is not null
+"""
+
+
+def q_join_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: PK-FK equi-join + predicate, counted."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n = est.estimate(
+        "SELECT COUNT(*) FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_JOIN_TWO = """
+select count(*)::BIGINT as n from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+where o.o_orderstatus = 'F'
+"""
+
+
+def q_join_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: 4-table tree join through the planner."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n = est.estimate(
+        "SELECT COUNT(*) FROM lineitem l, orders o, customer c, part p "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+        "AND l.l_partkey = p.p_partkey AND c.c_mktsegment = 'BUILDING' "
+        "AND p.p_size > 20")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_JOIN_TREE = """
+select count(*)::BIGINT as n from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join part p on l.l_partkey = p.p_partkey
+where c.c_mktsegment = 'BUILDING' and p.p_size > 20
+"""
+
+
+def q_join_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 join translation: FK-FK join routed through the PK table."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n = est.estimate(
+        "SELECT COUNT(*) FROM customer c, supplier s "
+        "WHERE c.c_nationkey = s.s_nationkey")
+    return spark.createDataFrame([(n,)], "n long")
+
+
+SQL_JOIN_TRANSLATED = """
+select count(*)::BIGINT as n from customer c
+join supplier s on c.c_nationkey = s.s_nationkey
+"""
+
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A6-style grouped aggregation (TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_GROUP_AGG = """
+select l_returnflag, l_linestatus,
+       sum(l_quantity)::DOUBLE as sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_discount), 6) as avg_disc,
+       count(*) as count_order
+from lineitem where l_shipdate <= '2024-09-01'
+group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact interpolated percentiles (the reference's reporting
+    percentiles over q-errors, applied to a data column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"),
+                       F.array(*[F.lit(p) for p in (0.5, 0.9, 0.95, 0.99, 1.0)]))
+    row = li.agg(pct.alias("p"))
+    return row.select(
+        F.round(F.col("p")[0], 4).alias("p50"),
+        F.round(F.col("p")[1], 4).alias("p90"),
+        F.round(F.col("p")[2], 4).alias("p95"),
+        F.round(F.col("p")[3], 4).alias("p99"),
+        F.round(F.col("p")[4], 4).alias("p100"),
+    )
+
+
+SQL_QUANTILES = """
+select round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) as p90,
+       round(quantile_cont(l_extendedprice, 0.95), 4) as p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) as p99,
+       round(quantile_cont(l_extendedprice, 1.0), 4) as p100
+from lineitem
+"""
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: Shannon entropy (nats) of the event_type distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    j = counts.crossJoin(total)
+    ent = j.agg(
+        F.round(-F.sum((F.col("c") / F.col("t"))
+                       * F.log(F.col("c") / F.col("t"))), 6).alias("entropy"))
+    return ent
+
+
+SQL_ENTROPY = """
+with c as (select event_type, count(*)::DOUBLE c from events group by 1),
+t as (select sum(c) t from c)
+select round(-sum((c / t) * ln(c / t)), 6) as entropy from c, t
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-ops: global top-k with deterministic tie-break (per-partition
+    top-k + k-row merge, not a full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+SQL_TOPK = """
+select o_orderkey, o_totalprice from orders
+order by o_totalprice desc, o_orderkey limit 10
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar surface: lower, log2, pow, datetime extraction."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select(
+        F.col("o_orderkey"),
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.round(F.log2(F.col("o_totalprice")), 6).alias("price_log2"),
+        F.round(F.pow(F.lit(2.0), F.col("o_totalprice") % 10), 6).alias("pow2_mod"),
+        F.year(F.col("o_orderdate")).cast("long").alias("order_year"))
+        .orderBy("o_orderkey"))
+
+
+SQL_SCALAR_FUNCS = """
+select o_orderkey, lower(o_orderpriority) as prio_lower,
+       round(log2(o_totalprice), 6) as price_log2,
+       round(pow(2.0, fmod(o_totalprice, 10)), 6) as pow2_mod,
+       year(o_orderdate)::BIGINT as order_year
+from orders order by o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windowed + sessionized analytics (streaming-equivalent batch)
+# --------------------------------------------------------------------------
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch-equivalent of the
+    structured-streaming windowed agg (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("hour"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_WINDOW_HOURLY = """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as n, round(avg(value), 4) as avg_value
+from events group by 1, 2 order by hour, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting: a session break is a >30-minute gap per user."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+SQL_SESSIONIZE = """
+with g as (
+  select user_id, ts,
+         epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts)) gap
+  from events)
+select user_id,
+       sum(case when gap is null or gap > 1800 then 1 else 0 end)::BIGINT as n_sessions,
+       count(*) as n_events
+from g group by user_id order by user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# extension operators: dedup / text / similarity / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+select min(doc_id) as keep_id, count(*) as n_dups from documents
+group by md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+order by keep_id
+"""
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, n_hashes=4).orderBy("doc_id")
+
+
+SQL_MINHASH_SIGS = """
+with norm as (
+  select doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') as toks
+  from documents),
+sh as (
+  select doc_id, s
+  from norm, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 1) + 1)
+  ])) as t(s))
+select doc_id,
+       min(md5('salt0:' || s)) as sig_0,
+       min(md5('salt1:' || s)) as sig_1,
+       min(md5('salt2:' || s)) as sig_2,
+       min(md5('salt3:' || s)) as sig_3
+from sh group by doc_id order by doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a deterministic candidate set (adjacent
+    doc ids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+    pairs = ids.join(docs.select(F.col("doc_id").alias("id_b")), "id_b") \
+        .where(F.col("id_a") < 50)
+    return DD.ngram_jaccard(docs, pairs).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = """
+with norm as (
+  select doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, greatest(len(toks) - 2, 1) + 1)
+         ]) as sh
+  from (select doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') toks
+        from documents))
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) as jaccard
+from norm a join norm b on b.doc_id = a.doc_id + 1
+where a.doc_id < 50 order by id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_table(docs).orderBy("doc_id")
+
+
+def sql_simhash() -> str:
+    bit_terms = []
+    for bit in range(DD.SIMHASH_BITS):
+        pos = bit // 4 + 1
+        shift = 3 - bit % 4
+        ones = (f"len(list_filter(hs, h -> "
+                f"((strpos('0123456789abcdef', h[{pos}]) - 1) >> {shift}) & 1 = 1))")
+        bit_terms.append(
+            f"(case when 2 * {ones} > n then 1::BIGINT << {bit} else 0 end)")
+    total = " + ".join(bit_terms)
+    return f"""
+with norm as (
+  select doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                     x -> len(x) > 0) toks
+  from documents),
+hx as (select doc_id, list_transform(toks, t -> md5(t)) hs, len(toks) n from norm)
+select doc_id, ({total})::BIGINT as simhash from hx order by doc_id
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        TS.token_count().cast("long").alias("n_tokens"),
+        TS.bpe_token_count().cast("long").alias("n_bpe_tokens"),
+        TS.punct_ratio().alias("punct_ratio"),
+        TS.stopword_ratio().alias("stopword_ratio"),
+        TS.quality_score().alias("quality"))
+        .orderBy("doc_id"))
+
+
+SQL_TEXT_STATS = f"""
+with toks as (
+  select doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents)
+select doc_id,
+  len(ws)::BIGINT as n_tokens,
+  len(regexp_extract_all(lower(text), '{TS.TOKEN_REGEX}'))::BIGINT as n_bpe_tokens,
+  round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+        / greatest(len(text), 1), 4) as punct_ratio,
+  round(len(list_filter(ws, x -> lower(x) in ({','.join(repr(w) for w in TS.STOPWORDS)})))
+        / greatest(len(ws), 1), 4) as stopword_ratio,
+  round(0.4 * (case when len(text) between 50 and 5000 then 1.0 else 0.3 end)
+      + 0.3 * (case when round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / greatest(len(text), 1), 4) <= 0.1 then 1.0 else 0.5 end)
+      + 0.3 * (case when round(len(list_filter(ws, x -> lower(x) in
+                    ({','.join(repr(w) for w in TS.STOPWORDS)})))
+                           / greatest(len(ws), 1), 4) between 0.05 and 0.6
+               then 1.0 else 0.5 end), 4)::DOUBLE as quality
+from toks order by doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", TS.lang_id().alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
+def sql_lang_id() -> str:
+    hits = {
+        lang: (f"len(list_filter(ws, x -> lower(x) in "
+               f"({','.join(repr(w) for w in markers)})))")
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    order = sorted(hits)  # matches the operator's first-argmax tie-break
+    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
+    cases = " ".join(
+        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
+    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return f"""
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents),
+h as (select doc_id, {sel} from toks)
+select doc_id,
+       case when {gst} = 0 then 'und' {cases} end as lang_pred
+from h order by doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", TS.fingerprint().alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+SQL_FINGERPRINT = """
+select doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint
+from documents order by doc_id
+"""
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to vec_id 0's embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.topk_cosine(emb, qv, 10)
+
+
+SQL_SIM_TOPK = """
+with q as (select embedding::DOUBLE[] v from embeddings where vec_id = 0)
+select vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.v) /
+             greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6) as cos_sim
+from embeddings, q
+order by cos_sim desc, vec_id limit 10
+"""
+
+
+def _plane_lits() -> list[str]:
+    planes = SIM.hyperplanes(64, 8, seed=42)
+    return ["[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes]
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the partition layout of the ANN scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = SIM.hyperplanes(64, 8, seed=42)
+    b = SIM.with_lsh_bucket(emb, planes)
+    return (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
+
+
+def sql_lsh_buckets() -> str:
+    lits = _plane_lits()
+    bucket = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+        f"then 1::BIGINT << {i} else 0 end)"
+        for i, lit in enumerate(lits))
+    return f"""
+select ({bucket})::BIGINT as bucket, count(*) as n
+from embeddings group by 1 order by bucket
+"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.metadata_only(media).orderBy("media_id")
+
+
+SQL_MEDIA_META = """
+select doc_id::BIGINT as media_id,
+       case when doc_id % 3 = 0 then 'image'
+            when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+       octet_length(text::BLOB)::BIGINT as n_bytes,
+       md5(text) as digest
+from documents order by media_id
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): sampling + estimation
+# --------------------------------------------------------------------------
+
+def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: distributed weighted join sample (randomized -> rows-only)."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    from .estimators.sample import cin_tree
+    tree = cin_tree(sg, "orders")
+    w = compute_weights(tree, tables, "customer")
+    samp = join_sample(tree, w, "customer", 2000, seed=42)
+    return samp.select(
+        F.col("`__sample_id__`").alias("sample_id"),
+        F.col("`customer.c_custkey`").alias("c_custkey"),
+        F.col("`orders.o_orderkey`").alias("o_orderkey"),
+        F.col("`__in__:orders`").alias("has_order"))
+
+
+def q_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/J8-analog: sample-backed cardinality estimates vs exact truth
+    (randomized -> rows-only)."""
+    from .estimators import SampleEstimator, prepare_tree_sample
+    from .estimators.sample import spanning_tree
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", n_min=50_000, seed=42))
+    exact = ExactEstimator(sg, tables)
+    rows = []
+    for name, sql in BENCH_QUERIES.items():
+        e = est.estimate(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, float(e), int(t), float(q)))
+    return spark.createDataFrame(
+        rows, "query string, est double, truth long, qerror double")
+
+
+BENCH_QUERIES = {
+    "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+    "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
+                  "AND l_quantity <= 25",
+    "b3_join2": "SELECT COUNT(*) FROM lineitem l, orders o "
+                "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'",
+    "b4_join3": "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+                "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+                "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity > 10",
+    "b5_dim": "SELECT COUNT(*) FROM orders o, customer c "
+              "WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 0",
+    "b6_like": "SELECT COUNT(*) FROM orders WHERE o_orderpriority LIKE '%URGENT'",
+}
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "s1_scan_project": q_scan_project,
+        "j1_fk_counts": q_fk_counts,
+        "j2_fanout_attach": q_fanout_attach,
+        "j3_weights": q_weights,
+        "j9_join_size": q_join_size,
+        "a3_dictionary": q_dictionary,
+        "m1_encode": q_encode,
+        "m2_factorize": q_factorize,
+        "p1_filter_ops": q_filter_ops,
+        "p2_filter_like": q_filter_like,
+        "j5_join_two": q_join_two,
+        "j6_join_tree": q_join_tree,
+        "j6_join_translated": q_join_translated,
+        "a2_group_agg": q_group_agg,
+        "a5_quantiles": q_quantiles,
+        "a7_entropy": q_entropy,
+        "o1_topk": q_topk,
+        "f1_scalar_funcs": q_scalar_funcs,
+        "st1_window_hourly": q_window_hourly,
+        "st2_sessionize": q_sessionize,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_minhash_sigs": q_minhash_sigs,
+        "x3_ngram_jaccard": q_ngram_jaccard,
+        "x4_simhash": q_simhash,
+        "x5_text_stats": q_text_stats,
+        "x6_lang_id": q_lang_id,
+        "x7_fingerprint": q_fingerprint,
+        "x8_sim_topk": q_sim_topk,
+        "x9_lsh_buckets": q_lsh_buckets,
+        "x10_media_meta": q_media_meta,
+        "j4_join_sample": q_join_sample,
+        "e1_estimate_qerror": q_estimate_qerror,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "s1_scan_project": SQL_SCAN_PROJECT,
+        "j1_fk_counts": SQL_FK_COUNTS,
+        "j2_fanout_attach": SQL_FANOUT_ATTACH,
+        "j3_weights": SQL_WEIGHTS,
+        "j9_join_size": SQL_JOIN_SIZE,
+        "a3_dictionary": SQL_DICTIONARY,
+        "m1_encode": SQL_ENCODE,
+        "m2_factorize": sql_factorize(),
+        "p1_filter_ops": SQL_FILTER_OPS,
+        "p2_filter_like": SQL_FILTER_LIKE,
+        "j5_join_two": SQL_JOIN_TWO,
+        "j6_join_tree": SQL_JOIN_TREE,
+        "j6_join_translated": SQL_JOIN_TRANSLATED,
+        "a2_group_agg": SQL_GROUP_AGG,
+        "a5_quantiles": SQL_QUANTILES,
+        "a7_entropy": SQL_ENTROPY,
+        "o1_topk": SQL_TOPK,
+        "f1_scalar_funcs": SQL_SCALAR_FUNCS,
+        "st1_window_hourly": SQL_WINDOW_HOURLY,
+        "st2_sessionize": SQL_SESSIONIZE,
+        "x1_dedup_exact": SQL_DEDUP_EXACT,
+        "x2_minhash_sigs": SQL_MINHASH_SIGS,
+        "x3_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "x4_simhash": sql_simhash(),
+        "x5_text_stats": SQL_TEXT_STATS,
+        "x6_lang_id": sql_lang_id(),
+        "x7_fingerprint": SQL_FINGERPRINT,
+        "x8_sim_topk": SQL_SIM_TOPK,
+        "x9_lsh_buckets": sql_lsh_buckets(),
+        "x10_media_meta": SQL_MEDIA_META,
+        # j4_join_sample, e1_estimate_qerror: randomized -> rows-only checks
+    }
