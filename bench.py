@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline operators at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Protocol mirrors BASELINE.md: sample-backed cardinality estimation with
+q-error percentiles + mean ms/query, plus the heavy data-pipeline
+operators (join sampling prep, grouped agg, minhash dedup, cosine top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scardina_spark.catalog import build_tpch_schema, load_table, load_tables  # noqa: E402
+from scardina_spark.estimators import (  # noqa: E402
+    ExactEstimator, SampleEstimator, prepare_tree_sample)
+from scardina_spark.estimators.sample import spanning_tree  # noqa: E402
+from scardina_spark.operators import dedup as DD  # noqa: E402
+from scardina_spark.operators import similarity as SIM  # noqa: E402
+from scardina_spark.queries import BENCH_QUERIES, q_group_agg, q_window_hourly  # noqa: E402
+from scardina_spark.session import get_spark  # noqa: E402
+
+
+def pct(xs: list[float], p: float) -> float:
+    if not xs:
+        return float("nan")
+    s = sorted(xs)
+    i = min(len(s) - 1, max(0, round(p * (len(s) - 1))))
+    return s[i]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("scardina-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    tables = load_tables(spark, sf_dir)
+    sg = build_tpch_schema()
+
+    # 1. prep: materialize the UR join sample (fanouts + weights + sample)
+    ts = timed("prep_join_sample", lambda: prepare_tree_sample(
+        spanning_tree(sg, "lineitem"), tables, "lineitem", seed=42))
+    extras["join_sample_rows"] = ts.n_sample
+    extras["full_join_size"] = ts.join_size
+
+    # 2. estimation benchmark: q-error + per-query latency
+    est = SampleEstimator()
+    est.add(ts)
+    exact = ExactEstimator(sg, tables)
+    qerrs: list[float] = []
+    lat_ms: list[float] = []
+    for name, sql in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        e = est.estimate(sql)
+        lat_ms.append((time.perf_counter() - t0) * 1000)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (1.0 if e == t else 1e9)
+        qerrs.append(q)
+    timings["estimate_6_queries"] = round(sum(lat_ms) / 1000, 4)
+    extras["qerror_p50"] = round(pct(qerrs, 0.5), 4)
+    extras["qerror_max"] = round(max(qerrs), 4)
+    extras["est_mean_ms_per_query"] = round(sum(lat_ms) / len(lat_ms), 2)
+
+    # 3. heavy relational: grouped aggregation (Q1 shape) + hourly windows
+    timed("group_agg", lambda: q_group_agg(spark, sf_dir).collect())
+    timed("window_hourly", lambda: q_window_hourly(spark, sf_dir).collect())
+
+    # 4. dedup: minhash signatures + LSH candidates + jaccard verify
+    docs = load_table(spark, sf_dir, "documents")
+    timed("minhash_dedup", lambda: DD.minhash_dedup(
+        docs, threshold=0.5).count())
+
+    # 5. similarity: brute-force cosine top-10 over embeddings
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    timed("cosine_topk", lambda: SIM.topk_cosine(emb, qv, 10).collect())
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

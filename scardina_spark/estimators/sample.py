@@ -113,6 +113,10 @@ def prepare_tree_sample(
     n = max(n_min, min(n_max, join_size))
     samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True)
     if cache:
+        # right-size partitions for the per-query aggregate: ~64k rows per
+        # task keeps scheduling overhead off the query path (estimate()
+        # latency is dominated by task launch, not compute)
+        samp = samp.coalesce(max(4, n // 65536))
         samp = samp.cache()
         samp.count()  # materialize once; queries reuse the cached sample
     return TreeSample(tree, root, samp, join_size, n)

@@ -69,20 +69,24 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 8, n_bands: int = 4) -> DataFrame:
     """Docs sharing any band of the signature → candidate pairs (a < b).
-    Shuffle key is (band_id, band_hash): only colliding docs co-locate."""
+    Shuffle key is (band_id, band_hash): only colliding docs co-locate.
+
+    Bands come from ONE explode over the signature table (not a per-band
+    union, which would re-run the upstream signature computation per band
+    and again per self-join side)."""
     rows_per_band = n_hashes // n_bands
-    bands = []
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"sig_{i}")
                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            sigs.select(
-                F.col(id_col).alias("__id__"),
-                F.lit(b).alias("__band__"),
-                F.md5(F.concat_ws("|", *cols)).alias("__bh__")))
-    exploded = bands[0]
-    for b in bands[1:]:
-        exploded = exploded.unionByName(b)
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh")))
+    exploded = (
+        sigs.select(F.col(id_col).alias("__id__"),
+                    F.explode(F.array(*band_structs)).alias("__b__"))
+        .select("__id__", F.col("__b__.band").alias("__band__"),
+                F.col("__b__.bh").alias("__bh__"))
+    )
     a = exploded.select(F.col("__band__"), F.col("__bh__"),
                         F.col("__id__").alias("id_a"))
     b_ = exploded.select(F.col("__band__"), F.col("__bh__"),
@@ -114,11 +118,21 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
                   k_shingle: int = 3, n_hashes: int = 8, n_bands: int = 4,
                   threshold: float = 0.8) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact Jaccard verification → pairs above threshold."""
-    sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
-    scored = ngram_jaccard(df, cands, id_col, col, k_shingle)
-    return scored.where(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    exact Jaccard verification → pairs above threshold.
+
+    The signature table is cached for the duration of the pipeline: the
+    band self-join consumes it from both sides, and without the cache each
+    side would recompute the shingle explode + groupBy (the expensive
+    stages).  At cluster scale this is the stage you'd checkpoint to
+    parquet instead."""
+    sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes).cache()
+    try:
+        cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+        scored = ngram_jaccard(df, cands, id_col, col, k_shingle)
+        return scored.where(F.col("jaccard") >= threshold) \
+            .orderBy("id_a", "id_b").localCheckpoint()
+    finally:
+        sigs.unpersist()
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -47,6 +47,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # deterministic float semantics for test reproducibility
         .config("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
     )
