@@ -80,7 +80,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_ts_cols(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer division: epoch nanos exceed 2^53, a double round-trip
+        # would be off by up to a microsecond
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
         df = df.select(*columns)
     return df

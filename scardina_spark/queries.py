@@ -458,6 +458,47 @@ from g group by user_id order by user_id
 """
 
 
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed agg drained with availableNow — must
+    equal the batch q_window_hourly exactly (same oracle)."""
+    from .streaming import read_events_stream, run_to_memory_sink, \
+        windowed_counts_stream
+    st = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(windowed_counts_stream(st), "q_stream_window")
+    return out.orderBy("hour", "event_type")
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) via Structured Streaming."""
+    from .streaming import read_events_stream, run_to_memory_sink, \
+        sessionized_stream
+    st = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(sessionized_stream(st), "q_stream_sessions")
+    return (out.select("user_id", "session_start", "session_end",
+                       F.col("n_events").cast("long").alias("n_events"))
+            .orderBy("user_id", "session_start"))
+
+
+SQL_STREAM_SESSIONS = """
+with g as (
+  select user_id, ts,
+         case when epoch(ts) - epoch(lag(ts) over
+              (partition by user_id order by ts)) > 1800
+              or lag(ts) over (partition by user_id order by ts) is null
+         then 1 else 0 end as new_session
+  from events),
+s as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts
+                                rows unbounded preceding) as sid
+  from g)
+select user_id, min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       count(*)::BIGINT as n_events
+from s group by user_id, sid order by user_id, session_start
+"""
+
+
 # --------------------------------------------------------------------------
 # extension operators: dedup / text / similarity / multimodal
 # --------------------------------------------------------------------------
@@ -772,6 +813,8 @@ def queries() -> dict:
         "f1_scalar_funcs": q_scalar_funcs,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
+        "st3_stream_window": q_stream_window,
+        "st4_stream_sessions": q_stream_sessions,
         "x1_dedup_exact": q_dedup_exact,
         "x2_minhash_sigs": q_minhash_sigs,
         "x3_ngram_jaccard": q_ngram_jaccard,
@@ -809,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         "f1_scalar_funcs": SQL_SCALAR_FUNCS,
         "st1_window_hourly": SQL_WINDOW_HOURLY,
         "st2_sessionize": SQL_SESSIONIZE,
+        "st3_stream_window": SQL_WINDOW_HOURLY,
+        "st4_stream_sessions": SQL_STREAM_SESSIONS,
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_minhash_sigs": SQL_MINHASH_SIGS,
         "x3_ngram_jaccard": SQL_NGRAM_JACCARD,

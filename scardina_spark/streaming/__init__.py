@@ -1,0 +1,6 @@
+from .events import (  # noqa: F401
+    read_events_stream,
+    sessionized_stream,
+    windowed_counts_stream,
+    run_to_memory_sink,
+)

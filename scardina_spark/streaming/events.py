@@ -1,0 +1,87 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming at all (SURVEY §2.7); this is green-field
+Spark: file-source streams with watermarked tumbling windows and native
+session windows.  The batch equivalents (queries.q_window_hourly /
+q_sessionize) give the exact oracle — a streaming run with
+``availableNow`` over the same files must produce the same aggregates,
+which is what the tests assert.
+
+Scale notes: watermark bounds state (late rows beyond 2 hours are
+dropped); session windows use Spark's built-in state store rather than a
+hand-rolled applyInPandasWithState, so state eviction, spill and restart
+recovery come from the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet.  The testdata stores
+    ``ts`` as TIMESTAMP(NANOS) which Spark reads as long under
+    ``nanosAsLong`` — normalized here exactly like the batch loader
+    (catalog.load_table)."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory to watch; point it at the
+    # sf dir and glob-filter to the events file(s)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # integer division — see catalog.load_table
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts_stream(events: DataFrame,
+                           watermark: str = "2 hours",
+                           window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of queries.q_window_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).getField("start").alias("hour"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def sessionized_stream(events: DataFrame,
+                       watermark: str = "2 hours",
+                       gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (30-minute inactivity gap) — the
+    streaming twin of queries.q_sessionize's session counting."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events")
+    )
+
+
+def run_to_memory_sink(stream: DataFrame, name: str,
+                       output_mode: str = "complete",
+                       timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory table and
+    return it as a batch DataFrame (test/driver harness path)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream.sparkSession.table(name)

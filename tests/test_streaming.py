@@ -1,0 +1,60 @@
+"""Structured Streaming over events: streaming results must equal the
+batch equivalents on the same files (availableNow drains everything)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scardina_spark.queries import q_sessionize, q_window_hourly
+from scardina_spark.streaming import (
+    read_events_stream, run_to_memory_sink, sessionized_stream,
+    windowed_counts_stream)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_stream_is_streaming(event_stream):
+    assert event_stream.isStreaming
+    assert dict(event_stream.dtypes)["ts"] == "timestamp"
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, event_stream):
+    out = run_to_memory_sink(
+        windowed_counts_stream(event_stream), "win_counts")
+    got = {(r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+           for r in out.collect()}
+    want = {(r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+            for r in q_window_hourly(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_sessionized_totals_match_batch(spark, sf_dir, event_stream):
+    out = run_to_memory_sink(
+        sessionized_stream(event_stream), "sessions")
+    # session windows: total events per user must match; session count per
+    # user must match the batch lag-gap computation
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in
+           out.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").cast("long").alias("n_events"))
+           .collect()}
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in q_sessionize(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_session_windows_respect_gap(spark, event_stream):
+    out = run_to_memory_sink(
+        sessionized_stream(event_stream), "sessions_gap")
+    rows = out.orderBy("user_id", "session_start").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        for a, b in zip(sess, sess[1:]):
+            # next session must start >= 30 min after previous session end
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap >= 0
