@@ -82,6 +82,27 @@ def main() -> None:
     extras["qerror_max"] = round(max(qerrs), 4)
     extras["est_mean_ms_per_query"] = round(sum(lat_ms) / len(lat_ms), 2)
 
+    # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
+    # progressive-sampling estimates
+    from scardina_spark.model import TrainConfig
+    from scardina_spark.model.bridge import train_single_table
+    from scardina_spark.queries import NAR_BENCH_QUERIES
+    li = tables["lineitem"]
+    nar = timed("nar_train", lambda: train_single_table(
+        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+        TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42),
+        sample_size=1000))
+    nar_qerrs, nar_ms = [], []
+    for sql in NAR_BENCH_QUERIES.values():
+        t0 = time.perf_counter()
+        e = nar.estimate(sql)
+        nar_ms.append((time.perf_counter() - t0) * 1000)
+        t = exact.estimate(sql)
+        nar_qerrs.append(max(e / t, t / e) if e > 0 and t > 0 else 1e9)
+    timings["nar_estimate_4_queries"] = round(sum(nar_ms) / 1000, 4)
+    extras["nar_qerror_max"] = round(max(nar_qerrs), 4)
+    extras["nar_mean_ms_per_query"] = round(sum(nar_ms) / len(nar_ms), 2)
+
     # 3. heavy relational: grouped aggregation (Q1 shape) + hourly windows
     timed("group_agg", lambda: q_group_agg(spark, sf_dir).collect())
     timed("window_hourly", lambda: q_window_hourly(spark, sf_dir).collect())

@@ -1,0 +1,216 @@
+"""Non-autoregressive masked-autoencoder density model, in NumPy.
+
+Reference semantics (NOT code): scardina/models.py — per-column embeddings
+with MASK at index 0 (M3), a shared MLP trunk, tied-weight decoding
+(logits = hidden @ embeddingᵀ), and the masked-AE training step (M4):
+for each sample, mask a random non-empty strict subset of columns and
+minimize mean cross-entropy of the masked columns given the rest.
+
+Torch is not available in this environment, so forward/backward/Adam are
+hand-written NumPy — small models (d_word 16-32, d_ff 64-128) train in
+seconds on the ≤500k-row encoded join sample that Spark materializes.
+Spark feeds the model (encoding pipeline, functions/dictionary.py); the
+model itself is driver-side by design, mirroring the reference's
+"Spark for data, external trainer for the density model" split
+(SURVEY §7 north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TrainConfig:
+    d_word: int = 16
+    d_ff: int = 64
+    epochs: int = 20
+    batch_size: int = 1024
+    lr: float = 5e-3
+    seed: int = 42
+
+
+def _softmax(z: np.ndarray) -> np.ndarray:
+    z = z - z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+@dataclass
+class NarMLP:
+    """input_bins: [(col_name, dom_size)] — dom_size INCLUDES the MASK/NULL
+    slots (codes 0..dom_size-1)."""
+
+    input_bins: list[tuple[str, int]]
+    cfg: TrainConfig = field(default_factory=TrainConfig)
+
+    def __post_init__(self):
+        rs = np.random.RandomState(self.cfg.seed)
+        d, h = self.cfg.d_word, self.cfg.d_ff
+        self.cols = [c for c, _ in self.input_bins]
+        self.doms = [n for _, n in self.input_bins]
+        self.C = len(self.cols)
+        # per-column embedding (row 0 = MASK); tied decode
+        self.emb = [rs.randn(n, d).astype(np.float64) * 0.1 for n in self.doms]
+        self.W1 = rs.randn(self.C * d, h) * np.sqrt(2.0 / (self.C * d))
+        self.b1 = np.zeros(h)
+        self.W2 = rs.randn(h, h) * np.sqrt(2.0 / h)
+        self.b2 = np.zeros(h)
+        # per-column projection back to embedding space
+        self.P = [rs.randn(h, d) * np.sqrt(2.0 / h) for _ in range(self.C)]
+        self._adam_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._adam_t = 0
+
+    # -- forward ----------------------------------------------------------
+
+    def _encode(self, codes: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """codes [B, C] int; mask [B, C] bool (True = masked → MASK emb)."""
+        B = codes.shape[0]
+        d = self.cfg.d_word
+        x = np.empty((B, self.C * d))
+        eff = np.where(mask, 0, codes)
+        for j in range(self.C):
+            x[:, j * d:(j + 1) * d] = self.emb[j][eff[:, j]]
+        return x
+
+    def _trunk(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        z1 = x @ self.W1 + self.b1
+        a1 = np.maximum(z1, 0.0)
+        z2 = a1 @ self.W2 + self.b2
+        a2 = np.maximum(z2, 0.0)
+        return z1, a1, a2
+
+    def logits_for(self, codes: np.ndarray, mask: np.ndarray, j: int
+                   ) -> np.ndarray:
+        """Logits over column j's domain for each row (MASK slot included —
+        callers zero it)."""
+        x = self._encode(codes, mask)
+        _, _, h = self._trunk(x)
+        return (h @ self.P[j]) @ self.emb[j].T
+
+    # -- training ---------------------------------------------------------
+
+    def _adam(self, idx: int, param: np.ndarray, grad: np.ndarray) -> None:
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        m, v = self._adam_state.get(idx, (np.zeros_like(param),
+                                          np.zeros_like(param)))
+        m = beta1 * m + (1 - beta1) * grad
+        v = beta2 * v + (1 - beta2) * grad * grad
+        self._adam_state[idx] = (m, v)
+        t = self._adam_t
+        mh = m / (1 - beta1 ** t)
+        vh = v / (1 - beta2 ** t)
+        param -= self.cfg.lr * mh / (np.sqrt(vh) + eps)
+
+    def train_step(self, codes: np.ndarray, rs: np.random.RandomState) -> float:
+        """One masked-AE step on a batch of dictionary codes [B, C]."""
+        B = codes.shape[0]
+        d = self.cfg.d_word
+        # mask a random non-empty strict subset of columns per row
+        n_mask = rs.randint(1, self.C) if self.C > 1 else 1
+        mask = np.zeros((B, self.C), dtype=bool)
+        for i in range(B):
+            mask[i, rs.choice(self.C, size=n_mask, replace=False)] = True
+
+        x = self._encode(codes, mask)
+        z1, a1, h = self._trunk(x)
+
+        dh = np.zeros_like(h)
+        gP = [None] * self.C
+        gE_out = [None] * self.C
+        total_loss, total_cnt = 0.0, 0
+        denom = n_mask * B  # total masked cells this batch (loss normalizer)
+
+        for j in range(self.C):
+            rows = np.where(mask[:, j])[0]
+            if rows.size == 0:
+                continue
+            hj = h[rows]
+            proj = hj @ self.P[j]                       # [R, d]
+            logits = proj @ self.emb[j].T               # [R, dom]
+            logits[:, 0] = -1e9                        # MASK never predicted
+            p = _softmax(logits)
+            y = codes[rows, j]
+            total_loss += -np.log(np.maximum(p[np.arange(rows.size), y],
+                                             1e-12)).sum()
+            total_cnt += rows.size
+
+            dlogits = p.copy()
+            dlogits[np.arange(rows.size), y] -= 1.0
+            dlogits /= denom
+            dproj = dlogits @ self.emb[j]               # [R, d]
+            gP[j] = hj.T @ dproj
+            gE_out[j] = dlogits.T @ proj                # [dom, d]
+            dh[rows] += dproj @ self.P[j].T
+
+        # trunk backward
+        dz2 = dh * (h > 0)
+        gW2 = a1.T @ dz2
+        gb2 = dz2.sum(axis=0)
+        da1 = dz2 @ self.W2.T
+        dz1 = da1 * (a1 > 0)
+        gW1 = x.T @ dz1
+        gb1 = dz1.sum(axis=0)
+        dx = dz1 @ self.W1.T
+
+        # embedding (input-side) gradients
+        eff = np.where(mask, 0, codes)
+        self._adam_t += 1
+        pid = 0
+        self._adam(pid, self.W1, gW1); pid += 1
+        self._adam(pid, self.b1, gb1); pid += 1
+        self._adam(pid, self.W2, gW2); pid += 1
+        self._adam(pid, self.b2, gb2); pid += 1
+        for j in range(self.C):
+            gE = np.zeros_like(self.emb[j])
+            np.add.at(gE, eff[:, j], dx[:, j * d:(j + 1) * d])
+            if gE_out[j] is not None:
+                gE += gE_out[j]
+                self._adam(pid, self.P[j], gP[j])
+            pid += 1
+            self._adam(pid, self.emb[j], gE)
+            pid += 1
+
+        return total_loss / max(total_cnt, 1)
+
+    def fit(self, codes: np.ndarray, log=None) -> list[float]:
+        rs = np.random.RandomState(self.cfg.seed + 1)
+        losses = []
+        n = codes.shape[0]
+        for ep in range(self.cfg.epochs):
+            order = rs.permutation(n)
+            ep_loss, nb = 0.0, 0
+            for s in range(0, n, self.cfg.batch_size):
+                batch = codes[order[s:s + self.cfg.batch_size]]
+                ep_loss += self.train_step(batch, rs)
+                nb += 1
+            losses.append(ep_loss / max(nb, 1))
+            if log:
+                log(f"epoch {ep}: loss {losses[-1]:.4f}")
+        return losses
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        arrs = {"W1": self.W1, "b1": self.b1, "W2": self.W2, "b2": self.b2}
+        for j in range(self.C):
+            arrs[f"emb_{j}"] = self.emb[j]
+            arrs[f"P_{j}"] = self.P[j]
+        np.savez_compressed(path, cols="|".join(self.cols),
+                            doms=np.array(self.doms),
+                            d_word=self.cfg.d_word, d_ff=self.cfg.d_ff, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "NarMLP":
+        z = np.load(path, allow_pickle=False)
+        cols = str(z["cols"]).split("|")
+        doms = [int(x) for x in z["doms"]]
+        cfg = TrainConfig(d_word=int(z["d_word"]), d_ff=int(z["d_ff"]))
+        m = cls(list(zip(cols, doms)), cfg)
+        m.W1, m.b1 = z["W1"], z["b1"]
+        m.W2, m.b2 = z["W2"], z["b2"]
+        m.emb = [z[f"emb_{j}"] for j in range(len(cols))]
+        m.P = [z[f"P_{j}"] for j in range(len(cols))]
+        return m

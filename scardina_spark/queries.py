@@ -772,6 +772,38 @@ def q_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "query string, est double, truth long, qerror double")
 
 
+def q_nar_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3-M7: NumPy NAR masked-autoencoder trained on the Spark-encoded
+    matrix; progressive-sampling estimates vs exact truth (randomized ->
+    rows-only)."""
+    from .model import TrainConfig
+    from .model.bridge import train_single_table
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    cfg = TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
+    nar = train_single_table(li, cols, cfg, sample_size=1000)
+    exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
+    rows = []
+    for name, sql in NAR_BENCH_QUERIES.items():
+        e = nar.estimate(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, float(e), int(t), float(q)))
+    return spark.createDataFrame(
+        rows, "query string, est double, truth long, qerror double")
+
+
+NAR_BENCH_QUERIES = {
+    "n1_eq": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
+    "n2_range": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+    "n3_conj": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
+               "AND l_quantity <= 25",
+    "n4_between": "SELECT COUNT(*) FROM lineitem WHERE l_quantity "
+                  "BETWEEN 10 AND 20 AND l_discount > 0.02",
+}
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -827,6 +859,7 @@ def queries() -> dict:
         "x10_media_meta": q_media_meta,
         "j4_join_sample": q_join_sample,
         "e1_estimate_qerror": q_estimate_qerror,
+        "e2_nar_qerror": q_nar_qerror,
     }
 
 

@@ -1,0 +1,89 @@
+"""NumPy NAR masked autoencoder + progressive sampling: valid-mask unit
+tests, training convergence, and q-error against exact truth."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from scardina_spark.model import ColumnDomain, NarMLP, NarEstimator, TrainConfig
+from scardina_spark.model.bridge import train_single_table
+from scardina_spark.model.progressive import valid_mask
+from scardina_spark.plans.predicates import Predicate
+
+
+def test_valid_mask_ops():
+    dom = ColumnDomain("c", np.array([10, 20, 30, 40]))
+    m = valid_mask(dom, [Predicate("t.c", ">", 15)])
+    assert list(m) == [0, 0, 0, 1, 1, 1]  # MASK, NULL, 10, 20, 30, 40
+    m = valid_mask(dom, [Predicate("t.c", "IN", (10, 40))])
+    assert list(m) == [0, 0, 1, 0, 0, 1]
+    m = valid_mask(dom, [Predicate("t.c", ">", 15), Predicate("t.c", "<", 35)])
+    assert list(m) == [0, 0, 0, 1, 1, 0]
+    m = valid_mask(dom, [Predicate("t.c", "IS", None)])
+    assert list(m) == [0, 1, 0, 0, 0, 0]
+    m = valid_mask(dom, [Predicate("t.c", "IS NOT", None)])
+    assert list(m) == [0, 0, 1, 1, 1, 1]
+
+
+def test_valid_mask_like():
+    dom = ColumnDomain("c", np.array(["apple", "banana", "cherry"]))
+    m = valid_mask(dom, [Predicate("t.c", "LIKE", "%an%")])
+    assert list(m) == [0, 0, 0, 1, 0]
+
+
+def test_training_reduces_loss():
+    rs = np.random.RandomState(0)
+    # correlated 2-col data: y = x with noise
+    x = rs.randint(2, 12, size=4000)
+    y = np.where(rs.rand(4000) < 0.9, x, rs.randint(2, 12, size=4000))
+    codes = np.stack([x, y], axis=1)
+    m = NarMLP([("x", 12), ("y", 12)],
+               TrainConfig(epochs=8, d_word=8, d_ff=32, seed=1))
+    losses = m.fit(codes)
+    assert losses[-1] < losses[0] * 0.8
+
+
+def test_save_load_roundtrip(tmp_path):
+    m = NarMLP([("a", 5), ("b", 7)], TrainConfig(epochs=1, seed=3))
+    codes = np.random.RandomState(0).randint(2, 5, size=(100, 2))
+    m.fit(codes)
+    p = str(tmp_path / "model.npz")
+    m.save(p)
+    m2 = NarMLP.load(p)
+    mask = np.zeros((4, 2), dtype=bool)
+    mask[:, 1] = True
+    test_codes = np.array([[2, 0], [3, 0], [4, 0], [2, 0]])
+    np.testing.assert_allclose(m.logits_for(test_codes, mask, 1),
+                               m2.logits_for(test_codes, mask, 1))
+
+
+@pytest.fixture(scope="module")
+def li_estimator(tables):
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    cfg = TrainConfig(epochs=15, d_word=12, d_ff=48, batch_size=512, seed=42)
+    return train_single_table(tables["lineitem"], cols, cfg, sample_size=1000)
+
+
+NAR_QUERIES = [
+    ("SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'", 2.0),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30", 2.0),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
+     "AND l_quantity <= 25", 2.5),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 "
+     "AND l_discount > 0.02", 2.5),
+]
+
+
+@pytest.mark.parametrize("sql,bound", NAR_QUERIES)
+def test_nar_qerror(li_estimator, tables, duck, sql, bound):
+    est = li_estimator.estimate(sql)
+    true = duck.sql(sql).fetchone()[0]
+    assert est > 0
+    q = max(est / true, true / est)
+    assert q < bound, (sql, est, true, q)
+
+
+def test_nar_no_predicates_returns_table_size(li_estimator, tables):
+    est = li_estimator.estimate("SELECT COUNT(*) FROM lineitem")
+    assert est == tables["lineitem"].count()
