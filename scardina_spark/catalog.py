@@ -88,6 +88,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def load_csv_table(spark: SparkSession, path: str,
+                   columns: list[str] | None = None,
+                   schema=None, escape: str = "\\",
+                   header: bool = True) -> DataFrame:
+    """CSV scan with projection + type casts at the source (reference
+    analog: the pyarrow CSV reader with include_columns and escapechar,
+    scardina/common.py:368-396 and scardina/datasets.py:90-94).  Schema
+    inference is a full extra pass at scale — prefer passing ``schema``."""
+    reader = spark.read.option("header", str(header).lower()) \
+        .option("escape", escape)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if columns:
+        df = df.select(*[F.col(f"`{c}`") for c in columns])
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or RELATIONAL_TABLES)}

@@ -1,0 +1,105 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These assert on .explain output: predicate/projection pushdown into the
+parquet scan, broadcast joins for dimension tables, map-side partial
+aggregation, and whole-stage codegen coverage.
+"""
+
+from pyspark.sql import functions as F
+
+from scardina_spark.catalog import build_tpch_schema, load_table
+from scardina_spark.estimators import ExactEstimator
+from scardina_spark.plans import parse_query, plan_query
+from scardina_spark.plans.planner import execute_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    df = li.where(F.col("l_quantity") > 45)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,45" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must contain only the projected columns
+    read = plan.split("ReadSchema:")[-1]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_dimension_join_broadcasts(spark, sf_dir, tables):
+    sg = build_tpch_schema()
+    plan_q = plan_query(sg, parse_query(
+        "SELECT COUNT(*) FROM lineitem l, supplier s "
+        "WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey > 2"))
+    df = execute_join(plan_q, tables)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_agg_has_partial_aggregation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(df)
+    # partial_sum before the exchange = map-side combine
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_covers_filter_agg(spark, sf_dir):
+    import re
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (li.where(F.col("l_quantity") > 10)
+          .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+    df.collect()  # AQE finalizes the plan (codegen ids appear as *(n))
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"\*\(\d+\) Filter", plan)
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    df = (o.select("o_orderkey", "o_totalprice")
+          .orderBy(F.col("o_totalprice").desc()).limit(10))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_textstats_no_python_udf(spark, sf_dir):
+    from scardina_spark.operators.textstats import with_text_stats
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(with_text_stats(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_estimator_count_plan_prunes_unused_columns(spark, tables):
+    """The exact estimator's COUNT over a join must not read payload
+    columns of either table."""
+    sg = build_tpch_schema()
+    plan_q = plan_query(sg, parse_query(
+        "SELECT COUNT(*) FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'"))
+    df = execute_join(plan_q, tables).groupBy().count()
+    df.collect()
+    plan = _plan(df)
+    # ReadSchema of each scan: join keys + filter column only (the
+    # Relation line in the optimized plan always prints the full table
+    # schema — the scan's ReadSchema is what actually hits parquet)
+    for section in plan.split("FileScan parquet")[1:]:
+        read = section.split("ReadSchema:")[-1].split("\n")[0]
+        assert "l_extendedprice" not in read
+        assert "o_totalprice" not in read
