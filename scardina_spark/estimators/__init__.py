@@ -1,2 +1,3 @@
 from .exact import ExactEstimator  # noqa: F401
 from .sample import SampleEstimator, prepare_tree_sample, TreeSample  # noqa: F401
+from .stitch import StitchedEstimator  # noqa: F401

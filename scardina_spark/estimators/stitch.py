@@ -1,0 +1,139 @@
+"""Cross-subschema estimation: stitch multiple prepared samples.
+
+Reference semantics (NOT code): scardina/estimators.py:1196-1232 (subschema
+cover selection over the hypergraph; root = the subschema covering most of
+the query; BFS over the sub-join tree) and 1309-1423 (cross-model
+stitching: shared columns are sampled once and inherited; each model
+contributes its conditional selectivity; the total is the product).
+
+Sample-backed analog: for a chain of covering samples S_1..S_m where S_k
+shares table set B_k with the already-covered part,
+
+    card = HT_1(frag_1) × Π_k  HT_k(frag_k) / HT_k(frag_k ∩ B_k)
+
+where HT_k(·) is the Horvitz-Thompson aggregate on sample k (sample.py)
+and frag_k is the query restricted to S_k's tables.  The ratio is the
+conditional selectivity of S_k's new predicates given the shared tables —
+the same conditional-chaining the reference does with inherited model
+samples, taken at expectation level instead of per-sample-row.  Exact when
+fragments overlap on the conditioning tables; an approximation (uniformity
+across the boundary) otherwise, exactly like the reference.
+
+Every HT(·) is one aggregate over a cached sample: a stitched query over m
+subschemas costs 2m-1 small Spark jobs and touches no base table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import networkx as nx
+
+from ..plans.parse import ParsedQuery, parse_query
+from ..plans.predicates import Predicate
+from .sample import SampleEstimator, TreeSample, UnsupportedQueryError
+
+
+@dataclass
+class StitchedEstimator(SampleEstimator):
+    """SampleEstimator that falls back to multi-sample stitching when no
+    single prepared sample covers the query."""
+
+    name: str = "sample+stitch"
+
+    def estimate(self, query: ParsedQuery | str) -> float:
+        pq = parse_query(query) if isinstance(query, str) else query
+        try:
+            return super().estimate(pq)
+        except UnsupportedQueryError:
+            return self._estimate_stitched(pq)
+
+    # -- stitching --------------------------------------------------------
+
+    def _estimate_stitched(self, pq: ParsedQuery) -> float:
+        alias_to_table = {a: t for a, t in pq.tables.items()}
+        if len(set(alias_to_table.values())) != len(alias_to_table):
+            raise UnsupportedQueryError("self-joins unsupported")
+        q_tables = set(alias_to_table.values())
+
+        # query join graph at table granularity
+        qg = nx.Graph()
+        qg.add_nodes_from(q_tables)
+        for a, b in pq.joins:
+            qg.add_edge(alias_to_table[a.split(".", 1)[0]],
+                        alias_to_table[b.split(".", 1)[0]])
+        if len(q_tables) > 1 and not nx.is_connected(qg):
+            raise UnsupportedQueryError("query tables are not connected")
+
+        # greedy cover: repeatedly pick the sample covering the most
+        # uncovered query tables while overlapping the covered set
+        # (reference analog: root = largest hyperedge, estimators.py:1283)
+        chain: list[tuple[TreeSample, set[str], set[str]]] = []
+        covered: set[str] = set()
+        uncovered_edges = set(frozenset(e) for e in qg.edges)
+        while covered != q_tables or uncovered_edges:
+            best, best_gain = None, -1
+            for ts in self.samples:
+                overlap_ok = not covered or (ts.tables & covered)
+                gain_tables = len((ts.tables & q_tables) - covered)
+                gain_edges = len([e for e in uncovered_edges
+                                  if set(e) <= ts.tables])
+                gain = gain_tables + gain_edges
+                if overlap_ok and gain > best_gain and gain > 0:
+                    best, best_gain = ts, gain
+            if best is None:
+                raise UnsupportedQueryError(
+                    f"no sample chain covers tables {sorted(q_tables)}")
+            frag_tables = best.tables & q_tables
+            shared = frag_tables & covered
+            chain.append((best, frag_tables, shared))
+            covered |= frag_tables
+            uncovered_edges = {e for e in uncovered_edges
+                               if not set(e) <= best.tables}
+
+        # evaluate the chain
+        card = 1.0
+        for i, (ts, frag_tables, shared) in enumerate(chain):
+            num = self._fragment(pq, alias_to_table, ts, frag_tables)
+            card_k = super().estimate(num)
+            if i == 0:
+                card = card_k
+                continue
+            den_q = self._fragment(pq, alias_to_table, ts, shared)
+            den = super().estimate(den_q)
+            if den <= 0:
+                return 0.0
+            card *= card_k / den
+        return card
+
+    def _fragment(self, pq: ParsedQuery, alias_to_table: dict[str, str],
+                  ts: TreeSample, frag_tables: set[str]) -> ParsedQuery:
+        """Restrict the query to ``frag_tables``, keeping the joins among
+        them and, when the fragment is disconnected within the query,
+        connecting it through the sample's own tree edges (the sample
+        materializes those joins anyway)."""
+        aliases = {a: t for a, t in alias_to_table.items()
+                   if t in frag_tables}
+        table_to_alias = {t: a for a, t in aliases.items()}
+        joins = []
+        for a, b in pq.joins:
+            al_a, al_b = a.split(".", 1)[0], b.split(".", 1)[0]
+            if al_a in aliases and al_b in aliases:
+                joins.append((a, b))
+        # connect via sample tree edges if the query has no join between
+        # two fragment tables (both sides must still be table-qualified)
+        have = {frozenset((alias_to_table[a.split(".", 1)[0]],
+                           alias_to_table[b.split(".", 1)[0]]))
+                for a, b in joins}
+        for rel in ts.tree.rels:
+            key = frozenset((rel.pk_table, rel.fk_table))
+            if (rel.pk_table in frag_tables and rel.fk_table in frag_tables
+                    and key not in have and len(frag_tables) > 1):
+                joins.append((
+                    f"{table_to_alias[rel.pk_table]}.{rel.pk_col}",
+                    f"{table_to_alias[rel.fk_table]}.{rel.fk_col}"))
+                have.add(key)
+        filters = [p for p in pq.filters
+                   if alias_to_table.get(p.table or "", "") in frag_tables]
+        return ParsedQuery(tables=aliases, joins=joins, filters=filters,
+                           sql=f"<fragment {sorted(frag_tables)}>")
