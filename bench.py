@@ -82,6 +82,19 @@ def main() -> None:
     extras["qerror_max"] = round(max(qerrs), 4)
     extras["est_mean_ms_per_query"] = round(sum(lat_ms) / len(lat_ms), 2)
 
+    # 2a. localized evaluation (driver-side numpy over the same sample —
+    # the reference's serving shape); must agree with the distributed path
+    ts.localize()
+    for sql in BENCH_QUERIES.values():  # warm
+        est.estimate(sql)
+    loc_ms = []
+    for sql in BENCH_QUERIES.values():
+        t0 = time.perf_counter()
+        est.estimate(sql)
+        loc_ms.append((time.perf_counter() - t0) * 1000)
+    timings["estimate_local_6_queries"] = round(sum(loc_ms) / 1000, 4)
+    extras["est_local_mean_ms_per_query"] = round(sum(loc_ms) / len(loc_ms), 2)
+
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates
     from scardina_spark.model import TrainConfig

@@ -44,6 +44,67 @@ class UnsupportedQueryError(ValueError):
     pass
 
 
+def _eval_pred_local(series, p: Predicate):
+    """Vectorized predicate over a pandas column (NaN/None fails every
+    value predicate, matching SQL three-valued logic under AND)."""
+    import numpy as np
+    import pandas as pd
+
+    o = p.o.upper()
+    if o == "IS":
+        return series.isna().to_numpy()
+    if o == "IS NOT":
+        return series.notna().to_numpy()
+    if o == "LIKE" or o == "NOT LIKE":
+        import re
+        out = []
+        for ch in str(p.v):
+            out.append(".*" if ch == "%" else "." if ch == "_"
+                       else re.escape(ch))
+        rx = "^" + "".join(out) + "$"
+        m = series.astype("string").str.match(rx, na=False).to_numpy()
+        return m if o == "LIKE" else (series.notna().to_numpy() & ~m)
+    v = p.v
+    if isinstance(v, __import__("datetime").datetime):
+        v = pd.Timestamp(v)
+    with np.errstate(invalid="ignore"):
+        if o in ("=", "=="):
+            m = series == v
+        elif o == "!=":
+            m = series.notna() & (series != v)
+        elif o == ">":
+            m = series > v
+        elif o == ">=":
+            m = series >= v
+        elif o == "<":
+            m = series < v
+        elif o == "<=":
+            m = series <= v
+        elif o == "IN":
+            m = series.isin(list(p.v))
+        else:
+            raise UnsupportedQueryError(f"op {p.o} unsupported locally")
+    return m.fillna(False).to_numpy(dtype=bool)
+
+
+def _local_mean(ts: "TreeSample", preds: list[Predicate],
+                q_tables: set[str]) -> float:
+    import numpy as np
+
+    pdf = ts.local
+    ind = np.ones(len(pdf), dtype=bool)
+    for p in preds:
+        ind &= _eval_pred_local(pdf[p.c], p)
+    for t in sorted(q_tables):
+        ind &= pdf[f"__in__:{t}"].fillna(False).to_numpy(dtype=bool)
+    div = np.ones(len(pdf))
+    for c in _divisor_cols(ts, q_tables):
+        div *= np.maximum(pdf[c].fillna(1).to_numpy(dtype=float), 1.0)
+    if len(pdf) == 0:
+        return 0.0
+    return float((ind / div).mean())
+
+
 def spanning_tree(sg: SchemaGraph, root: str) -> Subschema:
     """Deterministic BFS spanning tree of the schema from ``root`` — the UR
     join tree (cycles in the schema graph, e.g. TPC-H's
@@ -92,10 +153,21 @@ class TreeSample:
     sample: DataFrame          # prefixed ``table.col`` layout + markers/fanouts
     join_size: int
     n_sample: int
+    local: "object | None" = None   # pandas DataFrame when localized
 
     @property
     def tables(self) -> set[str]:
         return self.tree.tables
+
+    def localize(self) -> "TreeSample":
+        """Pull the (bounded, ≤n_max-row) sample to the driver for
+        vectorized query evaluation — the reference's deployment shape:
+        the cluster prepares the sample, the estimator process answers
+        queries in microseconds without a cluster round-trip.  The Spark
+        DataFrame stays available for distributed evaluation."""
+        if self.local is None:
+            self.local = self.sample.toPandas()
+        return self
 
 
 def prepare_tree_sample(
@@ -233,14 +305,16 @@ class SampleEstimator:
                 raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
             preds.append(Predicate(f"{t}.{p.column}", p.o, p.v))
 
-        ind = predicates_to_column(preds, qualify=True)
-        for t in sorted(q_tables):
-            ind = ind & F.col(f"`__in__:{t}`")
-
-        div = F.lit(1.0)
-        for c in _divisor_cols(ts, q_tables):
-            div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
-
-        contrib = F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
-        mean = ts.sample.agg(F.avg(contrib).alias("m")).collect()[0]["m"] or 0.0
+        if ts.local is not None:
+            mean = _local_mean(ts, preds, q_tables)
+        else:
+            ind = predicates_to_column(preds, qualify=True)
+            for t in sorted(q_tables):
+                ind = ind & F.col(f"`__in__:{t}`")
+            div = F.lit(1.0)
+            for c in _divisor_cols(ts, q_tables):
+                div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
+            contrib = F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+            mean = ts.sample.agg(
+                F.avg(contrib).alias("m")).collect()[0]["m"] or 0.0
         return float(ts.join_size) * float(mean)
