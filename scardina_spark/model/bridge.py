@@ -47,14 +47,43 @@ def training_matrix(df: DataFrame, columns: list[str],
 def train_single_table(df: DataFrame, columns: list[str],
                        cfg: TrainConfig | None = None,
                        sample_size: int = 512,
-                       max_rows: int = 200_000) -> NarEstimator:
+                       max_rows: int = 200_000,
+                       fact_threshold: int | None = None) -> NarEstimator:
     """End-to-end: encode with Spark, train the NAR-MLP, return the
-    progressive-sampling estimator."""
+    progressive-sampling estimator.
+
+    With ``fact_threshold``, columns whose dictionary exceeds
+    ``2**fact_threshold`` codes are bit-slice factorized (M2): the model
+    sees the sub-columns (each with a small domain), and the estimator
+    projects full-domain valid masks onto them per sample row (P4/P6)."""
+    from ..functions.factorize import factorization_spec
+    from .progressive import ColumnGroup
+
     cfg = cfg or TrainConfig()
     codes, domains = training_matrix(df, columns, max_rows, cfg.seed)
-    bins = [(c, domains[c].dom_size) for c in columns]
+
+    bins: list[tuple[str, int]] = []
+    mat_cols: list[np.ndarray] = []
+    groups: dict[str, ColumnGroup] = {}
+    for ci, c in enumerate(columns):
+        dom = domains[c].dom_size
+        spec = (factorization_spec(c, dom, fact_threshold)
+                if fact_threshold else None)
+        if spec is None or not spec.is_factorized:
+            bins.append((c, dom))
+            mat_cols.append(codes[:, ci])
+            continue
+        idxs = []
+        for sub in spec.sub_cols:
+            sub_codes = ((codes[:, ci] >> sub.offset)
+                         & ((1 << sub.window) - 1)) + 1
+            idxs.append(len(bins))
+            bins.append((sub.name, sub.dist_size))
+            mat_cols.append(sub_codes)
+        groups[c] = ColumnGroup(c, idxs, spec)
+
     model = NarMLP(bins, cfg)
-    model.fit(codes)
+    model.fit(np.stack(mat_cols, axis=1))
     return NarEstimator(model=model, domains=domains,
                         n_rows=df.count(), sample_size=sample_size,
-                        seed=cfg.seed)
+                        seed=cfg.seed, groups=groups or None)

@@ -113,10 +113,64 @@ def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
 
 
 @dataclass
+class ColumnGroup:
+    """One logical column in the model: a single model column, or (when
+    factorized, M2) an ordered list of bit-window sub-columns.
+
+    ``spec`` is the FactorizationSpec; ``model_idx`` maps each sub-column
+    to its position in the model's column list."""
+
+    name: str
+    model_idx: list[int]
+    spec: "object | None" = None  # FactorizationSpec when factorized
+
+    @property
+    def is_factorized(self) -> bool:
+        return self.spec is not None and len(self.model_idx) > 1
+
+
+def _sub_masks_for_prefix(full_mask: np.ndarray, spec, k: int,
+                          prefix: np.ndarray) -> np.ndarray:
+    """Per-row valid mask over sub-column k's code space, given the
+    already-sampled higher windows (reference P4/P6 semantics: predicate
+    projection onto sub-columns with per-row factor masks,
+    scardina/estimators.py:551-671, 795-831).
+
+    With little-endian windows sampled most-significant-first, the codes
+    consistent with a fixed high prefix form contiguous blocks of size
+    ``2**offset_k``; a sub-value v is valid iff OR of the full-domain mask
+    over its block is 1.  Hierarchical block-ORs make this one gather.
+
+    prefix: [S] int — Σ over sampled higher windows of (v-1) << offset.
+    Returns [S, sub_dom] float mask (slot 0 = sub-MASK always 0).
+    """
+    sub = spec.sub_cols[k]
+    D = len(full_mask)
+    block = 1 << sub.offset
+    n_blocks_total = (D + block - 1) // block
+    padded = np.zeros(n_blocks_total * block, dtype=bool)
+    padded[:D] = full_mask > 0
+    block_or = padded.reshape(n_blocks_total, block).any(axis=1)
+
+    sub_dom = sub.dist_size
+    S = len(prefix)
+    out = np.zeros((S, sub_dom))
+    base = (prefix >> sub.offset).astype(np.int64)  # [S]
+    vals = np.arange(1, sub_dom)                     # sub codes 1..sub_dom-1
+    idx = base[:, None] + (vals[None, :] - 1)        # [S, sub_dom-1]
+    ok = (idx >= 0) & (idx < n_blocks_total)
+    gathered = np.zeros_like(idx, dtype=bool)
+    gathered[ok] = block_or[idx[ok]]
+    out[:, 1:] = gathered.astype(float)
+    return out
+
+
+@dataclass
 class NarEstimator:
     """Single-relation progressive-sampling estimator (the reference's
     one-table path, scardina/estimators.py:925-927; multi-table queries
-    route to the sample/CIN estimators)."""
+    route to the sample/CIN estimators).  ``groups`` describes factorized
+    columns; plain columns need no entry."""
 
     model: NarMLP
     domains: dict[str, ColumnDomain]
@@ -124,6 +178,44 @@ class NarEstimator:
     sample_size: int = 512
     seed: int = 42
     name: str = "nar-mlp"
+    groups: dict[str, ColumnGroup] | None = None
+
+    def _group_for(self, col: str) -> ColumnGroup:
+        if self.groups and col in self.groups:
+            return self.groups[col]
+        return ColumnGroup(col, [self.model.cols.index(col)])
+
+    def _conditional(self, codes: np.ndarray, mask: np.ndarray, j: int
+                     ) -> np.ndarray:
+        logits = self.model.logits_for(codes, mask, j)
+        logits[:, MASK_SLOT] = -1e9
+        z = logits - logits.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        return p
+
+    @staticmethod
+    def _draw(pm: np.ndarray, valid: np.ndarray,
+              rs: np.random.RandomState) -> tuple[np.ndarray, np.ndarray]:
+        """Mass + multinomial draw from the masked distribution; vanished
+        rows fall back to uniform over valid slots with mass kept at 0
+        (reference: estimators.py:240-243)."""
+        mass = pm.sum(axis=1)
+        safe = pm.copy()
+        dead = mass <= 0
+        if dead.any():
+            fallback = valid.astype(float)
+            if fallback.ndim == 1:
+                safe[dead] = fallback if fallback.any() else 1.0
+            else:
+                fb = fallback[dead]
+                fb[fb.sum(axis=1) == 0] = 1.0
+                safe[dead] = fb
+        safe = safe / np.maximum(safe.sum(axis=1, keepdims=True), 1e-300)
+        cdf = np.cumsum(safe, axis=1)
+        u = rs.rand(len(pm), 1)
+        drawn = (u > cdf).sum(axis=1)
+        return mass, drawn
 
     def estimate(self, query: ParsedQuery | str) -> float:
         pq = parse_query(query) if isinstance(query, str) else query
@@ -132,7 +224,7 @@ class NarEstimator:
         preds = normalize_predicates(pq.filters)
         by_col: dict[str, list[Predicate]] = {}
         for p in preds:
-            if p.column not in self.model.cols:
+            if p.column not in self.domains:
                 raise ValueError(f"column not in model: {p.column}")
             by_col.setdefault(p.column, []).append(p)
         if not by_col:
@@ -140,7 +232,7 @@ class NarEstimator:
 
         masks = {
             c: valid_mask(self.domains[c], ps) for c, ps in by_col.items()}
-        # prop-ratio ordering: valid-mass / domain ascending
+        # prop-ratio ordering: valid-mass / domain ascending (O4 default)
         order = sorted(masks, key=lambda c: (masks[c].sum()
                                              / self.domains[c].dom_size, c))
 
@@ -151,28 +243,34 @@ class NarEstimator:
         prob = np.ones(S)
 
         for c in order:
-            j = self.model.cols.index(c)
-            logits = self.model.logits_for(codes, mask, j)
-            logits[:, MASK_SLOT] = -1e9
-            z = logits - logits.max(axis=1, keepdims=True)
-            p = np.exp(z)
-            p /= p.sum(axis=1, keepdims=True)
-            pm = p * masks[c][None, :]
-            mass = pm.sum(axis=1)
-            prob *= mass
-            # renormalize; vanished rows -> uniform over valid slots
-            # (reference: estimators.py:240-243)
-            valid_slots = masks[c] > 0
-            safe = pm.copy()
-            dead = mass <= 0
-            if dead.any() and valid_slots.any():
-                safe[dead] = valid_slots.astype(float)
-            safe /= np.maximum(safe.sum(axis=1, keepdims=True), 1e-300)
-            # vectorized multinomial draw via inverse CDF
-            cdf = np.cumsum(safe, axis=1)
-            u = rs.rand(S, 1)
-            drawn = (u > cdf).sum(axis=1)
-            codes[:, j] = drawn
-            mask[:, j] = False
+            grp = self._group_for(c)
+            if not grp.is_factorized:
+                j = grp.model_idx[0]
+                p = self._conditional(codes, mask, j)
+                pm = p * masks[c][None, :]
+                mass, drawn = self._draw(pm, masks[c] > 0, rs)
+                prob *= mass
+                codes[:, j] = drawn
+                mask[:, j] = False
+            else:
+                # sub-columns most-significant-first; full-code mask
+                # projected per row via hierarchical block-ORs
+                spec = grp.spec
+                prefix = np.zeros(S, dtype=np.int64)
+                for k in reversed(range(len(spec.sub_cols))):
+                    j = grp.model_idx[k]
+                    sub = spec.sub_cols[k]
+                    p = self._conditional(codes, mask, j)
+                    sm = _sub_masks_for_prefix(masks[c], spec, k, prefix)
+                    if p.shape[1] != sm.shape[1]:
+                        width = min(p.shape[1], sm.shape[1])
+                        p = p[:, :width]
+                        sm = sm[:, :width]
+                    pm = p * sm
+                    mass, drawn = self._draw(pm, sm > 0, rs)
+                    prob *= mass
+                    codes[:, j] = drawn
+                    mask[:, j] = False
+                    prefix = prefix + ((drawn - 1) << sub.offset)
 
         return float(self.n_rows) * float(prob.mean())
