@@ -108,6 +108,32 @@ def load_csv_table(spark: SparkSession, path: str,
     return df
 
 
+def load_jdbc_table(spark: SparkSession, url: str, table: str,
+                    properties: dict[str, str] | None = None,
+                    partition_column: str | None = None,
+                    num_partitions: int = 8,
+                    lower_bound: int | None = None,
+                    upper_bound: int | None = None) -> DataFrame:
+    """JDBC source (reference analog: the Postgres reader used for p-error
+    evaluation, scardina/run.py:992-1008 — which reads whole tables through
+    a single connection; here the read parallelizes over
+    ``partition_column`` ranges so a large table splits across executors).
+    Untested in this environment (no live database); the call shape is the
+    supported Spark 4 API."""
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    return reader.load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or RELATIONAL_TABLES)}

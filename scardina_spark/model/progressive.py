@@ -179,6 +179,30 @@ class NarEstimator:
     seed: int = 42
     name: str = "nar-mlp"
     groups: dict[str, ColumnGroup] | None = None
+    # O4 column-ordering heuristic (reference: scardina/estimators.py:
+    # 833-910 + run.py:158-163): prop-ratio (default) = valid-mass /
+    # domain-size ascending; prop = valid-mass ascending; domain-size =
+    # domain ascending; nat = model column order; suffix -inv reverses.
+    order_by: str = "prop-ratio"
+
+    def _order_columns(self, masks: dict[str, np.ndarray]) -> list[str]:
+        base = self.order_by.removesuffix("-inv") if \
+            self.order_by.endswith("-inv") else self.order_by
+        inv = self.order_by.endswith("-inv") and self.order_by != "inv"
+        if self.order_by == "inv":
+            base, inv = "nat", True
+        if base == "nat":
+            order = sorted(masks, key=lambda c: self._group_for(c).model_idx[0])
+        elif base == "domain-size":
+            order = sorted(masks, key=lambda c: (self.domains[c].dom_size, c))
+        elif base == "prop":
+            order = sorted(masks, key=lambda c: (masks[c].sum(), c))
+        elif base == "prop-ratio":
+            order = sorted(masks, key=lambda c: (
+                masks[c].sum() / self.domains[c].dom_size, c))
+        else:
+            raise ValueError(f"unknown order_by: {self.order_by}")
+        return list(reversed(order)) if inv else order
 
     def _group_for(self, col: str) -> ColumnGroup:
         if self.groups and col in self.groups:
@@ -232,9 +256,7 @@ class NarEstimator:
 
         masks = {
             c: valid_mask(self.domains[c], ps) for c, ps in by_col.items()}
-        # prop-ratio ordering: valid-mass / domain ascending (O4 default)
-        order = sorted(masks, key=lambda c: (masks[c].sum()
-                                             / self.domains[c].dom_size, c))
+        order = self._order_columns(masks)
 
         rs = np.random.RandomState(self.seed)
         S = self.sample_size
