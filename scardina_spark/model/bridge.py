@@ -48,7 +48,8 @@ def train_single_table(df: DataFrame, columns: list[str],
                        cfg: TrainConfig | None = None,
                        sample_size: int = 512,
                        max_rows: int = 200_000,
-                       fact_threshold: int | None = None) -> NarEstimator:
+                       fact_threshold: int | None = None,
+                       arch: str = "mlp") -> NarEstimator:
     """End-to-end: encode with Spark, train the NAR-MLP, return the
     progressive-sampling estimator.
 
@@ -82,7 +83,16 @@ def train_single_table(df: DataFrame, columns: list[str],
             mat_cols.append(sub_codes)
         groups[c] = ColumnGroup(c, idxs, spec)
 
-    model = NarMLP(bins, cfg)
+    if arch == "mlp":
+        model = NarMLP(bins, cfg)
+    elif arch == "trm":
+        from .transformer import NarTransformer, TrmConfig
+        tcfg = cfg if isinstance(cfg, TrmConfig) else TrmConfig(
+            d_word=cfg.d_word, d_ff=cfg.d_ff, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed)
+        model = NarTransformer(bins, tcfg)
+    else:
+        raise ValueError(f"unknown arch: {arch}")
     model.fit(np.stack(mat_cols, axis=1))
     return NarEstimator(model=model, domains=domains,
                         n_rows=df.count(), sample_size=sample_size,
