@@ -407,6 +407,54 @@ from orders order by o_orderkey
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction over events.props (the semi-structured
+    column every event pipeline carries) — JVM-side get_json_object, no
+    UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"))
+        .where(F.col("k") > 50)
+        .orderBy("event_id"))
+
+
+SQL_JSON_EXTRACT = """
+select event_id, CAST(json_extract(props, '$.k') AS BIGINT) as k
+from events where CAST(json_extract(props, '$.k') AS BIGINT) > 50
+order by event_id
+"""
+
+
+def q_join_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join → group → aggregate → top-k.  The
+    full analytics pipeline in one plan (broadcast dim join, partial agg,
+    TakeOrdered)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    return (j.groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+SQL_JOIN_GROUP_TOPK = """
+select o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey, o_orderdate
+order by revenue desc, o_orderkey limit 10
+"""
+
+
 # --------------------------------------------------------------------------
 # events: windowed + sessionized analytics (streaming-equivalent batch)
 # --------------------------------------------------------------------------
@@ -839,6 +887,8 @@ def queries() -> dict:
         "j6_join_tree": q_join_tree,
         "j6_join_translated": q_join_translated,
         "a2_group_agg": q_group_agg,
+        "a4_join_group_topk": q_join_group_topk,
+        "f2_json_extract": q_json_extract,
         "a5_quantiles": q_quantiles,
         "a7_entropy": q_entropy,
         "o1_topk": q_topk,
@@ -879,6 +929,8 @@ def oracle_sql() -> dict[str, str]:
         "j6_join_tree": SQL_JOIN_TREE,
         "j6_join_translated": SQL_JOIN_TRANSLATED,
         "a2_group_agg": SQL_GROUP_AGG,
+        "a4_join_group_topk": SQL_JOIN_GROUP_TOPK,
+        "f2_json_extract": SQL_JSON_EXTRACT,
         "a5_quantiles": SQL_QUANTILES,
         "a7_entropy": SQL_ENTROPY,
         "o1_topk": SQL_TOPK,

@@ -1,0 +1,43 @@
+"""Hyperparameter grid search: split semantics + best-model selection."""
+
+import numpy as np
+
+from scardina_spark.model import TrainConfig
+from scardina_spark.model.search import (
+    grid_search, masked_val_loss, train_val_split)
+
+
+def test_split_is_seeded_and_capped():
+    codes = np.arange(2000).reshape(1000, 2) % 7 + 2
+    tr1, va1 = train_val_split(codes, seed=5)
+    tr2, va2 = train_val_split(codes, seed=5)
+    np.testing.assert_array_equal(va1, va2)
+    assert len(va1) == 100
+    big = np.zeros((200_000, 2), dtype=np.int64) + 2
+    _, vb = train_val_split(big, seed=5)
+    assert len(vb) == 10_000  # capped
+
+
+def test_grid_search_picks_best_val():
+    rs = np.random.RandomState(0)
+    x = rs.randint(2, 10, size=3000)
+    y = np.where(rs.rand(3000) < 0.85, x, rs.randint(2, 10, size=3000))
+    codes = np.stack([x, y], axis=1)
+    base = TrainConfig(epochs=4, batch_size=512, seed=2)
+    model, trials = grid_search([("x", 10), ("y", 10)], codes, base,
+                                d_words=(8,), d_ffs=(16, 32))
+    assert len(trials) == 2
+    best = min(trials, key=lambda t: t.val_loss)
+    assert model.cfg.d_ff == best.cfg.d_ff
+    # val loss is finite and sane
+    assert all(np.isfinite(t.val_loss) for t in trials)
+
+
+def test_masked_val_loss_deterministic():
+    rs = np.random.RandomState(1)
+    codes = rs.randint(2, 6, size=(500, 3))
+    from scardina_spark.model import NarMLP
+    m = NarMLP([("a", 6), ("b", 6), ("c", 6)],
+               TrainConfig(epochs=2, d_word=8, d_ff=16, seed=0))
+    m.fit(codes)
+    assert masked_val_loss(m, codes) == masked_val_loss(m, codes)
