@@ -842,6 +842,36 @@ def q_nar_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "query string, est double, truth long, qerror double")
 
 
+def q_nar_ur_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full UR-mode learned estimator (NAR over the join sample with
+    existence markers + fanout scaling) vs exact truth (randomized ->
+    rows-only)."""
+    from .estimators import prepare_tree_sample
+    from .estimators.sample import spanning_tree
+    from .model import TrainConfig
+    from .model.join_bridge import train_join_estimator
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=50_000, seed=42)
+    cfg = TrainConfig(epochs=6, d_word=12, d_ff=48, batch_size=1024, seed=42)
+    nar = train_join_estimator(ts, [
+        "lineitem.l_quantity", "lineitem.l_returnflag",
+        "orders.o_orderstatus", "orders.o_orderpriority",
+        "customer.c_mktsegment", "customer.c_acctbal"],
+        cfg, sample_size=1000, max_rows=100_000)
+    exact = ExactEstimator(sg, tables)
+    rows = []
+    for name, sql in BENCH_QUERIES.items():
+        e = nar.estimate(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, float(e), int(t), float(q)))
+    return spark.createDataFrame(
+        rows, "query string, est double, truth long, qerror double")
+
+
 NAR_BENCH_QUERIES = {
     "n1_eq": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
     "n2_range": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
@@ -910,6 +940,7 @@ def queries() -> dict:
         "j4_join_sample": q_join_sample,
         "e1_estimate_qerror": q_estimate_qerror,
         "e2_nar_qerror": q_nar_qerror,
+        "e3_nar_ur_qerror": q_nar_ur_qerror,
     }
 
 

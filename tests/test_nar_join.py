@@ -1,0 +1,66 @@
+"""UR-mode learned estimator (NAR over the join sample) vs exact truth."""
+
+import pytest
+
+from scardina_spark.catalog import build_tpch_schema
+from scardina_spark.estimators import ExactEstimator, prepare_tree_sample
+from scardina_spark.estimators.sample import spanning_tree, UnsupportedQueryError
+from scardina_spark.model import TrainConfig
+from scardina_spark.model.join_bridge import train_join_estimator
+
+DATA_COLS = [
+    "lineitem.l_quantity", "lineitem.l_returnflag", "lineitem.l_discount",
+    "orders.o_orderstatus", "orders.o_orderpriority",
+    "customer.c_mktsegment", "customer.c_acctbal",
+]
+
+
+@pytest.fixture(scope="module")
+def nar_ur(tables):
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=30_000, seed=42)
+    cfg = TrainConfig(epochs=12, d_word=12, d_ff=64, batch_size=1024, seed=42)
+    return train_join_estimator(ts, DATA_COLS, cfg, sample_size=1000)
+
+
+@pytest.fixture(scope="module")
+def exact(tables):
+    return ExactEstimator(build_tpch_schema(), tables)
+
+
+UR_QUERIES = [
+    ("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30", 2.0),
+    ("SELECT COUNT(*) FROM lineitem l, orders o "
+     "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'", 2.0),
+    ("SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+     "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+     "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity > 10", 2.5),
+    # used set excludes the root: fanout division must kick in
+    ("SELECT COUNT(*) FROM orders o, customer c "
+     "WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 0", 3.0),
+    ("SELECT COUNT(*) FROM orders WHERE o_orderpriority LIKE '%URGENT'", 3.0),
+]
+
+
+@pytest.mark.parametrize("sql,bound", UR_QUERIES)
+def test_nar_ur_qerror(nar_ur, exact, sql, bound):
+    est = nar_ur.estimate(sql)
+    true = exact.estimate(sql)
+    assert est > 0, sql
+    q = max(est / true, true / est)
+    assert q < bound, (sql, est, true, q)
+
+
+def test_fanout_columns_partitioned(nar_ur):
+    # FK->PK directions are constant 1 and skipped; at least one
+    # informative fanout column (toward the root) is modeled
+    assert any("__adj_fanout__" in c for c in nar_ur.model.cols)
+    assert len(nar_ur.constant_one_fanouts) > 0
+
+
+def test_off_tree_query_rejected(nar_ur):
+    with pytest.raises(UnsupportedQueryError):
+        nar_ur.estimate(
+            "SELECT COUNT(*) FROM customer c, nation n "
+            "WHERE c.c_nationkey = n.n_nationkey")
