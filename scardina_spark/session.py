@@ -48,6 +48,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         # deterministic float semantics for test reproducibility
         .config("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
     )

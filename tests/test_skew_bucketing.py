@@ -1,0 +1,66 @@
+"""Salted aggregation/join equality + bucketed co-located joins."""
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.skew import salted_broadcast_left, salted_group_agg
+
+
+def _skewed_df(spark):
+    # 90% of rows share one hot key
+    base = spark.range(20_000).withColumn(
+        "k", F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 100))
+    return base.withColumn("v", (F.col("id") % 7).cast("double"))
+
+
+def test_salted_group_agg_equals_plain(spark):
+    df = _skewed_df(spark)
+    plain = {(r["k"]): (r["s"], r["c"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"),
+                                 F.count(F.lit(1)).alias("c")).collect()}
+    salted = {(r["k"]): (r["s"], r["c"]) for r in
+              salted_group_agg(df, ["k"], {"v": "s"}, "c").collect()}
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    fact = _skewed_df(spark)
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dv"))
+    plain = sorted((r["id"], r["dv"]) for r in
+                   fact.join(dim, fact["k"] == dim["dk"]).collect())
+    salted = sorted((r["id"], r["dv"]) for r in
+                    salted_broadcast_left(fact, dim, "k", "dk").collect())
+    assert salted == plain
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = _skewed_df(spark)
+    from scardina_spark.operators.skew import SALT
+    salted = fact.withColumn(SALT, (F.rand(42) * 8).cast("int"))
+    per_salt = salted.where(F.col("k") == 1).groupBy(SALT).count().collect()
+    assert len(per_salt) == 8  # hot key occupies every salt partition
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
+    """Bucketed tables on the join key co-locate: the sort-merge join plan
+    reads both sides without an Exchange."""
+    spark.sql("drop table if exists b_orders")
+    spark.sql("drop table if exists b_lineitem")
+    tables["orders"].write.bucketBy(8, "o_orderkey") \
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    tables["lineitem"].write.bucketBy(8, "l_orderkey") \
+        .sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    joined = a.join(b, a["o_orderkey"] == b["l_orderkey"]) \
+        .where(~F.col("o_orderkey").isNull())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # and the result is right
+    assert joined.count() == tables["lineitem"].count()
