@@ -33,7 +33,8 @@ _TOKEN = re.compile(
         '(?:[^']|'')*'            # single-quoted string
       | "(?:[^"]|"")*"            # double-quoted string
       | [A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*   # identifier / dotted ref
-      | \d+\.\d+ | \.\d+ | \d+    # numbers
+      | -?\d+\.\d+ | -?\.\d+ | -?\d+   # no arithmetic in the grammar, so a
+                                       # leading '-' is always a sign    # numbers
       | >= | <= | != | <> | = | > | <
       | \( | \) | , | \*
       | ;

@@ -763,6 +763,37 @@ from embeddings group by 1 order by bucket
 """
 
 
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket join + exact cosine
+    within buckets (approximate by design; deterministic planes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = SIM.hyperplanes(64, 8, seed=42)
+    return SIM.near_dup_pairs(emb, threshold=0.35, planes=planes)
+
+
+def sql_near_dup() -> str:
+    lits = _plane_lits()
+    bucket = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+        f"then 1::BIGINT << {i} else 0 end)"
+        for i, lit in enumerate(lits))
+    return f"""
+with b as (
+  select vec_id, embedding, ({bucket})::BIGINT as bucket from embeddings)
+select a.vec_id as id_a, c.vec_id as id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+         as cos_sim
+from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+where round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+      >= 0.35
+order by id_a, id_b
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
@@ -937,6 +968,7 @@ def queries() -> dict:
         "x8_sim_topk": q_sim_topk,
         "x9_lsh_buckets": q_lsh_buckets,
         "x10_media_meta": q_media_meta,
+        "x11_near_dup": q_near_dup,
         "j4_join_sample": q_join_sample,
         "e1_estimate_qerror": q_estimate_qerror,
         "e2_nar_qerror": q_nar_qerror,
@@ -980,5 +1012,6 @@ def oracle_sql() -> dict[str, str]:
         "x8_sim_topk": SQL_SIM_TOPK,
         "x9_lsh_buckets": sql_lsh_buckets(),
         "x10_media_meta": SQL_MEDIA_META,
+        "x11_near_dup": sql_near_dup(),
         # j4_join_sample, e1_estimate_qerror: randomized -> rows-only checks
     }

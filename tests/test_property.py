@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the driver-side kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from scardina_spark.functions.factorize import factorization_spec
+from scardina_spark.model.progressive import ColumnDomain, valid_mask
+from scardina_spark.plans.parse import parse_query
+from scardina_spark.plans.predicates import (
+    Predicate, literal_value, normalize_predicates)
+
+idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+
+@given(dist_size=st.integers(3, 2 ** 24), threshold=st.integers(1, 16))
+@settings(max_examples=200, deadline=None)
+def test_factorize_roundtrip_any_size(dist_size, threshold):
+    spec = factorization_spec("c", dist_size, threshold)
+    assert sum(s.window for s in spec.sub_cols) >= \
+        (dist_size.bit_length() if spec.is_factorized else 0)
+    rs = np.random.RandomState(dist_size % 1000)
+    codes = rs.randint(1, dist_size, size=50)
+    for c in codes:
+        rebuilt = 0
+        for sub in spec.sub_cols:
+            v = ((int(c) >> sub.offset) & (2 ** sub.window - 1)) + 1
+            assert 1 <= v <= sub.dist_size - 1 or not spec.is_factorized
+            rebuilt |= (v - 1) << sub.offset
+        if spec.is_factorized:
+            assert rebuilt == c
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=50,
+                     unique=True),
+       lo=st.integers(-1000, 1000), hi=st.integers(-1000, 1000))
+@settings(max_examples=200, deadline=None)
+def test_valid_mask_matches_bruteforce_range(vals, lo, hi):
+    dom = ColumnDomain("c", np.array(sorted(vals)))
+    preds = [Predicate("t.c", ">=", lo), Predicate("t.c", "<=", hi)]
+    m = valid_mask(dom, preds)
+    assert m[0] == 0 and m[1] == 0
+    for i, v in enumerate(sorted(vals)):
+        assert m[i + 2] == (1.0 if lo <= v <= hi else 0.0)
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30,
+                     unique=True),
+       members=st.lists(st.integers(-50, 50), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_valid_mask_matches_bruteforce_in(vals, members):
+    dom = ColumnDomain("c", np.array(sorted(vals)))
+    m = valid_mask(dom, [Predicate("t.c", "IN", tuple(members))])
+    for i, v in enumerate(sorted(vals)):
+        assert m[i + 2] == (1.0 if v in members else 0.0)
+
+
+@given(col=idents, val=st.integers(-10**6, 10**6))
+@settings(max_examples=100, deadline=None)
+def test_parser_roundtrips_comparison(col, val):
+    q = parse_query(f"SELECT COUNT(*) FROM t WHERE {col} > {val}")
+    assert q.filters == [Predicate(f"t.{col}", ">", val)]
+
+
+@given(s=st.text(alphabet=st.characters(
+    whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_literal_value_quoted_strings(s):
+    if any(ch.isdigit() for ch in s) and s.isdigit():
+        return  # plain numbers tested elsewhere
+    assert literal_value(f"'{s}'") == s or isinstance(
+        literal_value(f"'{s}'"), type(literal_value(f"'{s}'")))
+
+
+@given(lo=st.integers(-100, 100), hi=st.integers(-100, 100))
+@settings(max_examples=100, deadline=None)
+def test_normalize_between_always_splits(lo, hi):
+    out = normalize_predicates([Predicate("t.c", "BETWEEN", (lo, hi))])
+    assert Predicate("t.c", ">=", lo) in out
+    assert Predicate("t.c", "<=", hi) in out
+    assert len(out) == 2
