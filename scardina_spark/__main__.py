@@ -1,0 +1,170 @@
+"""Command-line surface (the reference's run.py analog).
+
+    python -m scardina_spark prep      --sf-dir DIR --cache-dir DIR
+    python -m scardina_spark estimate  --sf-dir DIR --sql "SELECT COUNT(*) ..."
+                                       [--estimator sample|stitch|exact|nar-ur]
+    python -m scardina_spark bench     --sf-dir DIR [--out results.json]
+    python -m scardina_spark train     --sf-dir DIR --table lineitem
+                                       --columns a,b,c --out model.npz
+                                       [--arch mlp|trm] [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark():
+    from .session import get_spark
+    s = get_spark("scardina-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_prep(args) -> int:
+    from .catalog import build_tpch_schema, load_tables
+    from .estimators.sample import spanning_tree
+    from .operators.pipeline import PrepPipeline
+    spark = _spark()
+    tables = load_tables(spark, args.sf_dir)
+    sg = build_tpch_schema()
+    pipe = PrepPipeline(spark, args.cache_dir)
+    out = pipe.tables_with_fanouts(sg, tables)
+    tree = spanning_tree(sg, args.root)
+    samp = pipe.weighted_sample(tree, out, args.root, args.sample_size)
+    print(json.dumps({"stages": ["base_tables_with_fanouts", "joined_samples"],
+                      "sample_rows": samp.count(),
+                      "cache_dir": args.cache_dir}))
+    return 0
+
+
+def cmd_estimate(args) -> int:
+    from .catalog import build_tpch_schema, load_tables
+    from .estimators import (ExactEstimator, SampleEstimator,
+                             StitchedEstimator, prepare_tree_sample)
+    from .estimators.sample import cin_tree, spanning_tree
+    spark = _spark()
+    tables = load_tables(spark, args.sf_dir)
+    sg = build_tpch_schema()
+    t0 = time.perf_counter()
+    if args.estimator == "exact":
+        est = ExactEstimator(sg, tables)
+    elif args.estimator in ("sample", "stitch"):
+        cls = SampleEstimator if args.estimator == "sample" else StitchedEstimator
+        est = cls()
+        est.add(prepare_tree_sample(spanning_tree(sg, args.root), tables,
+                                    args.root, seed=args.seed).localize())
+        if args.estimator == "stitch":
+            for center in ("customer", "nation", "supplier"):
+                est.add(prepare_tree_sample(cin_tree(sg, center), tables,
+                                            center, seed=args.seed).localize())
+    elif args.estimator == "nar-ur":
+        from .model import TrainConfig
+        from .model.join_bridge import train_join_estimator
+        from .queries import BENCH_QUERIES  # noqa: F401 (data cols below)
+        ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
+                                 args.root, seed=args.seed)
+        est = train_join_estimator(ts, [
+            "lineitem.l_quantity", "lineitem.l_returnflag",
+            "orders.o_orderstatus", "orders.o_orderpriority",
+            "customer.c_mktsegment", "customer.c_acctbal"],
+            TrainConfig(epochs=args.epochs, seed=args.seed))
+    else:
+        print(f"unknown estimator: {args.estimator}", file=sys.stderr)
+        return 2
+    prep_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    card = est.estimate(args.sql)
+    ms = (time.perf_counter() - t0) * 1000
+    print(json.dumps({"estimate": card, "estimator": est.name,
+                      "prep_sec": round(prep_s, 2),
+                      "query_ms": round(ms, 2)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .catalog import build_tpch_schema, load_tables
+    from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
+    from .estimators.sample import spanning_tree
+    from .queries import BENCH_QUERIES
+    from .runner import run_benchmark
+    spark = _spark()
+    tables = load_tables(spark, args.sf_dir)
+    sg = build_tpch_schema()
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", seed=args.seed).localize())
+    rep = run_benchmark(est, BENCH_QUERIES,
+                        truth_fn=ExactEstimator(sg, tables).estimate)
+    if args.out:
+        rep.to_json(args.out)
+        rep.to_csv(args.out.rsplit(".", 1)[0] + ".csv")
+    print(json.dumps({"estimator": rep.estimator, **rep.summary}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from .catalog import load_table
+    from .model import TrainConfig
+    from .model.bridge import train_single_table
+    spark = _spark()
+    df = load_table(spark, args.sf_dir, args.table)
+    cols = args.columns.split(",")
+    cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    est = train_single_table(df, cols, cfg, arch=args.arch,
+                             fact_threshold=args.fact_threshold)
+    if args.out and hasattr(est.model, "save"):
+        est.model.save(args.out)
+    print(json.dumps({"table": args.table, "columns": cols,
+                      "arch": args.arch, "model_cols": len(est.model.cols),
+                      "out": args.out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="scardina_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prep")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--cache-dir", required=True)
+    p.add_argument("--root", default="lineitem")
+    p.add_argument("--sample-size", type=int, default=100_000)
+    p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser("estimate")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--sql", required=True)
+    p.add_argument("--estimator", default="sample",
+                   choices=["sample", "stitch", "exact", "nar-ur"])
+    p.add_argument("--root", default="lineitem")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", required=True)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "trm"])
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--fact-threshold", type=int, default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_train)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,38 @@
+"""CLI surface: subcommands run in-process and emit JSON lines."""
+
+import json
+
+import pytest
+
+from scardina_spark.__main__ import main
+
+
+def test_cli_estimate(capsys, spark, sf_dir):
+    rc = main(["estimate", "--sf-dir", sf_dir,
+               "--sql", "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+               "--estimator", "exact"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["estimator"] == "exact"
+    assert out["estimate"] > 0
+
+
+def test_cli_train(capsys, spark, sf_dir, tmp_path):
+    model_path = str(tmp_path / "m.npz")
+    rc = main(["train", "--sf-dir", sf_dir, "--table", "lineitem",
+               "--columns", "l_returnflag,l_linestatus",
+               "--epochs", "2", "--out", model_path])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["model_cols"] == 2
+    import os
+    assert os.path.exists(model_path)
+
+
+def test_cli_prep(capsys, spark, sf_dir, tmp_path):
+    rc = main(["prep", "--sf-dir", sf_dir,
+               "--cache-dir", str(tmp_path / "cache"),
+               "--sample-size", "500"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sample_rows"] == 500
