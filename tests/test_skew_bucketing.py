@@ -44,8 +44,14 @@ def test_salted_join_spreads_hot_key(spark):
 def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
     """Bucketed tables on the join key co-locate: the sort-merge join plan
     reads both sides without an Exchange."""
+    import shutil
     spark.sql("drop table if exists b_orders")
     spark.sql("drop table if exists b_lineitem")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist; clear them or saveAsTable refuses
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     tables["orders"].write.bucketBy(8, "o_orderkey") \
         .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
     tables["lineitem"].write.bucketBy(8, "l_orderkey") \
