@@ -51,62 +51,77 @@ class StitchedEstimator(SampleEstimator):
     # -- stitching --------------------------------------------------------
 
     def _estimate_stitched(self, pq: ParsedQuery) -> float:
-        alias_to_table = {a: t for a, t in pq.tables.items()}
-        if len(set(alias_to_table.values())) != len(alias_to_table):
-            raise UnsupportedQueryError("self-joins unsupported")
-        q_tables = set(alias_to_table.values())
+        return chain_estimate(self.samples, pq,
+                              lambda ts, frag: super(StitchedEstimator,
+                                                     self).estimate(frag))
 
-        # query join graph at table granularity
-        qg = nx.Graph()
-        qg.add_nodes_from(q_tables)
-        for a, b in pq.joins:
-            qg.add_edge(alias_to_table[a.split(".", 1)[0]],
-                        alias_to_table[b.split(".", 1)[0]])
-        if len(q_tables) > 1 and not nx.is_connected(qg):
-            raise UnsupportedQueryError("query tables are not connected")
 
-        # greedy cover: repeatedly pick the sample covering the most
-        # uncovered query tables while overlapping the covered set
-        # (reference analog: root = largest hyperedge, estimators.py:1283)
-        chain: list[tuple[TreeSample, set[str], set[str]]] = []
-        covered: set[str] = set()
-        uncovered_edges = set(frozenset(e) for e in qg.edges)
-        while covered != q_tables or uncovered_edges:
-            best, best_gain = None, -1
-            for ts in self.samples:
-                overlap_ok = not covered or (ts.tables & covered)
-                gain_tables = len((ts.tables & q_tables) - covered)
-                gain_edges = len([e for e in uncovered_edges
-                                  if set(e) <= ts.tables])
-                gain = gain_tables + gain_edges
-                if overlap_ok and gain > best_gain and gain > 0:
-                    best, best_gain = ts, gain
-            if best is None:
-                raise UnsupportedQueryError(
-                    f"no sample chain covers tables {sorted(q_tables)}")
-            frag_tables = best.tables & q_tables
-            shared = frag_tables & covered
-            chain.append((best, frag_tables, shared))
-            covered |= frag_tables
-            uncovered_edges = {e for e in uncovered_edges
-                               if not set(e) <= best.tables}
+def build_chain(samples: list[TreeSample], pq: ParsedQuery,
+                alias_to_table: dict[str, str]
+                ) -> list[tuple[TreeSample, set[str], set[str]]]:
+    """Greedy cover: repeatedly pick the sample covering the most uncovered
+    query tables/edges while overlapping the covered set (reference analog:
+    root = largest hyperedge + BFS visit, estimators.py:1196-1232)."""
+    q_tables = set(alias_to_table.values())
+    qg = nx.Graph()
+    qg.add_nodes_from(q_tables)
+    for a, b in pq.joins:
+        qg.add_edge(alias_to_table[a.split(".", 1)[0]],
+                    alias_to_table[b.split(".", 1)[0]])
+    if len(q_tables) > 1 and not nx.is_connected(qg):
+        raise UnsupportedQueryError("query tables are not connected")
 
-        # evaluate the chain
-        card = 1.0
-        for i, (ts, frag_tables, shared) in enumerate(chain):
-            num = self._fragment(pq, alias_to_table, ts, frag_tables)
-            card_k = super().estimate(num)
-            if i == 0:
-                card = card_k
-                continue
-            den_q = self._fragment(pq, alias_to_table, ts, shared)
-            den = super().estimate(den_q)
-            if den <= 0:
-                return 0.0
-            card *= card_k / den
-        return card
+    chain: list[tuple[TreeSample, set[str], set[str]]] = []
+    covered: set[str] = set()
+    uncovered_edges = set(frozenset(e) for e in qg.edges)
+    while covered != q_tables or uncovered_edges:
+        best, best_gain = None, -1
+        for ts in samples:
+            overlap_ok = not covered or (ts.tables & covered)
+            gain_tables = len((ts.tables & q_tables) - covered)
+            gain_edges = len([e for e in uncovered_edges
+                              if set(e) <= ts.tables])
+            gain = gain_tables + gain_edges
+            if overlap_ok and gain > best_gain and gain > 0:
+                best, best_gain = ts, gain
+        if best is None:
+            raise UnsupportedQueryError(
+                f"no sample chain covers tables {sorted(q_tables)}")
+        frag_tables = best.tables & q_tables
+        shared = frag_tables & covered
+        chain.append((best, frag_tables, shared))
+        covered |= frag_tables
+        uncovered_edges = {e for e in uncovered_edges
+                           if not set(e) <= best.tables}
+    return chain
 
-    def _fragment(self, pq: ParsedQuery, alias_to_table: dict[str, str],
+
+def chain_estimate(samples: list[TreeSample], pq: ParsedQuery,
+                   frag_estimate) -> float:
+    """Conditional chaining over a covering chain of samples/models:
+    ``frag_estimate(ts, fragment_query)`` supplies each term — the HT
+    aggregate (StitchedEstimator) or a per-subschema NAR model
+    (NarCinEstimator)."""
+    alias_to_table = dict(pq.tables)
+    if len(set(alias_to_table.values())) != len(alias_to_table):
+        raise UnsupportedQueryError("self-joins unsupported")
+    chain = build_chain(samples, pq, alias_to_table)
+    card = 1.0
+    for i, (ts, frag_tables, shared) in enumerate(chain):
+        num = make_fragment(pq, alias_to_table, ts, frag_tables)
+        card_k = frag_estimate(ts, num)
+        if i == 0:
+            card = card_k
+            continue
+        den_q = make_fragment(pq, alias_to_table, ts, shared)
+        den = frag_estimate(ts, den_q)
+        if den <= 0:
+            return 0.0
+        card *= card_k / den
+    return card
+
+
+def make_fragment(pq: ParsedQuery, alias_to_table: dict[str, str],
                   ts: TreeSample, frag_tables: set[str]) -> ParsedQuery:
         """Restrict the query to ``frag_tables``, keeping the joins among
         them and, when the fragment is disconnected within the query,

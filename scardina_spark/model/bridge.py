@@ -24,10 +24,18 @@ def collect_domain(dictionary: DataFrame, name: str) -> ColumnDomain:
 
 
 def training_matrix(df: DataFrame, columns: list[str],
-                    max_rows: int = 200_000, seed: int = 42
+                    max_rows: int = 200_000, seed: int = 42,
+                    dictionaries: dict[str, DataFrame] | None = None,
                     ) -> tuple[np.ndarray, dict[str, ColumnDomain]]:
     """Dictionary-encode ``columns`` and collect an int64 matrix [n, C]
-    (row-capped by deterministic sample) plus the collected domains."""
+    (row-capped by deterministic sample) plus the collected domains.
+
+    ``dictionaries`` injects pre-built per-column dictionaries — the
+    cross-subschema consistency mechanism (reference analog: the shared
+    ``distinct_vals_dict`` threaded through caches,
+    scardina/datasets.py:385-416): every model over any sub-join sees the
+    same code for the same base value.  Columns without an entry build
+    their dictionary from ``df`` itself."""
     proj = df.select(*[F.col(f"`{c}`") for c in columns])
     n = proj.count()
     if n > max_rows:
@@ -36,12 +44,23 @@ def training_matrix(df: DataFrame, columns: list[str],
     domains: dict[str, ColumnDomain] = {}
     enc = proj
     for c in columns:
-        d = build_dictionary(proj, c)
+        d = (dictionaries or {}).get(c) or build_dictionary(proj, c)
         domains[c] = collect_domain(d, c)
         enc = encode_with_dictionary(enc, c, d)
     pdf = enc.toPandas()
     codes = pdf[columns].to_numpy(dtype=np.int64)
     return codes, domains
+
+
+def base_dictionaries(tables: dict[str, DataFrame],
+                      prefixed_columns: list[str]) -> dict[str, DataFrame]:
+    """Build one dictionary per BASE column (``table.col`` names) for reuse
+    across every subschema's encoder."""
+    out: dict[str, DataFrame] = {}
+    for name in prefixed_columns:
+        t, c = name.split(".", 1)
+        out[name] = build_dictionary(tables[t], c)
+    return out
 
 
 def train_single_table(df: DataFrame, columns: list[str],

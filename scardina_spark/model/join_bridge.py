@@ -126,7 +126,8 @@ class NarJoinEstimator(NarEstimator):
 def train_join_estimator(ts: TreeSample, data_columns: list[str],
                          cfg: TrainConfig | None = None,
                          sample_size: int = 512,
-                         max_rows: int = 200_000) -> NarJoinEstimator:
+                         max_rows: int = 200_000,
+                         dictionaries=None) -> NarJoinEstimator:
     """Train the UR-mode model on ``ts``'s sample.
 
     ``data_columns`` are prefixed ``table.col`` names; existence markers
@@ -145,7 +146,8 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
     constant1 = frozenset(c for c in fanouts if n_distinct.get(c, 1) <= 1)
 
     columns = list(data_columns) + markers + informative
-    codes, domains = training_matrix(samp, columns, max_rows, cfg.seed)
+    codes, domains = training_matrix(samp, columns, max_rows, cfg.seed,
+                                     dictionaries=dictionaries)
     bins = [(c, domains[c].dom_size) for c in columns]
     model = NarMLP(bins, cfg)
     model.fit(codes)

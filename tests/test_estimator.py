@@ -94,8 +94,8 @@ def test_cin_sample_covers_dropped_edge(tables):
                                 seed=7))
     got = est.estimate(
         "SELECT COUNT(*) FROM customer c, nation n "
-        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'A%'")
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'")
     exact = ExactEstimator(sg, tables).estimate(
         "SELECT COUNT(*) FROM customer c, nation n "
-        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'A%'")
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'")
     assert qerr(got, exact) < 1.25

@@ -35,7 +35,7 @@ def exact(tables):
 
 SINGLE = (
     "SELECT COUNT(*) FROM customer c, nation n "
-    "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'A%'")
+    "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'")
 
 STITCHED_2 = (
     "SELECT COUNT(*) FROM customer c, nation n, region r "
