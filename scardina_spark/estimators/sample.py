@@ -179,9 +179,24 @@ def prepare_tree_sample(
     (reference pipeline stages b-d, scardina/datasets.py:144-378)."""
     root = root or tree.center
     adj = attach_tree_adj_fanouts(tree, tables)
-    w = compute_weights(tree, adj, root)
-    row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
-    join_size = int(row["s"] or 0)
+    # Fact-rooted fast path: when every tree edge walks many-to-one away
+    # from the root (the shape of every CIN subschema and of a UR tree
+    # rooted at the fact table), each root row joins exactly one (possibly
+    # null-extended) row per edge, so all weights are identically 1 and
+    # the join size is the root count — skip the bottom-up weight passes
+    # and sample the root uniformly.  This turns prep into two jobs
+    # (metadata count + sample/join materialization) with no shuffle
+    # outside the fanout aggregates.
+    all_m2o = all(rel.pk_table == child
+                  for _, child, rel in tree.join_tree(root))
+    if all_m2o:
+        join_size = tables[root].count()
+        w = dict(adj)
+        w[root] = w[root].withColumn(WEIGHT, F.lit(1.0))
+    else:
+        w = compute_weights(tree, adj, root)
+        row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
+        join_size = int(row["s"] or 0)
     n = max(n_min, min(n_max, join_size))
     samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True)
     if cache:

@@ -8,11 +8,15 @@ matches (reference semantics: scardina/join.py:73-245 — per-key Python
 dict loops, single-node).  This module re-derives the operator as pure
 DataFrame algebra so it scales:
 
-* Root sampling: exact multinomial-with-replacement via global weight
-  intervals.  Each row owns the interval ``[cum, cum+w)`` of the total
-  weight line (scalable prefix sum, operators/prefix.py); N uniform draws
-  in ``[0, W)`` are bucketed and equi-joined to interval fragments — an
-  all-equi-join plan, no broadcast-nested-loop, no driver loop.
+* Root sampling: exact multinomial-with-replacement, shuffle-free.  One
+  tiny job collects per-partition weight totals (one row per partition);
+  the driver splits the n draws across partitions with a single
+  multinomial draw (exactly proportional to each partition's weight
+  mass), and every partition then draws its quota locally with numpy over
+  Arrow batches.  No global sort, no prefix sum, no join — the two-level
+  factorization Multinomial(n, partition masses) × per-partition weighted
+  choice IS the row-level multinomial, and it scales as O(#partitions)
+  driver state.
 
 * Per-edge weighted pick: Efraimidis–Spirakis A-Res weighted reservoir —
   join samples to candidate children on the key, give every candidate an
@@ -31,10 +35,15 @@ existence markers, matching the reference layout (scardina/join.py:86-87,
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schema import Subschema
-from .prefix import CUM, IDX, PID, with_prefix_sum
+from .prefix import PID, _safe_names
 from .weights import WEIGHT
 
 SAMPLE_ID = "__sample_id__"
@@ -45,48 +54,71 @@ def _q(name: str) -> F.Column:
 
 
 def weighted_sample_with_replacement(
-    df: DataFrame, weight_col: str, order_cols: list[str], n: int,
-    seed: int = 42, n_buckets: int | None = None,
+    df: DataFrame, weight_col: str, order_cols: list[str] | None = None,
+    n: int = 1, seed: int = 42, n_buckets: int | None = None,
 ) -> DataFrame:
     """Exactly ``n`` draws with replacement, P(row) ∝ ``weight_col``.
 
     Returns the sampled rows (original columns + ``__sample_id__``); a row
-    drawn k times appears k times with distinct sample ids.
+    drawn k times appears k times with distinct sample ids (dense 0..n-1).
+
+    Two jobs, zero shuffles: per-partition weight totals → driver-side
+    multinomial split of ``n`` → per-partition local weighted draws
+    (Arrow-batched numpy).  A partition is materialized in pandas to draw
+    from it, so partition sizing (``spark.sql.files.maxPartitionBytes``)
+    bounds executor memory exactly as for any other Arrow exchange.
+    ``order_cols``/``n_buckets`` are accepted for API stability; draw
+    determinism comes from the persisted partition layout + fixed seed.
     """
-    spark = df.sparkSession
-    pos = df.where(_q(weight_col) > 0)
-    d = with_prefix_sum(pos, weight_col, order_cols)
-    total = d.agg(
-        F.max(F.col(CUM) + _q(weight_col).cast("double")).alias("t")
-    ).collect()[0]["t"]
+    pos = (df.where(_q(weight_col) > 0)
+             .withColumn(PID, F.spark_partition_id())
+             .persist())
+    part = pos.groupBy(PID).agg(
+        F.sum(_q(weight_col).cast("double")).alias("s")).collect()
+    sums = {int(r[PID]): float(r["s"] or 0.0) for r in part}
+    total = sum(sums.values())
     if not total or total <= 0:
         raise ValueError("weighted_sample_with_replacement: no positive weight")
 
-    nb = n_buckets or max(1024, n)
-    bw = total / nb
+    pids = sorted(sums)
+    rs = np.random.RandomState(seed)
+    counts = rs.multinomial(n, [sums[p] / total for p in pids])
+    quota = {p: int(c) for p, c in zip(pids, counts)}
+    offsets, running = {}, 0
+    for p in pids:
+        offsets[p] = running
+        running += quota[p]
 
-    # interval fragments: one row per bucket the interval overlaps
-    lo_b = F.floor(F.col(CUM) / F.lit(bw)).cast("long")
-    hi_b = F.floor((F.col(CUM) + _q(weight_col).cast("double")) / F.lit(bw)).cast("long")
-    frags = d.withColumn(
-        "__bucket__",
-        F.explode(F.sequence(lo_b, F.greatest(lo_b, F.least(hi_b, F.lit(nb - 1))))),
-    )
+    sc = df.sparkSession.sparkContext
+    b_quota = sc.broadcast(quota)
+    b_off = sc.broadcast(offsets)
 
-    draws = (
-        spark.range(n).withColumnRenamed("id", SAMPLE_ID)
-        # tiny shrink keeps draws strictly inside the covered weight line
-        # despite float summation-order differences
-        .withColumn("__u__", F.rand(seed) * F.lit(total * (1.0 - 1e-12)))
-        .withColumn("__bucket__", F.floor(F.col("__u__") / F.lit(bw)).cast("long"))
-    )
+    safe, mapping = _safe_names(pos)
+    w_safe, pid_safe = mapping[weight_col], mapping[PID]
+    schema = StructType(safe.schema.fields + [StructField(SAMPLE_ID, LongType())])
 
-    hit = (
-        draws.join(frags, "__bucket__")
-        .where((F.col(CUM) <= F.col("__u__"))
-               & (F.col("__u__") < F.col(CUM) + _q(weight_col).cast("double")))
-    )
-    return hit.drop("__bucket__", "__u__", CUM, PID)
+    def draw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True)
+        pid = int(pdf[pid_safe].iloc[0])
+        k = b_quota.value.get(pid, 0)
+        if k <= 0:
+            return
+        w = pdf[w_safe].to_numpy(dtype="float64")
+        prs = np.random.RandomState((seed * 1_000_003 + 7919 * pid) % (2**32))
+        idx = prs.choice(len(pdf), size=k, replace=True, p=w / w.sum())
+        out = pdf.iloc[idx].copy()
+        out[SAMPLE_ID] = np.arange(b_off.value[pid], b_off.value[pid] + k,
+                                   dtype="int64")
+        yield out
+
+    out = safe.mapInPandas(draw, schema)
+    for orig, s in mapping.items():
+        out = out.withColumnRenamed(s, orig)
+    return out.drop(PID)
 
 
 def pick_one_child_per_sample(
