@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from scardina_spark.benchmarks import duckdb_truths, job_light_suite  # noqa: E402
 from scardina_spark.catalog import build_tpch_schema, load_table, load_tables  # noqa: E402
 from scardina_spark.estimators import (  # noqa: E402
     ExactEstimator, SampleEstimator, prepare_tree_sample)
@@ -29,6 +30,7 @@ from scardina_spark.estimators.sample import spanning_tree  # noqa: E402
 from scardina_spark.operators import dedup as DD  # noqa: E402
 from scardina_spark.operators import similarity as SIM  # noqa: E402
 from scardina_spark.queries import BENCH_QUERIES, q_group_agg, q_window_hourly  # noqa: E402
+from scardina_spark.runner import run_benchmark  # noqa: E402
 from scardina_spark.session import get_spark  # noqa: E402
 
 
@@ -38,6 +40,12 @@ def pct(xs: list[float], p: float) -> float:
     s = sorted(xs)
     i = min(len(s) - 1, max(0, round(p * (len(s) - 1))))
     return s[i]
+
+
+def qerr(e: float, t: float) -> float:
+    import math
+    from scardina_spark.runner import q_error
+    return q_error(math.ceil(e), t)
 
 
 def main() -> None:
@@ -75,8 +83,7 @@ def main() -> None:
         e = est.estimate(sql)
         lat_ms.append((time.perf_counter() - t0) * 1000)
         t = exact.estimate(sql)
-        q = max(e / t, t / e) if e > 0 and t > 0 else (1.0 if e == t else 1e9)
-        qerrs.append(q)
+        qerrs.append(qerr(e, t))
     timings["estimate_6_queries"] = round(sum(lat_ms) / 1000, 4)
     extras["qerror_p50"] = round(pct(qerrs, 0.5), 4)
     extras["qerror_max"] = round(max(qerrs), 4)
@@ -95,6 +102,53 @@ def main() -> None:
     timings["estimate_local_6_queries"] = round(sum(loc_ms) / 1000, 4)
     extras["est_local_mean_ms_per_query"] = round(sum(loc_ms) / len(loc_ms), 2)
 
+    # 2a'. JOB-light-style suite (82 queries, job-light shape per
+    # BASELINE.md): localized HT estimation, exact truth from the DuckDB
+    # oracle (truth computation is not timed — it is the harness, not the
+    # engine)
+    suite = job_light_suite()
+    truths = duckdb_truths(sf_dir, suite)
+    rep = timed("joblight_est_local", lambda: run_benchmark(
+        est, suite, truths=truths))
+    s = rep.summary
+    extras["jl_n_queries"] = s["n_queries"]
+    for p in (50, 90, 95, 99, 100):
+        extras[f"jl_qerror_p{p}"] = round(s[f"q_p{p}"], 4)
+    extras["jl_mean_ms_per_query"] = round(s["mean_ms"], 2)
+
+    # 2a''. learned estimator over the same suite: NAR masked-AE on the UR
+    # join sample (the reference's headline path), low-cardinality model
+    # columns; queries with predicates outside the model are skipped and
+    # counted
+    from scardina_spark.estimators.sample import UnsupportedQueryError
+    from scardina_spark.model import TrainConfig as _TC
+    from scardina_spark.model.join_bridge import train_join_estimator
+    nar_ur = timed("joblight_nar_train", lambda: train_join_estimator(
+        ts, ["lineitem.l_quantity", "lineitem.l_discount", "lineitem.l_tax",
+             "lineitem.l_returnflag", "lineitem.l_linestatus",
+             "orders.o_orderstatus", "orders.o_orderpriority",
+             "customer.c_mktsegment", "customer.c_nationkey",
+             "supplier.s_nationkey", "part.p_brand", "part.p_size",
+             "nation.n_name", "region.r_name"],
+        _TC(epochs=6, d_word=16, d_ff=64, batch_size=1024, seed=42),
+        sample_size=1000, max_rows=64_000))
+    jn_q, jn_ms = [], []
+    t0 = time.perf_counter()
+    for name, sql in suite.items():
+        try:
+            tq0 = time.perf_counter()
+            e = nar_ur.estimate(sql)
+            jn_ms.append((time.perf_counter() - tq0) * 1000)
+        except (UnsupportedQueryError, ValueError):
+            continue
+        jn_q.append(qerr(e, truths[name]))
+    timings["joblight_nar_est"] = round(time.perf_counter() - t0, 4)
+    extras["jl_nar_n_supported"] = len(jn_q)
+    extras["jl_nar_qerror_p50"] = round(pct(jn_q, 0.5), 4)
+    extras["jl_nar_qerror_p90"] = round(pct(jn_q, 0.9), 4)
+    extras["jl_nar_qerror_max"] = round(max(jn_q), 4)
+    extras["jl_nar_mean_ms_per_query"] = round(sum(jn_ms) / len(jn_ms), 2)
+
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates
     from scardina_spark.model import TrainConfig
@@ -111,7 +165,7 @@ def main() -> None:
         e = nar.estimate(sql)
         nar_ms.append((time.perf_counter() - t0) * 1000)
         t = exact.estimate(sql)
-        nar_qerrs.append(max(e / t, t / e) if e > 0 and t > 0 else 1e9)
+        nar_qerrs.append(qerr(e, t))
     timings["nar_estimate_4_queries"] = round(sum(nar_ms) / 1000, 4)
     extras["nar_qerror_max"] = round(max(nar_qerrs), 4)
     extras["nar_mean_ms_per_query"] = round(sum(nar_ms) / len(nar_ms), 2)

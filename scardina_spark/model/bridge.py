@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.dictionary import CODE, VALUE, build_dictionary, encode_with_dictionary
+from ..functions.dictionary import CODE, VALUE
 from .nar import NarMLP, TrainConfig
 from .progressive import ColumnDomain, NarEstimator
 
@@ -21,6 +21,24 @@ from .progressive import ColumnDomain, NarEstimator
 def collect_domain(dictionary: DataFrame, name: str) -> ColumnDomain:
     rows = dictionary.orderBy(CODE).collect()
     return ColumnDomain(name, np.array([r[VALUE] for r in rows]))
+
+
+def _encode_series(s, dom: ColumnDomain) -> np.ndarray:
+    """Dictionary codes for a pandas column against ``dom``: NULL → 1,
+    value → sorted-position + 2, out-of-dictionary → 1 (the same OOD
+    convention as functions/dictionary.encode_with_dictionary)."""
+    import pandas as pd
+
+    na = pd.isna(s).to_numpy()
+    code = np.full(len(s), 1, dtype=np.int64)
+    vals = dom.values
+    if len(vals) and (~na).any():
+        nn = s.to_numpy()[~na]
+        idx = np.searchsorted(vals, nn)
+        idx = np.minimum(idx, len(vals) - 1)
+        match = vals[idx] == nn
+        code[~na] = np.where(match, idx + 2, 1)
+    return code
 
 
 def training_matrix(df: DataFrame, columns: list[str],
@@ -35,21 +53,32 @@ def training_matrix(df: DataFrame, columns: list[str],
     ``distinct_vals_dict`` threaded through caches,
     scardina/datasets.py:385-416): every model over any sub-join sees the
     same code for the same base value.  Columns without an entry build
-    their dictionary from ``df`` itself."""
+    their dictionary from the (capped) training sample itself.
+
+    One Spark action moves the data (Arrow ``toPandas`` of the capped
+    sample); dictionary building and encoding are then driver-side numpy
+    over that sample — domain-scale work that needs no cluster round-trips
+    (the previous per-column ``distinct``/``join`` plan cost ~3 jobs per
+    column, which dominated training prep)."""
     proj = df.select(*[F.col(f"`{c}`") for c in columns])
     n = proj.count()
     if n > max_rows:
         proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
             .limit(max_rows)
+    pdf = proj.toPandas()
     domains: dict[str, ColumnDomain] = {}
-    enc = proj
+    codes_cols: list[np.ndarray] = []
     for c in columns:
-        d = (dictionaries or {}).get(c) or build_dictionary(proj, c)
-        domains[c] = collect_domain(d, c)
-        enc = encode_with_dictionary(enc, c, d)
-    pdf = enc.toPandas()
-    codes = pdf[columns].to_numpy(dtype=np.int64)
-    return codes, domains
+        injected = (dictionaries or {}).get(c)
+        if injected is not None:
+            dom = collect_domain(injected, c)
+        else:
+            import pandas as pd
+            s = pdf[c]
+            dom = ColumnDomain(c, np.unique(s[~pd.isna(s)].to_numpy()))
+        domains[c] = dom
+        codes_cols.append(_encode_series(pdf[c], dom))
+    return np.stack(codes_cols, axis=1), domains
 
 
 def base_dictionaries(tables: dict[str, DataFrame],

@@ -109,10 +109,13 @@ class NarMLP:
         B = codes.shape[0]
         d = self.cfg.d_word
         # mask a random non-empty strict subset of columns per row
+        # (vectorized uniform-subset draw: the n_mask smallest of C iid
+        # uniforms per row are a uniform n_mask-subset)
         n_mask = rs.randint(1, self.C) if self.C > 1 else 1
         mask = np.zeros((B, self.C), dtype=bool)
-        for i in range(B):
-            mask[i, rs.choice(self.C, size=n_mask, replace=False)] = True
+        pick = np.argpartition(rs.rand(B, self.C), n_mask - 1,
+                               axis=1)[:, :n_mask]
+        np.put_along_axis(mask, pick, True, axis=1)
 
         x = self._encode(codes, mask)
         z1, a1, h = self._trunk(x)

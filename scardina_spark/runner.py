@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -20,12 +21,15 @@ PERCENTILES = (0.5, 0.9, 0.95, 0.99, 1.0)
 
 
 def q_error(est: float, true: float) -> float:
-    """max(est/true, true/est); both zero → 1, one zero → inf
-    (reference: scardina/run.py:60-67)."""
+    """max(est/true, true/est) with the reference's zero conventions
+    (scardina/run.py:60-67, calc_q_err): truth 0 → q = est; est 0 →
+    q = truth; both 0 → 1."""
+    if true == 0 and est != 0:
+        return float(est)
+    if true != 0 and est == 0:
+        return float(true)
     if true == 0 and est == 0:
         return 1.0
-    if true == 0 or est == 0:
-        return float("inf")
     return max(est / true, true / est)
 
 
@@ -104,7 +108,9 @@ def run_benchmark(estimator, queries: dict[str, str] | list[str],
     rep = BenchmarkReport(getattr(estimator, "name", type(estimator).__name__))
     for name, sql in queries.items():
         t0 = time.perf_counter()
-        est = estimator.estimate(sql)
+        # ceil to an integer cardinality, as the reference's estimators do
+        # (scardina/estimators.py:1467: np.ceil(card))
+        est = math.ceil(estimator.estimate(sql))
         ms = (time.perf_counter() - t0) * 1000
         if truths and name in truths:
             truth = truths[name]

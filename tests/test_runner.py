@@ -15,9 +15,11 @@ from scardina_spark.runner import (
 
 
 def test_q_error_conventions():
+    # reference calc_q_err (scardina/run.py:60-67): truth 0 -> q = est,
+    # est 0 -> q = truth, both 0 -> 1
     assert q_error(0, 0) == 1.0
-    assert q_error(5, 0) == float("inf")
-    assert q_error(0, 5) == float("inf")
+    assert q_error(5, 0) == 5.0
+    assert q_error(0, 5) == 5.0
     assert q_error(10, 100) == 10.0
     assert q_error(100, 10) == 10.0
 
