@@ -5,24 +5,32 @@ This is the reference's headline configuration (ProgressiveSamplingCIN,
 scardina/estimators.py:1135-1425): the schema decomposes into
 closed-in-neighborhood subschemas, each materializes a join sample and
 trains its own density model, and a query spanning several subschemas
-multiplies per-model conditional selectivities.  The reference conditions
-by *inheriting sampled values* of shared columns between models; here the
-conditioning is the expectation-level ratio
+multiplies per-model conditional selectivities.  Like the reference, the
+conditioning *inherits sampled values* of shared columns between models
+(estimators.py:1309-1411): the root model's progressive sampler draws
+per-row values for its fragment, each subsequent model fixes the shared
+columns to those values (unmasked inputs, no probability contribution),
+samples only its NEW tables' predicates/markers, and up-scales by the
+sampled fanout of the shared→new crossing edges (estimators.py:
+1413-1423).  When a chain step can't inherit (a fanout or predicate
+column missing from a model), estimation falls back to the
+expectation-level ratio chain
 
     P_k(frag_k) / P_k(frag_k ∩ shared)
 
-— the same chain rule, stated over model estimates instead of per-row
-inherited samples, reusing the identical cover/chain machinery as the
-sample-backed StitchedEstimator.
+— the same chain rule over model estimates, shared with the sample-backed
+StitchedEstimator.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..plans.parse import ParsedQuery, parse_query
 from .sample import TreeSample, UnsupportedQueryError
-from .stitch import chain_estimate
+from .stitch import build_chain, chain_estimate, make_fragment
 
 
 @dataclass
@@ -57,6 +65,40 @@ class NarCinEstimator:
                 return m.estimate(pq)
             except UnsupportedQueryError:
                 continue
-        return chain_estimate(
-            self.samples, pq,
-            lambda ts, frag: self._model_for(ts).estimate(frag))
+        try:
+            return self._estimate_inherited(pq)
+        except UnsupportedQueryError:
+            return chain_estimate(
+                self.samples, pq,
+                lambda ts, frag: self._model_for(ts).estimate(frag))
+
+    def _estimate_inherited(self, pq: ParsedQuery) -> float:
+        """Per-row chained estimation with inherited shared-column samples
+        (reference: estimators.py:1306,1309-1423 — ``cards *= probs``,
+        ``cards *= fanouts`` per Monte-Carlo row)."""
+        alias_to_table = dict(pq.tables)
+        if len(set(alias_to_table.values())) != len(alias_to_table):
+            raise UnsupportedQueryError("self-joins unsupported")
+        chain = build_chain(self.samples, pq, alias_to_table)
+        models = [self._model_for(ts) for ts, _, _ in chain]
+        S = models[0].sample_size
+        rs = np.random.RandomState(models[0].seed)
+        # tables a later chain element will condition on: sample their
+        # columns even when predicate-free so values exist to inherit
+        later_shared = [set().union(*(sh for _, _, sh in chain[i + 1:]))
+                        if i + 1 < len(chain) else set()
+                        for i in range(len(chain))]
+        values: dict[str, np.ndarray] = {}
+        cards = np.ones(S)
+        for i, ((ts, frag_tables, shared), m) in enumerate(zip(chain, models)):
+            frag = make_fragment(pq, alias_to_table, ts, frag_tables)
+            if i == 0:
+                prob, vals = m.sample_rows(frag, later_shared[0], S, rs)
+                cards = float(ts.join_size) * prob
+            else:
+                fac, vals = m.conditional_rows(
+                    frag, frag_tables, shared, values, later_shared[i], S, rs)
+                cards = cards * fac
+            for c, arr in vals.items():
+                values.setdefault(c, arr)
+        return float(np.maximum(cards, 0.0).mean())

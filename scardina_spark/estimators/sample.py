@@ -236,10 +236,13 @@ def _validate_joins(ts: TreeSample, pq: ParsedQuery,
                 f"join {a}={b} is not an edge of sample tree {ts.tree.name}")
 
 
-def _divisor_cols(ts: TreeSample, used: set[str]) -> list[str]:
-    """Directed edges pointing away from the used set: bridges used→unused
-    plus all edges inside each unused component (BFS from the bridge head).
-    Reference analog: _find_fanout_cols, scardina/estimators.py:967-999."""
+def _crossing_fanout_cols(ts: TreeSample, src: set[str], dst: set[str]
+                          ) -> list[str]:
+    """Directed adjacency-fanout columns for the edges leaving ``src`` into
+    ``dst``: each bridge src→dst plus all edges inside the entered ``dst``
+    component (BFS from the bridge head).  The per-row product of these
+    columns is the join multiplicity the ``dst`` side contributes per
+    ``src`` row."""
     g = nx.Graph()
     g.add_nodes_from(ts.tree.tables)
     rel_of: dict[frozenset, Relationship] = {}
@@ -254,16 +257,22 @@ def _divisor_cols(ts: TreeSample, used: set[str]) -> list[str]:
         return f"{u}.{adj_fanout_col(r.fk_col, r.pk_table, r.pk_col)}"
 
     cols: list[str] = []
-    unused = set(ts.tree.tables) - used
-    sub_unused = g.subgraph(unused)
-    for u in sorted(used):
+    sub_dst = g.subgraph(dst)
+    for u in sorted(src):
         for v in sorted(g.neighbors(u)):
-            if v in used:
+            if v not in dst:
                 continue
             cols.append(col_for(u, v))
-            for x, y in nx.bfs_edges(sub_unused, v):
+            for x, y in nx.bfs_edges(sub_dst, v):
                 cols.append(col_for(x, y))
     return cols
+
+
+def _divisor_cols(ts: TreeSample, used: set[str]) -> list[str]:
+    """Directed edges pointing away from the used set: bridges used→unused
+    plus all edges inside each unused component (BFS from the bridge head).
+    Reference analog: _find_fanout_cols, scardina/estimators.py:967-999."""
+    return _crossing_fanout_cols(ts, used, set(ts.tree.tables) - used)
 
 
 @dataclass

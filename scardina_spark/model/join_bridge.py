@@ -27,12 +27,52 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import functions as F
 
-from ..estimators.sample import TreeSample, UnsupportedQueryError, _divisor_cols
+from ..estimators.sample import (
+    TreeSample, UnsupportedQueryError, _crossing_fanout_cols, _divisor_cols)
 from ..plans.parse import ParsedQuery, parse_query
 from ..plans.predicates import Predicate, normalize_predicates
 from .bridge import training_matrix
 from .nar import NarMLP, TrainConfig
 from .progressive import MASK_SLOT, NarEstimator, valid_mask
+
+
+def _decode_codes(dom, codes: np.ndarray) -> np.ndarray:
+    """Dictionary codes → values (object array; MASK/NULL/OOD → None)."""
+    out = np.empty(len(codes), dtype=object)
+    out[:] = None
+    ok = (codes >= 2) & (codes < len(dom.values) + 2)
+    if ok.any():
+        out[ok] = dom.values[codes[ok] - 2]
+    return out
+
+
+def _encode_values(dom, values: np.ndarray) -> np.ndarray:
+    """Values (object array, None = NULL) → this model's codes; values
+    outside the dictionary land on the NULL slot (the encode-side OOD
+    convention, functions/dictionary.encode_with_dictionary)."""
+    codes = np.full(len(values), 1, dtype=np.int64)
+    nn = np.array([v is not None for v in values], dtype=bool)
+    vals = dom.values
+    if len(vals) and nn.any():
+        arr = np.array([v for v in values[nn]], dtype=vals.dtype)
+        idx = np.searchsorted(vals, arr)
+        idx = np.minimum(idx, len(vals) - 1)
+        match = vals[idx] == arr
+        codes[nn] = np.where(match, idx + 2, 1)
+    return codes
+
+
+def _col_table(col: str) -> str | None:
+    """Owning table of a sample column: ``t.col`` → t, ``__in__:t`` → t."""
+    if col.startswith("__in__:"):
+        return col.split(":", 1)[1]
+    if "." in col:
+        return col.split(".", 1)[0]
+    return None
+
+
+def _is_data_col(col: str) -> bool:
+    return not col.startswith("__in__:") and "__adj_fanout__:" not in col
 
 
 @dataclass
@@ -44,21 +84,15 @@ class NarJoinEstimator(NarEstimator):
     constant_one_fanouts: frozenset = frozenset()
     name: str = "nar-ur"
 
-    def estimate(self, query: ParsedQuery | str) -> float:
-        pq = parse_query(query) if isinstance(query, str) else query
-        alias_to_table = dict(pq.tables)
-        if len(set(alias_to_table.values())) != len(alias_to_table):
-            raise UnsupportedQueryError("self-joins unsupported")
-        q_tables = set(alias_to_table.values())
-        ts = self.ts
-        if not q_tables <= ts.tables:
-            raise UnsupportedQueryError(
-                f"tables {sorted(q_tables - ts.tables)} not in model tree")
-        from ..estimators.sample import _validate_joins
-        _validate_joins(ts, pq, alias_to_table)
+    # -- fragment preparation ---------------------------------------------
 
-        # predicates → prefixed names, plus __in__ markers (P8 semantics:
-        # reference scardina/estimators.py:139-145)
+    def _fragment_cols(self, pq: ParsedQuery, marker_tables: set[str]
+                       ) -> dict[str, list[Predicate]]:
+        """Predicates → prefixed model columns, plus ``__in__`` markers for
+        ``marker_tables`` (P8 semantics: reference scardina/estimators.py:
+        139-145)."""
+        alias_to_table = dict(pq.tables)
+        ts = self.ts
         by_col: dict[str, list[Predicate]] = {}
         for p in normalize_predicates(pq.filters):
             t = alias_to_table.get(p.table or "", p.table)
@@ -68,32 +102,65 @@ class NarJoinEstimator(NarEstimator):
             if name not in self.domains:
                 raise UnsupportedQueryError(f"column not in model: {name}")
             by_col.setdefault(name, []).append(p)
-        for t in sorted(q_tables):
+        for t in sorted(marker_tables):
             marker = f"__in__:{t}"
             if marker in self.domains:
                 by_col.setdefault(marker, []).append(
                     Predicate(marker, "=", True))
+        return by_col
 
-        masks = {c: valid_mask(self.domains[c], ps)
-                 for c, ps in by_col.items()}
-        order = self._order_columns(masks)
-
-        # divisor fanout columns (sampled, then divided by decoded value)
-        div_cols = []
-        for c in _divisor_cols(ts, q_tables):
+    def _fanout_cols(self, edge_cols: list[str]) -> list[str]:
+        out = []
+        for c in edge_cols:
             if c in self.constant_one_fanouts:
                 continue
             if c not in self.domains:
                 raise UnsupportedQueryError(f"fanout column not in model: {c}")
-            div_cols.append(c)
+            out.append(c)
+        return out
 
-        rs = np.random.RandomState(self.seed)
-        S = self.sample_size
+    def _extra_cols(self, ahead_tables: set[str], sampled: set[str]) -> list[str]:
+        """Predicate-free data columns of ``ahead_tables`` worth sampling so
+        a later chained model can condition on their values (reference:
+        common columns sampled for inheritance, scardina/estimators.py:
+        1380-1393), skipping near-key columns (dictionary > half the sample
+        — the reference's skip-high-cardinality heuristic, estimators.py:
+        206-209)."""
+        cap = max(64, self.ts.n_sample // 2)
+        return sorted(
+            c for c, dom in self.domains.items()
+            if c not in sampled and _is_data_col(c)
+            and _col_table(c) in ahead_tables and dom.dom_size <= cap)
+
+    # -- progressive core --------------------------------------------------
+
+    def _progressive(self, by_col: dict[str, list[Predicate]],
+                     inherited: dict[str, np.ndarray],
+                     div_cols: list[str], mult_cols: list[str],
+                     extra_cols: list[str], S: int,
+                     rs: np.random.RandomState
+                     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """One progressive-sampling pass: condition on ``inherited`` codes
+        (fixed, unmasked, no probability contribution), sample the
+        ``by_col`` predicate columns in selectivity order accumulating
+        per-row masses, then ``extra_cols`` unconstrained (mass 1), then
+        fanout columns — dividing by ``div_cols`` draws (unused-table
+        multiplicity) and multiplying by ``mult_cols`` draws (new-fragment
+        up-scaling, reference estimators.py:1413-1423).
+
+        Returns (per-row factors [S], sampled codes per column)."""
         codes = np.zeros((S, self.model.C), dtype=np.int64)
         mask = np.ones((S, self.model.C), dtype=bool)
         prob = np.ones(S)
+        for c, inh in inherited.items():
+            j = self.model.cols.index(c)
+            codes[:, j] = inh
+            mask[:, j] = False
 
-        for c in order:
+        sampled: dict[str, np.ndarray] = {}
+        masks = {c: valid_mask(self.domains[c], ps)
+                 for c, ps in by_col.items()}
+        for c in self._order_columns(masks):
             j = self.model.cols.index(c)
             p = self._conditional(codes, mask, j)
             pm = p * masks[c][None, :]
@@ -101,26 +168,115 @@ class NarJoinEstimator(NarEstimator):
             prob *= mass
             codes[:, j] = drawn
             mask[:, j] = False
+            sampled[c] = drawn
 
-        for c in div_cols:
+        for c in extra_cols:
             j = self.model.cols.index(c)
             p = self._conditional(codes, mask, j)
-            p[:, 1] = 0.0  # fanout columns are never NULL
-            row_sum = np.maximum(p.sum(axis=1, keepdims=True), 1e-300)
-            p = p / row_sum
-            cdf = np.cumsum(p, axis=1)
-            u = rs.rand(S, 1)
-            drawn = (u > cdf).sum(axis=1)
+            _, drawn = self._draw(p, np.ones(p.shape[1], dtype=bool), rs)
             codes[:, j] = drawn
             mask[:, j] = False
-            vals = self.domains[c].values
-            fan = np.array([
-                float(vals[d - 2]) if 2 <= d < len(vals) + 2 else 1.0
-                for d in drawn])
-            prob /= np.maximum(fan, 1.0)  # fanout ≥ 1 invariant
-                                          # (reference: estimators.py:383)
+            sampled[c] = drawn
 
+        for sign, cols in ((-1, div_cols), (+1, mult_cols)):
+            for c in cols:
+                j = self.model.cols.index(c)
+                p = self._conditional(codes, mask, j)
+                p[:, 1] = 0.0  # fanout columns are never NULL
+                row_sum = np.maximum(p.sum(axis=1, keepdims=True), 1e-300)
+                p = p / row_sum
+                cdf = np.cumsum(p, axis=1)
+                u = rs.rand(S, 1)
+                drawn = (u > cdf).sum(axis=1)
+                codes[:, j] = drawn
+                mask[:, j] = False
+                vals = self.domains[c].values
+                fan = np.array([
+                    float(vals[d - 2]) if 2 <= d < len(vals) + 2 else 1.0
+                    for d in drawn])
+                fan = np.maximum(fan, 1.0)  # fanout ≥ 1 invariant
+                                            # (reference: estimators.py:383)
+                prob = prob / fan if sign < 0 else prob * fan
+        return prob, sampled
+
+    def _validate_fragment(self, pq: ParsedQuery) -> set[str]:
+        alias_to_table = dict(pq.tables)
+        if len(set(alias_to_table.values())) != len(alias_to_table):
+            raise UnsupportedQueryError("self-joins unsupported")
+        q_tables = set(alias_to_table.values())
+        if not q_tables <= self.ts.tables:
+            raise UnsupportedQueryError(
+                f"tables {sorted(q_tables - self.ts.tables)} not in model tree")
+        from ..estimators.sample import _validate_joins
+        _validate_joins(self.ts, pq, alias_to_table)
+        return q_tables
+
+    def estimate(self, query: ParsedQuery | str) -> float:
+        pq = parse_query(query) if isinstance(query, str) else query
+        q_tables = self._validate_fragment(pq)
+        by_col = self._fragment_cols(pq, q_tables)
+        div_cols = self._fanout_cols(_divisor_cols(self.ts, q_tables))
+        rs = np.random.RandomState(self.seed)
+        prob, _ = self._progressive(by_col, {}, div_cols, [], [],
+                                    self.sample_size, rs)
         return float(self.ts.join_size) * float(prob.mean())
+
+    # -- chained (inherited-sample) API -----------------------------------
+
+    def sample_rows(self, pq: ParsedQuery, ahead_tables: set[str], S: int,
+                    rs: np.random.RandomState
+                    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Root-of-chain pass: per-row probabilities for the fragment plus
+        sampled *values* (decoded) of its columns for inheritance."""
+        q_tables = self._validate_fragment(pq)
+        by_col = self._fragment_cols(pq, q_tables)
+        div_cols = self._fanout_cols(_divisor_cols(self.ts, q_tables))
+        extra = self._extra_cols(ahead_tables & q_tables, set(by_col))
+        prob, sampled = self._progressive(by_col, {}, div_cols, [], extra,
+                                          S, rs)
+        return prob, self._decode_sampled(sampled)
+
+    def conditional_rows(self, pq: ParsedQuery, frag_tables: set[str],
+                         shared: set[str], values: dict[str, np.ndarray],
+                         ahead_tables: set[str], S: int,
+                         rs: np.random.RandomState
+                         ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Chained pass (reference inherited-sample stitching, scardina/
+        estimators.py:1309-1411): condition on the shared tables' inherited
+        values, sample only the NEW tables' predicates and markers, and
+        up-scale by the sampled fanouts of the edges crossing shared→new.
+        Returns per-row factors and this model's newly sampled values."""
+        self._validate_fragment(pq)
+        new = frag_tables - shared
+        by_col = self._fragment_cols(
+            _restrict_filters(pq, new), new)
+        inherited: dict[str, np.ndarray] = {}
+        for c, vals in values.items():
+            if _col_table(c) in shared and c in self.domains:
+                inherited[c] = _encode_values(self.domains[c], vals)
+        div_cols = self._fanout_cols(_divisor_cols(self.ts, frag_tables))
+        mult_cols = self._fanout_cols(
+            _crossing_fanout_cols(self.ts, shared, new))
+        extra = self._extra_cols(ahead_tables & new, set(by_col))
+        prob, sampled = self._progressive(by_col, inherited, div_cols,
+                                          mult_cols, extra, S, rs)
+        return prob, self._decode_sampled(sampled)
+
+    def _decode_sampled(self, sampled: dict[str, np.ndarray]
+                        ) -> dict[str, np.ndarray]:
+        return {c: _decode_codes(self.domains[c], drawn)
+                for c, drawn in sampled.items() if _is_data_col(c)
+                or c.startswith("__in__:")}
+
+
+def _restrict_filters(pq: ParsedQuery, tables: set[str]) -> ParsedQuery:
+    """Copy of ``pq`` keeping only filters on ``tables``."""
+    a2t = dict(pq.tables)
+    return ParsedQuery(
+        tables=pq.tables, joins=pq.joins,
+        filters=[p for p in pq.filters
+                 if a2t.get(p.table or "", p.table) in tables],
+        sql=pq.sql)
 
 
 def train_join_estimator(ts: TreeSample, data_columns: list[str],

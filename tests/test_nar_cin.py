@@ -58,3 +58,52 @@ def test_uncovered_raises(nar_cin):
     from scardina_spark.estimators.sample import UnsupportedQueryError
     with pytest.raises(UnsupportedQueryError):
         nar_cin.estimate("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 5")
+
+
+def test_inherited_chain_is_used(nar_cin, exact):
+    """The per-row inherited-sample path (reference estimators.py:1309-1411)
+    answers the chained query directly — no fallback exception — and the
+    predicate-free shared column (nation.n_name) is sampled by the root
+    model so the next model can condition on it."""
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM customer c, nation n, region r "
+           "WHERE c.c_nationkey = n.n_nationkey "
+           "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'")
+    got = nar_cin._estimate_inherited(parse_query(sql))
+    want = exact.estimate(sql)
+    assert qerr(got, want) < 2.5, (got, want)
+
+
+@pytest.fixture(scope="module")
+def nar_cin_fact(tables):
+    """Chain whose second element crosses PK→FK (orders→lineitem): the
+    conditional step must up-scale by the sampled crossing fanout."""
+    sg = build_tpch_schema()
+    est = NarCinEstimator()
+    cfg = TrainConfig(epochs=12, d_word=12, d_ff=48, batch_size=512, seed=7)
+    specs = {
+        # orders model added FIRST so the greedy cover roots the chain there
+        "orders": ("orders", ["orders.o_orderstatus",
+                              "customer.c_mktsegment"]),
+        "lineitem": ("lineitem", ["lineitem.l_returnflag",
+                                  "orders.o_orderstatus"]),
+    }
+    for center, (root, cols) in specs.items():
+        ts = prepare_tree_sample(cin_tree(sg, center), tables, root,
+                                 n_min=30_000, seed=7)
+        est.add(train_join_estimator(ts, cols, cfg, sample_size=800))
+    return est
+
+
+def test_inherited_chain_fanout_upscale(nar_cin_fact, exact):
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+           "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+           "AND c.c_mktsegment = 'BUILDING' AND l.l_returnflag = 'R'")
+    pq = parse_query(sql)
+    got = nar_cin_fact._estimate_inherited(pq)
+    want = exact.estimate(sql)
+    assert qerr(got, want) < 3.0, (got, want)
+    # estimate() routes through the same path (no single model covers
+    # {lineitem, orders, customer})
+    assert qerr(nar_cin_fact.estimate(sql), want) < 3.0
