@@ -44,6 +44,7 @@ def _encode_series(s, dom: ColumnDomain) -> np.ndarray:
 def training_matrix(df: DataFrame, columns: list[str],
                     max_rows: int = 200_000, seed: int = 42,
                     dictionaries: dict[str, DataFrame] | None = None,
+                    cont_log2: set[str] | None = None,
                     ) -> tuple[np.ndarray, dict[str, ColumnDomain]]:
     """Dictionary-encode ``columns`` and collect an int64 matrix [n, C]
     (row-capped by deterministic sample) plus the collected domains.
@@ -66,9 +67,17 @@ def training_matrix(df: DataFrame, columns: list[str],
         proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
             .limit(max_rows)
     pdf = proj.toPandas()
+    cont = cont_log2 or set()
     domains: dict[str, ColumnDomain] = {}
     codes_cols: list[np.ndarray] = []
     for c in columns:
+        if c in cont:
+            # continuous log2 encoding (reference --cont-fanout,
+            # scardina/common.py:536-548): value = log2(max(v, 1))
+            v = pdf[c].to_numpy(dtype=np.float64)
+            v = np.nan_to_num(v, nan=1.0)
+            codes_cols.append(np.log2(np.maximum(v, 1.0)))
+            continue
         injected = (dictionaries or {}).get(c)
         if injected is not None:
             dom = collect_domain(injected, c)
@@ -78,7 +87,8 @@ def training_matrix(df: DataFrame, columns: list[str],
             dom = ColumnDomain(c, np.unique(s[~pd.isna(s)].to_numpy()))
         domains[c] = dom
         codes_cols.append(_encode_series(pdf[c], dom))
-    return np.stack(codes_cols, axis=1), domains
+    dtype = np.float64 if cont else np.int64
+    return np.stack(codes_cols, axis=1).astype(dtype), domains
 
 
 def base_dictionaries(tables: dict[str, DataFrame],

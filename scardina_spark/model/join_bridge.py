@@ -82,6 +82,7 @@ class NarJoinEstimator(NarEstimator):
 
     ts: TreeSample | None = None
     constant_one_fanouts: frozenset = frozenset()
+    continuous: frozenset = frozenset()  # cont-fanout columns (log2-regressed)
     name: str = "nar-ur"
 
     # -- fragment preparation ---------------------------------------------
@@ -114,7 +115,7 @@ class NarJoinEstimator(NarEstimator):
         for c in edge_cols:
             if c in self.constant_one_fanouts:
                 continue
-            if c not in self.domains:
+            if c not in self.domains and c not in self.continuous:
                 raise UnsupportedQueryError(f"fanout column not in model: {c}")
             out.append(c)
         return out
@@ -149,7 +150,8 @@ class NarJoinEstimator(NarEstimator):
         up-scaling, reference estimators.py:1413-1423).
 
         Returns (per-row factors [S], sampled codes per column)."""
-        codes = np.zeros((S, self.model.C), dtype=np.int64)
+        dtype = np.float64 if self.continuous else np.int64
+        codes = np.zeros((S, self.model.C), dtype=dtype)
         mask = np.ones((S, self.model.C), dtype=bool)
         prob = np.ones(S)
         for c, inh in inherited.items():
@@ -181,6 +183,15 @@ class NarJoinEstimator(NarEstimator):
         for sign, cols in ((-1, div_cols), (+1, mult_cols)):
             for c in cols:
                 j = self.model.cols.index(c)
+                if c in self.continuous:
+                    # regressed log2 fanout, decoded 2**x, clamp ≥ 1
+                    # (reference: scardina/estimators.py:374-376)
+                    val = self.model.regress_for(codes, mask, j)
+                    codes[:, j] = val
+                    mask[:, j] = False
+                    fan = np.maximum(np.exp2(val), 1.0)
+                    prob = prob / fan if sign < 0 else prob * fan
+                    continue
                 p = self._conditional(codes, mask, j)
                 p[:, 1] = 0.0  # fanout columns are never NULL
                 row_sum = np.maximum(p.sum(axis=1, keepdims=True), 1e-300)
@@ -283,13 +294,16 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
                          cfg: TrainConfig | None = None,
                          sample_size: int = 512,
                          max_rows: int = 200_000,
-                         dictionaries=None) -> NarJoinEstimator:
+                         dictionaries=None,
+                         cont_fanout: bool = False) -> NarJoinEstimator:
     """Train the UR-mode model on ``ts``'s sample.
 
     ``data_columns`` are prefixed ``table.col`` names; existence markers
     and non-constant fanout columns are added automatically.  Constant-1
     fanout columns (FK→PK directions) are recorded and skipped at query
-    time instead of wasting model capacity."""
+    time instead of wasting model capacity.  ``cont_fanout`` stores
+    fanouts as regressed log2 floats instead of dictionary codes (the
+    reference's ``--cont-fanout``, scardina/common.py:536-548)."""
     cfg = cfg or TrainConfig()
     samp = ts.sample
 
@@ -302,12 +316,14 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
     constant1 = frozenset(c for c in fanouts if n_distinct.get(c, 1) <= 1)
 
     columns = list(data_columns) + markers + informative
+    cont = frozenset(informative) if cont_fanout else frozenset()
     codes, domains = training_matrix(samp, columns, max_rows, cfg.seed,
-                                     dictionaries=dictionaries)
-    bins = [(c, domains[c].dom_size) for c in columns]
-    model = NarMLP(bins, cfg)
+                                     dictionaries=dictionaries,
+                                     cont_log2=set(cont))
+    bins = [(c, domains[c].dom_size if c in domains else 0) for c in columns]
+    model = NarMLP(bins, cfg, continuous=cont)
     model.fit(codes)
     return NarJoinEstimator(
         model=model, domains=domains, n_rows=ts.join_size,
         sample_size=sample_size, seed=cfg.seed, ts=ts,
-        constant_one_fanouts=constant1)
+        constant_one_fanouts=constant1, continuous=cont)

@@ -41,10 +41,18 @@ def _softmax(z: np.ndarray) -> np.ndarray:
 @dataclass
 class NarMLP:
     """input_bins: [(col_name, dom_size)] — dom_size INCLUDES the MASK/NULL
-    slots (codes 0..dom_size-1)."""
+    slots (codes 0..dom_size-1).
+
+    ``continuous`` columns (the reference's ``--cont-fanout`` mode,
+    scardina/common.py:536-548 + models.py:71-74,107-117) carry a float
+    value (log2 fanout) instead of dictionary codes: the input is the
+    2-dim (present-flag, value) pair linearly embedded to d_word, the
+    output head is a scalar regression trained with MSE over masked cells.
+    Their ``dom_size`` entry is ignored."""
 
     input_bins: list[tuple[str, int]]
     cfg: TrainConfig = field(default_factory=TrainConfig)
+    continuous: frozenset = frozenset()
 
     def __post_init__(self):
         rs = np.random.RandomState(self.cfg.seed)
@@ -52,27 +60,42 @@ class NarMLP:
         self.cols = [c for c, _ in self.input_bins]
         self.doms = [n for _, n in self.input_bins]
         self.C = len(self.cols)
-        # per-column embedding (row 0 = MASK); tied decode
-        self.emb = [rs.randn(n, d).astype(np.float64) * 0.1 for n in self.doms]
+        self.is_cont = np.array([c in self.continuous for c in self.cols])
+        # per-column embedding (row 0 = MASK); tied decode.  Continuous
+        # columns: emb = the [2, d] (flag, value) input projection and
+        # P = the [h, 1] regression head.
+        self.emb = [rs.randn(2, d) * 0.1 if self.is_cont[j]
+                    else rs.randn(n, d).astype(np.float64) * 0.1
+                    for j, n in enumerate(self.doms)]
         self.W1 = rs.randn(self.C * d, h) * np.sqrt(2.0 / (self.C * d))
         self.b1 = np.zeros(h)
         self.W2 = rs.randn(h, h) * np.sqrt(2.0 / h)
         self.b2 = np.zeros(h)
         # per-column projection back to embedding space
-        self.P = [rs.randn(h, d) * np.sqrt(2.0 / h) for _ in range(self.C)]
+        self.P = [rs.randn(h, 1) * np.sqrt(2.0 / h) if self.is_cont[j]
+                  else rs.randn(h, d) * np.sqrt(2.0 / h)
+                  for j in range(self.C)]
         self._adam_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._adam_t = 0
 
     # -- forward ----------------------------------------------------------
 
     def _encode(self, codes: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        """codes [B, C] int; mask [B, C] bool (True = masked → MASK emb)."""
+        """codes [B, C] int (float matrix accepted when continuous columns
+        exist — categorical entries are cast); mask [B, C] bool (True =
+        masked → MASK emb / zero pair)."""
         B = codes.shape[0]
         d = self.cfg.d_word
         x = np.empty((B, self.C * d))
         eff = np.where(mask, 0, codes)
         for j in range(self.C):
-            x[:, j * d:(j + 1) * d] = self.emb[j][eff[:, j]]
+            if self.is_cont[j]:
+                flag = (~mask[:, j]).astype(np.float64)
+                val = np.where(mask[:, j], 0.0, codes[:, j].astype(np.float64))
+                x[:, j * d:(j + 1) * d] = \
+                    np.stack([flag, val], axis=1) @ self.emb[j]
+            else:
+                x[:, j * d:(j + 1) * d] = self.emb[j][eff[:, j].astype(np.int64)]
         return x
 
     def _trunk(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -86,9 +109,20 @@ class NarMLP:
                    ) -> np.ndarray:
         """Logits over column j's domain for each row (MASK slot included —
         callers zero it)."""
+        assert not self.is_cont[j], f"{self.cols[j]} is continuous"
         x = self._encode(codes, mask)
         _, _, h = self._trunk(x)
         return (h @ self.P[j]) @ self.emb[j].T
+
+    def regress_for(self, codes: np.ndarray, mask: np.ndarray, j: int
+                    ) -> np.ndarray:
+        """Predicted value of continuous column j per row (conditional-mean
+        regression; the reference decodes fanout as ``2**regressed``,
+        scardina/estimators.py:374-376)."""
+        assert self.is_cont[j], f"{self.cols[j]} is not continuous"
+        x = self._encode(codes, mask)
+        _, _, h = self._trunk(x)
+        return (h @ self.P[j]).ravel()
 
     # -- training ---------------------------------------------------------
 
@@ -131,11 +165,23 @@ class NarMLP:
             if rows.size == 0:
                 continue
             hj = h[rows]
+            if self.is_cont[j]:
+                # MSE regression head (reference: MSE for continuous
+                # fanouts, scardina/models.py:322-338)
+                pred = (hj @ self.P[j]).ravel()         # [R]
+                y = codes[rows, j].astype(np.float64)
+                diff = pred - y
+                total_loss += (diff * diff).sum()
+                total_cnt += rows.size
+                dpred = (2.0 * diff / denom)[:, None]   # [R, 1]
+                gP[j] = hj.T @ dpred
+                dh[rows] += dpred @ self.P[j].T
+                continue
             proj = hj @ self.P[j]                       # [R, d]
             logits = proj @ self.emb[j].T               # [R, dom]
             logits[:, 0] = -1e9                        # MASK never predicted
             p = _softmax(logits)
-            y = codes[rows, j]
+            y = codes[rows, j].astype(np.int64)
             total_loss += -np.log(np.maximum(p[np.arange(rows.size), y],
                                              1e-12)).sum()
             total_cnt += rows.size
@@ -168,10 +214,20 @@ class NarMLP:
         self._adam(pid, self.b2, gb2); pid += 1
         for j in range(self.C):
             gE = np.zeros_like(self.emb[j])
-            np.add.at(gE, eff[:, j], dx[:, j * d:(j + 1) * d])
+            dxj = dx[:, j * d:(j + 1) * d]
+            if self.is_cont[j]:
+                # input was [flag, value] @ emb over unmasked rows
+                u = ~mask[:, j]
+                if u.any():
+                    inp = np.stack([np.ones(int(u.sum())),
+                                    codes[u, j].astype(np.float64)], axis=1)
+                    gE += inp.T @ dxj[u]
+            else:
+                np.add.at(gE, eff[:, j].astype(np.int64), dxj)
+            if gP[j] is not None:
+                self._adam(pid, self.P[j], gP[j])
             if gE_out[j] is not None:
                 gE += gE_out[j]
-                self._adam(pid, self.P[j], gP[j])
             pid += 1
             self._adam(pid, self.emb[j], gE)
             pid += 1
@@ -203,6 +259,7 @@ class NarMLP:
             arrs[f"P_{j}"] = self.P[j]
         np.savez_compressed(path, cols="|".join(self.cols),
                             doms=np.array(self.doms),
+                            cont=self.is_cont.astype(np.int8),
                             d_word=self.cfg.d_word, d_ff=self.cfg.d_ff, **arrs)
 
     @classmethod
@@ -211,7 +268,9 @@ class NarMLP:
         cols = str(z["cols"]).split("|")
         doms = [int(x) for x in z["doms"]]
         cfg = TrainConfig(d_word=int(z["d_word"]), d_ff=int(z["d_ff"]))
-        m = cls(list(zip(cols, doms)), cfg)
+        cont = frozenset(c for c, f in zip(cols, z["cont"])
+                         if f) if "cont" in z else frozenset()
+        m = cls(list(zip(cols, doms)), cfg, continuous=cont)
         m.W1, m.b1 = z["W1"], z["b1"]
         m.W2, m.b2 = z["W2"], z["b2"]
         m.emb = [z[f"emb_{j}"] for j in range(len(cols))]

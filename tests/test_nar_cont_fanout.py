@@ -1,0 +1,164 @@
+"""Continuous-fanout mode (reference --cont-fanout, scardina/common.py:
+536-548): fanout columns stored as log2 floats with a (flag, value)
+input embedding and an MSE regression head, decoded 2**x (clamp ≥1) at
+estimation (scardina/estimators.py:374-376)."""
+
+import numpy as np
+import pytest
+
+from scardina_spark.model.nar import NarMLP, TrainConfig
+
+
+def test_cont_regression_learns_conditional_mean():
+    """cont col = f(categorical col) + noise; the masked regression head
+    should recover the per-category mean."""
+    rs = np.random.RandomState(0)
+    n = 4000
+    cat = rs.randint(2, 6, size=n)            # codes 2..5 (0=MASK, 1=NULL)
+    means = {2: 0.5, 3: 2.0, 4: 3.5, 5: 5.0}
+    cont = np.array([means[c] for c in cat]) + rs.randn(n) * 0.1
+    X = np.stack([cat.astype(np.float64), cont], axis=1)
+
+    cfg = TrainConfig(epochs=25, d_word=8, d_ff=32, batch_size=256, seed=3)
+    m = NarMLP([("cat", 6), ("fan", 0)], cfg, continuous=frozenset({"fan"}))
+    losses = m.fit(X)
+    assert losses[-1] < losses[0]
+
+    # condition on each category, regress the cont col
+    for code, mu in means.items():
+        codes = np.zeros((16, 2))
+        codes[:, 0] = code
+        mask = np.ones((16, 2), dtype=bool)
+        mask[:, 0] = False
+        pred = m.regress_for(codes, mask, 1)
+        assert abs(float(pred.mean()) - mu) < 0.5, (code, pred.mean(), mu)
+
+
+def test_cont_gradients_finite_diff():
+    """Finite-difference check of the regression head + (flag, value)
+    input-embedding gradients."""
+    rs = np.random.RandomState(1)
+    cfg = TrainConfig(epochs=1, d_word=4, d_ff=8, batch_size=8, seed=5,
+                      lr=0.0)  # lr 0: train_step computes grads, no update
+    m = NarMLP([("a", 5), ("f", 0)], cfg, continuous=frozenset({"f"}))
+    X = np.stack([rs.randint(2, 5, size=8).astype(np.float64),
+                  rs.rand(8) * 3], axis=1)
+
+    def loss_at(eps_param, eps):
+        eps_param += eps
+        # fixed mask: column f masked for rows 0..3, column a for rows 4..7
+        B = 8
+        mask = np.zeros((B, 2), dtype=bool)
+        mask[:4, 1] = True
+        mask[4:, 0] = True
+        x = m._encode(X, mask)
+        _, _, h = m._trunk(x)
+        # replicate train_step's loss for this fixed mask
+        total = 0.0
+        rows = np.where(mask[:, 1])[0]
+        pred = (h[rows] @ m.P[1]).ravel()
+        total += ((pred - X[rows, 1]) ** 2).sum()
+        rows = np.where(mask[:, 0])[0]
+        proj = h[rows] @ m.P[0]
+        logits = proj @ m.emb[0].T
+        logits[:, 0] = -1e9
+        z = logits - logits.max(axis=1, keepdims=True)
+        p = np.exp(z) / np.exp(z).sum(axis=1, keepdims=True)
+        y = X[rows, 0].astype(np.int64)
+        total += -np.log(np.maximum(p[np.arange(len(rows)), y], 1e-12)).sum()
+        eps_param -= eps
+        return total
+
+    # analytic gradient of the same fixed-mask loss via a one-off backward
+    # (reuse train_step internals by monkey-running with the fixed mask)
+    B = 8
+    mask = np.zeros((B, 2), dtype=bool)
+    mask[:4, 1] = True
+    mask[4:, 0] = True
+    x = m._encode(X, mask)
+    z1, a1, h = m._trunk(x)
+    dh = np.zeros_like(h)
+    rows_f = np.where(mask[:, 1])[0]
+    pred = (h[rows_f] @ m.P[1]).ravel()
+    dpred = (2.0 * (pred - X[rows_f, 1]))[:, None]
+    gP1 = h[rows_f].T @ dpred
+    dh[rows_f] += dpred @ m.P[1].T
+    rows_a = np.where(mask[:, 0])[0]
+    proj = h[rows_a] @ m.P[0]
+    logits = proj @ m.emb[0].T
+    logits[:, 0] = -1e9
+    zz = logits - logits.max(axis=1, keepdims=True)
+    p = np.exp(zz) / np.exp(zz).sum(axis=1, keepdims=True)
+    y = X[rows_a, 0].astype(np.int64)
+    dlogits = p.copy()
+    dlogits[np.arange(len(rows_a)), y] -= 1.0
+    dproj = dlogits @ m.emb[0]
+    dh[rows_a] += dproj @ m.P[0].T
+    dz2 = dh * (h > 0)
+    da1 = dz2 @ m.W2.T
+    dz1 = da1 * (a1 > 0)
+    dx = dz1 @ m.W1.T
+    d = m.cfg.d_word
+    u = ~mask[:, 1]
+    inp = np.stack([np.ones(int(u.sum())), X[u, 1]], axis=1)
+    gEmb_f = inp.T @ dx[u, d:2 * d]
+
+    eps = 1e-6
+    for param, grad, (i, j) in [
+        (m.P[1], gP1, (2, 0)),
+        (m.emb[1], gEmb_f, (1, 2)),
+    ]:
+        base_plus = loss_at(param[i:i + 1, j:j + 1], eps)
+        base_minus = loss_at(param[i:i + 1, j:j + 1], -eps)
+        num = (base_plus - base_minus) / (2 * eps)
+        assert abs(num - grad[i, j]) < 1e-4 * max(1.0, abs(num)), \
+            (num, grad[i, j])
+
+
+def test_cont_save_load_roundtrip(tmp_path):
+    cfg = TrainConfig(epochs=2, d_word=4, d_ff=8, batch_size=64, seed=9)
+    m = NarMLP([("a", 5), ("f", 0)], cfg, continuous=frozenset({"f"}))
+    rs = np.random.RandomState(2)
+    X = np.stack([rs.randint(2, 5, size=100).astype(np.float64),
+                  rs.rand(100)], axis=1)
+    m.fit(X)
+    path = str(tmp_path / "m.npz")
+    m.save(path)
+    m2 = NarMLP.load(path)
+    assert m2.continuous == frozenset({"f"})
+    codes = np.zeros((4, 2))
+    codes[:, 0] = 3
+    mask = np.ones((4, 2), dtype=bool)
+    mask[:, 0] = False
+    np.testing.assert_allclose(m.regress_for(codes, mask, 1),
+                               m2.regress_for(codes, mask, 1))
+
+
+@pytest.fixture(scope="module")
+def cont_estimator(tables):
+    from scardina_spark.catalog import build_tpch_schema
+    from scardina_spark.estimators import prepare_tree_sample
+    from scardina_spark.estimators.sample import cin_tree
+    from scardina_spark.model.join_bridge import train_join_estimator
+
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(cin_tree(sg, "orders"), tables, "customer",
+                             n_min=30_000, seed=13)
+    cfg = TrainConfig(epochs=15, d_word=12, d_ff=48, batch_size=512, seed=13)
+    return train_join_estimator(
+        ts, ["orders.o_orderstatus", "customer.c_mktsegment"], cfg,
+        sample_size=800, cont_fanout=True)
+
+
+def test_cont_fanout_estimator(cont_estimator, duck):
+    """Single-table query on the PK side forces fanout division through the
+    regressed continuous column."""
+    est = cont_estimator.estimate(
+        "SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING'")
+    true = duck.sql("SELECT COUNT(*) FROM customer "
+                    "WHERE c_mktsegment = 'BUILDING'").fetchone()[0]
+    q = max(est / true, true / est)
+    assert q < 2.0, (est, true)
+    # model marks the fanout column continuous, not dictionary-coded
+    assert any(c in cont_estimator.continuous
+               for c in cont_estimator.model.cols)
