@@ -198,7 +198,12 @@ def prepare_tree_sample(
         row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
         join_size = int(row["s"] or 0)
     n = max(n_min, min(n_max, join_size))
-    samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True)
+    # all_m2o also certifies the root draw may skip the weight scan and
+    # persist: w[root] is a pure projection over the parquet scan (the root
+    # is FK-side of every edge, so attach_tree_adj_fanouts adds only
+    # literals), hence deterministic across the sampler's two passes.
+    samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True,
+                       uniform_root=all_m2o)
     if cache:
         # right-size partitions for the per-query aggregate: ~64k rows per
         # task keeps scheduling overhead off the query path (estimate()

@@ -56,6 +56,7 @@ def _q(name: str) -> F.Column:
 def weighted_sample_with_replacement(
     df: DataFrame, weight_col: str, order_cols: list[str] | None = None,
     n: int = 1, seed: int = 42, n_buckets: int | None = None,
+    uniform: bool = False,
 ) -> DataFrame:
     """Exactly ``n`` draws with replacement, P(row) ∝ ``weight_col``.
 
@@ -69,12 +70,24 @@ def weighted_sample_with_replacement(
     bounds executor memory exactly as for any other Arrow exchange.
     ``order_cols``/``n_buckets`` are accepted for API stability; draw
     determinism comes from the persisted partition layout + fixed seed.
+
+    ``uniform=True`` asserts every weight is the same positive constant
+    (the fact-rooted fast path, where all weights are 1): the per-partition
+    totals collapse to row counts (a column-pruned count job — for a
+    parquet-backed table no data columns are read), the draw skips weight
+    normalization, and no persist is needed because the caller guarantees
+    the plan is a deterministic scan (no shuffle/join upstream), so both
+    passes see the same partition layout.
     """
-    pos = (df.where(_q(weight_col) > 0)
-             .withColumn(PID, F.spark_partition_id())
-             .persist())
-    part = pos.groupBy(PID).agg(
-        F.sum(_q(weight_col).cast("double")).alias("s")).collect()
+    if uniform:
+        pos = df.withColumn(PID, F.spark_partition_id())
+        part = pos.groupBy(PID).agg(F.count(F.lit(1)).alias("s")).collect()
+    else:
+        pos = (df.where(_q(weight_col) > 0)
+                 .withColumn(PID, F.spark_partition_id())
+                 .persist())
+        part = pos.groupBy(PID).agg(
+            F.sum(_q(weight_col).cast("double")).alias("s")).collect()
     sums = {int(r[PID]): float(r["s"] or 0.0) for r in part}
     total = sum(sums.values())
     if not total or total <= 0:
@@ -107,9 +120,12 @@ def weighted_sample_with_replacement(
         k = b_quota.value.get(pid, 0)
         if k <= 0:
             return
-        w = pdf[w_safe].to_numpy(dtype="float64")
         prs = np.random.RandomState((seed * 1_000_003 + 7919 * pid) % (2**32))
-        idx = prs.choice(len(pdf), size=k, replace=True, p=w / w.sum())
+        if uniform:
+            idx = prs.randint(len(pdf), size=k)
+        else:
+            w = pdf[w_safe].to_numpy(dtype="float64")
+            idx = prs.choice(len(pdf), size=k, replace=True, p=w / w.sum())
         out = pdf.iloc[idx].copy()
         out[SAMPLE_ID] = np.arange(b_off.value[pid], b_off.value[pid] + k,
                                    dtype="int64")
@@ -169,14 +185,18 @@ def pick_one_child_per_sample(
 def join_sample(
     ss: Subschema, weighted_tables: dict[str, DataFrame], root: str,
     n: int, seed: int = 42, drop_weights: bool = True,
+    uniform_root: bool = False,
 ) -> DataFrame:
     """Unbiased sample (size ``n``) of the sub-join, BFS from ``root``.
 
     ``weighted_tables`` must carry ``__weight__`` (operators/weights.py).
+    ``uniform_root`` certifies all root weights equal (fact-rooted trees)
+    so the root draw can skip weight scans and persist.
     """
     root_df = weighted_tables[root]
     order = [root_df.columns[0]]
-    agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed)
+    agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed,
+                                           uniform=uniform_root)
     agg = agg.select(
         F.col(SAMPLE_ID),
         *[F.col(f"`{c}`").alias(f"{root}.{c}") for c in root_df.columns],

@@ -38,6 +38,23 @@ def test_sample_ids_unique(spark):
     assert s.count() == 5000
 
 
+def test_uniform_fast_path_exact_n_and_uniformity(spark):
+    """uniform=True must draw exactly n ids with a uniform marginal and
+    skip weight normalization (weights untouched)."""
+    df = spark.createDataFrame([(i, 1.0) for i in range(200)], ["k", "w"])
+    n = 40_000
+    s = weighted_sample_with_replacement(df, "w", ["k"], n, seed=9,
+                                         uniform=True)
+    assert s.count() == n
+    assert s.select(SAMPLE_ID).distinct().count() == n
+    counts = {r["k"]: r["c"] for r in
+              s.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    p = 1 / 200
+    tol = 6 * math.sqrt(n * p * (1 - p))
+    for k in range(200):
+        assert abs(counts.get(k, 0) - n * p) < tol, (k, counts.get(k, 0))
+
+
 def test_join_sample_marginal_matches_full_join(spark, tables, duck):
     """Sample the orders-CIN (orders ⋈ customer) from root=customer with
     weights; the marginal distribution of o_orderpriority in the sample must
