@@ -91,6 +91,56 @@ def training_matrix(df: DataFrame, columns: list[str],
     return np.stack(codes_cols, axis=1).astype(dtype), domains
 
 
+def fine_tune_single_table(est: NarEstimator, delta_df: DataFrame,
+                           epochs: int | None = None,
+                           max_rows: int = 200_000,
+                           seed: int = 43) -> NarEstimator:
+    """Incremental model refresh: continue training the fitted NAR model on
+    appended rows only (the reference parses an ``--incremental`` flag but
+    never implements it, scardina/run.py:118,192).
+
+    The dictionary stays frozen — codes must keep meaning the same values,
+    so delta values outside the trained domain encode as the NULL code (the
+    standard OOD convention); a domain-growing append warrants a full
+    re-prep instead.  The optimizer state (Adam moments) carries over, so
+    this is true warm-start fine-tuning, and ``n_rows`` — the estimator's
+    COUNT(*) scale factor — is bumped by the delta count so estimates
+    reflect the appended data immediately.
+    """
+    from .progressive import NarEstimator as _NE
+    assert isinstance(est, _NE)
+    columns = list(est.domains)  # insertion order == training order
+    delta_n = delta_df.count()
+    if delta_n == 0:
+        return est
+    proj = delta_df.select(*[F.col(f"`{c}`") for c in columns])
+    n = delta_n
+    if n > max_rows:
+        proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
+            .limit(max_rows)
+    pdf = proj.toPandas()
+    mat_cols: list[np.ndarray] = []
+    for c in columns:
+        code = _encode_series(pdf[c], est.domains[c])
+        grp = (est.groups or {}).get(c)
+        if grp is None:
+            mat_cols.append(code)
+            continue
+        for sub in grp.spec.sub_cols:
+            mat_cols.append(((code >> sub.offset)
+                             & ((1 << sub.window) - 1)) + 1)
+    codes = np.stack(mat_cols, axis=1).astype(np.int64)
+    old_epochs = est.model.cfg.epochs
+    if epochs is not None:
+        est.model.cfg.epochs = epochs
+    try:
+        est.model.fit(codes)
+    finally:
+        est.model.cfg.epochs = old_epochs
+    est.n_rows = est.n_rows + delta_n
+    return est
+
+
 def base_dictionaries(tables: dict[str, DataFrame],
                       prefixed_columns: list[str]) -> dict[str, DataFrame]:
     """Build one dictionary per BASE column (``table.col`` names) for reuse

@@ -794,6 +794,27 @@ order by id_a, id_b
 """
 
 
+def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh (beyond reference): fk counts merged from an
+    80/20 old/delta split must equal the from-scratch full counts — the
+    append path never rescans history."""
+    from .operators.incremental import merge_fk_counts
+    from .operators.fanout import fk_counts
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.abs(F.hash(F.col("l_orderkey"), F.col("l_linenumber"))) % 5
+    old, delta = li.where(h != 0), li.where(h == 0)
+    merged = merge_fk_counts(fk_counts(old, "l_partkey"), delta, "l_partkey")
+    return (merged.select(F.col("l_partkey"),
+                          F.col("count").cast("long").alias("cnt"))
+            .orderBy("l_partkey"))
+
+
+SQL_INCREMENTAL_COUNTS = """
+select l_partkey, count(*) as cnt from lineitem
+group by l_partkey order by l_partkey
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
@@ -969,6 +990,7 @@ def queries() -> dict:
         "x9_lsh_buckets": q_lsh_buckets,
         "x10_media_meta": q_media_meta,
         "x11_near_dup": q_near_dup,
+        "x12_incremental_counts": q_incremental_counts,
         "j4_join_sample": q_join_sample,
         "e1_estimate_qerror": q_estimate_qerror,
         "e2_nar_qerror": q_nar_qerror,
@@ -1013,5 +1035,6 @@ def oracle_sql() -> dict[str, str]:
         "x9_lsh_buckets": sql_lsh_buckets(),
         "x10_media_meta": SQL_MEDIA_META,
         "x11_near_dup": sql_near_dup(),
+        "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         # j4_join_sample, e1_estimate_qerror: randomized -> rows-only checks
     }
