@@ -154,30 +154,32 @@ class NarMLP:
         x = self._encode(codes, mask)
         z1, a1, h = self._trunk(x)
 
-        dh = np.zeros_like(h)
         gP = [None] * self.C
         gE_out = [None] * self.C
         total_loss, total_cnt = 0.0, 0
         denom = n_mask * B  # total masked cells this batch (loss normalizer)
 
-        for j in range(self.C):
+        # fused per-column heads: one [B, h] @ [h, Σdj] matmul projects every
+        # categorical column at once, and the whole backward through the
+        # heads collapses to one matmul pair (dh, gP) — the per-column work
+        # left inside the loop is only the (masked-rows × small-domain)
+        # logits/softmax, which is O(masked cells · d_word · dom).
+        cat = [j for j in range(self.C) if not self.is_cont[j]]
+        d_all = 0
+        slices = {}
+        for j in cat:
+            slices[j] = slice(d_all, d_all + d)
+            d_all += d
+        P_cat = (np.concatenate([self.P[j] for j in cat], axis=1)
+                 if cat else np.zeros((h.shape[1], 0)))
+        proj_all = h @ P_cat                            # [B, Σd]
+        dproj_all = np.zeros_like(proj_all)
+
+        for j in cat:
             rows = np.where(mask[:, j])[0]
             if rows.size == 0:
                 continue
-            hj = h[rows]
-            if self.is_cont[j]:
-                # MSE regression head (reference: MSE for continuous
-                # fanouts, scardina/models.py:322-338)
-                pred = (hj @ self.P[j]).ravel()         # [R]
-                y = codes[rows, j].astype(np.float64)
-                diff = pred - y
-                total_loss += (diff * diff).sum()
-                total_cnt += rows.size
-                dpred = (2.0 * diff / denom)[:, None]   # [R, 1]
-                gP[j] = hj.T @ dpred
-                dh[rows] += dpred @ self.P[j].T
-                continue
-            proj = hj @ self.P[j]                       # [R, d]
+            proj = proj_all[rows, slices[j]]            # [R, d]
             logits = proj @ self.emb[j].T               # [R, dom]
             logits[:, 0] = -1e9                        # MASK never predicted
             p = _softmax(logits)
@@ -186,13 +188,34 @@ class NarMLP:
                                              1e-12)).sum()
             total_cnt += rows.size
 
-            dlogits = p.copy()
+            dlogits = p
             dlogits[np.arange(rows.size), y] -= 1.0
             dlogits /= denom
-            dproj = dlogits @ self.emb[j]               # [R, d]
-            gP[j] = hj.T @ dproj
+            dproj_all[rows, slices[j]] = dlogits @ self.emb[j]
             gE_out[j] = dlogits.T @ proj                # [dom, d]
-            dh[rows] += dproj @ self.P[j].T
+
+        dh = dproj_all @ P_cat.T
+        gP_cat = h.T @ dproj_all                        # [h, Σd]
+        for j in cat:
+            gP[j] = gP_cat[:, slices[j]]
+
+        for j in range(self.C):
+            if not self.is_cont[j]:
+                continue
+            rows = np.where(mask[:, j])[0]
+            if rows.size == 0:
+                continue
+            hj = h[rows]
+            # MSE regression head (reference: MSE for continuous fanouts,
+            # scardina/models.py:322-338)
+            pred = (hj @ self.P[j]).ravel()             # [R]
+            y = codes[rows, j].astype(np.float64)
+            diff = pred - y
+            total_loss += (diff * diff).sum()
+            total_cnt += rows.size
+            dpred = (2.0 * diff / denom)[:, None]       # [R, 1]
+            gP[j] = hj.T @ dpred
+            dh[rows] += dpred @ self.P[j].T
 
         # trunk backward
         dz2 = dh * (h > 0)
@@ -223,7 +246,15 @@ class NarMLP:
                                     codes[u, j].astype(np.float64)], axis=1)
                     gE += inp.T @ dxj[u]
             else:
-                np.add.at(gE, eff[:, j].astype(np.int64), dxj)
+                idx = eff[:, j].astype(np.int64)
+                if self.doms[j] <= 2048:
+                    # scatter-add as a one-hot matmul: BLAS beats
+                    # np.add.at's per-element dispatch for small domains
+                    onehot = np.zeros((B, self.doms[j]))
+                    onehot[np.arange(B), idx] = 1.0
+                    gE += onehot.T @ dxj
+                else:
+                    np.add.at(gE, idx, dxj)
             if gP[j] is not None:
                 self._adam(pid, self.P[j], gP[j])
             if gE_out[j] is not None:
