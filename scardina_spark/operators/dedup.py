@@ -51,15 +51,24 @@ def word_shingles(col: str = "text", k: int = 3) -> F.Column:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        col: str = "text", k_shingle: int = 3,
                        n_hashes: int = 8) -> DataFrame:
-    """(id, sig_0..sig_{n-1}): per-salt min of md5(salt||shingle).
+    """(id, sig_0..sig_{n-1}): per-hash min over the shingle set.
 
-    The min is over hex strings — order-stable across engines.  Explode +
+    Hash ``i`` is the ``(i%4)``-th 8-hex-char (32-bit) chunk of
+    ``md5("salt<i//4>:" || shingle)`` — md5's 128 bits yield four
+    independent 32-bit hashes, so ``ceil(n/4)`` md5 evaluations per
+    shingle replace ``n`` (md5 dominates signature cost; 32-bit chunks
+    keep per-doc min-collisions negligible at realistic shingle counts).
+    The min is over fixed-width hex strings — order-stable across engines,
+    so the DuckDB oracle reproduces signatures bit-for-bit.  Explode +
     groupBy(id) keeps the shuffle at O(shingles) with map-side combine.
     """
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(col, k_shingle)).alias("__sh__"))
+    for g in range((n_hashes + 3) // 4):
+        ex = ex.withColumn(
+            f"__h{g}__", F.md5(F.concat(F.lit(f"salt{g}:"), F.col("__sh__"))))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("__sh__"))))
+        F.min(F.substring(F.col(f"__h{i // 4}__"), (i % 4) * 8 + 1, 8))
         .alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
@@ -101,9 +110,21 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   col: str = "text", k_shingle: int = 3) -> DataFrame:
-    """Exact Jaccard over word shingles for the given candidate pairs."""
-    sh = df.select(F.col(id_col).alias("__id__"),
-                   word_shingles(col, k_shingle).alias("__sh__"))
+    """Exact Jaccard over word shingles for the given candidate pairs.
+
+    Shingles are computed only for documents that appear in ``pairs``
+    (semi-join pushdown): candidate sets are tiny relative to the corpus,
+    and the shingle projection is the expensive part — without the
+    restriction both join sides would shingle every document."""
+    ids = (pairs.select(F.col("id_a").alias("__id__"))
+           .unionByName(pairs.select(F.col("id_b").alias("__id__")))
+           .distinct())
+    sh = (df.join(ids, F.col(id_col) == F.col("__id__"), "left_semi")
+          .select(F.col(id_col).alias("__id__"),
+                  word_shingles(col, k_shingle).alias("__sh__"))
+          # materialize once: both self-join sides read it, and the table
+          # is candidate-sized (bounded by |pairs|), not corpus-sized
+          .localCheckpoint())
     a = sh.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
     b = sh.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
@@ -126,12 +147,13 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     stages).  At cluster scale this is the stage you'd checkpoint to
     parquet instead."""
     sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands).cache()
     try:
-        cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
         scored = ngram_jaccard(df, cands, id_col, col, k_shingle)
         return scored.where(F.col("jaccard") >= threshold) \
             .orderBy("id_a", "id_b").localCheckpoint()
     finally:
+        cands.unpersist()
         sigs.unpersist()
 
 

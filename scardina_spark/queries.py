@@ -579,10 +579,10 @@ sh as (
     for i in range(1, greatest(len(toks) - 2, 1) + 1)
   ])) as t(s))
 select doc_id,
-       min(md5('salt0:' || s)) as sig_0,
-       min(md5('salt1:' || s)) as sig_1,
-       min(md5('salt2:' || s)) as sig_2,
-       min(md5('salt3:' || s)) as sig_3
+       min(substring(md5('salt0:' || s), 1, 8)) as sig_0,
+       min(substring(md5('salt0:' || s), 9, 8)) as sig_1,
+       min(substring(md5('salt0:' || s), 17, 8)) as sig_2,
+       min(substring(md5('salt0:' || s), 25, 8)) as sig_3
 from sh group by doc_id order by doc_id
 """
 

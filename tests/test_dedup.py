@@ -52,10 +52,10 @@ def test_minhash_signatures_match_duckdb(spark, duck):
             for i in range(1, greatest(len(toks) - 2, 1) + 1)
           ])) as t(distinct_sh))
         select doc_id,
-               min(md5('salt0:' || distinct_sh)),
-               min(md5('salt1:' || distinct_sh)),
-               min(md5('salt2:' || distinct_sh)),
-               min(md5('salt3:' || distinct_sh))
+               min(substring(md5('salt0:' || distinct_sh), 1, 8)),
+               min(substring(md5('salt0:' || distinct_sh), 9, 8)),
+               min(substring(md5('salt0:' || distinct_sh), 17, 8)),
+               min(substring(md5('salt0:' || distinct_sh), 25, 8))
         from sh group by doc_id""").fetchall()
     want = {r[0]: list(r[1:]) for r in want_rows}
     assert got == want
