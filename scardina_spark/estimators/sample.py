@@ -199,16 +199,20 @@ def prepare_tree_sample(
         join_size = int(row["s"] or 0)
     n = max(n_min, min(n_max, join_size))
     # all_m2o also certifies the root draw may skip the weight scan and
-    # persist: w[root] is a pure projection over the parquet scan (the root
-    # is FK-side of every edge, so attach_tree_adj_fanouts adds only
-    # literals), hence deterministic across the sampler's two passes.
+    # persist: w[root] is a pure projection over the scan (plus at most the
+    # loader's deterministic rebalance — the root is FK-side of every edge,
+    # so attach_tree_adj_fanouts adds only literals), hence partition
+    # membership is stable across the sampler's two passes.
     samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True,
                        uniform_root=all_m2o)
     if cache:
         # right-size partitions for the per-query aggregate: ~64k rows per
         # task keeps scheduling overhead off the query path (estimate()
-        # latency is dominated by task launch, not compute)
-        samp = samp.coalesce(max(4, n // 65536))
+        # latency is dominated by task launch, not compute).  repartition,
+        # NOT coalesce: coalesce would narrow the whole draw+join pipeline
+        # to this width, serializing the one-off materialization — the
+        # extra sample-sized shuffle is far cheaper than that.
+        samp = samp.repartition(max(4, n // 65536))
         samp = samp.cache()
         samp.count()  # materialize once; queries reuse the cached sample
     return TreeSample(tree, root, samp, join_size, n)

@@ -76,8 +76,11 @@ def weighted_sample_with_replacement(
     totals collapse to row counts (a column-pruned count job — for a
     parquet-backed table no data columns are read), the draw skips weight
     normalization, and no persist is needed because the caller guarantees
-    the plan is a deterministic scan (no shuffle/join upstream), so both
-    passes see the same partition layout.
+    deterministic partition membership (a scan, optionally behind the
+    loader's sort-stabilized round-robin rebalance — no joins or
+    aggregations upstream), so both passes see the same partition
+    contents; within-partition order may differ between passes, which
+    only a weighted draw would notice.
     """
     if uniform:
         pos = df.withColumn(PID, F.spark_partition_id())
@@ -197,6 +200,13 @@ def join_sample(
     order = [root_df.columns[0]]
     agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed,
                                            uniform=uniform_root)
+    # The draw inherits the root scan's partitioning, which can be narrow
+    # (few files / single row group); the per-edge picks chain onto it as
+    # one codegen stage, so rebalance the (narrow, n-row) drawn sample once
+    # to give the whole join pipeline the session's full parallelism.
+    sc = agg.sparkSession.sparkContext
+    if agg.rdd.getNumPartitions() < sc.defaultParallelism:
+        agg = agg.repartition(sc.defaultParallelism)
     agg = agg.select(
         F.col(SAMPLE_ID),
         *[F.col(f"`{c}`").alias(f"{root}.{c}") for c in root_df.columns],
