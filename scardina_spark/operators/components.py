@@ -1,0 +1,84 @@
+"""Connected components over a pair graph — duplicate *groups* from
+duplicate *pairs*.
+
+MinHash/SimHash emit near-dup PAIRS; production dedup must keep one
+document per transitive group (A~B, B~C ⇒ {A,B,C} even when A,C never
+collide).  The reference has nothing transitive (its dedup surface is
+nonexistent; this is north-star work).
+
+Algorithm: distributed min-label propagation.  Every node starts labeled
+with itself; each round, every node takes the min label over itself and
+its neighbors; converge when no label changes.  Each round is one
+key-shuffle join + one groupBy-min — O(E) work, O(diameter) rounds.
+Near-dup graphs are unions of near-cliques (diameter 2-3), so rounds stay
+in the single digits even at web scale; for adversarial long-chain graphs
+the same loop accepts a higher ``max_iter`` (the alternating
+large-star/small-star variant would cut rounds to O(log d) at the price
+of two shuffles per round — not worth it at near-dup shapes).
+
+Determinism: labels are min ids — no randomness anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NODE, COMP = "node", "component"
+
+
+def connected_components(pairs: DataFrame, col_a: str = "id_a",
+                         col_b: str = "id_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` is the minimum node id of the node's component."""
+    a, b = F.col(col_a), F.col(col_b)
+    und = (pairs.select(a.alias("src"), b.alias("dst"))
+           .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+           .distinct()
+           .persist())
+    labels = (und.select(F.col("src").alias(NODE)).distinct()
+              .withColumn(COMP, F.col(NODE))
+              .persist())
+    labels.count()
+
+    for _ in range(max_iter):
+        nb_min = (und.join(labels, und["dst"] == labels[NODE])
+                  .groupBy(F.col("src").alias(NODE))
+                  .agg(F.min(COMP).alias("__nb__")))
+        new = (labels.join(nb_min, NODE, "left_outer")
+               .select(F.col(NODE),
+                       F.least(F.col(COMP), F.coalesce(F.col("__nb__"),
+                                                       F.col(COMP)))
+                       .alias(COMP))
+               .persist())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), NODE)
+                   .where(F.col(f"n.{COMP}") != F.col(f"o.{COMP}"))
+                   .count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def dup_groups(pairs: DataFrame, col_a: str = "id_a", col_b: str = "id_b",
+               max_iter: int = 25) -> DataFrame:
+    """(member_id, keep_id) per document in any duplicate group, keep_id =
+    the group's minimum id (the reference-free analog of exact_dedup's
+    keep-lowest rule, applied transitively)."""
+    cc = connected_components(pairs, col_a, col_b, max_iter)
+    return (cc.select(F.col(NODE).alias("member_id"),
+                      F.col(COMP).alias("keep_id"))
+            .orderBy("member_id"))
+
+
+def dedup_by_groups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                    col_a: str = "id_a", col_b: str = "id_b") -> DataFrame:
+    """Drop every row whose id belongs to a duplicate group but is not the
+    group's keeper — the end-to-end 'dedup the corpus' operator."""
+    drop = (dup_groups(pairs, col_a, col_b)
+            .where(F.col("member_id") != F.col("keep_id"))
+            .select(F.col("member_id")))
+    return df.join(drop, df[id_col] == drop["member_id"], "left_anti")

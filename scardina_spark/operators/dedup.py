@@ -62,6 +62,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     so the DuckDB oracle reproduces signatures bit-for-bit.  Explode +
     groupBy(id) keeps the shuffle at O(shingles) with map-side combine.
     """
+    # shingling + hashing amplifies each row ~100x in compute; spread the
+    # corpus across the session's full parallelism first (documents tables
+    # are byte-small but CPU-heavy, so scan splits under-provision them)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(col, k_shingle)).alias("__sh__"))
     for g in range((n_hashes + 3) // 4):

@@ -815,6 +815,76 @@ group by l_partkey order by l_partkey
 """
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup groups (beyond reference): transitive
+    closure of a deterministic near-dup pair graph; keep_id = component
+    minimum."""
+    from .operators.components import dup_groups
+    d = load_table(spark, sf_dir, "documents", ["doc_id"])
+    d2 = d.withColumnRenamed("doc_id", "doc_id2")
+    p1 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 2) \
+        .where(F.col("doc_id") % 7 == 0)
+    p2 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 4) \
+        .where(F.col("doc_id") % 14 == 0)
+    pairs = (p1.unionByName(p2)
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id2").alias("id_b")).distinct())
+    g = dup_groups(pairs)
+    return g.select(F.col("member_id").cast("long").alias("member_id"),
+                    F.col("keep_id").cast("long").alias("keep_id")) \
+        .orderBy("member_id")
+
+
+_PAIRS_SQL = """
+        select d1.doc_id as id_a, d2.doc_id as id_b
+        from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 2
+        where d1.doc_id % 7 = 0
+        union
+        select d1.doc_id, d2.doc_id
+        from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 4
+        where d1.doc_id % 14 = 0
+"""
+
+SQL_DUP_GROUPS = f"""
+with recursive und as (
+  select id_a a, id_b b from ({_PAIRS_SQL})
+  union select id_b, id_a from ({_PAIRS_SQL})),
+reach(n, m) as (
+  select a, a from und
+  union
+  select r.n, u.b from reach r join und u on r.m = u.a)
+select n::BIGINT as member_id, min(m)::BIGINT as keep_id
+from reach group by n order by member_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond reference): each purchase event joined to the
+    user's latest signup at or before it."""
+    from .operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    right = ev.where(F.col("event_type") == "signup") \
+        .select("user_id", "ts", F.col("value").alias("signup_value"))
+    out = asof_join(left, right, on="user_id")
+    return out.select(F.col("event_id").cast("long").alias("event_id"),
+                      F.col("user_id").cast("long").alias("user_id"),
+                      F.round(F.col("value"), 4).alias("value"),
+                      F.round(F.col("signup_value"), 4).alias("signup_value")) \
+        .orderBy("event_id")
+
+
+SQL_ASOF_JOIN = """
+select l.event_id::BIGINT as event_id, l.user_id::BIGINT as user_id,
+       round(l.value, 4) as value, round(r.value, 4) as signup_value
+from (select * from events where event_type = 'purchase') l
+asof left join (select * from events where event_type = 'signup') r
+  on l.user_id = r.user_id and l.ts >= r.ts
+order by event_id
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
@@ -991,6 +1061,8 @@ def queries() -> dict:
         "x10_media_meta": q_media_meta,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
+        "x13_dup_groups": q_dup_groups,
+        "x14_asof_join": q_asof_join,
         "j4_join_sample": q_join_sample,
         "e1_estimate_qerror": q_estimate_qerror,
         "e2_nar_qerror": q_nar_qerror,
@@ -1036,5 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "x10_media_meta": SQL_MEDIA_META,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
+        "x13_dup_groups": SQL_DUP_GROUPS,
+        "x14_asof_join": SQL_ASOF_JOIN,
         # j4_join_sample, e1_estimate_qerror: randomized -> rows-only checks
     }

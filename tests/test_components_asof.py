@@ -1,0 +1,93 @@
+"""Connected-components dedup groups + as-of join, both against exact
+DuckDB oracles (recursive CTE / native ASOF JOIN)."""
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.asof import asof_join
+from scardina_spark.operators.components import (
+    connected_components, dedup_by_groups, dup_groups)
+
+
+def test_components_multihop_chain(spark):
+    # chain 1-2-3-4 plus island 7-8: transitive closure needs >1 round
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["id_a", "id_b"])
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_components_match_duckdb_recursive(spark, duck):
+    """Deterministic synthetic pair graph over documents; oracle = DuckDB
+    recursive CTE computing min-reachable-id."""
+    pairs_sql = """
+        select d1.doc_id as id_a, d2.doc_id as id_b
+        from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 2
+        where d1.doc_id % 7 = 0
+        union
+        select d1.doc_id, d2.doc_id
+        from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 4
+        where d1.doc_id % 14 = 0
+    """
+    want = dict(duck.sql(f"""
+        with recursive und as (
+          select id_a a, id_b b from ({pairs_sql})
+          union select id_b, id_a from ({pairs_sql})),
+        reach(n, m) as (
+          select a, a from und
+          union
+          select r.n, u.b from reach r join und u on r.m = u.a)
+        select n as member_id, min(m) as keep_id from reach group by n
+    """).fetchall())
+    docs = duck.sql("select doc_id from documents").df()
+    d = spark.createDataFrame(docs)
+    d2 = d.withColumnRenamed("doc_id", "doc_id2")
+    p1 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 2) \
+        .where(F.col("doc_id") % 7 == 0)
+    p2 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 4) \
+        .where(F.col("doc_id") % 14 == 0)
+    pairs = (p1.unionByName(p2)
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id2").alias("id_b")).distinct())
+    got = {r["member_id"]: r["keep_id"] for r in dup_groups(pairs).collect()}
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_dedup_by_groups_keeps_one_per_component(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_by_groups(df, pairs).collect())
+    assert kept == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_asof_join_matches_duckdb(spark, tables, duck):
+    ev = tables["events"]
+    left = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    right = ev.where(F.col("event_type") == "signup") \
+        .select("user_id", "ts", F.col("value").alias("signup_value"))
+    out = asof_join(left, right, on="user_id")
+    got = {r["event_id"]: r["signup_value"] for r in out.collect()}
+    want = dict(duck.sql("""
+        select l.event_id, r.value
+        from (select * from events where event_type = 'purchase') l
+        asof left join (select * from events where event_type = 'signup') r
+          on l.user_id = r.user_id and l.ts >= r.ts
+    """).fetchall())
+    assert len(got) == len(want)
+    for k, v in want.items():
+        g = got[k]
+        assert (g is None and v is None) or abs(g - v) < 1e-9, (k, g, v)
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t + dt.timedelta(seconds=100), 1.0)], ["k", "ts", "v"])
+    right = spark.createDataFrame(
+        [(1, t, 9.9)], ["k", "ts", "snap"])
+    hit = asof_join(left, right, on="k", tolerance_seconds=200).collect()[0]
+    assert hit["snap"] == 9.9
+    miss = asof_join(left, right, on="k", tolerance_seconds=50).collect()[0]
+    assert miss["snap"] is None
