@@ -91,6 +91,99 @@ def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     return topk_cosine(cands.drop("bucket"), query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding", out_col: str = "cell",
+               ) -> DataFrame:
+    """Assign each vector to its nearest centroid by inner product
+    (ties -> lowest cell id).  The IVF coarse-quantization step.
+
+    Scale design: centroids are a small (k, d) matrix that ships to every
+    task as literals (broadcast-by-construction).  For k <= 64 the argmax
+    is a pure JVM projection (``array`` of dots + ``array_position`` of the
+    max -> first occurrence = deterministic lowest-index tie-break) that
+    stays inside whole-stage codegen.  For larger k an Arrow-batched
+    ``mapInPandas`` does one numpy matmul per batch — O(batch*k*d) BLAS,
+    no shuffle either way.
+    """
+    k = len(centroids)
+    if k <= 64:
+        sims = F.array(*[dot(F.col(vec_col), _lit_vec(c)) for c in centroids])
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        return df.withColumn(out_col, cell)
+
+    import pandas as pd  # noqa: PLC0415
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (d, k)
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` int"])
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = (vecs @ cmat).argmax(axis=1).astype("int32")
+            yield pdf.assign(**{out_col: pd.Series(cells, index=pdf.index)})
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
+              vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic k-means coarse quantizer: init = first ``k`` vectors
+    by id order (standard sampled-init for IVF), then ``iters`` Lloyd
+    steps.
+
+    Each step is assign (no shuffle) + per-cell elementwise mean via
+    ``posexplode`` -> ``groupBy(cell, pos)``, which Catalyst executes with
+    map-side partial aggregation — shuffle volume is O(parts * k * d), not
+    O(rows * d).  Empty cells keep their previous centroid.
+    """
+    id_cols = [c for c in df.columns if c != vec_col]
+    first = (df.orderBy(*id_cols).limit(k)
+             .select(vec_col).collect())
+    centroids = [[float(x) for x in r[0]] for r in first]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(F.col(vec_col))
+                            .alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .collect())
+        nxt = list(centroids)
+        for r in rows:
+            nxt[r["cell"]] = [float(p["m"]) for p in r["pm"]]
+        centroids = nxt
+    return centroids
+
+
+def topk_cosine_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
+                    centroids: list[list[float]] | None = None,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k, IVF-Flat: probe the ``nprobe`` cells whose centroids
+    score highest against the query, exact cosine inside them only.
+
+    At scale the assigned table is written partitioned by ``cell`` so the
+    probe filter becomes partition pruning — the scan touches nprobe/k of
+    the data; here the filter is an ordinary pushed-down predicate.
+    """
+    if centroids is None:
+        centroids = ivf_train(df, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = [(float(q @ np.asarray(c, dtype=np.float64)), i)
+            for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    cands = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
 def near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                    planes: list[list[float]] | None = None, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",

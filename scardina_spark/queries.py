@@ -794,6 +794,74 @@ order by id_a, id_b
 """
 
 
+def _ivf_seed_centroids(emb: DataFrame, k: int = 8) -> list[list[float]]:
+    rows = emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (ANN scale path): per-cell histogram under
+    a sampled quantizer (centroids = embeddings of vec_id < 8).  At scale
+    the assigned table is written partitioned by cell so probes become
+    partition pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_seed_centroids(emb)
+    return (SIM.ivf_assign(emb, cents)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cell"))
+
+
+SQL_IVF_CELLS = """
+with cents as (
+  select vec_id as cell, embedding::DOUBLE[] as cv
+  from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, c.cell,
+         row_number() over (partition by e.vec_id
+             order by list_dot_product(e.embedding::DOUBLE[], c.cv) desc,
+                      c.cell) as rn
+  from embeddings e cross join cents c)
+select cell::INT as cell, count(*) as n
+from best where rn = 1 group by cell order by cell
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 to vec_id 0's embedding, probing the 2 nearest
+    of 8 cells; exact cosine inside the probed cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_seed_centroids(emb)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.topk_cosine_ivf(emb, qv, 10, centroids=cents, nprobe=2)
+
+
+SQL_IVF_TOPK = """
+with cents as (
+  select vec_id as cell, embedding::DOUBLE[] as cv
+  from embeddings where vec_id < 8),
+q as (select embedding::DOUBLE[] as v from embeddings where vec_id = 0),
+assigned as (
+  select e.vec_id, e.embedding, c.cell,
+         row_number() over (partition by e.vec_id
+             order by list_dot_product(e.embedding::DOUBLE[], c.cv) desc,
+                      c.cell) as rn
+  from embeddings e cross join cents c),
+probe as (
+  select cell from cents, q
+  order by list_dot_product(q.v, cv) desc, cell limit 2)
+select a.vec_id,
+       round(list_dot_product(a.embedding::DOUBLE[], q.v) /
+             greatest(sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6)
+         as cos_sim
+from assigned a join probe using (cell), q
+where a.rn = 1
+order by cos_sim desc, a.vec_id limit 10
+"""
+
+
 def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental refresh (beyond reference): fk counts merged from an
     80/20 old/delta split must equal the from-scratch full counts — the
@@ -1058,6 +1126,8 @@ def queries() -> dict:
         "x7_fingerprint": q_fingerprint,
         "x8_sim_topk": q_sim_topk,
         "x9_lsh_buckets": q_lsh_buckets,
+        "x15_ivf_cells": q_ivf_cells,
+        "x16_ivf_topk": q_ivf_topk,
         "x10_media_meta": q_media_meta,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
@@ -1105,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         "x7_fingerprint": SQL_FINGERPRINT,
         "x8_sim_topk": SQL_SIM_TOPK,
         "x9_lsh_buckets": sql_lsh_buckets(),
+        "x15_ivf_cells": SQL_IVF_CELLS,
+        "x16_ivf_topk": SQL_IVF_TOPK,
         "x10_media_meta": SQL_MEDIA_META,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,

@@ -65,6 +65,58 @@ def test_lsh_recall_against_bruteforce(tables, query_vec):
     assert exact & approx
 
 
+def test_ivf_assign_matches_numpy(tables):
+    emb = tables["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    got = {r["vec_id"]: r["cell"]
+           for r in S.ivf_assign(emb, cents).select("vec_id", "cell").collect()}
+    cmat = np.asarray(cents, dtype=np.float64).T
+    for r in emb.collect():
+        v = np.asarray([float(x) for x in r["embedding"]])
+        assert got[r["vec_id"]] == int((v @ cmat).argmax())
+
+
+def test_ivf_assign_large_k_pandas_path(tables):
+    emb = tables["embeddings"]
+    rows = emb.orderBy("vec_id").limit(65).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    df = S.ivf_assign(emb, cents)
+    counts = df.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    # each seed vector is its own nearest centroid (random vectors)
+    got = {r["vec_id"]: r["cell"]
+           for r in df.select("vec_id", "cell").collect()}
+    hits = sum(1 for i in range(65) if got[rows[i]["vec_id"]] == i)
+    assert hits >= 60
+
+
+def test_ivf_train_reduces_distortion(tables):
+    emb = tables["embeddings"]
+    init = [[float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(4).collect()]
+    trained = S.ivf_train(emb, k=4, iters=2)
+    assert len(trained) == 4 and len(trained[0]) == 64
+    # Lloyd steps move centroids off the raw seed vectors
+    assert any(np.linalg.norm(np.asarray(a) - np.asarray(b)) > 1e-6
+               for a, b in zip(init, trained))
+    # determinism
+    again = S.ivf_train(emb, k=4, iters=2)
+    assert trained == again
+
+
+def test_ivf_topk_probe_subset(tables, query_vec):
+    emb = tables["embeddings"]
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()]
+    ann = S.topk_cosine_ivf(emb, query_vec, 10, centroids=cents, nprobe=2)
+    rows = ann.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0]["vec_id"] == 0  # query's own vector in the probed cell
+    exact = {r["vec_id"] for r in S.topk_cosine(emb, query_vec, 10).collect()}
+    assert exact & {r["vec_id"] for r in rows}
+
+
 def test_cosine_matches_numpy(spark):
     a = [1.0, 2.0, 3.0]
     b = [4.0, 5.0, 6.0]
