@@ -1,0 +1,97 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The scale path for COUNT(DISTINCT) at 100 TB: an exact distinct count
+shuffles every distinct value; a KMV sketch reduces each group to its k
+smallest distinct hash values — a bounded, *mergeable* summary, so
+partial sketches combine map-side and across incremental batches
+(semigroup merge, like `operators/incremental.py` count merging).
+
+Estimator: with U_(k) the k-th smallest of n uniform hashes on [0, 1),
+E[U_(k)] = k/(n+1), so  D ≈ (k-1) / U_(k)  (the standard unbiased KMV
+estimate, Beyer et al., SIGMOD'07).  When a group holds fewer than k
+distinct hashes the sketch IS the exact distinct set.
+
+Determinism / oracle parity: the hash is the first 8 hex chars of
+md5(value) read as a 32-bit integer — reproducible bit-for-bit in DuckDB
+(nibble polynomial), so the driver's oracle can replay sketches exactly.
+32 bits keeps every value exactly representable in a double on both
+engines (collision error is negligible below ~10^7 distinct; at real
+100 TB scale swap in ``xxhash64`` and widen to 64 bits).
+
+Reference anchor: Scardina keeps exact per-column distinct dictionaries
+(`datasets.py:224-253`); a KMV sketch is the sub-linear stand-in for the
+same statistic when the domain itself is data-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_SPACE = float(2**32)
+
+
+def kmv_hash(col: F.Column | str) -> F.Column:
+    """32-bit deterministic hash: first 8 md5 hex chars as an integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10) \
+        .cast("long")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64,
+               group_cols: list[str] | None = None,
+               n_salts: int = 16) -> DataFrame:
+    """Per-group sketch: (group..., hashes array<long> — the k smallest
+    distinct hash values, ascending).
+
+    Two-phase salted top-k, fully declarative: phase 1 dedups hashes
+    (map-side combinable groupBy) and takes the k smallest per
+    (group, salt); phase 2 merges the ≤ n_salts*k survivors per group.
+    No group ever funnels its whole distinct set through one task — the
+    same shape as `operators/skew.salted_group_agg`.  Salting partitions
+    the hash space disjointly, so cross-salt duplicates are impossible
+    and the result is exactly the k smallest distinct hashes.
+    """
+    group_cols = group_cols or []
+    h = (df.select(*group_cols, kmv_hash(col).alias("__kh__"))
+         .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__"))
+         .withColumn("__salt__", F.pmod(F.col("__kh__"), F.lit(n_salts))))
+    part = (h.groupBy(*group_cols, "__salt__")
+            .agg(F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
+                 .alias("__part__")))
+    return (part.select(*group_cols, F.explode("__part__").alias("__kh__"))
+            .groupBy(*group_cols)
+            .agg(F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
+                 .alias("hashes")))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two sketch tables (semigroup op): union the hash sets per
+    group, dedup, keep the k smallest.  merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) exactly — the property that makes partial sketches
+    composable across partitions, executors, and incremental batches."""
+    group_cols = group_cols or []
+    both = a.unionByName(b)
+    ex = (both.select(*group_cols, F.explode("hashes").alias("__kh__"))
+          .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__")))
+    return (ex.groupBy(*group_cols)
+            .agg(F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
+                 .alias("hashes")))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., distinct_est double): (k-1)/U_(k) when the sketch is
+    full, else the exact count of distinct hashes seen."""
+    group_cols = group_cols or []
+    n = F.size("hashes")
+    kth = F.element_at("hashes", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth)
+    return sketch.select(*group_cols, F.round(est, 4).alias("distinct_est"))
+
+
+def approx_distinct(df: DataFrame, col: str, k: int = 64,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """End-to-end: sketch then estimate distinct ``col`` per group."""
+    return kmv_estimate(kmv_sketch(df, col, k, group_cols), k, group_cols)

@@ -862,6 +862,192 @@ order by cos_sim desc, a.vec_id limit 10
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (beyond reference): per event_type,
+    approximate distinct users from the 32 smallest md5 hash values —
+    the mergeable, bounded-size stand-in for COUNT(DISTINCT) at scale."""
+    from .operators import sketches as SK
+    ev = load_table(spark, sf_dir, "events")
+    return (SK.approx_distinct(ev, "user_id", k=32,
+                               group_cols=["event_type"])
+            .orderBy("event_type"))
+
+
+def sql_kmv_distinct(k: int = 32) -> str:
+    poly = " + ".join(
+        f"(instr('0123456789abcdef', substr(__h__, {i + 1}, 1)) - 1)"
+        f" * {16 ** (8 - i - 1)}"
+        for i in range(8))
+    return f"""
+with h as (
+  select distinct event_type,
+         ({poly}) as kh
+  from (select event_type,
+               substr(md5(user_id::VARCHAR), 1, 8) as __h__
+        from events)),
+r as (
+  select event_type, kh,
+         row_number() over (partition by event_type order by kh) as rn
+  from h)
+select event_type,
+       round(case when count(*) < {k} then count(*)::DOUBLE
+                  else {float(k - 1)} * 4294967296.0
+                       / max(case when rn = {k} then kh end)::DOUBLE
+             end, 4) as distinct_est
+from r where rn <= {k}
+group by event_type order by event_type
+"""
+
+
+def _duck_kmv_poly(inner: str) -> str:
+    """DuckDB expression for sketches.kmv_hash(inner): first 8 md5 hex
+    chars as an integer, via a nibble polynomial (bit-exact parity)."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({inner}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (8 - i - 1)}"
+        for i in range(8)) + ")"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (beyond reference): 5 documents
+    per language, selected by smallest md5-hash rank — a seeded uniform
+    draw that is reproducible across engines and cluster layouts."""
+    from .operators import sampling as SA
+    docs = load_table(spark, sf_dir, "documents")
+    return (SA.stratified_sample(docs, ["lang"], 5, "doc_id")
+            .select("lang", F.col("doc_id").cast("long").alias("doc_id"))
+            .orderBy("lang", "doc_id"))
+
+
+def sql_stratified_sample(n: int = 5) -> str:
+    kh = _duck_kmv_poly("doc_id::VARCHAR")
+    return f"""
+with r as (
+  select lang, doc_id,
+         row_number() over (partition by lang
+                            order by {kh} asc, doc_id asc) as rk
+  from documents)
+select lang, doc_id::BIGINT as doc_id
+from r where rk <= {n} order by lang, doc_id
+"""
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split (beyond reference): membership
+    is a pure function of the row id, so the split survives reruns and
+    stays aligned across derived tables.  Returns per-split counts."""
+    from .operators import sampling as SA
+    docs = load_table(spark, sf_dir, "documents")
+    train, hold = SA.split_train_holdout(docs, 0.2, "doc_id")
+    t = train.select(F.lit("train").alias("split"), "doc_id")
+    h = hold.select(F.lit("holdout").alias("split"), "doc_id")
+    return (t.unionByName(h).groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").cast("long").alias("min_id"))
+            .orderBy("split"))
+
+
+def sql_holdout_split(holdout: float = 0.2) -> str:
+    kh = _duck_kmv_poly("'split' || doc_id::VARCHAR")
+    return f"""
+select case when {kh} / 4294967296.0 < {holdout}
+            then 'holdout' else 'train' end as split,
+       count(*) as n, min(doc_id)::BIGINT as min_id
+from documents group by 1 order by split
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (beyond reference): count events whose ts falls
+    inside each order's [orderdate, orderdate + 1 day) window — a pure
+    interval join with no equi-key, rewritten as a bucket equi-join."""
+    from .operators.rangejoin import range_join
+    ev = load_table(spark, sf_dir, "events") \
+        .select(F.unix_timestamp("ts").alias("p"), "event_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("lo"),
+        (F.unix_timestamp("o_orderdate") + 86400).alias("hi"))
+    j = range_join(ev, orders, "p", "lo", "hi", bucket_width=86400.0)
+    return (j.groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("o_orderkey"))
+
+
+SQL_RANGE_JOIN = """
+select o.o_orderkey::BIGINT as o_orderkey, count(*) as n_events
+from orders o join events e
+  on e.ts >= o.o_orderdate
+ and e.ts < o.o_orderdate + interval 1 day
+group by 1 order by o_orderkey
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (beyond reference): hour/day/week aggregates of
+    events where each coarser level re-aggregates the finer aggregate —
+    one base-table scan for all levels."""
+    from .operators.rollup import time_rollup
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    return (time_rollup(ev, "ts", "value")
+            .orderBy("level", "bucket_start"))
+
+
+SQL_TIME_ROLLUP = """
+with ev as (select ts, value::DECIMAL(18,6) as v from events),
+lv as (
+  select 'hour' as level, date_trunc('hour', ts) as bucket_start,
+         count(*) as n, sum(v) as sv from ev group by 1, 2
+  union all
+  select 'day', date_trunc('day', ts), count(*), sum(v)
+  from ev group by 1, 2
+  union all
+  select 'week', date_trunc('week', ts), count(*), sum(v)
+  from ev group by 1, 2)
+select level, bucket_start, n,
+       round(sv::DOUBLE, 4) as sum_value,
+       round(sv::DOUBLE / n, 4) as avg_value
+from lv order by level, bucket_start
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
+    segment, customers with at least one order (left_semi) and with none
+    (left_anti).  Both sides prune to the join key before the shuffle;
+    Catalyst broadcasts the distinct-key build side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                      "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_with_orders")))
+    anti = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                      "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_without_orders")))
+    return (semi.join(anti, "c_mktsegment", "full_outer")
+            .select("c_mktsegment",
+                    F.coalesce("n_with_orders", F.lit(0))
+                    .alias("n_with_orders"),
+                    F.coalesce("n_without_orders", F.lit(0))
+                    .alias("n_without_orders"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_SEMI_ANTI_JOIN = """
+select c_mktsegment,
+       count(*) filter (where exists (
+         select 1 from orders o where o.o_custkey = c.c_custkey))
+         as n_with_orders,
+       count(*) filter (where not exists (
+         select 1 from orders o where o.o_custkey = c.c_custkey))
+         as n_without_orders
+from customer c group by 1 order by c_mktsegment
+"""
+
+
 def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental refresh (beyond reference): fk counts merged from an
     80/20 old/delta split must equal the from-scratch full counts — the
@@ -1128,6 +1314,12 @@ def queries() -> dict:
         "x9_lsh_buckets": q_lsh_buckets,
         "x15_ivf_cells": q_ivf_cells,
         "x16_ivf_topk": q_ivf_topk,
+        "x17_kmv_distinct": q_kmv_distinct,
+        "x18_stratified_sample": q_stratified_sample,
+        "x19_holdout_split": q_holdout_split,
+        "x20_range_join": q_range_join,
+        "x21_time_rollup": q_time_rollup,
+        "j10_semi_anti": q_semi_anti_join,
         "x10_media_meta": q_media_meta,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
@@ -1177,6 +1369,12 @@ def oracle_sql() -> dict[str, str]:
         "x9_lsh_buckets": sql_lsh_buckets(),
         "x15_ivf_cells": SQL_IVF_CELLS,
         "x16_ivf_topk": SQL_IVF_TOPK,
+        "x17_kmv_distinct": sql_kmv_distinct(),
+        "x18_stratified_sample": sql_stratified_sample(),
+        "x19_holdout_split": sql_holdout_split(),
+        "x20_range_join": SQL_RANGE_JOIN,
+        "x21_time_rollup": SQL_TIME_ROLLUP,
+        "j10_semi_anti": SQL_SEMI_ANTI_JOIN,
         "x10_media_meta": SQL_MEDIA_META,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,

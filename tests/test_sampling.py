@@ -1,0 +1,60 @@
+"""Deterministic sampling: Bernoulli hash filter, train/holdout split,
+stratified per-group draw."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators import sampling as SA
+
+
+def _frac(key: str) -> float:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_bernoulli_matches_python(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    got = {r["id"] for r in SA.bernoulli_sample(df, 0.3, "id").collect()}
+    want = {i for i in range(500) if _frac(str(i)) < 0.3}
+    assert got == want
+    assert 0.2 < len(got) / 500 < 0.4
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], ["id"])
+    tr, ho = SA.split_train_holdout(df, 0.25, "id")
+    t = {r["id"] for r in tr.collect()}
+    h = {r["id"] for r in ho.collect()}
+    assert t | h == set(range(400)) and not (t & h)
+    # membership is id-keyed: repartitioned input gives the same split
+    t2 = {r["id"] for r in
+          SA.split_train_holdout(df.repartition(7), 0.25, "id")[0].collect()}
+    assert t2 == t
+
+
+def test_salts_decorrelate(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    a = {r["id"] for r in SA.bernoulli_sample(df, 0.5, "id", salt="a").collect()}
+    b = {r["id"] for r in SA.bernoulli_sample(df, 0.5, "id", salt="b").collect()}
+    overlap = len(a & b) / 1000
+    assert 0.15 < overlap < 0.35  # ~0.25 if independent
+
+
+def test_stratified_exact_n_per_group(tables):
+    docs = tables["documents"]
+    out = SA.stratified_sample(docs, ["lang"], 3, "doc_id")
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, total in sizes.items():
+        assert by_lang[lang] == min(3, total)
+
+
+def test_stratified_picks_smallest_hashes(spark):
+    rows = [(i, "g") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    got = sorted(r["id"] for r in
+                 SA.stratified_sample(df, ["g"], 5, "id").collect())
+    want = sorted(sorted(range(50), key=lambda i: (_frac(str(i)), i))[:5])
+    assert got == want

@@ -1,0 +1,73 @@
+"""KMV distinct-count sketch: exactness below k, estimator formula,
+semigroup merge, and accuracy against the true distinct count."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators import sketches as SK
+
+
+def _kmv_py(values, k):
+    hs = sorted({int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                 for v in values})[:k]
+    return hs
+
+
+def test_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["v"])
+    got = {r["v"]: r["h"]
+           for r in df.select("v", SK.kmv_hash("v").alias("h")).collect()}
+    for v in range(50):
+        assert got[v] == int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_sketch_is_k_smallest_distinct(spark):
+    vals = [i % 40 for i in range(400)]  # heavy duplication
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = SK.kmv_sketch(df, "v", k=8).collect()
+    assert len(sk) == 1
+    assert sk[0]["hashes"] == _kmv_py(set(vals), 8)
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], ["v"])
+    est = SK.approx_distinct(df, "v", k=32).collect()
+    assert est[0]["distinct_est"] == 5.0
+
+
+def test_estimate_formula(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["v"])
+    k = 64
+    est = SK.approx_distinct(df, "v", k=k).first()["distinct_est"]
+    kth = _kmv_py(range(1000), k)[-1]
+    assert est == round((k - 1) * SK.HASH_SPACE / kth, 4)
+    # the estimator should land near the truth
+    assert 700 < est < 1400
+
+
+def test_merge_equals_whole(spark):
+    a = spark.createDataFrame([(i,) for i in range(300)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(200, 600)], ["v"])
+    k = 16
+    merged = SK.kmv_merge(SK.kmv_sketch(a, "v", k), SK.kmv_sketch(b, "v", k),
+                          k).first()["hashes"]
+    whole = SK.kmv_sketch(a.unionByName(b), "v", k).first()["hashes"]
+    assert merged == whole == _kmv_py(range(600), k)
+
+
+def test_grouped_sketch_on_events(tables):
+    ev = tables["events"]
+    k = 32
+    est = {r["event_type"]: r["distinct_est"]
+           for r in SK.approx_distinct(ev, "user_id", k=k,
+                                       group_cols=["event_type"]).collect()}
+    true = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(true)
+    for t, d in true.items():
+        if d < k:
+            assert est[t] == float(d)
+        else:
+            assert 0.5 * d <= est[t] <= 2.0 * d, (t, est[t], d)
