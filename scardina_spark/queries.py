@@ -1012,6 +1012,32 @@ from lv order by level, bucket_start
 """
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen dedup — each user's earliest event emitted once, replays
+    suppressed by per-key state.  Drained with availableNow; must equal
+    the batch earliest-event-per-user oracle."""
+    from .streaming import first_seen_dedup_stream, read_events_stream, \
+        run_to_memory_sink
+    st = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(first_seen_dedup_stream(st),
+                             "q_stream_first_seen", output_mode="update")
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("event_id").cast("long").alias("event_id"),
+                       "ts")
+            .orderBy("user_id"))
+
+
+SQL_STREAM_FIRST_SEEN = """
+select user_id::BIGINT as user_id, event_id::BIGINT as event_id, ts
+from (select user_id, event_id, ts,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as rn
+      from events)
+where rn = 1 order by user_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -1303,6 +1329,7 @@ def queries() -> dict:
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
         "st4_stream_sessions": q_stream_sessions,
+        "st5_stream_first_seen": q_stream_first_seen,
         "x1_dedup_exact": q_dedup_exact,
         "x2_minhash_sigs": q_minhash_sigs,
         "x3_ngram_jaccard": q_ngram_jaccard,
@@ -1358,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "st2_sessionize": SQL_SESSIONIZE,
         "st3_stream_window": SQL_WINDOW_HOURLY,
         "st4_stream_sessions": SQL_STREAM_SESSIONS,
+        "st5_stream_first_seen": SQL_STREAM_FIRST_SEEN,
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_minhash_sigs": SQL_MINHASH_SIGS,
         "x3_ngram_jaccard": SQL_NGRAM_JACCARD,

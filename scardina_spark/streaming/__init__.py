@@ -4,3 +4,4 @@ from .events import (  # noqa: F401
     windowed_counts_stream,
     run_to_memory_sink,
 )
+from .stateful import first_seen_dedup_stream  # noqa: F401

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Streaming first-seen dedup: emit each key's earliest event once and
+suppress every later occurrence — the streaming twin of exact dedup
+(`operators/dedup.exact_dedup`), which a continuous ingestion pipeline
+needs so re-sent or replayed documents don't re-enter the corpus.
+
+This is the pattern Spark's built-in windows can't express (the state is
+"have I ever emitted this key", unbounded in time), so it uses the
+arbitrary-stateful API: one GroupState per key holding the emitted
+row's identity.  State size is O(distinct keys) × a few bytes, spread
+across the state store's shuffle partitions; at 100 TB scale you bound
+it with a TTL (GroupStateTimeout) matching the replay horizon.
+
+Batches inside a micro-batch arrive unordered — the function picks the
+(ts, id) minimum across the batch iterator and compares it against
+state, so results are deterministic regardless of partitioning or
+trigger slicing (asserted in tests: one-file-per-trigger == one batch ==
+batch SQL oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def first_seen_dedup_stream(events: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", id_col: str = "event_id",
+                            ) -> DataFrame:
+    """One row per key: the earliest (ts, id) event ever seen on the
+    stream.  Output mode must be ``update`` — a later micro-batch can
+    revise a key's row only if it carries a strictly earlier event
+    (possible when the source replays or is out of order)."""
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        best = None  # (ts_epoch_int, id, original_ts_value)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            row = pdf.sort_values([ts_col, id_col]).iloc[0]
+            cand = (int(pd.Timestamp(row[ts_col]).value),
+                    int(row[id_col]), row[ts_col])
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        if best is None:
+            return
+        if state.exists:
+            prev = state.get
+            if (prev[0], prev[1]) <= best[:2]:
+                return  # already emitted an earlier-or-equal event
+        state.update(best[:2])
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            id_col: [best[1]],
+            ts_col: [best[2]],
+        })
+
+    out_schema = f"{key_col} bigint, {id_col} bigint, {ts_col} timestamp"
+    state_schema = "ts_us bigint, id bigint"
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -45,6 +45,18 @@ def test_range_join_bucket_width_invariance(spark):
     assert a == b
 
 
+def test_range_join_plan_is_equi_join(spark):
+    """The banded rewrite must execute as a hash equi-join on the bucket
+    id — a naive interval predicate would fall back to
+    BroadcastNestedLoopJoin (cartesian × filter), which is the plan
+    that dies at scale."""
+    pts, ivs = _points(spark), _intervals(spark)
+    plan = (range_join(pts, ivs, "p", "lo", "hi", 10.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_rollup_levels_consistent(tables):
     ev = tables["events"]
     out = time_rollup(ev, "ts", "value").cache()
