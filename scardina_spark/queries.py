@@ -1012,6 +1012,109 @@ from lv order by level, bucket_start
 """
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (absent in the reference, SURVEY §2.4): order
+    counts and revenue across all subtotal combinations of
+    (orderstatus, orderpriority).  Spark expands the cube map-side into
+    grouping-set tuples — one scan, one shuffle for all 4 subtotal
+    levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)")).cast("double"), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                     F.col("o_orderpriority").asc_nulls_first()))
+
+
+SQL_CUBE_AGG = """
+select o_orderstatus, o_orderpriority, count(*) as n,
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) as revenue
+from orders
+group by cube (o_orderstatus, o_orderpriority)
+order by o_orderstatus asc nulls first, o_orderpriority asc nulls first
+"""
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function analytics (absent in the reference, SURVEY §2.5):
+    per customer's order history — rank by price, previous order's
+    price (lag), and 3-order moving average.  One shuffle on the
+    partition key serves all three frames."""
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (orders
+            .where(F.col("o_custkey") < 50)
+            .select(
+                F.col("o_custkey").cast("long").alias("o_custkey"),
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.rank().over(
+                    Window.partitionBy("o_custkey")
+                    .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+                .alias("price_rank"),
+                F.round(F.lag(price).over(w).cast("double"), 2)
+                .alias("prev_price"),
+                F.round((F.sum(price).over(w.rowsBetween(-2, 0))
+                         / F.count(F.lit(1)).over(w.rowsBetween(-2, 0)))
+                        .cast("double"), 4)
+                .alias("moving_avg3"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+SQL_WINDOW_FUNCS = """
+with o as (select *, o_totalprice::DECIMAL(18,2) as price
+           from orders where o_custkey < 50)
+select o_custkey::BIGINT as o_custkey, o_orderkey::BIGINT as o_orderkey,
+       rank() over (partition by o_custkey
+                    order by o_totalprice desc, o_orderkey) as price_rank,
+       round((lag(price) over w)::DOUBLE, 2) as prev_price,
+       round((sum(price) over (w rows between 2 preceding and current row)
+              / count(*) over (w rows between 2 preceding and current row)
+             )::DOUBLE, 4) as moving_avg3
+from o
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+order by o_custkey, o_orderkey
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL set operations (absent in the reference, SURVEY §2.5 O5):
+    nations that supply parts (via supplier) vs nations with customers —
+    INTERSECT and EXCEPT both ways, one labeled union.  Each set op is a
+    distinct-aggregate-shaped shuffle on the key."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    both = sup.intersect(cust).withColumn("which", F.lit("both"))
+    sup_only = sup.subtract(cust).withColumn("which", F.lit("supplier_only"))
+    cust_only = cust.subtract(sup).withColumn("which", F.lit("customer_only"))
+    return (both.unionByName(sup_only).unionByName(cust_only)
+            .select("which", F.col("nationkey").cast("long")
+                    .alias("nationkey"))
+            .orderBy("which", "nationkey"))
+
+
+SQL_SET_OPS = """
+with s as (select s_nationkey as nationkey from supplier),
+     c as (select c_nationkey as nationkey from customer),
+lab as (
+  select 'both' as which, nationkey from (
+    select nationkey from s intersect select nationkey from c)
+  union all
+  select 'supplier_only', nationkey from (
+    select nationkey from s except select nationkey from c)
+  union all
+  select 'customer_only', nationkey from (
+    select nationkey from c except select nationkey from s))
+select which, nationkey::BIGINT as nationkey
+from lab order by which, nationkey
+"""
+
+
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     first-seen dedup — each user's earliest event emitted once, replays
@@ -1347,6 +1450,9 @@ def queries() -> dict:
         "x20_range_join": q_range_join,
         "x21_time_rollup": q_time_rollup,
         "j10_semi_anti": q_semi_anti_join,
+        "a9_cube": q_cube_agg,
+        "a10_window_funcs": q_window_funcs,
+        "o2_set_ops": q_set_ops,
         "x10_media_meta": q_media_meta,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
@@ -1403,6 +1509,9 @@ def oracle_sql() -> dict[str, str]:
         "x20_range_join": SQL_RANGE_JOIN,
         "x21_time_rollup": SQL_TIME_ROLLUP,
         "j10_semi_anti": SQL_SEMI_ANTI_JOIN,
+        "a9_cube": SQL_CUBE_AGG,
+        "a10_window_funcs": SQL_WINDOW_FUNCS,
+        "o2_set_ops": SQL_SET_OPS,
         "x10_media_meta": SQL_MEDIA_META,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
