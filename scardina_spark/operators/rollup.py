@@ -41,8 +41,9 @@ def time_rollup(df: DataFrame, ts_col: str, value_col: str,
                .agg(F.sum("n").alias("n"),
                     F.sum("sum_value").alias("sum_value")))
         out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
-    sv = F.col("sum_value").cast("double")
+    # n + sum are the sufficient statistics; the mean is derived at read
+    # time (a rounded sum/n quotient is not engine-reproducible when the
+    # double lands on a rounding midpoint — see queries.q_window_hourly)
     return out.select(
         "level", "bucket_start", "n",
-        F.round(sv, 4).alias("sum_value"),
-        F.round(sv / F.col("n"), 4).alias("avg_value"))
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"))

@@ -467,14 +467,22 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").getField("start").alias("hour"),
                    "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             # decimal sum: exact and order-independent.  A rounded
+             # sum/n quotient is NOT oracle-safe — when the double lands
+             # within 1 ulp of a rounding midpoint (seen at sf0.1),
+             # Spark's BigDecimal HALF_UP and DuckDB's binary rounding
+             # disagree in the last decimal — so expose the exact sum
+             # and let readers derive the mean.
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
         .orderBy("hour", "event_type")
     )
 
 
 SQL_WINDOW_HOURLY = """
 select date_trunc('hour', ts) as hour, event_type,
-       count(*) as n, round(avg(value), 4) as avg_value
+       count(*) as n,
+       sum(value::DECIMAL(18,6))::DOUBLE as sum_value
 from events group by 1, 2 order by hour, event_type
 """
 
@@ -1006,8 +1014,7 @@ lv as (
   select 'week', date_trunc('week', ts), count(*), sum(v)
   from ev group by 1, 2)
 select level, bucket_start, n,
-       round(sv::DOUBLE, 4) as sum_value,
-       round(sv::DOUBLE / n, 4) as avg_value
+       round(sv::DOUBLE, 4) as sum_value
 from lv order by level, bucket_start
 """
 

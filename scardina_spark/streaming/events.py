@@ -53,7 +53,11 @@ def windowed_counts_stream(events: DataFrame,
         .groupBy(F.window("ts", window).getField("start").alias("hour"),
                  "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             # decimal sum: exact and order-independent, so the stream
+             # matches the batch/DuckDB oracle bit-for-bit (see
+             # queries.q_window_hourly on why not a rounded mean)
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
     )
 
 

@@ -24,9 +24,9 @@ def test_stream_is_streaming(event_stream):
 def test_windowed_counts_match_batch(spark, sf_dir, event_stream):
     out = run_to_memory_sink(
         windowed_counts_stream(event_stream), "win_counts")
-    got = {(r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+    got = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
            for r in out.collect()}
-    want = {(r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+    want = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
             for r in q_window_hourly(spark, sf_dir).collect()}
     assert got == want
 
