@@ -241,6 +241,61 @@ class NarEstimator:
         drawn = (u > cdf).sum(axis=1)
         return mass, drawn
 
+    def _sample_masked_col(self, c: str, full_mask: np.ndarray,
+                           codes: np.ndarray, mask: np.ndarray,
+                           rs: np.random.RandomState
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Draw logical column ``c`` under its full-domain valid mask,
+        writing the drawn code(s) into ``codes``/``mask`` in place.
+        Returns (per-row mass [S], per-row full dictionary code [S]).
+        Factorized groups sample sub-columns most-significant-first with
+        per-row prefix masks (P4/P6) and reconstruct the full code."""
+        grp = self._group_for(c)
+        if not grp.is_factorized:
+            j = grp.model_idx[0]
+            p = self._conditional(codes, mask, j)
+            pm = p * full_mask[None, :]
+            mass, drawn = self._draw(pm, full_mask > 0, rs)
+            codes[:, j] = drawn
+            mask[:, j] = False
+            return mass, drawn
+        spec = grp.spec
+        S = len(codes)
+        total = np.ones(S)
+        prefix = np.zeros(S, dtype=np.int64)
+        for k in reversed(range(len(spec.sub_cols))):
+            j = grp.model_idx[k]
+            sub = spec.sub_cols[k]
+            p = self._conditional(codes, mask, j)
+            sm = _sub_masks_for_prefix(full_mask, spec, k, prefix)
+            if p.shape[1] != sm.shape[1]:
+                width = min(p.shape[1], sm.shape[1])
+                p = p[:, :width]
+                sm = sm[:, :width]
+            pm = p * sm
+            mass, drawn = self._draw(pm, sm > 0, rs)
+            total *= mass
+            codes[:, j] = drawn
+            mask[:, j] = False
+            prefix = prefix + ((drawn - 1) << sub.offset)
+        return total, prefix
+
+    def set_inherited(self, c: str, codes: np.ndarray, mask: np.ndarray,
+                      inh: np.ndarray) -> None:
+        """Write inherited full dictionary codes for logical column ``c``
+        into the model matrix (splitting into sub-codes when factorized)."""
+        grp = self._group_for(c)
+        if not grp.is_factorized:
+            j = grp.model_idx[0]
+            codes[:, j] = inh
+            mask[:, j] = False
+            return
+        for k, sub in enumerate(grp.spec.sub_cols):
+            j = grp.model_idx[k]
+            codes[:, j] = ((inh >> sub.offset)
+                           & ((1 << sub.window) - 1)) + 1
+            mask[:, j] = False
+
     def estimate(self, query: ParsedQuery | str) -> float:
         pq = parse_query(query) if isinstance(query, str) else query
         if len(pq.tables) != 1:
