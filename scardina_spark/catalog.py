@@ -83,6 +83,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         # integer division: epoch nanos exceed 2^53, a double round-trip
         # would be off by up to a microsecond
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        # parquet timestamps without tz read as TIMESTAMP_NTZ in Spark 4;
+        # session tz is pinned UTC, so this cast is an exact relabel and
+        # keeps one timestamp type flowing through every downstream op
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if columns:
         df = df.select(*columns)
     return df

@@ -86,6 +86,106 @@ def decode_stub(payload: bytes, kind: str) -> bytes:
     return bytes(payload[:16])
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_offset", LongType()),
+    StructField("frame_hex", StringType()),   # hex of decoded frame bytes
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  frame_bytes: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling over video/audio payloads.
+
+    Split of labor by design: frame *planning* (how many frames the payload
+    holds, which byte offsets to sample) is pure arithmetic and runs
+    JVM-side under whole-stage codegen; only the byte-touching *decode* of
+    each selected frame crosses into Python, in Arrow batches.  A real
+    ffmpeg-backed decoder replaces only the slice inside ``run`` below.
+
+    For payload of ``n_bytes``, the stub treats every ``frame_bytes`` chunk
+    as one frame; frame i of n samples chunk ``floor(i * total / n)``.
+    Deterministic, so the whole operator is oracle-checkable in SQL.
+    """
+    total = F.greatest(F.lit(1), F.floor(F.col("n_bytes") / frame_bytes))
+    planned = (
+        df.select("media_id", "payload", "n_bytes",
+                  total.cast("long").alias("total_frames"))
+        .select("media_id", "payload",
+                F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1)))
+                .alias("frame_idx"),
+                "total_frames")
+        .select(
+            "media_id", "payload",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.floor(F.col("frame_idx") * F.col("total_frames") / n_frames)
+             * frame_bytes).cast("long").alias("frame_offset"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = [
+                bytes(p or b"")[off:off + frame_bytes]
+                for p, off in zip(pdf["payload"], pdf["frame_offset"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "frame_idx": pdf["frame_idx"].values,
+                "frame_offset": pdf["frame_offset"].values,
+                "frame_hex": [f.hex() for f in frames],
+            })
+
+    return planned.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("orig_bytes", LongType()),
+    StructField("resized_bytes", LongType()),
+    StructField("scale_bp", LongType()),      # basis points: resized/orig
+    StructField("resized_head", StringType()),
+])
+
+
+def resize_batch(df: DataFrame, target_bytes: int = 64,
+                 size_classes: int = 8) -> DataFrame:
+    """Batched 'resize' with size-class co-location.
+
+    Arrow batch efficiency for image kernels depends on batch uniformity:
+    one 50 MB blob next to thousand 10 KB thumbnails makes a ragged batch
+    that stalls the vectorized kernel.  So rows are range-partitioned by
+    ``n_bytes`` first — each Arrow batch then holds similarly-sized
+    payloads.  The resize kernel itself is the deterministic stub
+    (truncate to ``target_bytes``); a real PIL/libvips resize replaces
+    only the slice line.
+    """
+    classed = df.select("media_id", "kind", "payload", "n_bytes") \
+        .repartitionByRange(size_classes, "n_bytes")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            resized = [bytes(p or b"")[:target_bytes] for p in pdf["payload"]]
+            orig = pdf["n_bytes"].values
+            rb = [len(r) for r in resized]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "orig_bytes": orig,
+                "resized_bytes": rb,
+                "scale_bp": [(b * 10_000) // o if o else 0
+                             for b, o in zip(rb, orig)],
+                "resized_head": [r[:8].hex() for r in resized],
+            })
+
+    return classed.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes.  The kernel is
     the stub above; the batch loop, schema and output contract are real."""

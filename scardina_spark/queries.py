@@ -1291,6 +1291,60 @@ from documents order by media_id
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: evenly-spaced frames decoded from binary
+    payloads via Arrow-batched ``mapInPandas`` (JVM-side frame planning,
+    Python-side decode kernel).  Deterministic stub -> oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs).where(F.col("kind") == "video")
+    return MM.sample_frames(media, n_frames=4, frame_bytes=4) \
+        .orderBy("media_id", "frame_idx")
+
+
+SQL_FRAME_SAMPLE = """
+with media as (
+  select doc_id::BIGINT as media_id, lower(hex(text::BLOB)) as payload_hex,
+         octet_length(text::BLOB)::BIGINT as n_bytes
+  from documents where doc_id % 3 = 2
+), planned as (
+  select media_id, payload_hex, i::INT as frame_idx,
+         (((i * greatest(1, n_bytes // 4)) // 4) * 4)::BIGINT as frame_offset
+  from media cross join generate_series(0, 3) as t(i)
+)
+select media_id, frame_idx, frame_offset,
+       substring(payload_hex, frame_offset::INT * 2 + 1, 8) as frame_hex
+from planned order by media_id, frame_idx
+"""
+
+
+def q_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize with size-class co-location: rows range-partitioned
+    by payload size so each Arrow batch holds similarly-sized blobs, then a
+    batched resize kernel (deterministic truncate stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.resize_batch(media, target_bytes=64).orderBy("media_id")
+
+
+SQL_RESIZE_BATCH = """
+with media as (
+  select doc_id::BIGINT as media_id,
+         case when doc_id % 3 = 0 then 'image'
+              when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+         lower(hex(text::BLOB)) as payload_hex,
+         octet_length(text::BLOB)::BIGINT as orig_bytes
+  from documents
+)
+select media_id, kind, orig_bytes,
+       least(orig_bytes, 64)::BIGINT as resized_bytes,
+       case when orig_bytes = 0 then 0
+            else (least(orig_bytes, 64) * 10000) // orig_bytes end::BIGINT
+         as scale_bp,
+       substring(payload_hex, 1, 16) as resized_head
+from media order by media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks): sampling + estimation
 # --------------------------------------------------------------------------
@@ -1394,6 +1448,123 @@ NAR_BENCH_QUERIES = {
 }
 
 
+def _d6(col):
+    """Per-row cast to decimal(18,6) before SUM: the double expression is
+    identical IEEE arithmetic in Spark and DuckDB, and the decimal sum is
+    exact and order-independent — the only oracle-safe way to aggregate
+    doubles (see q_window_hourly)."""
+    return col.cast("decimal(18,6)")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (beyond reference): scan-heavy grouped aggregation.
+    At scale this is the partial-aggregation showcase: map-side combine
+    collapses to 6 groups per partition before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_d6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+             F.sum(_d6(F.col("l_extendedprice"))).cast("double")
+             .alias("sum_base_price"),
+             F.sum(_d6(disc_price)).cast("double").alias("sum_disc_price"),
+             F.sum(_d6(charge)).cast("double").alias("sum_charge"),
+             F.count(F.lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_PRICING_SUMMARY = """
+select l_returnflag, l_linestatus,
+       sum((l_quantity)::DECIMAL(18,6))::DOUBLE as sum_qty,
+       sum((l_extendedprice)::DECIMAL(18,6))::DOUBLE as sum_base_price,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as sum_disc_price,
+       sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))
+         ::DOUBLE as sum_charge,
+       count(*) as count_order
+from lineitem where l_shipdate <= TIMESTAMP '1998-09-02'
+group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (beyond reference): 6-way join with explicit
+    broadcasts for the dimension tables (nation/region never justify a
+    shuffle at any scale) and a local-supplier equality that makes the
+    customer join selective."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(t["orders"].where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"],
+              (F.col("o_custkey") == F.col("c_custkey")) &
+              (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined.groupBy("r_name", "n_name")
+            .agg(F.sum(_d6(rev)).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("r_name", "n_name"))
+
+
+SQL_REGION_REVENUE = """
+select r_name, n_name,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as revenue,
+       count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+  and o_orderdate >= TIMESTAMP '1996-01-01'
+  and o_orderdate < TIMESTAMP '1998-01-01'
+join supplier on l_suppkey = s_suppkey
+join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, n_name order by r_name, n_name
+"""
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (beyond reference): selective dim filter broadcast
+    into a fact-fact join, grouped top-k by revenue."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    joined = (
+        t["orders"].where(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"].where(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey")))
+    return (joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(_d6(rev)).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10))
+
+
+SQL_SHIP_PRIORITY = """
+select o_orderkey, o_orderdate, o_orderpriority,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as revenue
+from orders
+join customer on o_custkey = c_custkey and c_mktsegment = 'BUILDING'
+join lineitem on l_orderkey = o_orderkey
+where o_orderdate < TIMESTAMP '1997-06-01'
+  and l_shipdate > TIMESTAMP '1997-06-01'
+group by o_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, o_orderkey limit 10
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -1461,6 +1632,11 @@ def queries() -> dict:
         "a10_window_funcs": q_window_funcs,
         "o2_set_ops": q_set_ops,
         "x10_media_meta": q_media_meta,
+        "x22_frame_sample": q_frame_sample,
+        "x23_resize_batch": q_resize_batch,
+        "a11_pricing_summary": q_pricing_summary,
+        "a12_region_revenue": q_region_revenue,
+        "a13_ship_priority": q_ship_priority,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -1520,6 +1696,11 @@ def oracle_sql() -> dict[str, str]:
         "a10_window_funcs": SQL_WINDOW_FUNCS,
         "o2_set_ops": SQL_SET_OPS,
         "x10_media_meta": SQL_MEDIA_META,
+        "x22_frame_sample": SQL_FRAME_SAMPLE,
+        "x23_resize_batch": SQL_RESIZE_BATCH,
+        "a11_pricing_summary": SQL_PRICING_SUMMARY,
+        "a12_region_revenue": SQL_REGION_REVENUE,
+        "a13_ship_priority": SQL_SHIP_PRIORITY,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

@@ -36,10 +36,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division — see catalog.load_table
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # exact relabel under the pinned-UTC session — see catalog.load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

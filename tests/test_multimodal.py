@@ -51,6 +51,32 @@ def test_decode_stub_rejects_unknown_kind():
         M.decode_stub(b"abc", "hologram")
 
 
+def test_frame_sampling_offsets_and_bytes(media):
+    frames = M.sample_frames(media, n_frames=4, frame_bytes=4)
+    rows = frames.orderBy("media_id", "frame_idx").collect()
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(rows) == 4 * len(src)
+    for r in rows:
+        payload = src[r["media_id"]]
+        total = max(1, len(payload) // 4)
+        want_off = (r["frame_idx"] * total // 4) * 4
+        assert r["frame_offset"] == want_off
+        assert r["frame_hex"] == payload[want_off:want_off + 4].hex()
+
+
+def test_resize_batch_contract(media):
+    out = M.resize_batch(media, target_bytes=64)
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        payload = src[mid]
+        assert r["orig_bytes"] == len(payload)
+        assert r["resized_bytes"] == min(64, len(payload))
+        assert r["scale_bp"] == (r["resized_bytes"] * 10_000) // len(payload)
+        assert r["resized_head"] == payload[:8].hex()
+
+
 def test_payload_size_repartition(media):
     out = M.repartition_by_payload_size(media, target_bytes=10_000)
     assert out.rdd.getNumPartitions() >= 2
