@@ -29,7 +29,9 @@ from scardina_spark.estimators import (  # noqa: E402
 from scardina_spark.estimators.sample import spanning_tree  # noqa: E402
 from scardina_spark.operators import dedup as DD  # noqa: E402
 from scardina_spark.operators import similarity as SIM  # noqa: E402
-from scardina_spark.queries import BENCH_QUERIES, q_group_agg, q_window_hourly  # noqa: E402
+from scardina_spark.queries import (  # noqa: E402
+    BENCH_QUERIES, q_group_agg, q_pricing_summary, q_region_revenue,
+    q_window_hourly)
 from scardina_spark.runner import run_benchmark  # noqa: E402
 from scardina_spark.session import get_spark  # noqa: E402
 
@@ -171,8 +173,11 @@ def main() -> None:
     extras["nar_mean_ms_per_query"] = round(sum(nar_ms) / len(nar_ms), 2)
 
     # 3. heavy relational: grouped aggregation (Q1 shape) + hourly windows
+    # + TPC-H-shape analytics (decimal-exact sums, broadcast dims)
     timed("group_agg", lambda: q_group_agg(spark, sf_dir).collect())
     timed("window_hourly", lambda: q_window_hourly(spark, sf_dir).collect())
+    timed("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect())
+    timed("region_revenue", lambda: q_region_revenue(spark, sf_dir).collect())
 
     # 4. dedup: minhash signatures + LSH candidates + jaccard verify
     docs = load_table(spark, sf_dir, "documents")

@@ -86,6 +86,25 @@ def test_textstats_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pricing_summary_pushes_date_filter_through_ntz_relabel(spark, sf_dir):
+    """The NTZ->TIMESTAMP relabel in load_table must not block parquet
+    pushdown: the shipdate filter has to reach the scan."""
+    from scardina_spark.queries import q_pricing_summary
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    assert "l_shipdate" in pushed
+    read = plan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_region_revenue_broadcasts_all_joins(spark, sf_dir):
+    """Q5 shape at this scale: every join broadcast, zero sort-merge."""
+    from scardina_spark.queries import q_region_revenue
+    plan = _plan(q_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
 def test_estimator_count_plan_prunes_unused_columns(spark, tables):
     """The exact estimator's COUNT over a join must not read payload
     columns of either table."""
