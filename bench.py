@@ -125,15 +125,22 @@ def main() -> None:
     from scardina_spark.estimators.sample import UnsupportedQueryError
     from scardina_spark.model import TrainConfig as _TC
     from scardina_spark.model.join_bridge import train_join_estimator
+    # every suite predicate column is modeled; near-continuous columns
+    # (prices, dates) bit-slice factorize above 2^11 codes — without this
+    # their domain-wide softmax heads dominate the training cost
     nar_ur = timed("joblight_nar_train", lambda: train_join_estimator(
         ts, ["lineitem.l_quantity", "lineitem.l_discount", "lineitem.l_tax",
              "lineitem.l_returnflag", "lineitem.l_linestatus",
+             "lineitem.l_shipdate", "lineitem.l_extendedprice",
              "orders.o_orderstatus", "orders.o_orderpriority",
+             "orders.o_orderdate", "orders.o_totalprice",
              "customer.c_mktsegment", "customer.c_nationkey",
-             "supplier.s_nationkey", "part.p_brand", "part.p_size",
+             "customer.c_name", "customer.c_acctbal",
+             "supplier.s_nationkey", "supplier.s_acctbal",
+             "part.p_brand", "part.p_size", "part.p_retailprice",
              "nation.n_name", "region.r_name"],
-        _TC(epochs=6, d_word=16, d_ff=64, batch_size=1024, seed=42),
-        sample_size=1000, max_rows=64_000))
+        _TC(epochs=8, d_word=24, d_ff=64, batch_size=1024, seed=42),
+        sample_size=1000, max_rows=64_000, fact_threshold=11))
     jn_q, jn_ms = [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():

@@ -155,30 +155,26 @@ class NarJoinEstimator(NarEstimator):
         mask = np.ones((S, self.model.C), dtype=bool)
         prob = np.ones(S)
         for c, inh in inherited.items():
-            j = self.model.cols.index(c)
-            codes[:, j] = inh
-            mask[:, j] = False
+            # full dictionary codes; split into sub-codes when factorized
+            self.set_inherited(c, codes, mask, inh)
 
         sampled: dict[str, np.ndarray] = {}
         masks = {c: valid_mask(self.domains[c], ps)
                  for c, ps in by_col.items()}
         for c in self._order_columns(masks):
-            j = self.model.cols.index(c)
-            p = self._conditional(codes, mask, j)
-            pm = p * masks[c][None, :]
-            mass, drawn = self._draw(pm, masks[c] > 0, rs)
+            # group-aware draw: factorized columns sample their bit-window
+            # sub-columns most-significant-first under projected masks
+            # (P4/P6) and return the reconstructed full code
+            mass, full = self._sample_masked_col(c, masks[c], codes, mask, rs)
             prob *= mass
-            codes[:, j] = drawn
-            mask[:, j] = False
-            sampled[c] = drawn
+            sampled[c] = full
 
         for c in extra_cols:
-            j = self.model.cols.index(c)
-            p = self._conditional(codes, mask, j)
-            _, drawn = self._draw(p, np.ones(p.shape[1], dtype=bool), rs)
-            codes[:, j] = drawn
-            mask[:, j] = False
-            sampled[c] = drawn
+            # unconstrained (mass 1): everything valid except the MASK slot
+            m = np.ones(self.domains[c].dom_size)
+            m[MASK_SLOT] = 0.0
+            _, full = self._sample_masked_col(c, m, codes, mask, rs)
+            sampled[c] = full
 
         for sign, cols in ((-1, div_cols), (+1, mult_cols)):
             for c in cols:
@@ -295,7 +291,9 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
                          sample_size: int = 512,
                          max_rows: int = 200_000,
                          dictionaries=None,
-                         cont_fanout: bool = False) -> NarJoinEstimator:
+                         cont_fanout: bool = False,
+                         fact_threshold: int | None = None
+                         ) -> NarJoinEstimator:
     """Train the UR-mode model on ``ts``'s sample.
 
     ``data_columns`` are prefixed ``table.col`` names; existence markers
@@ -303,7 +301,16 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
     fanout columns (FK→PK directions) are recorded and skipped at query
     time instead of wasting model capacity.  ``cont_fanout`` stores
     fanouts as regressed log2 floats instead of dictionary codes (the
-    reference's ``--cont-fanout``, scardina/common.py:536-548)."""
+    reference's ``--cont-fanout``, scardina/common.py:536-548).
+
+    With ``fact_threshold``, data columns whose dictionary exceeds
+    ``2**fact_threshold`` codes are bit-slice factorized (M2, reference
+    scardina/common.py:137-196): near-continuous columns (prices,
+    timestamps) would otherwise each add a domain-wide softmax head that
+    dominates the training cost."""
+    from ..functions.factorize import factorization_spec
+    from .progressive import ColumnGroup
+
     cfg = cfg or TrainConfig()
     samp = ts.sample
 
@@ -320,10 +327,30 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
     codes, domains = training_matrix(samp, columns, max_rows, cfg.seed,
                                      dictionaries=dictionaries,
                                      cont_log2=set(cont))
-    bins = [(c, domains[c].dom_size if c in domains else 0) for c in columns]
+    bins: list[tuple[str, int]] = []
+    mat_cols: list[np.ndarray] = []
+    groups: dict[str, ColumnGroup] = {}
+    for ci, c in enumerate(columns):
+        dom = domains[c].dom_size if c in domains else 0
+        spec = (factorization_spec(c, dom, fact_threshold)
+                if fact_threshold and c in data_columns else None)
+        if spec is None or not spec.is_factorized:
+            bins.append((c, dom))
+            mat_cols.append(codes[:, ci])
+            continue
+        idxs = []
+        full = codes[:, ci].astype(np.int64)
+        for sub in spec.sub_cols:
+            idxs.append(len(bins))
+            bins.append((sub.name, sub.dist_size))
+            mat_cols.append(((full >> sub.offset)
+                             & ((1 << sub.window) - 1)) + 1)
+        groups[c] = ColumnGroup(c, idxs, spec)
+    dtype = np.float64 if cont else np.int64
     model = NarMLP(bins, cfg, continuous=cont)
-    model.fit(codes)
+    model.fit(np.stack(mat_cols, axis=1).astype(dtype))
     return NarJoinEstimator(
         model=model, domains=domains, n_rows=ts.join_size,
         sample_size=sample_size, seed=cfg.seed, ts=ts,
-        constant_one_fanouts=constant1, continuous=cont)
+        constant_one_fanouts=constant1, continuous=cont,
+        groups=groups or None)

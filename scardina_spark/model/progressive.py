@@ -63,6 +63,17 @@ def _like_regex(pattern: str) -> re.Pattern:
     return re.compile("".join(out))
 
 
+def _coerce_literal(vals: np.ndarray, v):
+    """Align a predicate literal with the dictionary dtype.  numpy will not
+    compare a datetime64 array against a python datetime (raises
+    elementwise int-vs-datetime TypeError), so date/timestamp literals are
+    converted explicitly; everything else passes through."""
+    if np.issubdtype(vals.dtype, np.datetime64) and not isinstance(
+            v, np.datetime64):
+        return np.datetime64(v)
+    return v
+
+
 def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
     """{0,1} float mask over the code domain [dom_size] combining all
     predicates on this column (AND).  MASK slot 0; NULL slot per IS/IS NOT."""
@@ -73,25 +84,29 @@ def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
     vm = np.ones(len(vals), dtype=bool)
     for p in preds:
         o = p.o.upper()
+        v = p.v if o in ("IS", "IS NOT", "IN", "LIKE", "NOT LIKE",
+                         "ALL_TRUE", "ALL_FALSE") \
+            else _coerce_literal(vals, p.v)
         if o == "IS":
             null_ok = True
             vm &= np.zeros(len(vals), dtype=bool)
         elif o == "IS NOT":
             null_ok = False
         elif o == "=":
-            vm &= vals == p.v
+            vm &= vals == v
         elif o == "!=":
-            vm &= vals != p.v
+            vm &= vals != v
         elif o == ">":
-            vm &= vals > p.v
+            vm &= vals > v
         elif o == ">=":
-            vm &= vals >= p.v
+            vm &= vals >= v
         elif o == "<":
-            vm &= vals < p.v
+            vm &= vals < v
         elif o == "<=":
-            vm &= vals <= p.v
+            vm &= vals <= v
         elif o == "IN":
-            vm &= np.isin(vals, np.array(list(p.v)))
+            vm &= np.isin(vals, np.array(
+                [_coerce_literal(vals, x) for x in p.v]))
         elif o == "LIKE":
             rx = _like_regex(str(p.v))
             vm &= np.array([bool(rx.fullmatch(str(v))) for v in vals])

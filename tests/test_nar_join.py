@@ -64,3 +64,47 @@ def test_off_tree_query_rejected(nar_ur):
         nar_ur.estimate(
             "SELECT COUNT(*) FROM customer c, nation n "
             "WHERE c.c_nationkey = n.n_nationkey")
+
+
+@pytest.fixture(scope="module")
+def nar_ur_fact(tables):
+    """Same model with near-continuous columns bit-slice factorized (M2
+    in the join path: reference scardina/common.py:137-196)."""
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=30_000, seed=42)
+    cfg = TrainConfig(epochs=12, d_word=12, d_ff=64, batch_size=1024, seed=42)
+    cols = DATA_COLS + ["lineitem.l_shipdate", "lineitem.l_extendedprice",
+                        "orders.o_totalprice"]
+    return train_join_estimator(ts, cols, cfg, sample_size=1000,
+                                fact_threshold=8)
+
+
+def test_factorized_join_model_has_groups(nar_ur_fact):
+    groups = nar_ur_fact.groups or {}
+    assert "lineitem.l_extendedprice" in groups
+    assert groups["lineitem.l_extendedprice"].is_factorized
+    # sub-columns replaced the plain column in the model
+    assert "lineitem.l_extendedprice" not in nar_ur_fact.model.cols
+
+
+FACT_QUERIES = [
+    ("SELECT COUNT(*) FROM lineitem l WHERE l.l_shipdate < '1996-10-20'",
+     2.0),
+    ("SELECT COUNT(*) FROM lineitem l WHERE l.l_extendedprice > 30000 "
+     "AND l.l_quantity <= 25", 2.0),
+    ("SELECT COUNT(*) FROM lineitem l, orders o WHERE l.l_orderkey = "
+     "o.o_orderkey AND o.o_totalprice > 200000", 2.0),
+    ("SELECT COUNT(*) FROM lineitem l, orders o, customer c WHERE "
+     "l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey AND "
+     "c.c_mktsegment = 'BUILDING' AND l.l_shipdate >= '1997-01-01'", 2.5),
+]
+
+
+@pytest.mark.parametrize("sql,bound", FACT_QUERIES)
+def test_nar_ur_factorized_qerror(nar_ur_fact, exact, sql, bound):
+    est = nar_ur_fact.estimate(sql)
+    true = exact.estimate(sql)
+    assert est > 0, sql
+    q = max(est / true, true / est)
+    assert q < bound, (sql, est, true, q)

@@ -26,6 +26,21 @@ def test_valid_mask_ops():
     assert list(m) == [0, 0, 1, 1, 1, 1]
 
 
+def test_valid_mask_datetime_literals():
+    """numpy 1.26 refuses datetime64-array vs python-datetime comparison;
+    valid_mask must coerce the literal (date predicates come from SQL as
+    datetime.datetime via the parser's date heuristic)."""
+    import datetime
+    dom = ColumnDomain("d", np.array(
+        ["1995-01-02", "1996-11-01", "1998-05-05"], dtype="datetime64[ns]"))
+    m = valid_mask(dom, [Predicate("t.d", "<",
+                                   datetime.datetime(1996, 10, 20))])
+    assert list(m) == [0, 0, 1, 0, 0]
+    m = valid_mask(dom, [Predicate("t.d", "IN",
+                                   (datetime.datetime(1996, 11, 1),))])
+    assert list(m) == [0, 0, 0, 1, 0]
+
+
 def test_valid_mask_like():
     dom = ColumnDomain("c", np.array(["apple", "banana", "cherry"]))
     m = valid_mask(dom, [Predicate("t.c", "LIKE", "%an%")])
