@@ -158,6 +158,64 @@ def main() -> None:
     extras["jl_nar_qerror_max"] = round(max(jn_q), 4)
     extras["jl_nar_mean_ms_per_query"] = round(sum(jn_ms) / len(jn_ms), 2)
 
+    # 2a'''. CIN mode over the same suite: one NAR model per
+    # closed-in-neighborhood subschema (the reference's headline
+    # decomposition, scardina/schema.py:85-183), chained at query time via
+    # inherited-sample conditioning.  Small centers get a smaller config —
+    # their conditionals are low-dimensional.
+    from scardina_spark.estimators.cin import NarCinEstimator
+    from scardina_spark.estimators.sample import cin_tree
+    CIN_COLS = {
+        "lineitem": ["lineitem.l_quantity", "lineitem.l_discount",
+                     "lineitem.l_tax", "lineitem.l_returnflag",
+                     "lineitem.l_linestatus", "lineitem.l_shipdate",
+                     "lineitem.l_extendedprice",
+                     "orders.o_orderstatus", "orders.o_orderpriority",
+                     "orders.o_orderdate", "orders.o_totalprice",
+                     "part.p_brand", "part.p_size", "part.p_retailprice",
+                     "supplier.s_nationkey", "supplier.s_acctbal"],
+        "orders": ["orders.o_orderstatus", "orders.o_orderpriority",
+                   "orders.o_orderdate", "orders.o_totalprice",
+                   "customer.c_mktsegment", "customer.c_nationkey",
+                   "customer.c_name", "customer.c_acctbal"],
+        "customer": ["customer.c_mktsegment", "customer.c_nationkey",
+                     "customer.c_name", "customer.c_acctbal",
+                     "nation.n_name"],
+        "supplier": ["supplier.s_nationkey", "supplier.s_acctbal",
+                     "nation.n_name"],
+        "nation": ["nation.n_name", "region.r_name"],
+    }
+
+    def build_cin() -> NarCinEstimator:
+        big = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
+        small = _TC(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
+        cin = NarCinEstimator()
+        for center, cin_cols in CIN_COLS.items():
+            tscin = prepare_tree_sample(
+                cin_tree(sg, center), tables, center, seed=42)
+            cin.add(train_join_estimator(
+                tscin, cin_cols, big if center == "lineitem" else small,
+                sample_size=1000, max_rows=32_000, fact_threshold=11))
+        return cin
+
+    nar_cin = timed("joblight_cin_train", build_cin)
+    cq, cms = [], []
+    t0 = time.perf_counter()
+    for name, sql in suite.items():
+        try:
+            tq0 = time.perf_counter()
+            e = nar_cin.estimate(sql)
+            cms.append((time.perf_counter() - tq0) * 1000)
+        except (UnsupportedQueryError, ValueError):
+            continue
+        cq.append(qerr(e, truths[name]))
+    timings["joblight_cin_est"] = round(time.perf_counter() - t0, 4)
+    extras["jl_cin_n_supported"] = len(cq)
+    extras["jl_cin_qerror_p50"] = round(pct(cq, 0.5), 4)
+    extras["jl_cin_qerror_p90"] = round(pct(cq, 0.9), 4)
+    extras["jl_cin_qerror_max"] = round(max(cq), 4)
+    extras["jl_cin_mean_ms_per_query"] = round(sum(cms) / len(cms), 2)
+
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates
     from scardina_spark.model import TrainConfig
