@@ -64,16 +64,19 @@ class NarMLP:
         # per-column embedding (row 0 = MASK); tied decode.  Continuous
         # columns: emb = the [2, d] (flag, value) input projection and
         # P = the [h, 1] regression head.
-        self.emb = [rs.randn(2, d) * 0.1 if self.is_cont[j]
-                    else rs.randn(n, d).astype(np.float64) * 0.1
+        f32 = np.float32  # training is BLAS-bandwidth-bound; fp32
+        # halves it with no measurable q-error cost
+        self.emb = [(rs.randn(2, d) * 0.1).astype(f32) if self.is_cont[j]
+                    else (rs.randn(n, d) * 0.1).astype(f32)
                     for j, n in enumerate(self.doms)]
-        self.W1 = rs.randn(self.C * d, h) * np.sqrt(2.0 / (self.C * d))
-        self.b1 = np.zeros(h)
-        self.W2 = rs.randn(h, h) * np.sqrt(2.0 / h)
-        self.b2 = np.zeros(h)
+        self.W1 = (rs.randn(self.C * d, h) * np.sqrt(2.0 / (self.C * d))).astype(f32)
+        self.b1 = np.zeros(h, dtype=f32)
+        self.W2 = (rs.randn(h, h) * np.sqrt(2.0 / h)).astype(f32)
+        self.b2 = np.zeros(h, dtype=f32)
         # per-column projection back to embedding space
-        self.P = [rs.randn(h, 1) * np.sqrt(2.0 / h) if self.is_cont[j]
-                  else rs.randn(h, d) * np.sqrt(2.0 / h)
+        self.P = [(rs.randn(h, 1) * np.sqrt(2.0 / h)).astype(f32)
+                  if self.is_cont[j]
+                  else (rs.randn(h, d) * np.sqrt(2.0 / h)).astype(f32)
                   for j in range(self.C)]
         self._adam_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._adam_t = 0
@@ -86,12 +89,12 @@ class NarMLP:
         masked → MASK emb / zero pair)."""
         B = codes.shape[0]
         d = self.cfg.d_word
-        x = np.empty((B, self.C * d))
+        x = np.empty((B, self.C * d), dtype=self.W1.dtype)
         eff = np.where(mask, 0, codes)
         for j in range(self.C):
             if self.is_cont[j]:
-                flag = (~mask[:, j]).astype(np.float64)
-                val = np.where(mask[:, j], 0.0, codes[:, j].astype(np.float64))
+                flag = (~mask[:, j]).astype(np.float32)
+                val = np.where(mask[:, j], 0.0, codes[:, j].astype(np.float32))
                 x[:, j * d:(j + 1) * d] = \
                     np.stack([flag, val], axis=1) @ self.emb[j]
             else:
@@ -250,7 +253,7 @@ class NarMLP:
                 if self.doms[j] <= 2048:
                     # scatter-add as a one-hot matmul: BLAS beats
                     # np.add.at's per-element dispatch for small domains
-                    onehot = np.zeros((B, self.doms[j]))
+                    onehot = np.zeros((B, self.doms[j]), dtype=np.float32)
                     onehot[np.arange(B), idx] = 1.0
                     gE += onehot.T @ dxj
                 else:

@@ -41,6 +41,13 @@ def test_cont_gradients_finite_diff():
     cfg = TrainConfig(epochs=1, d_word=4, d_ff=8, batch_size=8, seed=5,
                       lr=0.0)  # lr 0: train_step computes grads, no update
     m = NarMLP([("a", 5), ("f", 0)], cfg, continuous=frozenset({"f"}))
+    # production params are float32 (bandwidth); the finite-difference
+    # check needs float64 headroom — eps 1e-6 is below fp32 ulp.  The
+    # gradient FORMULAS under test are dtype-independent.
+    m.emb = [e.astype(np.float64) for e in m.emb]
+    m.P = [p.astype(np.float64) for p in m.P]
+    m.W1 = m.W1.astype(np.float64); m.b1 = m.b1.astype(np.float64)
+    m.W2 = m.W2.astype(np.float64); m.b2 = m.b2.astype(np.float64)
     X = np.stack([rs.randint(2, 5, size=8).astype(np.float64),
                   rs.rand(8) * 3], axis=1)
 
