@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from scardina_spark.benchmarks import duckdb_truths, job_light_suite  # noqa: E402
+from scardina_spark.benchmarks import (  # noqa: E402
+    CIN_MODEL_COLUMNS, UR_MODEL_COLUMNS, duckdb_truths, job_light_suite)
 from scardina_spark.catalog import build_tpch_schema, load_table, load_tables  # noqa: E402
 from scardina_spark.estimators import (  # noqa: E402
     ExactEstimator, SampleEstimator, prepare_tree_sample)
@@ -129,16 +130,7 @@ def main() -> None:
     # (prices, dates) bit-slice factorize above 2^8 codes (narrower heads train 3x faster AND generalize better than 2^11 — measured p90 1.15 vs 1.30) — without this
     # their domain-wide softmax heads dominate the training cost
     nar_ur = timed("joblight_nar_train", lambda: train_join_estimator(
-        ts, ["lineitem.l_quantity", "lineitem.l_discount", "lineitem.l_tax",
-             "lineitem.l_returnflag", "lineitem.l_linestatus",
-             "lineitem.l_shipdate", "lineitem.l_extendedprice",
-             "orders.o_orderstatus", "orders.o_orderpriority",
-             "orders.o_orderdate", "orders.o_totalprice",
-             "customer.c_mktsegment", "customer.c_nationkey",
-             "customer.c_name", "customer.c_acctbal",
-             "supplier.s_nationkey", "supplier.s_acctbal",
-             "part.p_brand", "part.p_size", "part.p_retailprice",
-             "nation.n_name", "region.r_name"],
+        ts, UR_MODEL_COLUMNS,
         _TC(epochs=8, d_word=24, d_ff=64, batch_size=1024, seed=42),
         sample_size=1000, max_rows=64_000, fact_threshold=8))
     jn_q, jn_ms = [], []
@@ -165,32 +157,12 @@ def main() -> None:
     # their conditionals are low-dimensional.
     from scardina_spark.estimators.cin import NarCinEstimator
     from scardina_spark.estimators.sample import cin_tree
-    CIN_COLS = {
-        "lineitem": ["lineitem.l_quantity", "lineitem.l_discount",
-                     "lineitem.l_tax", "lineitem.l_returnflag",
-                     "lineitem.l_linestatus", "lineitem.l_shipdate",
-                     "lineitem.l_extendedprice",
-                     "orders.o_orderstatus", "orders.o_orderpriority",
-                     "orders.o_orderdate", "orders.o_totalprice",
-                     "part.p_brand", "part.p_size", "part.p_retailprice",
-                     "supplier.s_nationkey", "supplier.s_acctbal"],
-        "orders": ["orders.o_orderstatus", "orders.o_orderpriority",
-                   "orders.o_orderdate", "orders.o_totalprice",
-                   "customer.c_mktsegment", "customer.c_nationkey",
-                   "customer.c_name", "customer.c_acctbal"],
-        "customer": ["customer.c_mktsegment", "customer.c_nationkey",
-                     "customer.c_name", "customer.c_acctbal",
-                     "nation.n_name"],
-        "supplier": ["supplier.s_nationkey", "supplier.s_acctbal",
-                     "nation.n_name"],
-        "nation": ["nation.n_name", "region.r_name"],
-    }
 
     def build_cin() -> NarCinEstimator:
         big = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
         small = _TC(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
         cin = NarCinEstimator()
-        for center, cin_cols in CIN_COLS.items():
+        for center, cin_cols in CIN_MODEL_COLUMNS.items():
             tscin = prepare_tree_sample(
                 cin_tree(sg, center), tables, center, seed=42)
             cin.add(train_join_estimator(

@@ -2,7 +2,7 @@
 
     python -m scardina_spark prep      --sf-dir DIR --cache-dir DIR
     python -m scardina_spark estimate  --sf-dir DIR --sql "SELECT COUNT(*) ..."
-                                       [--estimator sample|stitch|exact|nar-ur]
+                                       [--estimator sample|stitch|exact|nar-ur|nar-cin]
     python -m scardina_spark bench     --sf-dir DIR [--out results.json]
     python -m scardina_spark train     --sf-dir DIR --table lineitem
                                        --columns a,b,c --out model.npz
@@ -62,16 +62,28 @@ def cmd_estimate(args) -> int:
                 est.add(prepare_tree_sample(cin_tree(sg, center), tables,
                                             center, seed=args.seed).localize())
     elif args.estimator == "nar-ur":
+        from .benchmarks import UR_MODEL_COLUMNS
         from .model import TrainConfig
         from .model.join_bridge import train_join_estimator
-        from .queries import BENCH_QUERIES  # noqa: F401 (data cols below)
         ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
                                  args.root, seed=args.seed)
-        est = train_join_estimator(ts, [
-            "lineitem.l_quantity", "lineitem.l_returnflag",
-            "orders.o_orderstatus", "orders.o_orderpriority",
-            "customer.c_mktsegment", "customer.c_acctbal"],
-            TrainConfig(epochs=args.epochs, seed=args.seed))
+        est = train_join_estimator(
+            ts, UR_MODEL_COLUMNS,
+            TrainConfig(epochs=args.epochs, seed=args.seed),
+            fact_threshold=8)
+    elif args.estimator == "nar-cin":
+        from .benchmarks import CIN_MODEL_COLUMNS
+        from .estimators.cin import NarCinEstimator
+        from .model import TrainConfig
+        from .model.join_bridge import train_join_estimator
+        est = NarCinEstimator()
+        for center, cin_cols in CIN_MODEL_COLUMNS.items():
+            tscin = prepare_tree_sample(cin_tree(sg, center), tables,
+                                        center, seed=args.seed)
+            est.add(train_join_estimator(
+                tscin, cin_cols,
+                TrainConfig(epochs=args.epochs, seed=args.seed),
+                max_rows=32_000, fact_threshold=8))
     else:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
@@ -139,7 +151,7 @@ def main(argv=None) -> int:
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--sql", required=True)
     p.add_argument("--estimator", default="sample",
-                   choices=["sample", "stitch", "exact", "nar-ur"])
+                   choices=["sample", "stitch", "exact", "nar-ur", "nar-cin"])
     p.add_argument("--root", default="lineitem")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)

@@ -147,3 +147,41 @@ def duckdb_truths(sf_dir: str, suite: dict[str, str]) -> dict[str, float]:
                     f"'{sf_dir}/{t}.parquet'")
     return {name: float(con.sql(sql).fetchone()[0])
             for name, sql in suite.items()}
+
+
+# Canonical model column sets for the learned estimators: every predicate
+# column the suite generator can emit, per mode.  bench.py and the CLI
+# share these so "the benchmark config" is one definition.
+
+UR_MODEL_COLUMNS = [
+    "lineitem.l_quantity", "lineitem.l_discount", "lineitem.l_tax",
+    "lineitem.l_returnflag", "lineitem.l_linestatus",
+    "lineitem.l_shipdate", "lineitem.l_extendedprice",
+    "orders.o_orderstatus", "orders.o_orderpriority",
+    "orders.o_orderdate", "orders.o_totalprice",
+    "customer.c_mktsegment", "customer.c_nationkey",
+    "customer.c_name", "customer.c_acctbal",
+    "supplier.s_nationkey", "supplier.s_acctbal",
+    "part.p_brand", "part.p_size", "part.p_retailprice",
+    "nation.n_name", "region.r_name",
+]
+
+CIN_MODEL_COLUMNS = {
+    "lineitem": ["lineitem.l_quantity", "lineitem.l_discount",
+                 "lineitem.l_tax", "lineitem.l_returnflag",
+                 "lineitem.l_linestatus", "lineitem.l_shipdate",
+                 "lineitem.l_extendedprice",
+                 "orders.o_orderstatus", "orders.o_orderpriority",
+                 "orders.o_orderdate", "orders.o_totalprice",
+                 "part.p_brand", "part.p_size", "part.p_retailprice",
+                 "supplier.s_nationkey", "supplier.s_acctbal"],
+    "orders": ["orders.o_orderstatus", "orders.o_orderpriority",
+               "orders.o_orderdate", "orders.o_totalprice",
+               "customer.c_mktsegment", "customer.c_nationkey",
+               "customer.c_name", "customer.c_acctbal"],
+    "customer": ["customer.c_mktsegment", "customer.c_nationkey",
+                 "customer.c_name", "customer.c_acctbal", "nation.n_name"],
+    "supplier": ["supplier.s_nationkey", "supplier.s_acctbal",
+                 "nation.n_name"],
+    "nation": ["nation.n_name", "region.r_name"],
+}
