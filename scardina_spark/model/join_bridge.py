@@ -292,8 +292,8 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
                          max_rows: int = 200_000,
                          dictionaries=None,
                          cont_fanout: bool = False,
-                         fact_threshold: int | None = None
-                         ) -> NarJoinEstimator:
+                         fact_threshold: int | None = None,
+                         arch: str = "mlp") -> NarJoinEstimator:
     """Train the UR-mode model on ``ts``'s sample.
 
     ``data_columns`` are prefixed ``table.col`` names; existence markers
@@ -347,7 +347,20 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
                              & ((1 << sub.window) - 1)) + 1)
         groups[c] = ColumnGroup(c, idxs, spec)
     dtype = np.float64 if cont else np.int64
-    model = NarMLP(bins, cfg, continuous=cont)
+    if arch == "mlp":
+        model = NarMLP(bins, cfg, continuous=cont)
+    elif arch == "trm":
+        # the Transformer head is categorical-only (like the reference's
+        # default; cont-fanout pairs with the MLP)
+        if cont:
+            raise ValueError("cont_fanout requires arch='mlp'")
+        from .transformer import NarTransformer, TrmConfig
+        tcfg = cfg if isinstance(cfg, TrmConfig) else TrmConfig(
+            d_word=cfg.d_word, d_ff=cfg.d_ff, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed)
+        model = NarTransformer(bins, tcfg)
+    else:
+        raise ValueError(f"unknown arch: {arch}")
     model.fit(np.stack(mat_cols, axis=1).astype(dtype))
     return NarJoinEstimator(
         model=model, domains=domains, n_rows=ts.join_size,

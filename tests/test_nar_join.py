@@ -108,3 +108,29 @@ def test_nar_ur_factorized_qerror(nar_ur_fact, exact, sql, bound):
     assert est > 0, sql
     q = max(est / true, true / est)
     assert q < bound, (sql, est, true, q)
+
+
+def test_trm_join_estimator(tables, exact):
+    """Transformer architecture over the join sample (reference M5 supports
+    both archs for CIN/UR models, scardina/run.py:290-342)."""
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=20_000, seed=42)
+    cfg = TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=512, seed=42)
+    est = train_join_estimator(
+        ts, ["lineitem.l_quantity", "lineitem.l_returnflag",
+             "orders.o_orderstatus"], cfg, sample_size=500, arch="trm")
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o "
+           "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'")
+    e, t = est.estimate(sql), exact.estimate(sql)
+    assert e > 0
+    assert max(e / t, t / e) < 2.5, (e, t)
+
+
+def test_trm_join_rejects_cont_fanout(tables):
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=20_000, seed=42)
+    with pytest.raises(ValueError):
+        train_join_estimator(ts, ["lineitem.l_quantity"], TrainConfig(),
+                             cont_fanout=True, arch="trm")
