@@ -1438,6 +1438,49 @@ def q_nar_ur_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "query string, est double, truth long, qerror double")
 
 
+def q_nar_cin_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIN mode: per-subschema NAR models chained via inherited-sample
+    conditioning (reference ProgressiveSamplingCIN) vs exact truth
+    (randomized -> rows-only)."""
+    from .estimators import prepare_tree_sample
+    from .estimators.cin import NarCinEstimator
+    from .estimators.sample import cin_tree
+    from .model import TrainConfig
+    from .model.join_bridge import train_join_estimator
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    cfg = TrainConfig(epochs=12, d_word=12, d_ff=48, batch_size=512, seed=11)
+    est = NarCinEstimator()
+    for center, cols in {
+        "customer": ["customer.c_mktsegment", "customer.c_acctbal",
+                     "nation.n_name"],
+        "nation": ["nation.n_name", "region.r_name"],
+    }.items():
+        tscin = prepare_tree_sample(cin_tree(sg, center), tables, center,
+                                    n_min=30_000, seed=11)
+        est.add(train_join_estimator(tscin, cols, cfg, sample_size=800))
+    exact = ExactEstimator(sg, tables)
+    cin_queries = {
+        # single-model path
+        "c1_single": "SELECT COUNT(*) FROM customer c, nation n WHERE "
+                     "c.c_nationkey = n.n_nationkey AND "
+                     "n.n_name LIKE 'NATION_1%'",
+        # chained path: customer-model conditions the nation-model
+        "c2_chain": "SELECT COUNT(*) FROM customer c, nation n, region r "
+                    "WHERE c.c_nationkey = n.n_nationkey AND "
+                    "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+    }
+    rows = []
+    for name, sql in cin_queries.items():
+        e = est.estimate(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, float(e), int(t), float(q)))
+    return spark.createDataFrame(
+        rows, "query string, est double, truth long, qerror double")
+
+
 NAR_BENCH_QUERIES = {
     "n1_eq": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
     "n2_range": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
@@ -1645,6 +1688,7 @@ def queries() -> dict:
         "e1_estimate_qerror": q_estimate_qerror,
         "e2_nar_qerror": q_nar_qerror,
         "e3_nar_ur_qerror": q_nar_ur_qerror,
+        "e4_nar_cin_qerror": q_nar_cin_qerror,
     }
 
 
