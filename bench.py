@@ -220,6 +220,9 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     timed("minhash_dedup", lambda: DD.minhash_dedup(
         docs, threshold=0.5).count())
+    # same verified output, xxhash64 signatures (the 100 TB path)
+    timed("minhash_dedup_xx", lambda: DD.minhash_dedup(
+        docs, threshold=0.5, hash_fn="xxhash64").count())
 
     # 5. similarity: brute-force cosine top-10 over embeddings
     emb = load_table(spark, sf_dir, "embeddings").cache()

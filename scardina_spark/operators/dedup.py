@@ -50,17 +50,24 @@ def word_shingles(col: str = "text", k: int = 3) -> F.Column:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        col: str = "text", k_shingle: int = 3,
-                       n_hashes: int = 8) -> DataFrame:
+                       n_hashes: int = 8, hash_fn: str = "md5") -> DataFrame:
     """(id, sig_0..sig_{n-1}): per-hash min over the shingle set.
 
-    Hash ``i`` is the ``(i%4)``-th 8-hex-char (32-bit) chunk of
-    ``md5("salt<i//4>:" || shingle)`` — md5's 128 bits yield four
-    independent 32-bit hashes, so ``ceil(n/4)`` md5 evaluations per
-    shingle replace ``n`` (md5 dominates signature cost; 32-bit chunks
-    keep per-doc min-collisions negligible at realistic shingle counts).
-    The min is over fixed-width hex strings — order-stable across engines,
-    so the DuckDB oracle reproduces signatures bit-for-bit.  Explode +
-    groupBy(id) keeps the shuffle at O(shingles) with map-side combine.
+    ``hash_fn="md5"`` (default): hash ``i`` is the ``(i%4)``-th 8-hex-char
+    (32-bit) chunk of ``md5("salt<i//4>:" || shingle)`` — md5's 128 bits
+    yield four independent 32-bit hashes, so ``ceil(n/4)`` md5 evaluations
+    per shingle replace ``n``.  The min is over fixed-width hex strings —
+    order-stable across engines, so the DuckDB oracle reproduces
+    signatures bit-for-bit.
+
+    ``hash_fn="xxhash64"``: the 100 TB path — ~4x faster than md5 (one
+    seeded 64-bit xxHash per 2 signature slots, split into 32-bit
+    halves).  Not oracle-reproducible (DuckDB lacks Spark's xxhash64);
+    the verified-Jaccard OUTPUT of the dedup pipeline is hash-agnostic,
+    which is what the equivalence test pins.
+
+    Explode + groupBy(id) keeps the shuffle at O(shingles) with map-side
+    combine in either mode.
     """
     # shingling + hashing amplifies each row ~100x in compute; spread the
     # corpus across the session's full parallelism first (documents tables
@@ -70,14 +77,29 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         df = df.repartition(sc.defaultParallelism, F.col(id_col))
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(col, k_shingle)).alias("__sh__"))
-    for g in range((n_hashes + 3) // 4):
-        ex = ex.withColumn(
-            f"__h{g}__", F.md5(F.concat(F.lit(f"salt{g}:"), F.col("__sh__"))))
-    aggs = [
-        F.min(F.substring(F.col(f"__h{i // 4}__"), (i % 4) * 8 + 1, 8))
-        .alias(f"sig_{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_fn == "md5":
+        for g in range((n_hashes + 3) // 4):
+            ex = ex.withColumn(
+                f"__h{g}__",
+                F.md5(F.concat(F.lit(f"salt{g}:"), F.col("__sh__"))))
+        aggs = [
+            F.min(F.substring(F.col(f"__h{i // 4}__"), (i % 4) * 8 + 1, 8))
+            .alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        for g in range((n_hashes + 1) // 2):
+            ex = ex.withColumn(
+                f"__h{g}__", F.xxhash64(F.lit(g), F.col("__sh__")))
+        aggs = [
+            F.min(F.shiftright(F.col(f"__h{i // 2}__"), 32) if i % 2 == 0
+                  else F.col(f"__h{i // 2}__")
+                  .bitwiseAND(F.lit(0xFFFFFFFF)))
+            .alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -143,7 +165,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
                   k_shingle: int = 3, n_hashes: int = 8, n_bands: int = 4,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8, hash_fn: str = "md5") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact Jaccard verification → pairs above threshold.
 
@@ -152,7 +174,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     side would recompute the shingle explode + groupBy (the expensive
     stages).  At cluster scale this is the stage you'd checkpoint to
     parquet instead."""
-    sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes).cache()
+    sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes,
+                              hash_fn=hash_fn).cache()
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands).cache()
     try:
         scored = ngram_jaccard(df, cands, id_col, col, k_shingle)

@@ -108,3 +108,26 @@ def test_simhash_bit_math_matches_python(spark):
             if ones * 2 > n:
                 want |= 1 << bit
         assert got[doc] == want, doc
+
+
+def test_minhash_xxhash64_equivalent_output(tables):
+    """The xxhash64 fast path (100 TB: ~4x cheaper signatures) must produce
+    the same verified above-threshold pairs as the oracle-reproducible md5
+    path — the exact-Jaccard verification stage makes the pipeline output
+    hash-agnostic."""
+    from scardina_spark.operators.dedup import minhash_dedup
+    docs = tables["documents"]
+    md5_pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_dedup(docs, threshold=0.5).collect()}
+    xx_pairs = {(r["id_a"], r["id_b"])
+                for r in minhash_dedup(docs, threshold=0.5,
+                                       hash_fn="xxhash64").collect()}
+    assert md5_pairs == xx_pairs
+    assert len(md5_pairs) > 0
+
+
+def test_minhash_unknown_hash_fn_rejected(tables):
+    from scardina_spark.operators.dedup import minhash_signatures
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        minhash_signatures(tables["documents"], hash_fn="sha1")
