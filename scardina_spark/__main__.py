@@ -46,6 +46,19 @@ def cmd_estimate(args) -> int:
     from .estimators import (ExactEstimator, SampleEstimator,
                              StitchedEstimator, prepare_tree_sample)
     from .estimators.sample import cin_tree, spanning_tree
+    if getattr(args, "model", None):
+        # serve from a checkpoint: no Spark prep, no training
+        from .model.join_bridge import load_join_estimator
+        t0 = time.perf_counter()
+        est = load_join_estimator(args.model)
+        prep_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        card = est.estimate(args.sql)
+        ms = (time.perf_counter() - t0) * 1000
+        print(json.dumps({"estimate": card, "estimator": est.name,
+                          "prep_sec": round(prep_s, 2),
+                          "query_ms": round(ms, 2)}))
+        return 0
     spark = _spark()
     tables = load_tables(spark, args.sf_dir)
     sg = build_tpch_schema()
@@ -136,6 +149,29 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_train_join(args) -> int:
+    from .benchmarks import UR_MODEL_COLUMNS
+    from .catalog import build_tpch_schema, load_tables
+    from .estimators import prepare_tree_sample
+    from .estimators.sample import spanning_tree
+    from .model import TrainConfig
+    from .model.join_bridge import save_join_estimator, train_join_estimator
+    spark = _spark()
+    tables = load_tables(spark, args.sf_dir)
+    sg = build_tpch_schema()
+    cols = args.columns.split(",") if args.columns else UR_MODEL_COLUMNS
+    ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
+                             args.root, seed=args.seed)
+    est = train_join_estimator(
+        ts, cols, TrainConfig(epochs=args.epochs, seed=args.seed),
+        fact_threshold=args.fact_threshold)
+    save_join_estimator(est, args.out)
+    print(json.dumps({"root": args.root, "columns": cols,
+                      "model_cols": len(est.model.cols),
+                      "join_size": est.ts.join_size, "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="scardina_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -155,7 +191,20 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="lineitem")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model", default=None,
+                   help="serve from a train-join checkpoint directory")
     p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser("train-join")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--root", default="lineitem")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated table.col list (default: suite set)")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--fact-threshold", type=int, default=8)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_train_join)
 
     p = sub.add_parser("bench")
     p.add_argument("--sf-dir", required=True)

@@ -367,3 +367,97 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
         sample_size=sample_size, seed=cfg.seed, ts=ts,
         constant_one_fanouts=constant1, continuous=cont,
         groups=groups or None)
+
+
+# -- persistence (the reference's checkpoint-eval workflow: train once,
+# -- load + estimate many times; scardina/run.py:659-708, 770-788) ---------
+
+def save_join_estimator(est: NarJoinEstimator, path: str) -> None:
+    """Persist a trained join estimator to ``path`` (a directory).
+
+    The join SAMPLE is deliberately NOT saved: ``estimate()`` never touches
+    it (queries run against the model + domains), and the chained CIN path
+    reads only its scalar metadata.  What goes to disk: the model weights
+    (``model.npz``), the per-column dictionaries (``domains.npz``), and a
+    JSON sidecar with the tree identity + scaling metadata.
+    """
+    import json
+    import os
+
+    if not isinstance(est.model, NarMLP):
+        raise ValueError("persistence supports the MLP architecture")
+    os.makedirs(path, exist_ok=True)
+    est.model.save(os.path.join(path, "model.npz"))
+    doms = {}
+    for i, (c, dom) in enumerate(est.domains.items()):
+        vals = dom.values
+        if vals.dtype == object:
+            vals = vals.astype(np.str_)  # no pickle in the npz
+        doms[f"dom_{i}"] = vals
+    np.savez_compressed(os.path.join(path, "domains.npz"), **doms)
+    meta = {
+        "dom_cols": list(est.domains.keys()),
+        "tree_tables": sorted(est.ts.tables),
+        "tree_center": est.ts.tree.center,
+        "root": est.ts.root,
+        "join_size": est.ts.join_size,
+        "n_sample": est.ts.n_sample,
+        "sample_size": est.sample_size,
+        "seed": est.seed,
+        "constant_one_fanouts": sorted(est.constant_one_fanouts),
+        "continuous": sorted(est.continuous),
+        "fact_groups": {c: g.spec.threshold
+                        for c, g in (est.groups or {}).items()},
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_join_estimator(path: str, sg=None) -> NarJoinEstimator:
+    """Rebuild a served estimator from ``save_join_estimator`` output.
+
+    The subschema tree is reconstructed from the schema graph (driver-side
+    metadata, not data): the saved table set picks between the CIN tree of
+    the saved center and the UR spanning tree of the saved root.
+    Factorization groups rebuild deterministically from each column's
+    domain size + threshold."""
+    import json
+    import os
+
+    from ..catalog import build_tpch_schema
+    from ..estimators.sample import cin_tree, spanning_tree
+    from ..functions.factorize import factorization_spec
+    from .progressive import ColumnDomain, ColumnGroup
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    model = NarMLP.load(os.path.join(path, "model.npz"))
+    z = np.load(os.path.join(path, "domains.npz"), allow_pickle=False)
+    domains = {c: ColumnDomain(c, z[f"dom_{i}"])
+               for i, c in enumerate(meta["dom_cols"])}
+
+    sg = sg or build_tpch_schema()
+    tree = cin_tree(sg, meta["tree_center"])
+    if sorted(tree.tables) != meta["tree_tables"]:
+        tree = spanning_tree(sg, meta["root"])
+    if sorted(tree.tables) != meta["tree_tables"]:
+        raise ValueError(
+            f"saved tree tables {meta['tree_tables']} match neither the CIN "
+            f"tree of {meta['tree_center']} nor the spanning tree of "
+            f"{meta['root']} in this schema")
+    ts = TreeSample(tree=tree, root=meta["root"], sample=None,
+                    join_size=int(meta["join_size"]),
+                    n_sample=int(meta["n_sample"]))
+
+    groups = {}
+    for c, thr in meta["fact_groups"].items():
+        spec = factorization_spec(c, domains[c].dom_size, thr)
+        idxs = [model.cols.index(sub.name) for sub in spec.sub_cols]
+        groups[c] = ColumnGroup(c, idxs, spec)
+
+    return NarJoinEstimator(
+        model=model, domains=domains, n_rows=int(meta["join_size"]),
+        sample_size=int(meta["sample_size"]), seed=int(meta["seed"]), ts=ts,
+        constant_one_fanouts=frozenset(meta["constant_one_fanouts"]),
+        continuous=frozenset(meta["continuous"]),
+        groups=groups or None)

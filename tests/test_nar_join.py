@@ -134,3 +134,31 @@ def test_trm_join_rejects_cont_fanout(tables):
     with pytest.raises(ValueError):
         train_join_estimator(ts, ["lineitem.l_quantity"], TrainConfig(),
                              cont_fanout=True, arch="trm")
+
+
+def test_save_load_roundtrip(tables, exact, tmp_path):
+    """Checkpoint-eval workflow (reference run.py:659-708, 770-788): a
+    loaded estimator reproduces the trained one's estimates exactly (same
+    seeds, same domains, no sample needed for serving)."""
+    from scardina_spark.model.join_bridge import (
+        load_join_estimator, save_join_estimator)
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=20_000, seed=42)
+    cfg = TrainConfig(epochs=6, d_word=12, d_ff=48, batch_size=512, seed=42)
+    est = train_join_estimator(
+        ts, ["lineitem.l_quantity", "lineitem.l_shipdate",
+             "orders.o_orderstatus", "orders.o_totalprice"],
+        cfg, sample_size=400, fact_threshold=8)
+    path = str(tmp_path / "ur_model")
+    save_join_estimator(est, path)
+    loaded = load_join_estimator(path)
+    for sql in [
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+        "SELECT COUNT(*) FROM lineitem l WHERE l.l_shipdate < '1996-10-20'",
+        "SELECT COUNT(*) FROM lineitem l, orders o WHERE l.l_orderkey = "
+        "o.o_orderkey AND o.o_totalprice > 200000",
+    ]:
+        assert abs(est.estimate(sql) - loaded.estimate(sql)) < 1e-6, sql
+    # factorization groups survived the roundtrip
+    assert set(loaded.groups or {}) == set(est.groups or {})
