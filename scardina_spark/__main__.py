@@ -115,15 +115,25 @@ def cmd_bench(args) -> int:
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
     from .estimators.sample import spanning_tree
     from .queries import BENCH_QUERIES
-    from .runner import run_benchmark
+    from .runner import load_benchmark_csv, run_benchmark
     spark = _spark()
     tables = load_tables(spark, args.sf_dir)
     sg = build_tpch_schema()
     est = SampleEstimator()
     est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
                                 "lineitem", seed=args.seed).localize())
-    rep = run_benchmark(est, BENCH_QUERIES,
-                        truth_fn=ExactEstimator(sg, tables).estimate)
+    if args.benchmark_csv:
+        # reference benchmark format: ``true_cardinality,sql`` rows
+        # (scardina/run.py:791-794); empty truth fields are computed exactly
+        entries = load_benchmark_csv(args.benchmark_csv)
+        queries = {f"q{i}": sql for i, (_, sql) in enumerate(entries)}
+        truths = {f"q{i}": t for i, (t, _) in enumerate(entries)
+                  if t is not None}
+        rep = run_benchmark(est, queries, truths=truths or None,
+                            truth_fn=ExactEstimator(sg, tables).estimate)
+    else:
+        rep = run_benchmark(est, BENCH_QUERIES,
+                            truth_fn=ExactEstimator(sg, tables).estimate)
     if args.out:
         rep.to_json(args.out)
         rep.to_csv(args.out.rsplit(".", 1)[0] + ".csv")
@@ -209,6 +219,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--out", default=None)
+    p.add_argument("--benchmark-csv", default=None,
+                   help="reference-format benchmark: true_cardinality,sql")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
 
