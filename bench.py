@@ -133,22 +133,29 @@ def main() -> None:
         ts, UR_MODEL_COLUMNS,
         _TC(epochs=8, d_word=24, d_ff=64, batch_size=1024, seed=42),
         sample_size=1000, max_rows=64_000, fact_threshold=8))
-    jn_q, jn_ms = [], []
+    from scardina_spark.estimators import HybridEstimator
+    nar_hyb = HybridEstimator(nar_ur, est)   # est: localized HT (2a)
+    jn_q, jn_hq, jn_ms = [], [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         try:
             tq0 = time.perf_counter()
             e = nar_ur.estimate(sql)
             jn_ms.append((time.perf_counter() - tq0) * 1000)
+            h = nar_hyb.estimate(sql)
         except (UnsupportedQueryError, ValueError):
             continue
         jn_q.append(qerr(e, truths[name]))
+        jn_hq.append(qerr(h, truths[name]))
     timings["joblight_nar_est"] = round(time.perf_counter() - t0, 4)
     extras["jl_nar_n_supported"] = len(jn_q)
     extras["jl_nar_qerror_p50"] = round(pct(jn_q, 0.5), 4)
     extras["jl_nar_qerror_p90"] = round(pct(jn_q, 0.9), 4)
     extras["jl_nar_qerror_max"] = round(max(jn_q), 4)
     extras["jl_nar_mean_ms_per_query"] = round(sum(jn_ms) / len(jn_ms), 2)
+    # sample-verified zero clamp: the max collapses when the only tail
+    # queries are smoothed estimates of empty results
+    extras["jl_nar_hybrid_qerror_max"] = round(max(jn_hq), 4)
 
     # 2a'''. CIN mode over the same suite: one NAR model per
     # closed-in-neighborhood subschema (the reference's headline
@@ -171,22 +178,26 @@ def main() -> None:
         return cin
 
     nar_cin = timed("joblight_cin_train", build_cin)
-    cq, cms = [], []
+    cin_hyb = HybridEstimator(nar_cin, est, name="cin-hybrid")
+    cq, chq, cms = [], [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         try:
             tq0 = time.perf_counter()
             e = nar_cin.estimate(sql)
             cms.append((time.perf_counter() - tq0) * 1000)
+            h = cin_hyb.estimate(sql)
         except (UnsupportedQueryError, ValueError):
             continue
         cq.append(qerr(e, truths[name]))
+        chq.append(qerr(h, truths[name]))
     timings["joblight_cin_est"] = round(time.perf_counter() - t0, 4)
     extras["jl_cin_n_supported"] = len(cq)
     extras["jl_cin_qerror_p50"] = round(pct(cq, 0.5), 4)
     extras["jl_cin_qerror_p90"] = round(pct(cq, 0.9), 4)
     extras["jl_cin_qerror_max"] = round(max(cq), 4)
     extras["jl_cin_mean_ms_per_query"] = round(sum(cms) / len(cms), 2)
+    extras["jl_cin_hybrid_qerror_max"] = round(max(chq), 4)
 
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates

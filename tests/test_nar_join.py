@@ -162,3 +162,27 @@ def test_save_load_roundtrip(tables, exact, tmp_path):
         assert abs(est.estimate(sql) - loaded.estimate(sql)) < 1e-6, sql
     # factorization groups survived the roundtrip
     assert set(loaded.groups or {}) == set(est.groups or {})
+
+
+def test_hybrid_clamps_sample_verified_zeros(tables, exact):
+    """Sampling-verified learned estimation: a conjunction with zero
+    satisfying rows gets q-error = est from the smoothed model; the hybrid
+    short-circuits to 0 when the unbiased sample finds no satisfying row
+    (q = 1 under the zero conventions)."""
+    from scardina_spark.estimators import HybridEstimator, SampleEstimator
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=20_000, seed=42)
+    cfg = TrainConfig(epochs=6, d_word=12, d_ff=48, batch_size=512, seed=42)
+    nar = train_join_estimator(
+        ts, ["lineitem.l_quantity", "supplier.s_nationkey",
+             "supplier.s_acctbal"], cfg, sample_size=400, fact_threshold=8)
+    ht = SampleEstimator()
+    ht.add(ts.localize())
+    hyb = HybridEstimator(nar, ht)
+    zero_sql = ("SELECT COUNT(*) FROM lineitem l, supplier s WHERE "
+                "l.l_suppkey = s.s_suppkey AND s.s_nationkey < 0")
+    assert exact.estimate(zero_sql) == 0
+    assert hyb.estimate(zero_sql) == 0.0
+    live_sql = "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30"
+    assert hyb.estimate(live_sql) == nar.estimate(live_sql) > 0
