@@ -174,7 +174,7 @@ def cmd_train_join(args) -> int:
                              args.root, seed=args.seed)
     est = train_join_estimator(
         ts, cols, TrainConfig(epochs=args.epochs, seed=args.seed),
-        fact_threshold=args.fact_threshold)
+        fact_threshold=args.fact_threshold, arch=args.arch)
     save_join_estimator(est, args.out)
     print(json.dumps({"root": args.root, "columns": cols,
                       "model_cols": len(est.model.cols),
@@ -207,6 +207,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train-join")
     p.add_argument("--sf-dir", required=True)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "trm"])
     p.add_argument("--root", default="lineitem")
     p.add_argument("--columns", default=None,
                    help="comma-separated table.col list (default: suite set)")

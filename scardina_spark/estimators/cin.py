@@ -102,3 +102,32 @@ class NarCinEstimator:
             for c, arr in vals.items():
                 values.setdefault(c, arr)
         return float(np.maximum(cards, 0.0).mean())
+
+
+def save_cin_estimator(cin: NarCinEstimator, path: str) -> None:
+    """Persist every per-subschema model (reference checkpoint workflow,
+    one checkpoint per table/subschema model, scardina/run.py:659-708)."""
+    import json
+    import os
+
+    from ..model.join_bridge import save_join_estimator
+
+    os.makedirs(path, exist_ok=True)
+    for i, m in enumerate(cin.models):
+        save_join_estimator(m, os.path.join(path, f"model_{i}"))
+    with open(os.path.join(path, "cin.json"), "w") as f:
+        json.dump({"n_models": len(cin.models)}, f)
+
+
+def load_cin_estimator(path: str, sg=None) -> NarCinEstimator:
+    import json
+    import os
+
+    from ..model.join_bridge import load_join_estimator
+
+    with open(os.path.join(path, "cin.json")) as f:
+        n = json.load(f)["n_models"]
+    est = NarCinEstimator()
+    for i in range(n):
+        est.add(load_join_estimator(os.path.join(path, f"model_{i}"), sg=sg))
+    return est

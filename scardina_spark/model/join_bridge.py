@@ -384,8 +384,9 @@ def save_join_estimator(est: NarJoinEstimator, path: str) -> None:
     import json
     import os
 
-    if not isinstance(est.model, NarMLP):
-        raise ValueError("persistence supports the MLP architecture")
+    from .transformer import NarTransformer
+    if not isinstance(est.model, (NarMLP, NarTransformer)):
+        raise ValueError(f"unsupported model type: {type(est.model)}")
     os.makedirs(path, exist_ok=True)
     est.model.save(os.path.join(path, "model.npz"))
     doms = {}
@@ -408,6 +409,7 @@ def save_join_estimator(est: NarJoinEstimator, path: str) -> None:
         "continuous": sorted(est.continuous),
         "fact_groups": {c: g.spec.threshold
                         for c, g in (est.groups or {}).items()},
+        "arch": "mlp" if isinstance(est.model, NarMLP) else "trm",
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -431,7 +433,11 @@ def load_join_estimator(path: str, sg=None) -> NarJoinEstimator:
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    model = NarMLP.load(os.path.join(path, "model.npz"))
+    if meta.get("arch") == "trm":
+        from .transformer import NarTransformer
+        model = NarTransformer.load(os.path.join(path, "model.npz"))
+    else:
+        model = NarMLP.load(os.path.join(path, "model.npz"))
     z = np.load(os.path.join(path, "domains.npz"), allow_pickle=False)
     domains = {c: ColumnDomain(c, z[f"dom_{i}"])
                for i, c in enumerate(meta["dom_cols"])}

@@ -251,3 +251,35 @@ class NarTransformer:
             if log:
                 log(f"epoch {ep}: loss {losses[-1]:.4f}")
         return losses
+
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        arrs = {"pos": self.pos, "lnf_g": self.lnf_g, "lnf_b": self.lnf_b}
+        for j, e in enumerate(self.emb):
+            arrs[f"emb_{j}"] = e
+        for i, blk in enumerate(self.blocks):
+            for k, v in blk.items():
+                arrs[f"blk{i}_{k}"] = v
+        np.savez_compressed(
+            path, cols="|".join(self.cols), doms=np.array(self.doms),
+            d_word=self.cfg.d_word, d_ff=self.cfg.d_ff,
+            n_blocks=self.cfg.n_blocks, n_heads=self.cfg.n_heads, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "NarTransformer":
+        z = np.load(path, allow_pickle=False)
+        cols = str(z["cols"]).split("|")
+        doms = [int(x) for x in z["doms"]]
+        cfg = TrmConfig(d_word=int(z["d_word"]), d_ff=int(z["d_ff"]),
+                        n_blocks=int(z["n_blocks"]),
+                        n_heads=int(z["n_heads"]))
+        m = cls(list(zip(cols, doms)), cfg)
+        m.emb = [z[f"emb_{j}"] for j in range(len(cols))]
+        m.pos = z["pos"]
+        m.lnf_g, m.lnf_b = z["lnf_g"], z["lnf_b"]
+        for i, blk in enumerate(m.blocks):
+            for k in blk:
+                blk[k] = z[f"blk{i}_{k}"]
+        return m

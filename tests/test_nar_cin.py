@@ -107,3 +107,22 @@ def test_inherited_chain_fanout_upscale(nar_cin_fact, exact):
     # estimate() routes through the same path (no single model covers
     # {lineitem, orders, customer})
     assert qerr(nar_cin_fact.estimate(sql), want) < 3.0
+
+
+def test_cin_save_load_roundtrip(nar_cin, exact, tmp_path):
+    """A loaded CIN estimator reproduces both the single-model and the
+    chained inherited-sample estimates exactly (deterministic seeds; no
+    join samples on disk)."""
+    from scardina_spark.estimators.cin import (
+        load_cin_estimator, save_cin_estimator)
+    path = str(tmp_path / "cin_ckpt")
+    save_cin_estimator(nar_cin, path)
+    loaded = load_cin_estimator(path)
+    for sql in [
+        "SELECT COUNT(*) FROM customer c, nation n "
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'",
+        "SELECT COUNT(*) FROM customer c, nation n, region r "
+        "WHERE c.c_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+    ]:
+        assert abs(nar_cin.estimate(sql) - loaded.estimate(sql)) < 1e-6, sql

@@ -84,3 +84,21 @@ def test_trm_qerror(trm_estimator, duck, sql, bound):
     assert est > 0
     q = max(est / true, true / est)
     assert q < bound, (sql, est, true, q)
+
+
+def test_trm_save_load_roundtrip(tmp_path):
+    import numpy as np
+    from scardina_spark.model.transformer import NarTransformer, TrmConfig
+    rs = np.random.RandomState(3)
+    codes = np.stack([rs.randint(2, 8, 2000), rs.randint(2, 6, 2000)], axis=1)
+    m = NarTransformer([("a", 8), ("b", 6)],
+                       TrmConfig(epochs=2, d_word=8, d_ff=16, batch_size=256,
+                                 seed=3, n_blocks=1, n_heads=2))
+    m.fit(codes)
+    path = str(tmp_path / "trm.npz")
+    m.save(path)
+    m2 = NarTransformer.load(path)
+    probe = np.array([[3, 0], [5, 0]])
+    mask = np.array([[False, True], [False, True]])
+    assert np.allclose(m.logits_for(probe, mask, 1),
+                       m2.logits_for(probe, mask, 1))
