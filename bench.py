@@ -157,6 +157,29 @@ def main() -> None:
     # queries are smoothed estimates of empty results
     extras["jl_nar_hybrid_qerror_max"] = round(max(jn_hq), 4)
 
+    # plan-quality: p-error of the learned cards under the C_out cost
+    # model over left-deep join orders (the reference's CEB/Postgres
+    # protocol, self-contained — estimators/perror.py).  Truth per
+    # sub-query from the DuckDB oracle; only multi-join queries have a
+    # plan choice.
+    from scardina_spark.benchmarks import duckdb_connection
+    from scardina_spark.estimators.perror import p_error, to_sql
+    from scardina_spark.plans.parse import parse_query as _parse
+    con = duckdb_connection(sf_dir)
+    true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
+    pes = []
+    t0 = time.perf_counter()
+    for name, sql in suite.items():
+        pq = _parse(sql)
+        if len(pq.tables) < 3:
+            continue
+        pes.append(p_error(pq, nar_hyb.estimate, true_fn))
+    timings["joblight_nar_perror"] = round(time.perf_counter() - t0, 4)
+    extras["jl_nar_perror_n"] = len(pes)
+    extras["jl_nar_perror_p50"] = round(pct(pes, 0.5), 4)
+    extras["jl_nar_perror_p90"] = round(pct(pes, 0.9), 4)
+    extras["jl_nar_perror_max"] = round(max(pes), 4)
+
     # 2a'''. CIN mode over the same suite: one NAR model per
     # closed-in-neighborhood subschema (the reference's headline
     # decomposition, scardina/schema.py:85-183), chained at query time via

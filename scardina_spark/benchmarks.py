@@ -136,15 +136,22 @@ def job_light_suite(n_per_template: int = 6, seed: int = 2026
     return out
 
 
-def duckdb_truths(sf_dir: str, suite: dict[str, str]) -> dict[str, float]:
-    """Exact truth per query via DuckDB over the same parquet files (the
-    same oracle the driver's correctness gate uses)."""
+def duckdb_connection(sf_dir: str):
+    """One DuckDB connection with every testdata table as a view — the
+    exact-count oracle used for truths and plan-cost evaluation."""
     import duckdb
 
     con = duckdb.connect()
     for t in sorted(set(_TABLE.values())):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
+    return con
+
+
+def duckdb_truths(sf_dir: str, suite: dict[str, str]) -> dict[str, float]:
+    """Exact truth per query via DuckDB over the same parquet files (the
+    same oracle the driver's correctness gate uses)."""
+    con = duckdb_connection(sf_dir)
     return {name: float(con.sql(sql).fetchone()[0])
             for name, sql in suite.items()}
 
