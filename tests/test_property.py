@@ -79,3 +79,54 @@ def test_normalize_between_always_splits(lo, hi):
     assert Predicate("t.c", ">=", lo) in out
     assert Predicate("t.c", "<=", hi) in out
     assert len(out) == 2
+
+
+# -- plan-quality (perror) invariants ---------------------------------------
+
+def _random_tree_query(rs, n):
+    """A random tree-shaped join query over n aliases."""
+    aliases = [f"t{i}" for i in range(n)]
+    joins = []
+    for i in range(1, n):
+        j = int(rs.randint(0, i))  # attach to a random earlier node
+        joins.append((f"{aliases[i]}.k", f"{aliases[j]}.k"))
+    from scardina_spark.plans.parse import ParsedQuery
+    return ParsedQuery(tables={a: a for a in aliases}, joins=joins,
+                       filters=[])
+
+
+@given(n=st.integers(3, 6), seed=st.integers(0, 10_000))
+@settings(max_examples=100, deadline=None)
+def test_perror_at_least_one_and_perfect_is_one(n, seed):
+    """p-error >= 1 for ANY estimates; == 1 for perfect estimates — over
+    random tree shapes and random cardinalities."""
+    from scardina_spark.estimators.perror import (
+        connected_subsets, left_deep_plans, p_error, plan_cost)
+    rs = np.random.RandomState(seed)
+    pq = _random_tree_query(rs, n)
+    subs = connected_subsets(pq)
+    true = {s: float(rs.randint(1, 10_000)) for s in subs}
+    est = {s: float(rs.randint(1, 10_000)) for s in subs}
+    tfn = lambda frag: true[frozenset(frag.tables)]  # noqa: E731
+    efn = lambda frag: est[frozenset(frag.tables)]   # noqa: E731
+    assert p_error(pq, efn, tfn) >= 1.0
+    assert p_error(pq, tfn, tfn) == 1.0
+    # the optimum really is the min over the enumerated space
+    plans = left_deep_plans(pq)
+    assert plans, "a tree query always has at least one left-deep order"
+    best = min(plan_cost(p, true) for p in plans)
+    assert all(plan_cost(p, true) >= best for p in plans)
+
+
+@given(n=st.integers(2, 6), seed=st.integers(0, 10_000))
+@settings(max_examples=100, deadline=None)
+def test_left_deep_plans_prefixes_connected(n, seed):
+    from scardina_spark.estimators.perror import (
+        _connected, _join_graph, left_deep_plans)
+    rs = np.random.RandomState(seed)
+    pq = _random_tree_query(rs, n)
+    adj = _join_graph(pq)
+    for plan in left_deep_plans(pq):
+        assert sorted(plan) == sorted(pq.tables)
+        for k in range(1, len(plan) + 1):
+            assert _connected(frozenset(plan[:k]), adj)
