@@ -1481,6 +1481,42 @@ def q_nar_cin_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "query string, est double, truth long, qerror double")
 
 
+def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-quality (p-error) of the sample-backed estimator: C_out cost
+    over left-deep join orders, per-subquery cards, DuckDB truth (the
+    reference's CEB/Postgres protocol made self-contained; randomized
+    sample -> rows-only)."""
+    from .benchmarks import duckdb_connection
+    from .estimators import SampleEstimator, prepare_tree_sample
+    from .estimators.perror import p_error, to_sql
+    from .estimators.sample import spanning_tree
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", seed=42).localize())
+    con = duckdb_connection(sf_dir)
+    true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
+    queries = {
+        "p1_3way": "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+                   "WHERE l.l_orderkey = o.o_orderkey AND "
+                   "o.o_custkey = c.c_custkey AND "
+                   "c.c_mktsegment = 'BUILDING'",
+        "p2_4way": "SELECT COUNT(*) FROM lineitem l, supplier s, nation n, "
+                   "region r WHERE l.l_suppkey = s.s_suppkey AND "
+                   "s.s_nationkey = n.n_nationkey AND "
+                   "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+        "p3_5way": "SELECT COUNT(*) FROM lineitem l, orders o, customer c, "
+                   "supplier s, part p WHERE l.l_orderkey = o.o_orderkey "
+                   "AND o.o_custkey = c.c_custkey AND "
+                   "l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey "
+                   "AND p.p_size > 25",
+    }
+    rows = [(name, float(p_error(sql, est.estimate, true_fn)))
+            for name, sql in queries.items()]
+    return spark.createDataFrame(rows, "query string, p_error double")
+
+
 NAR_BENCH_QUERIES = {
     "n1_eq": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
     "n2_range": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
@@ -1689,6 +1725,7 @@ def queries() -> dict:
         "e2_nar_qerror": q_nar_qerror,
         "e3_nar_ur_qerror": q_nar_ur_qerror,
         "e4_nar_cin_qerror": q_nar_cin_qerror,
+        "e5_perror": q_perror,
     }
 
 

@@ -122,3 +122,18 @@ def test_estimator_count_plan_prunes_unused_columns(spark, tables):
         read = section.split("ReadSchema:")[-1].split("\n")[0]
         assert "l_extendedprice" not in read
         assert "o_totalprice" not in read
+
+
+def test_join_sampler_plan_has_no_pathologies(spark, tables):
+    """The weighted join sampler must stay all-equi-join: no
+    broadcast-nested-loop, no cartesian product, no single-partition
+    exchange anywhere in the materialization plan."""
+    from scardina_spark.estimators import prepare_tree_sample
+    from scardina_spark.estimators.sample import spanning_tree
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=10_000, cache=False, seed=7)
+    plan = _plan(ts.sample)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
