@@ -11,12 +11,63 @@ Layout:
   session.py     SparkSession factory with scale-tuned configs
   schema.py      schema graph + CIN/UR subschema derivation (metadata-scale)
   catalog.py     testdata (TPC-H-ish) schema registration and loading
-  sources/       scans and sinks (parquet/csv, stage checkpointing)
-  operators/     fanout/weight/dictionary/sampler + LLM-data-pipeline ops
-  functions/     scalar/predicate → pyspark Column compilation
-  ml/            NumPy NAR masked autoencoder (train + inference)
-  plans/         SQL front-end, predicate normalization, estimator
+  operators/     fanout/weight/sampler/pipeline + LLM-data-pipeline ops
+                 (dedup, similarity, textstats, multimodal, ...)
+  functions/     dictionary encoding + bit-slice factorization
+  plans/         SQL front-end, predicate normalization, join planning
+  estimators/    exact / sample-HT / stitched / CIN / hybrid / p-error
+  model/         NumPy NAR masked autoencoder (MLP + Transformer),
+                 Spark->model bridges, checkpointing, grid search
   streaming/     Structured Streaming ops over the events table
+  queries.py     driver-contract registry (operator -> Spark fn + oracle)
+  benchmarks.py  JOB-light-shape suite, DuckDB truths, model column sets
+
+Common entry points re-export lazily from here::
+
+    from scardina_spark import get_spark, load_tables, build_tpch_schema
+    from scardina_spark import prepare_tree_sample, SampleEstimator
+    from scardina_spark import train_join_estimator
 """
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "get_spark": ("scardina_spark.session", "get_spark"),
+    "build_tpch_schema": ("scardina_spark.catalog", "build_tpch_schema"),
+    "load_table": ("scardina_spark.catalog", "load_table"),
+    "load_tables": ("scardina_spark.catalog", "load_tables"),
+    "prepare_tree_sample": ("scardina_spark.estimators",
+                            "prepare_tree_sample"),
+    "ExactEstimator": ("scardina_spark.estimators", "ExactEstimator"),
+    "SampleEstimator": ("scardina_spark.estimators", "SampleEstimator"),
+    "StitchedEstimator": ("scardina_spark.estimators", "StitchedEstimator"),
+    "HybridEstimator": ("scardina_spark.estimators", "HybridEstimator"),
+    "NarCinEstimator": ("scardina_spark.estimators.cin", "NarCinEstimator"),
+    "TrainConfig": ("scardina_spark.model", "TrainConfig"),
+    "train_single_table": ("scardina_spark.model.bridge",
+                           "train_single_table"),
+    "train_join_estimator": ("scardina_spark.model.join_bridge",
+                             "train_join_estimator"),
+    "save_join_estimator": ("scardina_spark.model.join_bridge",
+                            "save_join_estimator"),
+    "load_join_estimator": ("scardina_spark.model.join_bridge",
+                            "load_join_estimator"),
+    "parse_query": ("scardina_spark.plans.parse", "parse_query"),
+    "p_error": ("scardina_spark.estimators.perror", "p_error"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy re-exports: importing scardina_spark stays free of pyspark
+    until an entry point is actually touched."""
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
