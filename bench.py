@@ -142,7 +142,7 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_ur.estimate(sql)
             jn_ms.append((time.perf_counter() - tq0) * 1000)
-            h = nar_hyb.estimate(sql)
+            h = nar_hyb.clamp(sql, e)
         except (UnsupportedQueryError, ValueError):
             continue
         jn_q.append(qerr(e, truths[name]))
@@ -209,7 +209,7 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_cin.estimate(sql)
             cms.append((time.perf_counter() - tq0) * 1000)
-            h = cin_hyb.estimate(sql)
+            h = cin_hyb.clamp(sql, e)
         except (UnsupportedQueryError, ValueError):
             continue
         cq.append(qerr(e, truths[name]))

@@ -130,7 +130,8 @@ def cmd_bench(args) -> int:
         truths = {f"q{i}": t for i, (t, _) in enumerate(entries)
                   if t is not None}
         rep = run_benchmark(est, queries, truths=truths or None,
-                            truth_fn=ExactEstimator(sg, tables).estimate)
+                            truth_fn=ExactEstimator(sg, tables).estimate,
+                            skip_unsupported=True)
     else:
         rep = run_benchmark(est, BENCH_QUERIES,
                             truth_fn=ExactEstimator(sg, tables).estimate)
@@ -147,7 +148,7 @@ def cmd_train(args) -> int:
     from .model.bridge import train_single_table
     spark = _spark()
     df = load_table(spark, args.sf_dir, args.table)
-    cols = args.columns.split(",")
+    cols = [c.strip() for c in args.columns.split(",")]
     cfg = TrainConfig(epochs=args.epochs, seed=args.seed)
     est = train_single_table(df, cols, cfg, arch=args.arch,
                              fact_threshold=args.fact_threshold)
@@ -169,7 +170,8 @@ def cmd_train_join(args) -> int:
     spark = _spark()
     tables = load_tables(spark, args.sf_dir)
     sg = build_tpch_schema()
-    cols = args.columns.split(",") if args.columns else UR_MODEL_COLUMNS
+    cols = [c.strip() for c in args.columns.split(",")] \
+        if args.columns else UR_MODEL_COLUMNS
     ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
                              args.root, seed=args.seed)
     est = train_join_estimator(

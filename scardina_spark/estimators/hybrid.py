@@ -34,7 +34,12 @@ class HybridEstimator:
     name: str = "nar-hybrid"
 
     def estimate(self, query) -> float:
-        est = self.learned.estimate(query)
+        return self.clamp(query, self.learned.estimate(query))
+
+    def clamp(self, query, est: float) -> float:
+        """Apply the zero short-circuit to an already-computed learned
+        estimate — lets callers that hold the estimate avoid re-running
+        the progressive sampler."""
         try:
             ht = self.checker.estimate(query)
         except (UnsupportedQueryError, ValueError):

@@ -27,6 +27,7 @@ from __future__ import annotations
 from itertools import combinations
 
 from ..plans.parse import ParsedQuery, parse_query
+from .sample import UnsupportedQueryError
 
 
 def _join_graph(pq: ParsedQuery) -> dict[str, set[str]]:
@@ -107,7 +108,17 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
     pq = parse_query(query) if isinstance(query, str) else query
     if len(pq.tables) < 3:
         return 1.0  # a single join order; estimates cannot change it
-    subsets = connected_subsets(pq)
+    if any(p.table is None for p in pq.filters):
+        # a bare column name cannot be routed to one fragment
+        raise UnsupportedQueryError(
+            "p_error requires alias-qualified filter columns")
+    plans = left_deep_plans(pq)
+    if not plans:
+        raise UnsupportedQueryError(
+            "disconnected join graph (cartesian product) has no "
+            "left-deep join orders")
+    # size-1 subsets are base-table scans — plan_cost never reads them
+    subsets = [s for s in connected_subsets(pq) if len(s) >= 2]
     true_cards: dict[frozenset, float] = {}
     est_cards: dict[frozenset, float] = {}
     for s in subsets:
@@ -115,9 +126,11 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
         true_cards[s] = float(true_fn(frag))
         try:
             est_cards[s] = float(est_fn(frag))
-        except Exception:
+        except (UnsupportedQueryError, ValueError):
+            # only the estimators' documented rejection types fall back to
+            # truth (the reference injects just the cards the model
+            # produced); anything else is a bug and must surface
             est_cards[s] = true_cards[s]
-    plans = left_deep_plans(pq)
     plan_est = min(plans, key=lambda p: plan_cost(p, est_cards))
     best_true = min(plan_cost(p, true_cards) for p in plans)
     chosen_true = plan_cost(plan_est, true_cards)

@@ -399,6 +399,7 @@ def save_join_estimator(est: NarJoinEstimator, path: str) -> None:
     meta = {
         "dom_cols": list(est.domains.keys()),
         "tree_tables": sorted(est.ts.tables),
+        "tree_rels": sorted(str(r) for r in est.ts.tree.rels),
         "tree_center": est.ts.tree.center,
         "root": est.ts.root,
         "join_size": est.ts.join_size,
@@ -443,13 +444,23 @@ def load_join_estimator(path: str, sg=None) -> NarJoinEstimator:
                for i, c in enumerate(meta["dom_cols"])}
 
     sg = sg or build_tpch_schema()
+
+    def _matches(t) -> bool:
+        if sorted(t.tables) != meta["tree_tables"]:
+            return False
+        saved_rels = meta.get("tree_rels")
+        # table-set equality alone can collide across tree kinds in richer
+        # schemas; the edge list is the tree's identity
+        return saved_rels is None or \
+            sorted(str(r) for r in t.rels) == saved_rels
+
     tree = cin_tree(sg, meta["tree_center"])
-    if sorted(tree.tables) != meta["tree_tables"]:
+    if not _matches(tree):
         tree = spanning_tree(sg, meta["root"])
-    if sorted(tree.tables) != meta["tree_tables"]:
+    if not _matches(tree):
         raise ValueError(
-            f"saved tree tables {meta['tree_tables']} match neither the CIN "
-            f"tree of {meta['tree_center']} nor the spanning tree of "
+            f"saved tree (tables {meta['tree_tables']}) matches neither the "
+            f"CIN tree of {meta['tree_center']} nor the spanning tree of "
             f"{meta['root']} in this schema")
     ts = TreeSample(tree=tree, root=meta["root"], sample=None,
                     join_size=int(meta["join_size"]),

@@ -68,6 +68,8 @@ class QueryResult:
 class BenchmarkReport:
     estimator: str
     results: list[QueryResult] = field(default_factory=list)
+    n_skipped: int = 0
+    skipped: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def summary(self) -> dict[str, float]:
@@ -76,6 +78,8 @@ class BenchmarkReport:
         out = {f"q_p{int(p * 100)}": pct_nearest(qs, p) for p in PERCENTILES}
         out["mean_ms"] = sum(lat) / len(lat) if lat else float("nan")
         out["n_queries"] = len(self.results)
+        if self.n_skipped:
+            out["n_skipped"] = self.n_skipped
         return out
 
     def to_csv(self, path: str) -> None:
@@ -99,10 +103,15 @@ class BenchmarkReport:
 
 def run_benchmark(estimator, queries: dict[str, str] | list[str],
                   truth_fn=None, truths: dict[str, float] | None = None,
-                  ) -> BenchmarkReport:
+                  skip_unsupported: bool = False) -> BenchmarkReport:
     """Run ``estimator.estimate`` over the benchmark; truth comes from
     ``truths`` (golden, reference-style) or ``truth_fn`` (live exact
-    counts — we can compute truth instead of shipping golden files)."""
+    counts — we can compute truth instead of shipping golden files).
+
+    ``skip_unsupported``: queries the estimator rejects are counted in
+    ``report.n_skipped`` instead of aborting the run — for external
+    workloads (reference-format CSVs) that may exceed the estimator's
+    query language."""
     if isinstance(queries, list):
         queries = {f"q{i}": sql for i, sql in enumerate(queries)}
     rep = BenchmarkReport(getattr(estimator, "name", type(estimator).__name__))
@@ -110,7 +119,14 @@ def run_benchmark(estimator, queries: dict[str, str] | list[str],
         t0 = time.perf_counter()
         # ceil to an integer cardinality, as the reference's estimators do
         # (scardina/estimators.py:1467: np.ceil(card))
-        est = math.ceil(estimator.estimate(sql))
+        try:
+            est = math.ceil(estimator.estimate(sql))
+        except Exception as ex:
+            if skip_unsupported:
+                rep.n_skipped += 1
+                rep.skipped.append((name, str(ex)))
+                continue
+            raise
         ms = (time.perf_counter() - t0) * 1000
         if truths and name in truths:
             truth = truths[name]

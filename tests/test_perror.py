@@ -81,3 +81,30 @@ def test_ht_estimator_perror_near_one(tables, sf_dir):
     true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
     pe = p_error(SQL3, est.estimate, true_fn)
     assert pe < 1.5, pe
+
+
+def test_unqualified_filters_rejected():
+    """Bare column names cannot be routed to one fragment — reject rather
+    than attach them to the wrong sub-query."""
+    from scardina_spark.estimators.sample import UnsupportedQueryError
+    with pytest.raises(UnsupportedQueryError):
+        p_error("SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+                "WHERE l.l_orderkey = o.o_orderkey AND "
+                "o.o_custkey = c.c_custkey AND o_totalprice > 100",
+                lambda f: 1.0, lambda f: 1.0)
+
+
+def test_disconnected_join_graph_rejected():
+    from scardina_spark.estimators.sample import UnsupportedQueryError
+    with pytest.raises(UnsupportedQueryError):
+        p_error("SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+                "WHERE l.l_orderkey = o.o_orderkey",
+                lambda f: 1.0, lambda f: 1.0)
+
+
+def test_estimator_bugs_surface_not_masked():
+    """Only the estimators' documented rejection types fall back to the
+    true cardinality; a buggy estimator must raise, not score p-error 1."""
+    with pytest.raises(TypeError):
+        p_error(SQL3, lambda f: (_ for _ in ()).throw(TypeError("bug")),
+                lambda f: 10.0)

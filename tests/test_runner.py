@@ -74,3 +74,24 @@ def test_runner_with_golden_truths():
 
     rep = run_benchmark(Fake(), {"a": "SELECT 1"}, truths={"a": 100.0})
     assert rep.results[0].q_error == 2.0
+
+
+def test_run_benchmark_skips_unsupported_when_asked():
+    from scardina_spark.estimators.sample import UnsupportedQueryError
+    from scardina_spark.runner import run_benchmark
+
+    class Flaky:
+        name = "flaky"
+
+        def estimate(self, sql):
+            if "orders" in sql:
+                raise UnsupportedQueryError("off-tree")
+            return 10.0
+
+    queries = {"ok": "SELECT COUNT(*) FROM lineitem",
+               "bad": "SELECT COUNT(*) FROM orders"}
+    rep = run_benchmark(Flaky(), queries, truths={"ok": 10.0, "bad": 1.0},
+                        skip_unsupported=True)
+    assert rep.summary["n_queries"] == 1
+    assert rep.summary["n_skipped"] == 1
+    assert rep.skipped[0][0] == "bad"
