@@ -1644,6 +1644,62 @@ order by revenue desc, o_orderkey limit 10
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (beyond reference): conditional aggregation over a
+    fact-dim join — the CASE-WHEN sum stays inside the same partial
+    aggregate as the unconditional one, so no extra pass."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey")))
+    return joined.agg(
+        F.sum(_d6(promo)).cast("double").alias("promo_revenue"),
+        F.sum(_d6(rev)).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+SQL_PROMO_REVENUE = """
+select sum((case when p_type = 'PROMO'
+                 then l_extendedprice * (1 - l_discount)
+                 else 0.0 end)::DECIMAL(18,6))::DOUBLE as promo_revenue,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as total_revenue,
+       count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= TIMESTAMP '1997-01-01'
+  and l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (beyond reference): per-priority counts of orders
+    with at least one late line — EXISTS as a left-semi join (one pass,
+    no fact-side duplication before the aggregate)."""
+    t = load_tables(spark, sf_dir)
+    late = t["lineitem"].where(F.col("l_shipdate") > F.lit("1999-01-01")
+                               .cast("timestamp"))
+    return (
+        t["orders"]
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority"))
+
+
+SQL_PRIORITY_ORDERS = """
+select o_orderpriority, count(*) as order_count
+from orders
+where exists (select 1 from lineitem
+              where l_orderkey = o_orderkey
+                and l_shipdate > TIMESTAMP '1999-01-01')
+group by o_orderpriority order by o_orderpriority
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -1716,6 +1772,8 @@ def queries() -> dict:
         "a11_pricing_summary": q_pricing_summary,
         "a12_region_revenue": q_region_revenue,
         "a13_ship_priority": q_ship_priority,
+        "a14_promo_revenue": q_promo_revenue,
+        "a15_priority_orders": q_priority_orders,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -1782,6 +1840,8 @@ def oracle_sql() -> dict[str, str]:
         "a11_pricing_summary": SQL_PRICING_SUMMARY,
         "a12_region_revenue": SQL_REGION_REVENUE,
         "a13_ship_priority": SQL_SHIP_PRIORITY,
+        "a14_promo_revenue": SQL_PROMO_REVENUE,
+        "a15_priority_orders": SQL_PRIORITY_ORDERS,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,
