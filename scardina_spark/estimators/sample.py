@@ -30,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import networkx as nx
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..operators.fanout import adj_fanout_col, attach_count, fk_counts
 from ..operators.sampler import join_sample
@@ -324,30 +324,87 @@ class SampleEstimator:
                 raise UnsupportedQueryError(
                     "query tables are not connected within the sample tree")
 
-    def estimate(self, query: ParsedQuery | str) -> float:
+    def _route(self, query: ParsedQuery | str
+               ) -> tuple[TreeSample, list[Predicate], set[str]]:
+        """Resolve a query to (sample, table-qualified predicates, used
+        tables) — the shared front half of the single and batched paths."""
         pq = parse_query(query) if isinstance(query, str) else query
         alias_to_table = _query_tables(pq)
         q_tables = set(alias_to_table.values())
         ts = self._pick(q_tables, pq, alias_to_table)
-
-        # predicates, rewritten from alias-qualified to table-qualified
         preds = []
         for p in normalize_predicates(pq.filters):
             t = alias_to_table.get(p.table or "", p.table)
             if t not in ts.tables:
                 raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
             preds.append(Predicate(f"{t}.{p.column}", p.o, p.v))
+        return ts, preds, q_tables
 
+    @staticmethod
+    def _contrib_column(ts: TreeSample, preds: list[Predicate],
+                        q_tables: set[str]) -> Column:
+        """Per-row HT contribution ``1[preds ∧ markers] / Π fanout`` as one
+        Spark Column (the aggregate's input on the distributed path)."""
+        ind = predicates_to_column(preds, qualify=True)
+        for t in sorted(q_tables):
+            ind = ind & F.col(f"`__in__:{t}`")
+        div = F.lit(1.0)
+        for c in _divisor_cols(ts, q_tables):
+            div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
+        return F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+
+    def estimate(self, query: ParsedQuery | str) -> float:
+        ts, preds, q_tables = self._route(query)
         if ts.local is not None:
             mean = _local_mean(ts, preds, q_tables)
         else:
-            ind = predicates_to_column(preds, qualify=True)
-            for t in sorted(q_tables):
-                ind = ind & F.col(f"`__in__:{t}`")
-            div = F.lit(1.0)
-            for c in _divisor_cols(ts, q_tables):
-                div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
-            contrib = F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+            contrib = self._contrib_column(ts, preds, q_tables)
             mean = ts.sample.agg(
                 F.avg(contrib).alias("m")).collect()[0]["m"] or 0.0
         return float(ts.join_size) * float(mean)
+
+    def estimate_many(self, queries: dict[str, ParsedQuery | str],
+                      batch_size: int = 64) -> dict[str, float]:
+        """Batched estimation: route every query, then evaluate all queries
+        sharing a sample in ONE aggregate — ``avg(when(pred_i, 1/div_i))``
+        per query — so a suite costs one plan compile + one pass over each
+        cached sample instead of a per-query job (~300 ms of whole-stage
+        codegen per plan on the distributed path).  At 100 TB the same
+        shape holds: the sample is bounded, the aggregate is map-side
+        partial, and query count scales the projection width, not the
+        pass count.  ``batch_size`` caps aggregate width (very wide
+        codegen functions stop JIT-compiling around a few hundred exprs).
+
+        Unsupported queries are omitted from the result; callers that need
+        the reason re-run them through ``estimate`` individually."""
+        routed: dict[str, tuple] = {}
+        out: dict[str, float] = {}
+        for key, q in queries.items():
+            try:
+                routed[key] = self._route(q)
+            except UnsupportedQueryError:
+                continue
+        by_ts: dict[int, list[str]] = {}
+        ts_of: dict[int, TreeSample] = {}
+        for key, (ts, _, _) in routed.items():
+            by_ts.setdefault(id(ts), []).append(key)
+            ts_of[id(ts)] = ts
+        for tid, keys in by_ts.items():
+            ts = ts_of[tid]
+            if ts.local is not None:
+                for k in keys:
+                    _, preds, q_tables = routed[k]
+                    out[k] = float(ts.join_size) * _local_mean(
+                        ts, preds, q_tables)
+                continue
+            for i in range(0, len(keys), batch_size):
+                chunk = keys[i:i + batch_size]
+                aggs = []
+                for j, k in enumerate(chunk):
+                    _, preds, q_tables = routed[k]
+                    aggs.append(F.avg(self._contrib_column(
+                        ts, preds, q_tables)).alias(f"q{j}"))
+                row = ts.sample.agg(*aggs).collect()[0]
+                for j, k in enumerate(chunk):
+                    out[k] = float(ts.join_size) * float(row[f"q{j}"] or 0.0)
+        return out

@@ -99,3 +99,32 @@ def test_cin_sample_covers_dropped_edge(tables):
         "SELECT COUNT(*) FROM customer c, nation n "
         "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'")
     assert qerr(got, exact) < 1.25
+
+
+def test_estimate_many_matches_single(estimator):
+    """The batched aggregate must reproduce the per-query distributed path
+    exactly (same contributions, same sample) and omit unsupported keys."""
+    queries = {f"q{i}": sql for i, sql in enumerate(QUERIES)}
+    queries["bad"] = ("SELECT COUNT(*) FROM part p, supplier s "
+                      "WHERE p.p_size > 10 AND s.s_suppkey > 5")
+    got = estimator.estimate_many(queries, batch_size=3)
+    assert "bad" not in got
+    assert set(got) == {f"q{i}" for i in range(len(QUERIES))}
+    for i, sql in enumerate(QUERIES):
+        single = estimator.estimate(sql)
+        assert got[f"q{i}"] == pytest.approx(single, rel=1e-9), sql
+
+
+def test_estimate_many_localized(estimator):
+    """Batch over a localized sample routes through the pandas path and
+    still agrees with the distributed single-query numbers."""
+    ts = estimator.samples[0]
+    try:
+        ts.localize()
+        queries = {f"q{i}": sql for i, sql in enumerate(QUERIES)}
+        got = estimator.estimate_many(queries)
+        for i, sql in enumerate(QUERIES):
+            assert got[f"q{i}"] == pytest.approx(
+                estimator.estimate(sql), rel=1e-9)
+    finally:
+        ts.local = None

@@ -118,11 +118,40 @@ def test_cin_save_load_roundtrip(nar_cin, exact, tmp_path):
     path = str(tmp_path / "cin_ckpt")
     save_cin_estimator(nar_cin, path)
     loaded = load_cin_estimator(path)
-    for sql in [
-        "SELECT COUNT(*) FROM customer c, nation n "
-        "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'",
-        "SELECT COUNT(*) FROM customer c, nation n, region r "
-        "WHERE c.c_nationkey = n.n_nationkey "
-        "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
-    ]:
-        assert abs(nar_cin.estimate(sql) - loaded.estimate(sql)) < 1e-6, sql
+    # a loaded estimator has no samples, so compare pure-model chains
+    nar_cin.sample_arbiter = False
+    try:
+        for sql in [
+            "SELECT COUNT(*) FROM customer c, nation n "
+            "WHERE c.c_nationkey = n.n_nationkey AND n.n_name LIKE 'NATION_1%'",
+            "SELECT COUNT(*) FROM customer c, nation n, region r "
+            "WHERE c.c_nationkey = n.n_nationkey "
+            "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+        ]:
+            assert abs(nar_cin.estimate(sql) - loaded.estimate(sql)) < 1e-6, sql
+    finally:
+        nar_cin.sample_arbiter = True
+
+
+def test_sample_arbiter_tightens_chain(nar_cin, exact):
+    """The chained path cross-validated against the materialized samples
+    (geometric mean with the HT chain) must be at least as accurate as the
+    pure-model chain, and a loaded-checkpoint-style estimator (no samples)
+    must still answer."""
+    sql = ("SELECT COUNT(*) FROM customer c, nation n, region r "
+           "WHERE c.c_nationkey = n.n_nationkey "
+           "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'")
+    want = exact.estimate(sql)
+    with_arb = nar_cin.estimate(sql)
+    nar_cin.sample_arbiter = False
+    try:
+        without = nar_cin.estimate(sql)
+    finally:
+        nar_cin.sample_arbiter = True
+    assert qerr(with_arb, want) <= qerr(without, want) * 1.05, (
+        with_arb, without, want)
+    # HT chain agreeing with an empty region forces 0
+    empty = ("SELECT COUNT(*) FROM customer c, nation n, region r "
+             "WHERE c.c_nationkey = n.n_nationkey "
+             "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'NOWHERE'")
+    assert nar_cin.estimate(empty) == 0.0
