@@ -178,14 +178,33 @@ def main() -> None:
     from scardina_spark.estimators.perror import p_error, to_sql
     from scardina_spark.plans.parse import parse_query as _parse
     con = duckdb_connection(sf_dir)
-    true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
+    _truth_cache: dict[str, float] = {}
+
+    def true_fn(frag):
+        # sub-queries repeat heavily across the suite (shared join
+        # prefixes); memoize on the fragment's SQL
+        sql = to_sql(frag)
+        if sql not in _truth_cache:
+            _truth_cache[sql] = con.sql(sql).fetchone()[0]
+        return _truth_cache[sql]
+    _est_cache: dict[str, float] = {}
+
+    def est_fn(frag):
+        # the reference exports ONE prediction per distinct subquery
+        # (run.py:980-990); mirror that — shared join prefixes across the
+        # suite estimate once
+        sql = to_sql(frag)
+        if sql not in _est_cache:
+            _est_cache[sql] = nar_hyb.estimate(frag)
+        return _est_cache[sql]
+
     pes = []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         pq = _parse(sql)
         if len(pq.tables) < 3:
             continue
-        pes.append(p_error(pq, nar_hyb.estimate, true_fn))
+        pes.append(p_error(pq, est_fn, true_fn))
     timings["joblight_nar_perror"] = round(time.perf_counter() - t0, 4)
     extras["jl_nar_perror_n"] = len(pes)
     extras["jl_nar_perror_p50"] = round(pct(pes, 0.5), 4)

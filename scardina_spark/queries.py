@@ -514,6 +514,50 @@ from g group by user_id order by user_id
 """
 
 
+def q_clicks_to_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: clicks joined to the
+    same user's purchases within 1 hour after the click."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    cond = ((clicks["user_id"] == purchases["p_user_id"])
+            & (purchases["purchase_ts"] >= clicks["click_ts"])
+            & (purchases["purchase_ts"]
+               <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")))
+    return (clicks.join(purchases, cond, "inner")
+            .select("user_id", "click_id", "purchase_id",
+                    "click_ts", "purchase_ts")
+            .orderBy("user_id", "click_id", "purchase_id"))
+
+
+SQL_CLICKS_TO_PURCHASES = """
+select a.user_id as user_id, a.event_id as click_id,
+       b.event_id as purchase_id,
+       a.ts as click_ts, b.ts as purchase_ts
+from events a, events b
+where a.event_type = 'click' and b.event_type = 'purchase'
+  and b.user_id = a.user_id
+  and b.ts >= a.ts and b.ts <= a.ts + interval 1 hour
+order by user_id, click_id, purchase_id
+"""
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join drained with availableNow — must
+    equal the batch q_clicks_to_purchases exactly (same oracle)."""
+    from .streaming import (
+        clicks_to_purchases_stream, read_events_stream, run_to_memory_sink)
+    st = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(clicks_to_purchases_stream(st),
+                             "q_stream_join", output_mode="append")
+    return out.orderBy("user_id", "click_id", "purchase_id")
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed agg drained with availableNow — must
     equal the batch q_window_hourly exactly (same oracle)."""
@@ -1700,6 +1744,59 @@ group by o_orderpriority order by o_orderpriority
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (beyond reference): orders whose total line quantity
+    exceeds a threshold, joined back to the customer — the HAVING filter
+    runs inside the first aggregate (map-side partial over l_orderkey), so
+    only qualifying keys reach the orders/customer joins, and both joins
+    key on the already-shuffled o_orderkey/o_custkey."""
+    t = load_tables(spark, sf_dir)
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(_d6(F.col("l_quantity"))).alias("sum_qty"))
+           .where(F.col("sum_qty") > 200))
+    return (t["orders"]
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey", "o_totalprice",
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100))
+
+
+SQL_LARGE_ORDERS = """
+select c_name, o_orderkey, o_totalprice, sum_qty::DOUBLE as sum_qty
+from (select l_orderkey, sum(l_quantity::DECIMAL(18,6)) as sum_qty
+      from lineitem group by l_orderkey having sum_qty > 200) big
+join orders on o_orderkey = big.l_orderkey
+join customer on c_custkey = o_custkey
+order by o_totalprice desc, o_orderkey limit 100
+"""
+
+
+def q_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (beyond reference): COUNT(DISTINCT) per group —
+    distinct suppliers shipping each brand (lineitem as the part-supplier
+    bridge).  Spark expands the distinct agg into a two-phase aggregate
+    over (p_brand, l_suppkey) with map-side partials; no row-level
+    distinct materialization."""
+    t = load_tables(spark, sf_dir)
+    return (t["part"].where(F.col("p_size").between(1, 15))
+            .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand"))
+
+
+SQL_BRAND_SUPPLIER_COUNT = """
+select p_brand, count(distinct l_suppkey) as supplier_cnt,
+       count(*) as n_lines
+from part join lineitem on l_partkey = p_partkey
+where p_size between 1 and 15
+group by p_brand order by supplier_cnt desc, p_brand
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -1746,6 +1843,7 @@ def queries() -> dict:
         "st3_stream_window": q_stream_window,
         "st4_stream_sessions": q_stream_sessions,
         "st5_stream_first_seen": q_stream_first_seen,
+        "st6_stream_join": q_stream_join,
         "x1_dedup_exact": q_dedup_exact,
         "x2_minhash_sigs": q_minhash_sigs,
         "x3_ngram_jaccard": q_ngram_jaccard,
@@ -1774,6 +1872,8 @@ def queries() -> dict:
         "a13_ship_priority": q_ship_priority,
         "a14_promo_revenue": q_promo_revenue,
         "a15_priority_orders": q_priority_orders,
+        "a16_large_orders": q_large_orders,
+        "a17_brand_supplier_count": q_brand_supplier_count,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -1814,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "st3_stream_window": SQL_WINDOW_HOURLY,
         "st4_stream_sessions": SQL_STREAM_SESSIONS,
         "st5_stream_first_seen": SQL_STREAM_FIRST_SEEN,
+        "st6_stream_join": SQL_CLICKS_TO_PURCHASES,
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_minhash_sigs": SQL_MINHASH_SIGS,
         "x3_ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -1842,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
         "a13_ship_priority": SQL_SHIP_PRIORITY,
         "a14_promo_revenue": SQL_PROMO_REVENUE,
         "a15_priority_orders": SQL_PRIORITY_ORDERS,
+        "a16_large_orders": SQL_LARGE_ORDERS,
+        "a17_brand_supplier_count": SQL_BRAND_SUPPLIER_COUNT,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    clicks_to_purchases_stream,
     read_events_stream,
     sessionized_stream,
     windowed_counts_stream,

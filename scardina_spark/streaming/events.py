@@ -79,6 +79,40 @@ def sessionized_stream(events: DataFrame,
     )
 
 
+def clicks_to_purchases_stream(events: DataFrame,
+                               watermark: str = "2 hours",
+                               horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval self-join: each click joined to the same
+    user's purchases within ``horizon`` after the click.
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + horizon]``, so Spark's
+    symmetric-hash join can evict state once an input falls behind
+    ``watermark + horizon`` — state stays O(in-flight window), not
+    O(stream).  The batch twin (queries.q_clicks_to_purchases) is the
+    exact oracle."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark))
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark))
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"]
+           <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}")))
+    return (clicks.join(purchases, cond, "inner")
+            .select("user_id", "click_id", "purchase_id",
+                    "click_ts", "purchase_ts"))
+
+
 def run_to_memory_sink(stream: DataFrame, name: str,
                        output_mode: str = "complete",
                        timeout_sec: int = 120) -> DataFrame:

@@ -58,3 +58,18 @@ def test_session_windows_respect_gap(spark, event_stream):
             # next session must start >= 30 min after previous session end
             gap = (b["session_start"] - a["session_end"]).total_seconds()
             assert gap >= 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream):
+    """The stream-stream interval self-join (clicks -> purchases within
+    1 h) drained with availableNow must equal the batch join exactly."""
+    from scardina_spark.queries import q_clicks_to_purchases
+    from scardina_spark.streaming import clicks_to_purchases_stream
+    out = run_to_memory_sink(
+        clicks_to_purchases_stream(event_stream), "ss_join",
+        output_mode="append")
+    got = sorted((r["user_id"], r["click_id"], r["purchase_id"])
+                 for r in out.collect())
+    want = sorted((r["user_id"], r["click_id"], r["purchase_id"])
+                  for r in q_clicks_to_purchases(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
