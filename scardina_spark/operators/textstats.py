@@ -135,6 +135,46 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def select_training_corpus(df: DataFrame, min_quality: float = 0.7,
+                           langs: tuple[str, ...] = ("en",),
+                           token_budget: float | None = None,
+                           col: str = "text") -> DataFrame:
+    """End-to-end training-corpus selection — the composition a curation
+    pipeline runs at 100 TB:
+
+    1. one codegen projection pass for stats/quality/lang/fingerprint
+       (no shuffle),
+    2. quality + language gate (pushed into the same stage),
+    3. exact-duplicate collapse on the normalized fingerprint, keeping the
+       lowest doc_id (one shuffle, map-side combinable),
+    4. optional greedy token-budget fill, highest quality first — via the
+       scale-safe distributed prefix sum (operators/prefix.py), NOT a
+       single-partition window.
+
+    Deterministic end to end, so the whole pipeline has an exact SQL
+    oracle."""
+    from pyspark.sql import Window
+
+    stats = with_text_stats(df, col)
+    gated = stats.where((F.col("quality") >= min_quality)
+                        & F.col("lang_pred").isin(*langs))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (gated.withColumn("__rn__", F.row_number().over(w))
+               .where(F.col("__rn__") == 1).drop("__rn__"))
+    out = deduped.select("doc_id", "source", "lang_pred", "quality",
+                         "n_tokens", "fingerprint")
+    if token_budget is not None:
+        from .prefix import CUM, with_prefix_sum
+        ranked = (out
+                  .withColumn("__w__", F.col("n_tokens").cast("double"))
+                  .withColumn("__negq__", -F.col("quality")))
+        pref = with_prefix_sum(ranked, "__w__", ["__negq__", "doc_id"])
+        # greedy fill: take docs while the tokens BEFORE this doc fit
+        out = (pref.where(F.col(CUM) < float(token_budget))
+               .drop("__w__", "__negq__", CUM, "__pid__"))
+    return out
+
+
 def source_quality_profile(df: DataFrame, col: str = "text") -> DataFrame:
     """Per-source corpus profile — the rollup a data-curation pipeline
     monitors.  One shuffle on ``source``; partial aggregation map-side."""

@@ -770,6 +770,65 @@ from documents order by doc_id
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: stats -> quality/lang gate ->
+    fingerprint dedup -> greedy token-budget fill (distributed prefix
+    sum).  Every stage is deterministic, so the whole composition has an
+    exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.select_training_corpus(docs, min_quality=0.7, langs=("en",),
+                                    token_budget=5000)
+    return out.orderBy("doc_id")
+
+
+def sql_training_corpus() -> str:
+    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
+    hits = {
+        lang: (f"len(list_filter(ws, x -> lower(x) in "
+               f"({','.join(repr(w) for w in markers)})))")
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    order = sorted(hits)
+    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
+    cases = " ".join(
+        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
+    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return f"""
+with toks as (
+  select doc_id, text, source,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents),
+s as (
+  select doc_id, source,
+    len(ws)::BIGINT as n_tokens,
+    round(0.4 * (case when len(text) between 50 and 5000 then 1.0 else 0.3 end)
+        + 0.3 * (case when round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             / greatest(len(text), 1), 4) <= 0.1 then 1.0 else 0.5 end)
+        + 0.3 * (case when round(len(list_filter(ws, x -> lower(x) in ({stop_in})))
+                             / greatest(len(ws), 1), 4) between 0.05 and 0.6
+                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {sel},
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint
+  from toks),
+lp as (
+  select *, case when {gst} = 0 then 'und' {cases} end as lang_pred from s),
+gated as (
+  select doc_id, source, lang_pred, quality, n_tokens, fingerprint
+  from lp where quality >= 0.7 and lang_pred in ('en')),
+dedup as (
+  select * from (select *, row_number() over
+      (partition by fingerprint order by doc_id) as rn from gated)
+  where rn = 1),
+budget as (
+  select doc_id, source, lang_pred, quality, n_tokens, fingerprint,
+         coalesce(sum(n_tokens) over (order by quality desc, doc_id
+                  rows between unbounded preceding and 1 preceding), 0) as cum
+  from dedup)
+select doc_id, source, lang_pred, quality, n_tokens, fingerprint
+from budget where cum < 5000 order by doc_id
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 to vec_id 0's embedding."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1851,6 +1910,7 @@ def queries() -> dict:
         "x5_text_stats": q_text_stats,
         "x6_lang_id": q_lang_id,
         "x7_fingerprint": q_fingerprint,
+        "x24_training_corpus": q_training_corpus,
         "x8_sim_topk": q_sim_topk,
         "x9_lsh_buckets": q_lsh_buckets,
         "x15_ivf_cells": q_ivf_cells,
@@ -1922,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "x5_text_stats": SQL_TEXT_STATS,
         "x6_lang_id": sql_lang_id(),
         "x7_fingerprint": SQL_FINGERPRINT,
+        "x24_training_corpus": sql_training_corpus(),
         "x8_sim_topk": SQL_SIM_TOPK,
         "x9_lsh_buckets": sql_lsh_buckets(),
         "x15_ivf_cells": SQL_IVF_CELLS,

@@ -61,3 +61,28 @@ def test_source_profile_shapes(tables):
     assert {r["source"] for r in rows} == {
         r[0] for r in tables["documents"].select("source").distinct().collect()}
     assert all(r["n_docs"] > 0 and 0 <= r["avg_quality"] <= 1 for r in rows)
+
+
+def test_select_training_corpus(tables):
+    """The composite pipeline gates by quality+lang, collapses exact dups,
+    and the greedy token budget keeps the highest-quality prefix."""
+    docs = tables["documents"]
+    full = T.select_training_corpus(docs, min_quality=0.7, langs=("en",))
+    rows = full.collect()
+    assert len(rows) > 0
+    assert all(r["quality"] >= 0.7 and r["lang_pred"] == "en" for r in rows)
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps))  # deduplicated
+    capped = T.select_training_corpus(
+        docs, min_quality=0.7, langs=("en",), token_budget=500).collect()
+    assert 0 < len(capped) < len(rows)
+    # greedy fill: every kept doc starts below the budget, and the kept
+    # set is the top-quality prefix of the full selection
+    order = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+    cum = 0
+    want_ids = []
+    for r in order:
+        if cum < 500:
+            want_ids.append(r["doc_id"])
+        cum += r["n_tokens"]
+    assert sorted(r["doc_id"] for r in capped) == sorted(want_ids)
