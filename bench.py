@@ -147,7 +147,8 @@ def main() -> None:
         sample_size=1000, max_rows=64_000, fact_threshold=8))
     from scardina_spark.estimators import HybridEstimator
     nar_hyb = HybridEstimator(nar_ur, est)   # est: localized HT (2a)
-    jn_q, jn_hq, jn_ms = [], [], []
+    nar_ci = HybridEstimator(nar_ur, est, name="nar-ci", mode="ci")
+    jn_q, jn_hq, jn_cq, jn_ms = [], [], [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         try:
@@ -155,10 +156,12 @@ def main() -> None:
             e = nar_ur.estimate(sql)
             jn_ms.append((time.perf_counter() - tq0) * 1000)
             h = nar_hyb.clamp(sql, e)
+            ci = nar_ci.clamp(sql, e)
         except (UnsupportedQueryError, ValueError):
             continue
         jn_q.append(qerr(e, truths[name]))
         jn_hq.append(qerr(h, truths[name]))
+        jn_cq.append(qerr(ci, truths[name]))
     timings["joblight_nar_est"] = round(time.perf_counter() - t0, 4)
     extras["jl_nar_n_supported"] = len(jn_q)
     extras["jl_nar_qerror_p50"] = round(pct(jn_q, 0.5), 4)
@@ -168,6 +171,9 @@ def main() -> None:
     # sample-verified zero clamp: the max collapses when the only tail
     # queries are smoothed estimates of empty results
     extras["jl_nar_hybrid_qerror_max"] = round(max(jn_hq), 4)
+    # CI clamp: learned estimate confined to the sample's 3-sigma band
+    extras["jl_nar_ci_qerror_p90"] = round(pct(jn_cq, 0.9), 4)
+    extras["jl_nar_ci_qerror_max"] = round(max(jn_cq), 4)
 
     # plan-quality: p-error of the learned cards under the C_out cost
     # model over left-deep join orders (the reference's CEB/Postgres
@@ -236,7 +242,8 @@ def main() -> None:
 
     nar_cin = timed("joblight_cin_train", build_cin)
     cin_hyb = HybridEstimator(nar_cin, est, name="cin-hybrid")
-    cq, chq, cms = [], [], []
+    cin_ci = HybridEstimator(nar_cin, est, name="cin-ci", mode="ci")
+    cq, chq, ccq, cms = [], [], [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         try:
@@ -244,10 +251,12 @@ def main() -> None:
             e = nar_cin.estimate(sql)
             cms.append((time.perf_counter() - tq0) * 1000)
             h = cin_hyb.clamp(sql, e)
+            ci = cin_ci.clamp(sql, e)
         except (UnsupportedQueryError, ValueError):
             continue
         cq.append(qerr(e, truths[name]))
         chq.append(qerr(h, truths[name]))
+        ccq.append(qerr(ci, truths[name]))
     timings["joblight_cin_est"] = round(time.perf_counter() - t0, 4)
     extras["jl_cin_n_supported"] = len(cq)
     extras["jl_cin_qerror_p50"] = round(pct(cq, 0.5), 4)
@@ -255,6 +264,8 @@ def main() -> None:
     extras["jl_cin_qerror_max"] = round(max(cq), 4)
     extras["jl_cin_mean_ms_per_query"] = round(sum(cms) / len(cms), 2)
     extras["jl_cin_hybrid_qerror_max"] = round(max(chq), 4)
+    extras["jl_cin_ci_qerror_p90"] = round(pct(ccq, 0.9), 4)
+    extras["jl_cin_ci_qerror_max"] = round(max(ccq), 4)
 
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates

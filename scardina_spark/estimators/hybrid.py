@@ -27,23 +27,41 @@ from .sample import UnsupportedQueryError
 @dataclass
 class HybridEstimator:
     """learned: any estimator with .estimate(sql); checker: a
-    SampleEstimator over the same tree sample (localized for latency)."""
+    SampleEstimator over the same tree sample (localized for latency).
+
+    ``mode="zero"`` (default) applies only the zero short-circuit.
+    ``mode="ci"`` additionally confines the learned estimate to the
+    sample's ``k_sigma`` confidence band around its own HT estimate: the
+    sample certifies both an unbiased estimate and its standard error,
+    so a learned value outside ``ht ± k·se`` is, with known probability,
+    model smoothing rather than signal — clamp to the nearer bound.  The
+    model stays primary inside the band (where the sample cannot
+    adjudicate); the band is tight exactly where the sample is sure."""
 
     learned: object
     checker: object
     name: str = "nar-hybrid"
+    mode: str = "zero"
+    k_sigma: float = 3.0
 
     def estimate(self, query) -> float:
         return self.clamp(query, self.learned.estimate(query))
 
     def clamp(self, query, est: float) -> float:
-        """Apply the zero short-circuit to an already-computed learned
-        estimate — lets callers that hold the estimate avoid re-running
-        the progressive sampler."""
+        """Apply the clamp to an already-computed learned estimate — lets
+        callers that hold the estimate avoid re-running the progressive
+        sampler."""
         try:
-            ht = self.checker.estimate(query)
+            if self.mode == "ci":
+                ht, se = self.checker.estimate_with_stderr(query)
+            else:
+                ht, se = self.checker.estimate(query), None
         except (UnsupportedQueryError, ValueError):
             return est
         if ht == 0:
             return 0.0
+        if se is not None:
+            lo = max(ht - self.k_sigma * se, 0.0)
+            hi = ht + self.k_sigma * se
+            return min(max(est, lo), hi)
         return est

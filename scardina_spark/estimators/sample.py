@@ -87,8 +87,8 @@ def _eval_pred_local(series, p: Predicate):
     return m.fillna(False).to_numpy(dtype=bool)
 
 
-def _local_mean(ts: "TreeSample", preds: list[Predicate],
-                q_tables: set[str]) -> float:
+def _local_contrib(ts: "TreeSample", preds: list[Predicate],
+                   q_tables: set[str]):
     import numpy as np
 
     pdf = ts.local
@@ -100,9 +100,14 @@ def _local_mean(ts: "TreeSample", preds: list[Predicate],
     div = np.ones(len(pdf))
     for c in _divisor_cols(ts, q_tables):
         div *= np.maximum(pdf[c].fillna(1).to_numpy(dtype=float), 1.0)
-    if len(pdf) == 0:
+    return ind / div
+
+
+def _local_mean(ts: "TreeSample", preds: list[Predicate],
+                q_tables: set[str]) -> float:
+    if len(ts.local) == 0:
         return 0.0
-    return float((ind / div).mean())
+    return float(_local_contrib(ts, preds, q_tables).mean())
 
 
 def spanning_tree(sg: SchemaGraph, root: str) -> Subschema:
@@ -362,6 +367,36 @@ class SampleEstimator:
             mean = ts.sample.agg(
                 F.avg(contrib).alias("m")).collect()[0]["m"] or 0.0
         return float(ts.join_size) * float(mean)
+
+    def estimate_with_stderr(self, query: ParsedQuery | str
+                             ) -> tuple[float, float]:
+        """(estimate, standard error): the HT mean over the sample is an
+        unbiased estimator whose per-row contributions also give its
+        sampling variance, so the sample certifies a confidence band
+        around its own estimate (used by HybridEstimator's CI clamp)."""
+        import math
+
+        ts, preds, q_tables = self._route(query)
+        if ts.local is not None:
+            z = _local_contrib(ts, preds, q_tables)
+            n = len(z)
+            if n == 0:
+                return 0.0, 0.0
+            mean = float(z.mean())
+            var = float(z.var(ddof=1)) if n > 1 else 0.0
+        else:
+            contrib = self._contrib_column(ts, preds, q_tables)
+            row = ts.sample.agg(
+                F.avg(contrib).alias("m"),
+                F.var_samp(contrib).alias("v"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+            mean = float(row["m"] or 0.0)
+            var = float(row["v"] or 0.0)
+            n = int(row["n"])
+            if n == 0:
+                return 0.0, 0.0
+        j = float(ts.join_size)
+        return j * mean, j * math.sqrt(max(var, 0.0) / n)
 
     def estimate_many(self, queries: dict[str, ParsedQuery | str],
                       batch_size: int = 64) -> dict[str, float]:

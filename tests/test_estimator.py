@@ -128,3 +128,48 @@ def test_estimate_many_localized(estimator):
                 estimator.estimate(sql), rel=1e-9)
     finally:
         ts.local = None
+
+
+def test_estimate_with_stderr(estimator):
+    """Both paths return the same (estimate, se); se is a plausible
+    sampling error (positive for selective predicates, small relative to
+    the estimate for broad ones)."""
+    sql = QUERIES[1]
+    est_d, se_d = estimator.estimate_with_stderr(sql)
+    assert est_d == pytest.approx(estimator.estimate(sql), rel=1e-9)
+    assert se_d > 0
+    ts = estimator.samples[0]
+    try:
+        ts.localize()
+        est_l, se_l = estimator.estimate_with_stderr(sql)
+    finally:
+        ts.local = None
+    assert est_l == pytest.approx(est_d, rel=1e-9)
+    assert se_l == pytest.approx(se_d, rel=1e-6)
+    assert se_d < 0.2 * est_d  # 100k-row sample: tight band
+
+
+def test_hybrid_ci_clamp(estimator, exact):
+    """mode='ci' confines a wildly-off learned estimate to the sample's
+    confidence band; an in-band estimate passes through untouched."""
+    from scardina_spark.estimators import HybridEstimator
+
+    sql = QUERIES[1]
+    ht, se = estimator.estimate_with_stderr(sql)
+
+    class Fake:
+        def __init__(self, v):
+            self.v = v
+        def estimate(self, q):
+            return self.v
+
+    wild = HybridEstimator(Fake(ht * 100), estimator, mode="ci")
+    got = wild.estimate(sql)
+    assert got == pytest.approx(ht + 3.0 * se, rel=1e-9)
+    true = exact.estimate(sql)
+    assert max(got / true, true / got) < 1.1
+    inband = HybridEstimator(Fake(ht + se), estimator, mode="ci")
+    assert inband.estimate(sql) == pytest.approx(ht + se, rel=1e-9)
+    # zero mode unchanged: wild estimate passes through when ht > 0
+    zero = HybridEstimator(Fake(ht * 100), estimator, mode="zero")
+    assert zero.estimate(sql) == pytest.approx(ht * 100, rel=1e-9)
