@@ -3,6 +3,7 @@
     python -m scardina_spark prep      --sf-dir DIR --cache-dir DIR
     python -m scardina_spark estimate  --sf-dir DIR --sql "SELECT COUNT(*) ..."
                                        [--estimator sample|stitch|exact|nar-ur|nar-cin]
+                                       [--hybrid zero|ci]
     python -m scardina_spark bench     --sf-dir DIR [--out results.json]
     python -m scardina_spark train     --sf-dir DIR --table lineitem
                                        --columns a,b,c --out model.npz
@@ -100,6 +101,24 @@ def cmd_estimate(args) -> int:
     else:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
+    if getattr(args, "hybrid", None) and not args.estimator.startswith("nar"):
+        print("--hybrid applies to the learned estimators (nar-*)",
+              file=sys.stderr)
+        return 2
+    if getattr(args, "hybrid", None) and hasattr(est, "ts"):
+        # learned estimator + its own training sample as the checker
+        from .estimators import HybridEstimator
+        checker = SampleEstimator()
+        checker.add(est.ts.localize())
+        est = HybridEstimator(est, checker, name=f"{est.name}+{args.hybrid}",
+                              mode=args.hybrid)
+    elif getattr(args, "hybrid", None) and hasattr(est, "samples"):
+        from .estimators import HybridEstimator
+        checker = SampleEstimator()
+        for ts in est.samples:
+            checker.add(ts.localize())
+        est = HybridEstimator(est, checker, name=f"{est.name}+{args.hybrid}",
+                              mode=args.hybrid)
     prep_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     card = est.estimate(args.sql)
@@ -198,6 +217,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("estimate")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--sql", required=True)
+    p.add_argument("--hybrid", default=None, choices=["zero", "ci"],
+                   help="clamp a learned (nar-*) estimate against the "
+                        "materialized sample: zero short-circuit or "
+                        "3-sigma confidence band")
     p.add_argument("--estimator", default="sample",
                    choices=["sample", "stitch", "exact", "nar-ur", "nar-cin"])
     p.add_argument("--root", default="lineitem")

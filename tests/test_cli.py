@@ -36,3 +36,20 @@ def test_cli_prep(capsys, spark, sf_dir, tmp_path):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["sample_rows"] == 500
+
+
+def test_cli_estimate_hybrid_ci(capsys, spark, sf_dir):
+    rc = main(["estimate", "--sf-dir", sf_dir,
+               "--sql", "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+               "--estimator", "nar-ur", "--hybrid", "ci", "--epochs", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["estimator"] == "nar-ur+ci"
+    assert out["estimate"] > 0
+
+
+def test_cli_hybrid_rejects_non_learned(capsys, spark, sf_dir):
+    rc = main(["estimate", "--sf-dir", sf_dir,
+               "--sql", "SELECT COUNT(*) FROM lineitem",
+               "--estimator", "sample", "--hybrid", "ci"])
+    assert rc == 2
