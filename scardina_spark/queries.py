@@ -1251,6 +1251,55 @@ where rn = 1 order by user_id
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered semi join (beyond reference): lineitem rows whose part
+    is oversized, with the probe side pre-pruned map-side by a broadcast
+    hash-bucket filter built from the (small) matching part keys.  Exact
+    semi-join semantics; at 100 TB the bucket table broadcasts even when
+    the build side's distinct keys do not."""
+    from .operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    build = load_table(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    kept = bloom_semi_join(li, build, "l_partkey", "p_partkey",
+                           num_buckets=1 << 12)
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+SQL_BLOOM_SEMI_JOIN = """
+select l_returnflag, count(*) as n_rows, sum(l_quantity) as sum_qty
+from lineitem l
+where exists (select 1 from part p
+              where p.p_partkey = l.l_partkey and p.p_size > 40)
+group by 1 order by l_returnflag
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (beyond reference): users producing >= 1% of events,
+    via per-partition Misra-Gries candidate pruning + exact recount —
+    never materializes the full distinct-value histogram."""
+    from .operators.heavyhitters import heavy_hitters
+
+    hh = heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", 0.01)
+    return (hh.select(F.col("value").cast("long").alias("user_id"),
+                      F.col("cnt").alias("cnt"))
+            .orderBy("user_id"))
+
+
+SQL_HEAVY_HITTERS = """
+select user_id::BIGINT as user_id, count(*) as cnt
+from events where user_id is not null
+group by 1
+having count(*) >= ceil(0.01 * (select count(*) from events
+                                where user_id is not null))
+order by user_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -1920,6 +1969,8 @@ def queries() -> dict:
         "x19_holdout_split": q_holdout_split,
         "x20_range_join": q_range_join,
         "x21_time_rollup": q_time_rollup,
+        "x25_bloom_semi": q_bloom_semi_join,
+        "x26_heavy_hitters": q_heavy_hitters,
         "j10_semi_anti": q_semi_anti_join,
         "a9_cube": q_cube_agg,
         "a10_window_funcs": q_window_funcs,
@@ -1992,6 +2043,8 @@ def oracle_sql() -> dict[str, str]:
         "x19_holdout_split": sql_holdout_split(),
         "x20_range_join": SQL_RANGE_JOIN,
         "x21_time_rollup": SQL_TIME_ROLLUP,
+        "x25_bloom_semi": SQL_BLOOM_SEMI_JOIN,
+        "x26_heavy_hitters": SQL_HEAVY_HITTERS,
         "j10_semi_anti": SQL_SEMI_ANTI_JOIN,
         "a9_cube": SQL_CUBE_AGG,
         "a10_window_funcs": SQL_WINDOW_FUNCS,
