@@ -121,6 +121,70 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(norm)
 
 
+def dup_token_fraction(col: str = "text") -> Column:
+    """Fraction of tokens that repeat an earlier token (1 - type/token
+    ratio) — the Gopher-style within-document repetition signal.  Pure
+    projection (``array_distinct``), no shuffle."""
+    toks = words(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(F.round(
+        1.0 - F.size(F.array_distinct(toks))
+        / F.size(toks).cast("double"), 4))
+
+
+def top_bigram_fraction(col: str = "text") -> Column:
+    """Fraction of tokens covered by the single most frequent bigram
+    (Gopher-style "top n-gram" repetition signal), capped at 1.
+
+    Shuffle-free: instead of explode + groupBy(doc, bigram), the bigram
+    array is sorted per document and the longest run of equal adjacent
+    elements is found with one ``F.aggregate`` pass over a (prev, run,
+    best) struct accumulator — the whole stat is a codegen projection,
+    so at 100 TB it runs at scan speed like the rest of this module."""
+    toks = words(col)
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    best = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda a: a["best"])
+    return F.round(
+        F.least(F.lit(1.0),
+                best * 2.0 / F.greatest(n, F.lit(1)).cast("double")), 4)
+
+
+def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document repetition signals in one projection pass."""
+    return (df.withColumn("dup_token_fraction", dup_token_fraction(col))
+            .withColumn("top_bigram_fraction", top_bigram_fraction(col)))
+
+
+def filter_repetitive(df: DataFrame, max_dup_token_fraction: float = 0.9,
+                      max_top_bigram_fraction: float = 0.2,
+                      col: str = "text") -> DataFrame:
+    """Drop documents dominated by repetition — the curation gate that in
+    Gopher-style pipelines removes boilerplate/spam.  Same stage as the
+    scan (no shuffle); thresholds are the operator contract."""
+    return (with_repetition_stats(df, col)
+            .where((F.col("dup_token_fraction") <= max_dup_token_fraction)
+                   & (F.col("top_bigram_fraction")
+                      <= max_top_bigram_fraction))
+            .drop("dup_token_fraction", "top_bigram_fraction"))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """All per-document stats in one projection pass."""
     return (

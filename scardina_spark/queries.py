@@ -770,6 +770,42 @@ from documents order by doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (beyond reference):
+    dup-token fraction and top-bigram coverage, both as shuffle-free
+    codegen projections (the top bigram via sorted-runs F.aggregate, not
+    explode+groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (TS.with_repetition_stats(docs)
+            .select("doc_id", "dup_token_fraction", "top_bigram_fraction")
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION_STATS = """
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> len(x) > 0) as t
+  from documents
+), bg as (
+  select doc_id, t[i] || ' ' || t[i + 1] as bigram
+  from toks, unnest(generate_series(1, len(t) - 1)) as u(i)
+), topbg as (
+  select doc_id, max(cnt) as best
+  from (select doc_id, bigram, count(*) as cnt from bg group by 1, 2)
+  group by 1
+)
+select k.doc_id,
+       case when len(t) = 0 then 0.0
+            else round(1.0 - len(list_distinct(t)) / len(t), 4)
+       end as dup_token_fraction,
+       round(least(1.0, coalesce(best, 0) * 2.0 / greatest(len(t), 1)), 4)
+         as top_bigram_fraction
+from toks k left join topbg using (doc_id)
+order by doc_id
+"""
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: stats -> quality/lang gate ->
     fingerprint dedup -> greedy token-budget fill (distributed prefix
@@ -1971,6 +2007,7 @@ def queries() -> dict:
         "x21_time_rollup": q_time_rollup,
         "x25_bloom_semi": q_bloom_semi_join,
         "x26_heavy_hitters": q_heavy_hitters,
+        "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
         "a9_cube": q_cube_agg,
         "a10_window_funcs": q_window_funcs,
@@ -2045,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "x21_time_rollup": SQL_TIME_ROLLUP,
         "x25_bloom_semi": SQL_BLOOM_SEMI_JOIN,
         "x26_heavy_hitters": SQL_HEAVY_HITTERS,
+        "x27_repetition": SQL_REPETITION_STATS,
         "j10_semi_anti": SQL_SEMI_ANTI_JOIN,
         "a9_cube": SQL_CUBE_AGG,
         "a10_window_funcs": SQL_WINDOW_FUNCS,

@@ -86,3 +86,45 @@ def test_select_training_corpus(tables):
             want_ids.append(r["doc_id"])
         cum += r["n_tokens"]
     assert sorted(r["doc_id"] for r in capped) == sorted(want_ids)
+
+
+def test_repetition_stats_brute_force(spark):
+    """dup-token and top-bigram fractions vs a pure-Python recount."""
+    from collections import Counter
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x"),
+        (3, ""),
+        (4, "one two three four"),
+        (5, "w w w w"),
+        (6, "spam spam ham spam eggs ham"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["dup_token_fraction"], r["top_bigram_fraction"])
+           for r in T.with_repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        dup = round(1 - len(set(toks)) / len(toks), 4) if toks else 0.0
+        bgs = Counter(zip(toks, toks[1:]))
+        top = (round(min(1.0, 2 * max(bgs.values()) / len(toks)), 4)
+               if bgs else 0.0)
+        assert got[doc_id] == (dup, top), doc_id
+
+
+def test_repetition_stats_on_documents(tables):
+    stats = T.with_repetition_stats(tables["documents"]).collect()
+    assert all(0 <= r["dup_token_fraction"] <= 1 for r in stats)
+    assert all(0 <= r["top_bigram_fraction"] <= 1 for r in stats)
+    # word-soup corpus from a small vocab: repetition must be present
+    assert any(r["dup_token_fraction"] > 0.5 for r in stats)
+
+
+def test_filter_repetitive_gate(tables):
+    docs = tables["documents"]
+    n_all = docs.count()
+    kept = T.filter_repetitive(docs, max_dup_token_fraction=0.8,
+                               max_top_bigram_fraction=0.15)
+    n_kept = kept.count()
+    assert 0 < n_kept < n_all
+    assert kept.columns == docs.columns  # gate drops its own stat columns
