@@ -222,23 +222,21 @@ def main() -> None:
     # decomposition, scardina/schema.py:85-183), chained at query time via
     # inherited-sample conditioning.  Small centers get a smaller config —
     # their conditionals are low-dimensional.
-    from scardina_spark.estimators.cin import NarCinEstimator
-    from scardina_spark.estimators.sample import cin_tree
+    from scardina_spark.estimators.cin import (
+        NarCinEstimator, build_cin_estimator)
 
     def build_cin() -> NarCinEstimator:
         big = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
         small = _TC(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
-        cin = NarCinEstimator()
-        for center, cin_cols in CIN_MODEL_COLUMNS.items():
-            tscin = prepare_tree_sample(
-                cin_tree(sg, center), tables, center, seed=42)
-            cin.add(train_join_estimator(
-                tscin, cin_cols, big if center == "lineitem" else small,
-                sample_size=1000, max_rows=32_000, fact_threshold=8))
-            # localized samples make the chained path's HT cross-validation
-            # (sample_arbiter) a few vectorized numpy passes per fragment
-            tscin.localize()
-        return cin
+        # thread-parallel across centers: Spark prep of one subschema
+        # overlaps numpy training of another.  localize=True so the
+        # chained path's HT cross-validation (sample_arbiter) runs as a
+        # few vectorized numpy passes per fragment.
+        return build_cin_estimator(
+            sg, tables, CIN_MODEL_COLUMNS,
+            lambda center: big if center == "lineitem" else small,
+            sample_size=1000, max_rows=32_000, fact_threshold=8,
+            seed=42, localize=True)
 
     nar_cin = timed("joblight_cin_train", build_cin)
     cin_hyb = HybridEstimator(nar_cin, est, name="cin-hybrid")

@@ -87,17 +87,12 @@ def cmd_estimate(args) -> int:
             fact_threshold=8)
     elif args.estimator == "nar-cin":
         from .benchmarks import CIN_MODEL_COLUMNS
-        from .estimators.cin import NarCinEstimator
+        from .estimators.cin import build_cin_estimator
         from .model import TrainConfig
-        from .model.join_bridge import train_join_estimator
-        est = NarCinEstimator()
-        for center, cin_cols in CIN_MODEL_COLUMNS.items():
-            tscin = prepare_tree_sample(cin_tree(sg, center), tables,
-                                        center, seed=args.seed)
-            est.add(train_join_estimator(
-                tscin, cin_cols,
-                TrainConfig(epochs=args.epochs, seed=args.seed),
-                max_rows=32_000, fact_threshold=8))
+        est = build_cin_estimator(
+            sg, tables, CIN_MODEL_COLUMNS,
+            lambda center: TrainConfig(epochs=args.epochs, seed=args.seed),
+            max_rows=32_000, fact_threshold=8, seed=args.seed)
     else:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
@@ -138,9 +133,20 @@ def cmd_bench(args) -> int:
     spark = _spark()
     tables = load_tables(spark, args.sf_dir)
     sg = build_tpch_schema()
-    est = SampleEstimator()
-    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
-                                "lineitem", seed=args.seed).localize())
+    if args.model:
+        # the reference's eval workflow (run.py:770-788): load a trained
+        # checkpoint and run the whole benchmark against it
+        import os
+        if os.path.exists(os.path.join(args.model, "cin.json")):
+            from .estimators.cin import load_cin_estimator
+            est = load_cin_estimator(args.model, sg=sg)
+        else:
+            from .model.join_bridge import load_join_estimator
+            est = load_join_estimator(args.model, sg=sg)
+    else:
+        est = SampleEstimator()
+        est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                    "lineitem", seed=args.seed).localize())
     if args.benchmark_csv:
         # reference benchmark format: ``true_cardinality,sql`` rows
         # (scardina/run.py:791-794); empty truth fields are computed exactly
@@ -153,7 +159,8 @@ def cmd_bench(args) -> int:
                             skip_unsupported=True)
     else:
         rep = run_benchmark(est, BENCH_QUERIES,
-                            truth_fn=ExactEstimator(sg, tables).estimate)
+                            truth_fn=ExactEstimator(sg, tables).estimate,
+                            skip_unsupported=bool(args.model))
     if args.out:
         rep.to_json(args.out)
         rep.to_csv(args.out.rsplit(".", 1)[0] + ".csv")
@@ -247,6 +254,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--benchmark-csv", default=None,
                    help="reference-format benchmark: true_cardinality,sql")
+    p.add_argument("--model", default=None,
+                   help="serve the benchmark from a train-join or CIN "
+                        "checkpoint directory instead of the HT sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
 

@@ -192,3 +192,49 @@ def load_cin_estimator(path: str, sg=None) -> NarCinEstimator:
     for i in range(n):
         est.add(load_join_estimator(os.path.join(path, f"model_{i}"), sg=sg))
     return est
+
+
+def build_cin_estimator(sg, tables, model_columns: dict,
+                        cfg_for, *, sample_size: int = 1000,
+                        max_rows: int = 32_000, fact_threshold: int = 8,
+                        seed: int = 42, localize: bool = False,
+                        parallel: bool = True) -> NarCinEstimator:
+    """Prepare + train every CIN subschema model, thread-parallel.
+
+    The per-center work — Spark jobs (weights, sampling, the training
+    matrix collect) and driver-side numpy fitting — is independent across
+    centers, so a thread pool overlaps the cluster-side stages of one
+    model with the driver-side training of another; on an otherwise idle
+    local[32] this roughly halves wall-clock vs the sequential loop.
+    Model order (and therefore every estimate) is deterministic: results
+    are collected in ``model_columns`` iteration order regardless of
+    completion order, and each trainer owns its own seeded RandomState.
+
+    ``cfg_for(center)`` returns the TrainConfig for one center.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..model.join_bridge import train_join_estimator
+    from .sample import cin_tree, prepare_tree_sample
+
+    def one(item):
+        center, cin_cols = item
+        ts = prepare_tree_sample(cin_tree(sg, center), tables, center,
+                                 seed=seed)
+        m = train_join_estimator(ts, cin_cols, cfg_for(center),
+                                 sample_size=sample_size, max_rows=max_rows,
+                                 fact_threshold=fact_threshold)
+        if localize:
+            ts.localize()
+        return m
+
+    est = NarCinEstimator()
+    items = list(model_columns.items())
+    if parallel and len(items) > 1:
+        with ThreadPoolExecutor(max_workers=len(items)) as ex:
+            for m in ex.map(one, items):
+                est.add(m)
+    else:
+        for it in items:
+            est.add(one(it))
+    return est

@@ -53,3 +53,18 @@ def test_cli_hybrid_rejects_non_learned(capsys, spark, sf_dir):
                "--sql", "SELECT COUNT(*) FROM lineitem",
                "--estimator", "sample", "--hybrid", "ci"])
     assert rc == 2
+
+
+def test_cli_bench_from_checkpoint(capsys, spark, sf_dir, tmp_path):
+    """train-join --out, then bench --model: the reference's train-once /
+    eval-many workflow (scardina/run.py:770-788)."""
+    ckpt = str(tmp_path / "ur_model")
+    rc = main(["train-join", "--sf-dir", sf_dir, "--out", ckpt,
+               "--epochs", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["bench", "--sf-dir", sf_dir, "--model", ckpt])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_queries"] > 0
+    assert out["q_p50"] >= 1.0
