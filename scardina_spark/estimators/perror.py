@@ -27,6 +27,7 @@ from __future__ import annotations
 from itertools import combinations
 
 from ..plans.parse import ParsedQuery, parse_query
+from ..plans.predicates import pred_tables
 from .sample import UnsupportedQueryError
 
 
@@ -56,8 +57,9 @@ def fragment(pq: ParsedQuery, aliases: frozenset) -> ParsedQuery:
         joins=[(a, b) for a, b in pq.joins
                if a.split(".", 1)[0] in aliases
                and b.split(".", 1)[0] in aliases],
-        filters=[p for p in pq.filters if p.table in aliases
-                 or (p.table is None and len(aliases) == 1)],
+        filters=[p for p in pq.filters
+                 if pred_tables(p) <= aliases
+                 or (pred_tables(p) == {None} and len(aliases) == 1)],
         sql=pq.sql)
 
 
@@ -108,7 +110,7 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
     pq = parse_query(query) if isinstance(query, str) else query
     if len(pq.tables) < 3:
         return 1.0  # a single join order; estimates cannot change it
-    if any(p.table is None for p in pq.filters):
+    if any(None in pred_tables(p) for p in pq.filters):
         # a bare column name cannot be routed to one fragment
         raise UnsupportedQueryError(
             "p_error requires alias-qualified filter columns")
@@ -154,6 +156,8 @@ def _lit(v) -> str:
 
 def _pred_sql(p) -> str:
     o = p.o.upper()
+    if o == "OR":
+        return "(" + " OR ".join(_pred_sql(b) for b in p.v) + ")"
     if o == "IS":
         return f"{p.c} IS NULL"
     if o == "IS NOT":

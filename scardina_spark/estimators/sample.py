@@ -82,9 +82,39 @@ def _eval_pred_local(series, p: Predicate):
             m = series <= v
         elif o == "IN":
             m = series.isin(list(p.v))
+        elif o == "BETWEEN":
+            lo, hi = p.v
+            if isinstance(lo, __import__("datetime").datetime):
+                lo, hi = pd.Timestamp(lo), pd.Timestamp(hi)
+            m = (series >= lo) & (series <= hi)
         else:
             raise UnsupportedQueryError(f"op {p.o} unsupported locally")
     return m.fillna(False).to_numpy(dtype=bool)
+
+
+def _eval_pred_frame(pdf, p: Predicate):
+    """OR-aware predicate evaluation over the localized sample frame
+    (branches may reference different columns)."""
+    import numpy as np
+
+    if p.o.upper() == "OR":
+        return np.logical_or.reduce(
+            [_eval_pred_local(pdf[b.c], b) for b in p.branches])
+    return _eval_pred_local(pdf[p.c], p)
+
+
+def _requalify(p: Predicate, alias_to_table: dict[str, str],
+               ts: "TreeSample") -> Predicate:
+    """Alias-qualified predicate → the sample's ``table.column`` layout
+    (OR-aware: every branch is re-qualified independently)."""
+    if p.o.upper() == "OR":
+        return Predicate(
+            _requalify(p.branches[0], alias_to_table, ts).c, "OR",
+            tuple(_requalify(b, alias_to_table, ts) for b in p.branches))
+    t = alias_to_table.get(p.table or "", p.table)
+    if t not in ts.tables:
+        raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
+    return Predicate(f"{t}.{p.column}", p.o, p.v)
 
 
 def _local_contrib(ts: "TreeSample", preds: list[Predicate],
@@ -94,7 +124,7 @@ def _local_contrib(ts: "TreeSample", preds: list[Predicate],
     pdf = ts.local
     ind = np.ones(len(pdf), dtype=bool)
     for p in preds:
-        ind &= _eval_pred_local(pdf[p.c], p)
+        ind &= _eval_pred_frame(pdf, p)
     for t in sorted(q_tables):
         ind &= pdf[f"__in__:{t}"].fillna(False).to_numpy(dtype=bool)
     div = np.ones(len(pdf))
@@ -339,10 +369,7 @@ class SampleEstimator:
         ts = self._pick(q_tables, pq, alias_to_table)
         preds = []
         for p in normalize_predicates(pq.filters):
-            t = alias_to_table.get(p.table or "", p.table)
-            if t not in ts.tables:
-                raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
-            preds.append(Predicate(f"{t}.{p.column}", p.o, p.v))
+            preds.append(_requalify(p, alias_to_table, ts))
         return ts, preds, q_tables
 
     @staticmethod

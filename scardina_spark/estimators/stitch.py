@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 import networkx as nx
 
 from ..plans.parse import ParsedQuery, parse_query
-from ..plans.predicates import Predicate
+from ..plans.predicates import Predicate, pred_tables
 from .sample import SampleEstimator, TreeSample, UnsupportedQueryError
 
 
@@ -106,6 +106,15 @@ def chain_estimate(samples: list[TreeSample], pq: ParsedQuery,
     if len(set(alias_to_table.values())) != len(alias_to_table):
         raise UnsupportedQueryError("self-joins unsupported")
     chain = build_chain(samples, pq, alias_to_table)
+    # every multi-table OR group must land whole inside some fragment —
+    # otherwise make_fragment would silently drop it and the chained
+    # product would over-count
+    for p in pq.filters:
+        tset = {alias_to_table.get(a or "", "") for a in pred_tables(p)}
+        if len(tset) > 1 and not any(tset <= frag for _, frag, _ in chain):
+            raise UnsupportedQueryError(
+                f"OR group spans tables {sorted(tset)} across chain "
+                f"fragments")
     card = 1.0
     for i, (ts, frag_tables, shared) in enumerate(chain):
         num = make_fragment(pq, alias_to_table, ts, frag_tables)
@@ -148,7 +157,11 @@ def make_fragment(pq: ParsedQuery, alias_to_table: dict[str, str],
                     f"{table_to_alias[rel.pk_table]}.{rel.pk_col}",
                     f"{table_to_alias[rel.fk_table]}.{rel.fk_col}"))
                 have.add(key)
+        # OR-aware routing: a disjunction group belongs to a fragment only
+        # when EVERY branch's table is inside it (a split OR cannot be
+        # conditioned through the chain)
         filters = [p for p in pq.filters
-                   if alias_to_table.get(p.table or "", "") in frag_tables]
+                   if {alias_to_table.get(a or "", "")
+                       for a in pred_tables(p)} <= frag_tables]
         return ParsedQuery(tables=aliases, joins=joins, filters=filters,
                            sql=f"<fragment {sorted(frag_tables)}>")

@@ -96,6 +96,13 @@ class NarJoinEstimator(NarEstimator):
         ts = self.ts
         by_col: dict[str, list[Predicate]] = {}
         for p in normalize_predicates(pq.filters):
+            if p.o.upper() == "OR" and len({b.c for b in p.branches}) > 1:
+                # the valid-mask machinery is per-column; a cross-column
+                # disjunction has no mask factorization (route such
+                # queries to the sample/exact estimators instead)
+                raise UnsupportedQueryError(
+                    "OR across different columns is not supported by the "
+                    "learned estimator")
             t = alias_to_table.get(p.table or "", p.table)
             if t not in ts.tables:
                 raise UnsupportedQueryError(f"predicate on unknown table: {p.c}")
@@ -279,11 +286,20 @@ class NarJoinEstimator(NarEstimator):
 def _restrict_filters(pq: ParsedQuery, tables: set[str]) -> ParsedQuery:
     """Copy of ``pq`` keeping only filters on ``tables``."""
     a2t = dict(pq.tables)
-    return ParsedQuery(
-        tables=pq.tables, joins=pq.joins,
-        filters=[p for p in pq.filters
-                 if a2t.get(p.table or "", p.table) in tables],
-        sql=pq.sql)
+    from ..plans.predicates import pred_tables
+    kept = []
+    for p in pq.filters:
+        tset = {a2t.get(a or "", a) for a in pred_tables(p)}
+        if tset <= set(tables):
+            kept.append(p)
+        elif tset & set(tables):
+            # an OR group straddling the restriction boundary cannot be
+            # routed to either side without changing semantics
+            raise UnsupportedQueryError(
+                f"OR group spans tables {sorted(tset)} across the "
+                f"chain-fragment boundary")
+    return ParsedQuery(tables=pq.tables, joins=pq.joins, filters=kept,
+                       sql=pq.sql)
 
 
 def train_join_estimator(ts: TreeSample, data_columns: list[str],

@@ -85,9 +85,23 @@ def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
     for p in preds:
         o = p.o.upper()
         v = p.v if o in ("IS", "IS NOT", "IN", "LIKE", "NOT LIKE",
-                         "ALL_TRUE", "ALL_FALSE") \
+                         "ALL_TRUE", "ALL_FALSE", "OR", "BETWEEN") \
             else _coerce_literal(vals, p.v)
-        if o == "IS":
+        if o == "OR":
+            # disjunction over this column: union of the branch masks
+            # (NULL slot included, so ``x > 5 OR x IS NULL`` works)
+            sub = np.stack([valid_mask(dom, [b]) for b in p.v])
+            m_or = sub.max(axis=0)
+            vm &= m_or[2:] > 0.5
+            if m_or[NULL_SLOT] > 0.5 and null_ok is None:
+                null_ok = True
+        elif o == "BETWEEN":
+            # kept whole inside OR branches (normalize_predicates splits
+            # top-level BETWEENs before this point)
+            lo = _coerce_literal(vals, p.v[0])
+            hi = _coerce_literal(vals, p.v[1])
+            vm &= (vals >= lo) & (vals <= hi)
+        elif o == "IS":
             null_ok = True
             vm &= np.zeros(len(vals), dtype=bool)
         elif o == "IS NOT":
@@ -318,6 +332,11 @@ class NarEstimator:
         preds = normalize_predicates(pq.filters)
         by_col: dict[str, list[Predicate]] = {}
         for p in preds:
+            if p.o.upper() == "OR" and \
+                    len({b.column for b in p.v}) > 1:
+                raise ValueError(
+                    "OR across different columns is not supported by the "
+                    "learned estimator")
             if p.column not in self.domains:
                 raise ValueError(f"column not in model: {p.column}")
             by_col.setdefault(p.column, []).append(p)

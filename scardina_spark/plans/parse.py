@@ -14,6 +14,11 @@ Grammar accepted::
 
     conj := col op literal | col IN (lit, ...) | col BETWEEN lit AND lit
           | col IS [NOT] NULL | col [NOT] LIKE 'pat' | col = col (join)
+          | ( conj OR conj [OR conj ...] )     -- beyond the reference
+
+Parenthesized OR groups (no joins inside, no nesting) extend the
+reference's AND-only language; every estimator either supports them or
+rejects with UnsupportedQueryError (see each estimator's scope).
 
 Output is the 6-tuple-equivalent ``ParsedQuery`` (cols/ops/vals live in
 ``filters``; equi-join pairs in ``joins``; alias->table in ``tables``).
@@ -133,72 +138,108 @@ def parse_query(sql: str) -> ParsedQuery:
         raise ValueError(f"truncated WHERE clause in: {sql!r}") from None
 
 
+def _parse_conjunct(toks, i, n, qualify):
+    """Parse one simple predicate or join condition starting at ``toks[i]``.
+    Returns ``(kind, payload, i)`` where kind is ``"join"`` (payload =
+    (lhs, rhs)) or ``"pred"`` (payload = Predicate)."""
+    col = toks[i]
+    if not _is_column_ref(col):
+        raise ValueError(f"expected column ref, got {col!r}")
+    i += 1
+    op = toks[i].upper() if i < n else None
+
+    if op in (">", "<", ">=", "<=", "=", "!=", "<>"):
+        i += 1
+        rhs = toks[i]
+        i += 1
+        if op == "=" and _is_column_ref(rhs) and "." in rhs and "." in col:
+            return "join", (qualify(col), qualify(rhs)), i
+        return "pred", Predicate(qualify(col), op, literal_value(rhs)), i
+    if op == "IN":
+        i += 1
+        if toks[i] != "(":
+            raise ValueError("IN requires a parenthesized list")
+        i += 1
+        vals = []
+        while toks[i] != ")":
+            if toks[i] != ",":
+                vals.append(literal_value(toks[i]))
+            i += 1
+        i += 1
+        return "pred", Predicate(qualify(col), "IN", tuple(vals)), i
+    if op == "BETWEEN":
+        i += 1
+        lo = literal_value(toks[i])
+        i += 1
+        if not _is_kw(toks[i], "AND"):
+            raise ValueError("BETWEEN requires AND")
+        i += 1
+        hi = literal_value(toks[i])
+        i += 1
+        return "pred", Predicate(qualify(col), "BETWEEN", (lo, hi)), i
+    if op == "IS":
+        i += 1
+        neg = False
+        if _is_kw(toks[i], "NOT"):
+            neg = True
+            i += 1
+        if not _is_kw(toks[i], "NULL"):
+            raise ValueError("IS [NOT] requires NULL")
+        i += 1
+        return "pred", Predicate(qualify(col), "IS NOT" if neg else "IS",
+                                 None), i
+    if op == "NOT":
+        i += 1
+        if not _is_kw(toks[i], "LIKE"):
+            raise ValueError("NOT must be followed by LIKE")
+        i += 1
+        p = Predicate(qualify(col), "NOT LIKE", literal_value(toks[i]))
+        return "pred", p, i + 1
+    if op == "LIKE":
+        i += 1
+        p = Predicate(qualify(col), "LIKE", literal_value(toks[i]))
+        return "pred", p, i + 1
+    raise ValueError(f"unsupported op {op!r} after {col!r}")
+
+
 def _parse_where(toks, i, n, tables, joins, filters, qualify, sql):
+    from .predicates import or_predicate
+
     while i < n and toks[i] != ";":
         if _is_kw(toks[i], "AND"):
             i += 1
             continue
         if _is_kw(toks[i], "OR"):
-            raise ValueError("only conjunctive (AND) predicates are supported")
-        col = toks[i]
-        if not _is_column_ref(col):
-            raise ValueError(f"expected column ref, got {col!r}")
-        i += 1
-        op = toks[i].upper() if i < n else None
-
-        if op in (">", "<", ">=", "<=", "=", "!=", "<>"):
+            raise ValueError(
+                "top-level OR is not supported; parenthesize the "
+                "disjunction: (a = 1 OR a = 2)")
+        if toks[i] == "(":
+            # disjunction group: ( pred OR pred [OR pred ...] )  — beyond
+            # the reference's AND-only grammar (scardina/run.py:796-917)
             i += 1
-            rhs = toks[i]
-            i += 1
-            if op == "=" and _is_column_ref(rhs) and "." in rhs and "." in col:
-                joins.append((qualify(col), qualify(rhs)))
-            else:
-                filters.append(Predicate(qualify(col), op, literal_value(rhs)))
-        elif op == "IN":
-            i += 1
-            if toks[i] != "(":
-                raise ValueError("IN requires a parenthesized list")
-            i += 1
-            vals = []
-            while toks[i] != ")":
-                if toks[i] != ",":
-                    vals.append(literal_value(toks[i]))
-                i += 1
-            i += 1
-            filters.append(Predicate(qualify(col), "IN", tuple(vals)))
-        elif op == "BETWEEN":
-            i += 1
-            lo = literal_value(toks[i])
-            i += 1
-            if not _is_kw(toks[i], "AND"):
-                raise ValueError("BETWEEN requires AND")
-            i += 1
-            hi = literal_value(toks[i])
-            i += 1
-            filters.append(Predicate(qualify(col), "BETWEEN", (lo, hi)))
-        elif op == "IS":
-            i += 1
-            neg = False
-            if _is_kw(toks[i], "NOT"):
-                neg = True
-                i += 1
-            if not _is_kw(toks[i], "NULL"):
-                raise ValueError("IS [NOT] requires NULL")
-            i += 1
-            filters.append(Predicate(qualify(col), "IS NOT" if neg else "IS", None))
-        elif op == "NOT":
-            i += 1
-            if not _is_kw(toks[i], "LIKE"):
-                raise ValueError("NOT must be followed by LIKE")
-            i += 1
-            filters.append(Predicate(qualify(col), "NOT LIKE",
-                                     literal_value(toks[i])))
-            i += 1
-        elif op == "LIKE":
-            i += 1
-            filters.append(Predicate(qualify(col), "LIKE", literal_value(toks[i])))
-            i += 1
+            branches = []
+            while True:
+                kind, payload, i = _parse_conjunct(toks, i, n, qualify)
+                if kind == "join":
+                    raise ValueError(
+                        "join conditions are not allowed inside an OR group")
+                branches.append(payload)
+                if i < n and _is_kw(toks[i], "OR"):
+                    i += 1
+                    continue
+                if i < n and toks[i] == ")":
+                    i += 1
+                    break
+                if i < n and _is_kw(toks[i], "AND"):
+                    raise ValueError(
+                        "parenthesized groups support OR only")
+                raise ValueError("unterminated parenthesized group")
+            filters.append(or_predicate(branches))
+            continue
+        kind, payload, i = _parse_conjunct(toks, i, n, qualify)
+        if kind == "join":
+            joins.append(payload)
         else:
-            raise ValueError(f"unsupported op {op!r} after {col!r}")
+            filters.append(payload)
 
     return ParsedQuery(tables=tables, joins=joins, filters=filters, sql=sql)

@@ -27,14 +27,19 @@ from pyspark.sql import Column, functions as F
 COMPARISON_OPS = {">", "<", ">=", "<=", "=", "!=", "<>"}
 ALL_OPS = COMPARISON_OPS | {
     "IN", "BETWEEN", "IS", "IS NOT", "LIKE", "NOT LIKE",
-    "ALL_TRUE", "ALL_FALSE",
+    "ALL_TRUE", "ALL_FALSE", "OR",
 }
 
 
 @dataclass(frozen=True)
 class Predicate:
     """``c`` is ``table.column`` (or a bare column name), ``o`` an op from
-    ALL_OPS, ``v`` the literal (tuple for IN/BETWEEN, None for IS [NOT])."""
+    ALL_OPS, ``v`` the literal (tuple for IN/BETWEEN, None for IS [NOT]).
+
+    ``o == "OR"`` is a disjunction group (beyond the reference's AND-only
+    language, scardina/run.py:796-917): ``v`` is a tuple of simple
+    Predicates (the branches) and ``c`` is the first branch's column —
+    table routing must consult :func:`pred_tables`, not ``.table``."""
 
     c: str
     o: str
@@ -48,6 +53,26 @@ class Predicate:
     def column(self) -> str:
         return self.c.split(".", 1)[1] if "." in self.c else self.c
 
+    @property
+    def branches(self) -> tuple["Predicate", ...]:
+        """The disjuncts of an OR group (``()`` for simple predicates)."""
+        return tuple(self.v) if self.o.upper() == "OR" else ()
+
+
+def or_predicate(branches: list["Predicate"]) -> "Predicate":
+    if not branches:
+        raise ValueError("OR group needs at least one branch")
+    if len(branches) == 1:
+        return branches[0]
+    return Predicate(branches[0].c, "OR", tuple(branches))
+
+
+def pred_tables(p: Predicate) -> set:
+    """Table qualifiers referenced by a predicate (OR-aware)."""
+    if p.o.upper() == "OR":
+        return {b.table for b in p.branches}
+    return {p.table}
+
 
 def normalize_predicates(preds: list[Predicate]) -> list[Predicate]:
     """Driver-side rewrite mirroring the reference's estimation-domain
@@ -57,6 +82,25 @@ def normalize_predicates(preds: list[Predicate]) -> list[Predicate]:
     out: list[Predicate] = []
     for p in preds:
         o = p.o.upper()
+        if o == "OR":
+            # branch-local rewrites only: BETWEEN must stay a single
+            # predicate inside a disjunct (splitting it would turn one
+            # branch into two independently-OR'd conjuncts)
+            branches = []
+            for b in p.branches:
+                bo = b.o.upper()
+                if bo == "<>":
+                    branches.append(Predicate(b.c, "!=", b.v))
+                elif bo in ("=", "==") and b.v is None:
+                    branches.append(Predicate(b.c, "IS", None))
+                elif bo == "!=" and b.v is None:
+                    branches.append(Predicate(b.c, "IS NOT", None))
+                elif bo == "OR":
+                    raise ValueError("nested OR groups are not supported")
+                else:
+                    branches.append(Predicate(b.c, bo, b.v))
+            out.append(Predicate(p.c, "OR", tuple(branches)))
+            continue
         if o == "BETWEEN":
             lo, hi = p.v
             out.append(Predicate(p.c, ">=", lo))
@@ -92,9 +136,14 @@ def _like_to_rlike(pattern: str) -> str:
 def predicate_to_column(p: Predicate, qualify: bool = False) -> Column:
     """Lower one predicate to a Spark Column over base data.  With
     ``qualify`` the prefixed sample layout (``table.column``) is used."""
+    o = p.o.upper()
+    if o == "OR":
+        col = predicate_to_column(p.branches[0], qualify)
+        for b in p.branches[1:]:
+            col = col | predicate_to_column(b, qualify)
+        return col
     name = p.c if qualify else p.column
     c = F.col(f"`{name}`")
-    o = p.o.upper()
     if o in (">", "<", ">=", "<="):
         return {">" : c > F.lit(p.v), "<": c < F.lit(p.v),
                 ">=": c >= F.lit(p.v), "<=": c <= F.lit(p.v)}[o]

@@ -226,6 +226,35 @@ where l_quantity between 10 and 20 and l_returnflag in ('R', 'A')
 """
 
 
+def q_or_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-disjunction groups (beyond the reference's AND-only language):
+    same-column, mixed-op, and cross-table disjunctions through the
+    parser, planner and exact executor."""
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = ExactEstimator(sg, tables)
+    n1 = est.estimate(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(l_quantity < 5 OR l_quantity > 45) AND l_discount > 0.01")
+    n2 = est.estimate(
+        "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+        "AND (c.c_mktsegment = 'BUILDING' OR l.l_quantity > 40)")
+    return spark.createDataFrame([(n1, n2)], "n_same_col long, n_cross long")
+
+
+SQL_OR_FILTERS = """
+select
+  (select count(*) from lineitem
+   where (l_quantity < 5 or l_quantity > 45)
+     and l_discount > 0.01)::BIGINT as n_same_col,
+  (select count(*) from lineitem l, orders o, customer c
+   where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey
+     and (c.c_mktsegment = 'BUILDING' or l.l_quantity > 40))::BIGINT
+    as n_cross
+"""
+
+
 def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: LIKE lowered to rlike."""
     sg = build_tpch_schema()
@@ -1972,6 +2001,7 @@ def queries() -> dict:
         "m2_factorize": q_factorize,
         "p1_filter_ops": q_filter_ops,
         "p2_filter_like": q_filter_like,
+        "p9_or_filters": q_or_filters,
         "j5_join_two": q_join_two,
         "j6_join_tree": q_join_tree,
         "j6_join_translated": q_join_translated,
@@ -2047,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "m2_factorize": sql_factorize(),
         "p1_filter_ops": SQL_FILTER_OPS,
         "p2_filter_like": SQL_FILTER_LIKE,
+        "p9_or_filters": SQL_OR_FILTERS,
         "j5_join_two": SQL_JOIN_TWO,
         "j6_join_tree": SQL_JOIN_TREE,
         "j6_join_translated": SQL_JOIN_TRANSLATED,
