@@ -131,6 +131,19 @@ def main() -> None:
         extras[f"jl_qerror_p{p}"] = round(s[f"q_p{p}"], 4)
     extras["jl_mean_ms_per_query"] = round(s["mean_ms"], 2)
 
+    # 2a-or. disjunctive suite (OR groups — beyond the reference's AND-only
+    # language): localized HT estimation vs DuckDB truth
+    from scardina_spark.benchmarks import or_suite
+    or_q = or_suite()
+    or_truths = duckdb_truths(sf_dir, or_q)
+    rep_or = timed("joblight_est_or", lambda: run_benchmark(
+        est, or_q, truths=or_truths))
+    s_or = rep_or.summary
+    extras["jl_or_n_queries"] = s_or["n_queries"]
+    for p in (50, 90, 100):
+        extras[f"jl_or_qerror_p{p}"] = round(s_or[f"q_p{p}"], 4)
+    extras["jl_or_mean_ms_per_query"] = round(s_or["mean_ms"], 2)
+
     # 2a''. learned estimator over the same suite: NAR masked-AE on the UR
     # join sample (the reference's headline path), low-cardinality model
     # columns; queries with predicates outside the model are skipped and

@@ -136,6 +136,32 @@ def job_light_suite(n_per_template: int = 6, seed: int = 2026
     return out
 
 
+def or_suite(n_per_template: int = 4, seed: int = 922) -> dict[str, str]:
+    """Deterministic suite of disjunctive COUNT(*) queries — the OR
+    extension of the query language (beyond the reference's AND-only
+    grammar).  Each query carries one parenthesized OR group (two pool
+    predicates of the same template, same- or cross-table) plus an
+    optional plain conjunct."""
+    rng = random.Random(seed)
+    out: dict[str, str] = {}
+    templates = [("l",), ("o",), ("l", "o"), ("l", "o", "c"),
+                 ("l", "s", "n")]
+    for tpl in templates:
+        joins = [sql for pair, sql in _JOIN.items()
+                 if pair[0] in tpl and pair[1] in tpl]
+        frm = ", ".join(f"{_TABLE[a]} {a}" for a in tpl)
+        for k in range(n_per_template):
+            b1 = _pool(rng.choice(tpl), rng)
+            b2 = _pool(rng.choice(tpl), rng)
+            conds = list(joins) + [f"({b1} OR {b2})"]
+            if rng.random() < 0.5:
+                conds.append(_pool(rng.choice(tpl), rng))
+            sql = (f"SELECT COUNT(*) FROM {frm} "
+                   f"WHERE {' AND '.join(conds)}")
+            out[f"or_{'_'.join(tpl)}_{k}"] = sql
+    return out
+
+
 def duckdb_connection(sf_dir: str):
     """One DuckDB connection with every testdata table as a view — the
     exact-count oracle used for truths and plan-cost evaluation."""

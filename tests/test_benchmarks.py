@@ -48,3 +48,22 @@ def test_suite_sample_estimator_qerror(spark, tables):
     # bound is loose to stay seed-robust
     assert s["q_p50"] < 1.25
     assert s["q_p100"] < 5.0
+
+
+def test_or_suite_deterministic_and_supported(tables, duck):
+    from scardina_spark.benchmarks import or_suite
+    from scardina_spark.estimators import SampleEstimator, prepare_tree_sample
+    from scardina_spark.estimators.sample import spanning_tree
+
+    a, b = or_suite(), or_suite()
+    assert a == b and len(a) == 20
+    assert all("OR" in sql for sql in a.values())
+    sg = build_tpch_schema()
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", seed=1).localize())
+    for name, sql in a.items():
+        got = est.estimate(sql)        # every query must be supported
+        want = duck.sql(sql).fetchone()[0]
+        if want > 50:                  # sampling noise on tiny truths
+            assert max(got / want, want / got) < 1.6, (name, got, want)
