@@ -95,3 +95,41 @@ def approx_distinct(df: DataFrame, col: str, k: int = 64,
                     group_cols: list[str] | None = None) -> DataFrame:
     """End-to-end: sketch then estimate distinct ``col`` per group."""
     return kmv_estimate(kmv_sketch(df, col, k, group_cols), k, group_cols)
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64,
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Theta-sketch-style set algebra over two KMV sketches: per group,
+    estimates of |A ∪ B|, |A ∩ B| and the Jaccard similarity — without
+    touching base data.
+
+    Mechanics (Beyer et al., SIGMOD'07 §5): the k smallest hashes of the
+    UNION are exactly ``slice(sort(distinct(a.hashes ++ b.hashes)), k)``
+    because each side's sketch already holds its k smallest; the union
+    estimate is plain KMV on that combined sketch, and the fraction of
+    those k values present in BOTH input sketches is an unbiased Jaccard
+    estimate (each union-sketch element is a uniform sample of A ∪ B).
+    ``intersect_est = jaccard × union_est``.  Everything after the
+    group-key join is a codegen array projection — no shuffle beyond the
+    join, bounded by k per group at any scale.
+    """
+    group_cols = group_cols or []
+    sa = a.select(*group_cols, F.col("hashes").alias("__ha__"))
+    sb = b.select(*group_cols, F.col("hashes").alias("__hb__"))
+    j = sa.join(sb, on=group_cols) if group_cols else sa.crossJoin(sb)
+    ua, ub = F.col("__ha__"), F.col("__hb__")
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat(ua, ub))), 1, k)
+    kp = F.size(union_k)
+    kth = F.element_at(union_k, k).cast("double")
+    union_est = F.when(kp < k, kp.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth)
+    overlap = F.size(F.filter(
+        union_k,
+        lambda h: F.array_contains(ua, h) & F.array_contains(ub, h)))
+    jaccard = overlap.cast("double") / kp.cast("double")
+    return j.select(
+        *group_cols,
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jaccard * union_est, 4).alias("intersect_est"),
+        F.round(jaccard, 4).alias("jaccard_est"))

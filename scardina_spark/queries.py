@@ -1084,6 +1084,48 @@ def _duck_kmv_poly(inner: str) -> str:
         for i in range(8)) + ")"
 
 
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (beyond reference): union / intersection /
+    Jaccard of two user populations (click vs view events) estimated from
+    the sketches alone — theta-sketch-style, never re-reading base data."""
+    from .operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 32
+    a = kmv_sketch(ev.where(F.col("user_id") % 3 != 0), "user_id", k)
+    b = kmv_sketch(ev.where(F.col("user_id") % 3 != 1), "user_id", k)
+    return kmv_set_estimates(a, b, k)
+
+
+def sql_kmv_setops(k: int = 32) -> str:
+    poly = _duck_kmv_poly("user_id::VARCHAR")
+    side = ("select kh from (select kh, row_number() over (order by kh) rn "
+            "from (select distinct {poly} as kh from events "
+            "where user_id % 3 != {m})) where rn <= {k}")
+    sa = side.format(poly=poly, m=0, k=k)
+    sb = side.format(poly=poly, m=1, k=k)
+    return f"""
+with sa as ({sa}), sb as ({sb}),
+u as (select kh from sa union select kh from sb),
+ru as (select kh, row_number() over (order by kh) as rn from u),
+stats as (
+  select count(*) as kp,
+         max(case when rn = {k} then kh end) as kth,
+         sum(case when kh in (select kh from sa)
+                   and kh in (select kh from sb) then 1 else 0 end)
+           as overlap
+  from ru where rn <= {k})
+select round(union_est, 4) as union_est,
+       round((overlap::DOUBLE / kp) * union_est, 4) as intersect_est,
+       round(overlap::DOUBLE / kp, 4) as jaccard_est
+from (select kp, overlap,
+             case when kp < {k} then kp::DOUBLE
+                  else {float(k - 1)} * 4294967296.0 / kth::DOUBLE
+             end as union_est
+      from stats)
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (beyond reference): 5 documents
     per language, selected by smallest md5-hash rank — a seeded uniform
@@ -2031,6 +2073,7 @@ def queries() -> dict:
         "x15_ivf_cells": q_ivf_cells,
         "x16_ivf_topk": q_ivf_topk,
         "x17_kmv_distinct": q_kmv_distinct,
+        "x28_kmv_setops": q_kmv_setops,
         "x18_stratified_sample": q_stratified_sample,
         "x19_holdout_split": q_holdout_split,
         "x20_range_join": q_range_join,
@@ -2107,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
         "x15_ivf_cells": SQL_IVF_CELLS,
         "x16_ivf_topk": SQL_IVF_TOPK,
         "x17_kmv_distinct": sql_kmv_distinct(),
+        "x28_kmv_setops": sql_kmv_setops(),
         "x18_stratified_sample": sql_stratified_sample(),
         "x19_holdout_split": sql_holdout_split(),
         "x20_range_join": SQL_RANGE_JOIN,

@@ -71,3 +71,66 @@ def test_grouped_sketch_on_events(tables):
             assert est[t] == float(d)
         else:
             assert 0.5 * d <= est[t] <= 2.0 * d, (t, est[t], d)
+
+
+def test_kmv_set_estimates_exact_when_small(tables, duck):
+    """k above both distinct counts: union/intersect/jaccard are exact."""
+    from scardina_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = tables["events"]
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    k = 4096
+    out = kmv_set_estimates(kmv_sketch(a, "user_id", k),
+                            kmv_sketch(b, "user_id", k), k).collect()[0]
+    ua, ub, inter = duck.sql("""
+        select (select count(distinct user_id) from events
+                where event_type in ('click', 'view')),
+               (select count(distinct user_id) from events
+                where event_type = 'click' and user_id in
+                  (select user_id from events where event_type = 'view')),
+               0
+    """).fetchone()[0:3]
+    assert out["union_est"] == float(ua)
+    assert out["intersect_est"] == float(ub)
+    assert abs(out["jaccard_est"] - ub / ua) < 1e-3
+
+
+def test_kmv_set_estimates_approx(tables, duck):
+    """Small k: estimates land within a loose band of the exact values."""
+    from scardina_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = tables["events"]
+    a = ev.where(F.col("value") >= 0)
+    b = ev.where(F.col("event_type").isin("click", "view", "purchase"))
+    k = 64
+    out = kmv_set_estimates(kmv_sketch(a, "user_id", k),
+                            kmv_sketch(b, "user_id", k), k).collect()[0]
+    union_true = duck.sql("""
+        select count(distinct user_id) from events
+        where value >= 0 or event_type in ('click', 'view', 'purchase')
+    """).fetchone()[0]
+    inter_true = duck.sql("""
+        select count(distinct user_id) from events
+        where value >= 0 and user_id in
+          (select user_id from events
+           where event_type in ('click', 'view', 'purchase'))
+    """).fetchone()[0]
+    assert union_true * 0.6 < out["union_est"] < union_true * 1.6
+    assert inter_true * 0.6 < out["intersect_est"] < inter_true * 1.6
+
+
+def test_kmv_set_estimates_grouped(tables):
+    """Per-group join path: groups present in both sketches only."""
+    from scardina_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = tables["events"]
+    a = kmv_sketch(ev.where(F.col("user_id") % 3 != 0), "user_id", 32,
+                   group_cols=["event_type"])
+    b = kmv_sketch(ev.where(F.col("user_id") % 3 != 1), "user_id", 32,
+                   group_cols=["event_type"])
+    rows = kmv_set_estimates(a, b, 32, group_cols=["event_type"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["union_est"] >= r["intersect_est"] >= 0
+        assert 0 <= r["jaccard_est"] <= 1
