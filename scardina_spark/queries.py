@@ -1358,6 +1358,31 @@ where rn = 1 order by user_id
 """
 
 
+def q_stream_fk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the estimator's J1 statistic: events
+    stream through foreachBatch writing idempotent per-batch count
+    deltas; the current per-user counts are the read-time semigroup
+    merge and must equal the batch recompute."""
+    import tempfile
+
+    from .streaming import read_events_stream
+    from .streaming.stats import maintain_fk_counts, read_fk_counts
+
+    state = tempfile.mkdtemp(prefix="stream_fk_counts_")
+    maintain_fk_counts(read_events_stream(spark, sf_dir), "user_id", state)
+    return (read_fk_counts(spark, state)
+            .select(F.col("key").cast("long").alias("user_id"),
+                    F.col("cnt").cast("long").alias("cnt"))
+            .orderBy("user_id"))
+
+
+SQL_STREAM_FK_COUNTS = """
+select user_id::BIGINT as user_id, count(*)::BIGINT as cnt
+from events where user_id is not null
+group by 1 order by user_id
+"""
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filtered semi join (beyond reference): lineitem rows whose part
     is oversized, with the probe side pre-pruned map-side by a broadcast
@@ -2060,6 +2085,7 @@ def queries() -> dict:
         "st4_stream_sessions": q_stream_sessions,
         "st5_stream_first_seen": q_stream_first_seen,
         "st6_stream_join": q_stream_join,
+        "st7_stream_fk_counts": q_stream_fk_counts,
         "x1_dedup_exact": q_dedup_exact,
         "x2_minhash_sigs": q_minhash_sigs,
         "x3_ngram_jaccard": q_ngram_jaccard,
@@ -2137,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "st4_stream_sessions": SQL_STREAM_SESSIONS,
         "st5_stream_first_seen": SQL_STREAM_FIRST_SEEN,
         "st6_stream_join": SQL_CLICKS_TO_PURCHASES,
+        "st7_stream_fk_counts": SQL_STREAM_FK_COUNTS,
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_minhash_sigs": SQL_MINHASH_SIGS,
         "x3_ngram_jaccard": SQL_NGRAM_JACCARD,

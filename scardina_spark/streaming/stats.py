@@ -1,0 +1,81 @@
+"""Streaming maintenance of estimator statistics.
+
+The reference recomputes its prep statistics from scratch on any change
+(scardina/datasets.py:68-380; the caches at datasets.py:75-79 only
+short-circuit when nothing changed).  `operators/incremental.py` gives the
+batch delta-merge; this module drives the same semigroup through
+Structured Streaming so the per-FK multiplicity counts (J1, the first
+stage of the prep pipeline) stay fresh as events arrive.
+
+Design — exactly-once via idempotent per-batch snapshots:
+
+* ``foreachBatch`` writes each micro-batch's OWN count table to
+  ``state_dir/batch_id=<n>`` with ``mode("overwrite")``.  A replayed
+  batch (failure/restart) overwrites its own directory — the standard
+  foreachBatch idempotency pattern — so the state is correct under
+  at-least-once delivery.
+* Counts are a semigroup (counts(A ∪ B) = counts(A) ⊎ counts(B), the
+  same fact `incremental.merge_fk_counts` exploits), so the CURRENT
+  statistic is a read-time merge: scan ``batch_id=*`` and
+  ``groupBy(key).sum``.  No read-modify-write cycle ever touches
+  previous batches, which removes the lost-update race a single
+  snapshot file would have.
+
+At 100 TB each delta is key-cardinality sized (not row sized); the
+read-time merge shuffles only count tables.  Compaction (folding old
+deltas into one) is itself just the merge written back — run it whenever
+the delta count grows past a threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.fanout import COUNT, fk_counts
+
+KEY = "key"
+
+
+def maintain_fk_counts(stream: DataFrame, fk_col: str, state_dir: str,
+                       timeout_sec: int = 120) -> None:
+    """Drain ``stream`` (availableNow) maintaining per-``fk_col`` counts
+    under ``state_dir``.  Restart-safe: the checkpoint prevents
+    re-reading consumed files, and a replayed batch overwrites only its
+    own ``batch_id=`` directory."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (fk_counts(batch_df, fk_col)
+         .select(F.col(f"`{fk_col}`").alias(KEY), COUNT)
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch_id={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{state_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+
+
+def read_fk_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current counts: semigroup merge of every batch delta —
+    ``(key, cnt)``."""
+    deltas = spark.read.parquet(f"{state_dir}/batch_id=*")
+    return (deltas.groupBy(KEY)
+            .agg(F.sum(COUNT).alias("cnt")))
+
+
+def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
+    """Fold all deltas into ``batch_id=-1`` and drop the originals —
+    bounds the delta-file count without changing the merged statistic.
+    (The merge is associative, so compaction commutes with new batches.)
+    """
+    import shutil
+
+    merged = read_fk_counts(spark, state_dir) \
+        .select(KEY, F.col("cnt").alias(COUNT))
+    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
+    import os
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id="):
+            shutil.rmtree(f"{state_dir}/{d}")
+    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")

@@ -1,0 +1,84 @@
+"""Streaming maintenance of per-FK counts: multi-batch merge equals the
+batch recompute; restarts and compaction change nothing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scardina_spark.streaming.stats import (
+    compact_fk_counts, maintain_fk_counts, read_fk_counts)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tables, tmp_path_factory):
+    """events split into 3 parquet files so the file stream yields 3
+    micro-batches with maxFilesPerTrigger=1."""
+    d = str(tmp_path_factory.mktemp("ev_src"))
+    ev = tables["events"]
+    for i in range(3):
+        (ev.where(F.col("event_id") % 3 == i)
+         .coalesce(1).write.mode("append").parquet(d))
+    return d
+
+
+def _stream(spark, event_files):
+    schema = spark.read.parquet(event_files).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_files))
+
+
+def test_stream_counts_equal_batch(spark, tables, event_files, tmp_path):
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    # one delta dir per micro-batch
+    n_batches = len([d for d in os.listdir(state)
+                     if d.startswith("batch_id=")])
+    assert n_batches >= 3
+    got = {(r["key"], r["cnt"]) for r in
+           read_fk_counts(spark, state).collect()}
+    want = {(r["user_id"], r["n"]) for r in
+            tables["events"].where(F.col("user_id").isNotNull())
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_stream_restart_is_noop(spark, tables, event_files, tmp_path):
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    before = sorted(read_fk_counts(spark, state).collect())
+    # same checkpoint: the restarted query finds no new files
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    after = sorted(read_fk_counts(spark, state).collect())
+    assert before == after
+
+
+def test_new_file_after_restart_merges_in(spark, tables, event_files,
+                                          tmp_path):
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    # append a 4th file (duplicate of slice 0) and re-drain
+    ev = spark.read.parquet(event_files)
+    extra = ev.where(F.col("event_id") % 3 == 0)
+    extra.coalesce(1).write.mode("append").parquet(event_files)
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    got = {(r["key"], r["cnt"]) for r in
+           read_fk_counts(spark, state).collect()}
+    full = spark.read.parquet(event_files)
+    want = {(r["user_id"], r["n"]) for r in
+            full.where(F.col("user_id").isNotNull())
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_compaction_preserves_counts(spark, event_files, tmp_path):
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    before = sorted(read_fk_counts(spark, state).collect())
+    compact_fk_counts(spark, state)
+    dirs = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    assert sorted(read_fk_counts(spark, state).collect()) == before
