@@ -130,3 +130,70 @@ def test_left_deep_plans_prefixes_connected(n, seed):
         assert sorted(plan) == sorted(pq.tables)
         for k in range(1, len(plan) + 1):
             assert _connected(frozenset(plan[:k]), adj)
+
+
+def _py_eval(v, p: Predicate) -> bool:
+    """Reference semantics of one simple predicate on a non-null value."""
+    o = p.o.upper()
+    if o == "=":
+        return v == p.v
+    if o == "!=":
+        return v != p.v
+    if o == ">":
+        return v > p.v
+    if o == ">=":
+        return v >= p.v
+    if o == "<":
+        return v < p.v
+    if o == "<=":
+        return v <= p.v
+    if o == "IN":
+        return v in p.v
+    if o == "BETWEEN":
+        return p.v[0] <= v <= p.v[1]
+    if o == "IS":
+        return False
+    if o == "IS NOT":
+        return True
+    raise AssertionError(o)
+
+
+simple_pred = st.one_of(
+    st.tuples(st.sampled_from(["=", "!=", ">", ">=", "<", "<="]),
+              st.integers(-50, 50)).map(lambda t: Predicate("t.c", *t)),
+    st.lists(st.integers(-50, 50), min_size=1, max_size=4)
+    .map(lambda vs: Predicate("t.c", "IN", tuple(vs))),
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50))
+    .map(lambda t: Predicate("t.c", "BETWEEN", (min(t), max(t)))),
+    st.just(Predicate("t.c", "IS", None)),
+    st.just(Predicate("t.c", "IS NOT", None)),
+)
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30,
+                     unique=True),
+       branches=st.lists(simple_pred, min_size=2, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_valid_mask_or_is_union_of_branches(vals, branches):
+    dom = ColumnDomain("c", np.array(sorted(vals)))
+    g = Predicate("t.c", "OR", tuple(branches))
+    m = valid_mask(dom, [g])
+    assert m[0] == 0.0  # MASK slot always invalid
+    for i, v in enumerate(sorted(vals)):
+        want = any(_py_eval(v, b) for b in branches)
+        assert bool(m[i + 2]) == want, (v, branches)
+    null_want = any(b.o.upper() == "IS" for b in branches)
+    assert bool(m[1]) == null_want
+
+
+@given(branches=st.lists(
+    st.tuples(st.sampled_from(["=", "!=", ">", "<"]),
+              st.integers(-99, 99)), min_size=2, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_parse_or_roundtrip(branches):
+    conds = " OR ".join(f"l.l_q {o} {v}" for o, v in branches)
+    pq = parse_query(
+        f"SELECT COUNT(*) FROM lineitem l WHERE ({conds})")
+    (g,) = pq.filters
+    assert g.o == "OR"
+    assert [(b.o, b.v) for b in g.branches] == list(branches)
