@@ -161,10 +161,49 @@ def cmd_bench(args) -> int:
         rep = run_benchmark(est, BENCH_QUERIES,
                             truth_fn=ExactEstimator(sg, tables).estimate,
                             skip_unsupported=bool(args.model))
+    summary = {"estimator": rep.estimator, **rep.summary}
+    if args.perror:
+        # plan quality (the reference's eval_ppc workflow, run.py:
+        # 1011-1127, self-contained): C_out p-error over left-deep join
+        # orders, sub-query truths from the DuckDB oracle, estimates
+        # memoized per distinct fragment
+        from .benchmarks import duckdb_connection
+        from .estimators.perror import p_error, to_sql
+        from .plans.parse import parse_query
+        con = duckdb_connection(args.sf_dir)
+        truth_cache: dict[str, float] = {}
+        est_cache: dict[str, float] = {}
+
+        def true_fn(frag):
+            s = to_sql(frag)
+            if s not in truth_cache:
+                truth_cache[s] = con.sql(s).fetchone()[0]
+            return truth_cache[s]
+
+        def est_fn(frag):
+            s = to_sql(frag)
+            if s not in est_cache:
+                est_cache[s] = est.estimate(frag)
+            return est_cache[s]
+
+        pes = []
+        for sql in (r.sql for r in rep.results):
+            pq = parse_query(sql)
+            if len(pq.tables) < 3:
+                continue
+            try:
+                pes.append(p_error(pq, est_fn, true_fn))
+            except Exception:
+                continue
+        if pes:
+            s = sorted(pes)
+            summary["perror_n"] = len(pes)
+            summary["perror_p50"] = round(s[len(s) // 2], 4)
+            summary["perror_max"] = round(s[-1], 4)
     if args.out:
         rep.to_json(args.out)
         rep.to_csv(args.out.rsplit(".", 1)[0] + ".csv")
-    print(json.dumps({"estimator": rep.estimator, **rep.summary}))
+    print(json.dumps(summary))
     return 0
 
 
@@ -257,6 +296,9 @@ def main(argv=None) -> int:
     p.add_argument("--model", default=None,
                    help="serve the benchmark from a train-join or CIN "
                         "checkpoint directory instead of the HT sample")
+    p.add_argument("--perror", action="store_true",
+                   help="additionally report C_out plan-quality p-error "
+                        "over the benchmark's multi-join queries")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
 

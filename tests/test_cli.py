@@ -68,3 +68,11 @@ def test_cli_bench_from_checkpoint(capsys, spark, sf_dir, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_queries"] > 0
     assert out["q_p50"] >= 1.0
+
+
+def test_cli_bench_perror(capsys, spark, sf_dir):
+    rc = main(["bench", "--sf-dir", sf_dir, "--perror"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["perror_n"] >= 1
+    assert out["perror_p50"] >= 1.0
