@@ -137,3 +137,44 @@ def test_join_sampler_plan_has_no_pathologies(spark, tables):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_semi_join_broadcasts_filter(spark, sf_dir, tables):
+    """The bucket filter and the distinct-key set must both broadcast —
+    the probe side never shuffles."""
+    from scardina_spark.operators.bloomjoin import bloom_semi_join
+
+    build = tables["part"].where(F.col("p_size") > 40)
+    df = bloom_semi_join(tables["lineitem"], build,
+                         "l_partkey", "p_partkey")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the only non-broadcast exchanges are the two build-side distinct
+    # aggregations (key-cardinality sized); the probe never shuffles
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) <= 2, shuffles
+
+
+def test_repetition_stats_no_shuffle(spark, sf_dir):
+    """Both repetition signals are pure projections: zero Exchange."""
+    from scardina_spark.operators.textstats import with_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(with_repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
+def test_kmv_set_estimates_single_join(spark, sf_dir, tables):
+    """Set algebra reads sketches only: exactly one join, array math in
+    projection."""
+    from scardina_spark.operators.sketches import (
+        kmv_set_estimates, kmv_sketch)
+
+    ev = tables["events"]
+    a = kmv_sketch(ev.where(F.col("user_id") % 2 == 0), "user_id", 16)
+    b = kmv_sketch(ev.where(F.col("user_id") % 2 == 1), "user_id", 16)
+    plan = _plan(kmv_set_estimates(a, b, 16))
+    # one cartesian of two 1-row sketch relations; no sort-merge join
+    assert "SortMergeJoin" not in plan
