@@ -97,6 +97,82 @@ def approx_distinct(df: DataFrame, col: str, k: int = 64,
     return kmv_estimate(kmv_sketch(df, col, k, group_cols), k, group_cols)
 
 
+def quantile_sketch(df: DataFrame, value_col: str, key_col: F.Column | str,
+                    k: int = 256,
+                    group_cols: list[str] | None = None,
+                    n_salts: int = 16) -> DataFrame:
+    """Bottom-k-by-hash uniform row sample for quantile estimation:
+    per group, the k rows whose deterministic row-key hash is smallest,
+    as ``samp: array<struct<h: long, v: double>>`` sorted by (h, v).
+
+    Because the hash of a unique row key is uniform, the k smallest-hash
+    rows are a uniform sample WITHOUT replacement — a mergeable quantile
+    summary (union two sketches, re-take the k smallest) in the same
+    semigroup style as the KMV distinct sketch above, and bit-for-bit
+    reproducible (md5-based) so a SQL oracle can replay it exactly.
+
+    Scale shape: the ungrouped path is ``orderBy(h).limit(k)`` —
+    Spark's TakeOrderedAndProject, i.e. per-partition top-k then a
+    k-sized merge, never a global sort.  The grouped path is the same
+    salted two-phase shape as ``kmv_sketch``: per (group, salt) top-k,
+    then a ≤ n_salts*k merge per group.
+
+    Reference anchor: Scardina reports q-error percentiles with exact
+    ``numpy.quantile`` over in-memory arrays (run.py:967-973); this is
+    the bounded-memory, mergeable stand-in at data scale.
+    """
+    group_cols = group_cols or []
+    h = df.select(
+        *group_cols,
+        kmv_hash(key_col).alias("h"),
+        F.col(value_col).cast("double").alias("v"))
+    if not group_cols:
+        topk = h.orderBy("h", "v").limit(k)
+        return topk.agg(F.sort_array(F.collect_list(F.struct("h", "v")))
+                        .alias("samp"))
+    part = (h.withColumn("__salt__", F.pmod(F.col("h"), F.lit(n_salts)))
+            .groupBy(*group_cols, "__salt__")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct("h", "v"))),
+                         1, k).alias("__part__")))
+    return (part.select(*group_cols, F.explode("__part__").alias("__s__"))
+            .groupBy(*group_cols)
+            .agg(F.slice(F.sort_array(F.collect_list("__s__")), 1, k)
+                 .alias("samp")))
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, k: int = 256,
+                          group_cols: list[str] | None = None) -> DataFrame:
+    """Semigroup merge: union the samples per group and keep the k
+    smallest-hash rows — merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    exactly, so partial sketches compose across partitions and batches."""
+    group_cols = group_cols or []
+    both = a.unionByName(b)
+    ex = both.select(*group_cols, F.explode("samp").alias("__s__"))
+    return (ex.groupBy(*group_cols) if group_cols else ex.groupBy()) \
+        .agg(F.slice(F.sort_array(F.collect_list("__s__")), 1, k)
+             .alias("samp"))
+
+
+def quantile_estimate(sketch: DataFrame, probs: list[float],
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Linear-interpolated quantiles (the SQL ``percentile_cont``
+    definition: index p*(n-1) into the sorted sample) from a quantile
+    sketch, as one codegen array projection per row — no shuffle."""
+    group_cols = group_cols or []
+    vals = F.array_sort(F.transform("samp", lambda s: s["v"]))
+    n = F.size(vals)
+    cols = []
+    for p in probs:
+        idx = F.lit(float(p)) * (n - F.lit(1)).cast("double")
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        at_lo = F.element_at(vals, lo + F.lit(1))
+        at_hi = F.element_at(vals, F.least(lo + F.lit(2), n))
+        q = at_lo + (at_hi - at_lo) * frac
+        cols.append(F.round(q, 4).alias(f"p{int(round(p * 100)):02d}"))
+    return sketch.select(*group_cols, *cols)
+
+
 def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64,
                       group_cols: list[str] | None = None) -> DataFrame:
     """Theta-sketch-style set algebra over two KMV sketches: per group,

@@ -2037,6 +2037,134 @@ group by p_brand order by supplier_cnt desc, p_brand
 """
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (beyond reference): revenue under three OR'd
+    brand/size/quantity conjunct groups spanning a fact-dim join.
+    Catalyst extracts the per-table common sub-predicates out of the
+    disjunction (l_quantity/p_size bounds reach the scans as pushed
+    range filters) and the part side broadcasts — the disjunction costs
+    no extra pass or shuffle."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    g1 = ((F.col("p_brand") == "Brand#3")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+    g2 = ((F.col("p_brand") == "Brand#11")
+          & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(10, 35))
+    g3 = ((F.col("p_brand") == "Brand#24")
+          & F.col("p_size").between(20, 50)
+          & F.col("l_quantity").between(25, 50))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.where(g1 | g2 | g3).agg(
+        F.sum(_d6(rev)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+select sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as revenue,
+       count(*) as n_items
+from lineitem join part on l_partkey = p_partkey
+where (p_brand = 'Brand#3' and p_size between 1 and 15
+       and l_quantity between 1 and 20)
+   or (p_brand = 'Brand#11' and p_size between 10 and 30
+       and l_quantity between 10 and 35)
+   or (p_brand = 'Brand#24' and p_size between 20 and 50
+       and l_quantity between 25 and 50)
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with grouping_id (beyond reference, completes
+    the grouping-sets family next to a9_cube): hierarchical subtotals
+    over (l_returnflag, l_linestatus).  Spark expands the rollup into
+    grouping-set tuples map-side — one scan, one shuffle for all three
+    levels; ``grouping_id`` uses the same bitmask as SQL GROUPING()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_d6(F.col("l_quantity"))).cast("double")
+                 .alias("sum_qty"),
+                 F.grouping_id().alias("lvl"))
+            .orderBy(F.col("lvl"),
+                     F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+SQL_ROLLUP_AGG = """
+select l_returnflag, l_linestatus, count(*) as n,
+       sum(l_quantity::DECIMAL(18,6))::DOUBLE as sum_qty,
+       grouping(l_returnflag, l_linestatus) as lvl
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+order by lvl, l_returnflag asc nulls first, l_linestatus asc nulls first
+"""
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (beyond reference): order counts by priority with one
+    column per order status.  With the pivot values declared up front
+    the plan is a single groupBy with conditional aggregates — one
+    shuffle, no per-value passes and no value-discovery job."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (orders.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1))))
+    return (p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+          for s in ["F", "O", "P"]])
+        .orderBy("o_orderpriority"))
+
+
+SQL_PIVOT_COUNTS = """
+select o_orderpriority,
+       count(*) filter (where o_orderstatus = 'F') as n_f,
+       count(*) filter (where o_orderstatus = 'O') as n_o,
+       count(*) filter (where o_orderstatus = 'P') as n_p
+from orders
+group by o_orderpriority order by o_orderpriority
+"""
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k-by-hash quantile sketch (beyond reference):
+    per return flag, linear-interpolated price quantiles from the 256
+    rows with smallest deterministic row-key hash — a bounded, mergeable
+    summary reproducible by the SQL oracle bit-for-bit."""
+    from .operators.sketches import quantile_estimate, quantile_sketch
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    sk = quantile_sketch(li, "l_extendedprice", key, k=256,
+                         group_cols=["l_returnflag"])
+    return (quantile_estimate(sk, [0.25, 0.5, 0.75, 0.95],
+                              group_cols=["l_returnflag"])
+            .orderBy("l_returnflag"))
+
+
+def sql_quantile_sketch(k: int = 256) -> str:
+    poly = _duck_kmv_poly(
+        "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR")
+    return f"""
+with h as (
+  select l_returnflag, {poly} as kh, l_extendedprice::DOUBLE as v
+  from lineitem),
+r as (
+  select l_returnflag, kh, v,
+         row_number() over (partition by l_returnflag order by kh, v) as rn
+  from h)
+select l_returnflag,
+       round(quantile_cont(v, 0.25), 4) as p25,
+       round(quantile_cont(v, 0.50), 4) as p50,
+       round(quantile_cont(v, 0.75), 4) as p75,
+       round(quantile_cont(v, 0.95), 4) as p95
+from r where rn <= {k}
+group by l_returnflag order by l_returnflag
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -2121,6 +2249,10 @@ def queries() -> dict:
         "a15_priority_orders": q_priority_orders,
         "a16_large_orders": q_large_orders,
         "a17_brand_supplier_count": q_brand_supplier_count,
+        "a18_disjunctive_revenue": q_disjunctive_revenue,
+        "a19_rollup": q_rollup_agg,
+        "a20_pivot": q_pivot_counts,
+        "x29_quantile_sketch": q_quantile_sketch,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2199,6 +2331,10 @@ def oracle_sql() -> dict[str, str]:
         "a15_priority_orders": SQL_PRIORITY_ORDERS,
         "a16_large_orders": SQL_LARGE_ORDERS,
         "a17_brand_supplier_count": SQL_BRAND_SUPPLIER_COUNT,
+        "a18_disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+        "a19_rollup": SQL_ROLLUP_AGG,
+        "a20_pivot": SQL_PIVOT_COUNTS,
+        "x29_quantile_sketch": sql_quantile_sketch(),
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

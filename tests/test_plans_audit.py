@@ -178,3 +178,34 @@ def test_kmv_set_estimates_single_join(spark, sf_dir, tables):
     plan = _plan(kmv_set_estimates(a, b, 16))
     # one cartesian of two 1-row sketch relations; no sort-merge join
     assert "SortMergeJoin" not in plan
+
+
+def test_disjunctive_join_extracts_per_table_filters(spark, sf_dir):
+    """Q19 shape: Catalyst must pull per-table sub-predicates out of the
+    cross-table OR so both scans prune, and the dim side must broadcast."""
+    from scardina_spark.queries import q_disjunctive_revenue
+    df = q_disjunctive_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # derived range filter on the fact scan, brand filter on the dim scan
+    assert "l_quantity" in plan.split("FileScan")[1]
+    assert "p_brand" in plan.split("FileScan")[2]
+
+
+def test_rollup_is_single_shuffle_expand(spark, sf_dir):
+    """ROLLUP runs as one Expand + one aggregate exchange — no
+    per-level passes over the fact table."""
+    from scardina_spark.queries import q_rollup_agg
+    plan = _plan(q_rollup_agg(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """With declared pivot values there is no value-discovery job: one
+    scan, one aggregate."""
+    from scardina_spark.queries import q_pivot_counts
+    plan = _plan(q_pivot_counts(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "partial" in plan.lower()  # map-side partial aggregation

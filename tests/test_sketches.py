@@ -134,3 +134,83 @@ def test_kmv_set_estimates_grouped(tables):
     for r in rows:
         assert r["union_est"] >= r["intersect_est"] >= 0
         assert 0 <= r["jaccard_est"] <= 1
+
+
+# ---------------------------------------------------------------- quantile
+
+
+def _qs_py(pairs, k):
+    """(h, v) pairs sorted by (h, v), first k."""
+    return sorted(pairs)[:k]
+
+
+def _interp(vals, p):
+    vals = sorted(vals)
+    idx = p * (len(vals) - 1)
+    lo = int(idx)
+    hi = min(lo + 1, len(vals) - 1)
+    return vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+
+
+def _hash_py(s):
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16)
+
+
+def test_quantile_sketch_is_bottom_k_rows(spark):
+    rows = [(i, float(i * 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    sk = SK.quantile_sketch(df, "v", F.col("k"), k=16).first()["samp"]
+    want = _qs_py([(_hash_py(i), float(i * 10)) for i in range(200)], 16)
+    assert [(s["h"], s["v"]) for s in sk] == want
+
+
+def test_quantile_sketch_grouped_matches_global_per_group(spark):
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "g", "v"])
+    got = {r["g"]: [(s["h"], s["v"]) for s in r["samp"]]
+           for r in SK.quantile_sketch(df, "v", F.col("k"), k=8,
+                                       group_cols=["g"]).collect()}
+    for g in ["g0", "g1", "g2"]:
+        gi = int(g[1])
+        want = _qs_py([(_hash_py(i), float(i))
+                       for i in range(300) if i % 3 == gi], 8)
+        assert got[g] == want
+
+
+def test_quantile_merge_equals_whole(spark):
+    a = spark.createDataFrame([(i, float(i)) for i in range(150)],
+                              ["k", "v"])
+    b = spark.createDataFrame([(i, float(i)) for i in range(150, 400)],
+                              ["k", "v"])
+    whole = spark.createDataFrame([(i, float(i)) for i in range(400)],
+                                  ["k", "v"])
+    m = SK.quantile_sketch_merge(
+        SK.quantile_sketch(a, "v", F.col("k"), k=32),
+        SK.quantile_sketch(b, "v", F.col("k"), k=32), k=32).first()["samp"]
+    w = SK.quantile_sketch(whole, "v", F.col("k"), k=32).first()["samp"]
+    assert [(s["h"], s["v"]) for s in m] == [(s["h"], s["v"]) for s in w]
+
+
+def test_quantile_estimate_interpolation_and_accuracy(spark):
+    n = 5000
+    rows = [(i, float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    k = 512
+    sk = SK.quantile_sketch(df, "v", F.col("k"), k=k)
+    est = SK.quantile_estimate(sk, [0.25, 0.5, 0.9]).first()
+    samp = [v for _, v in _qs_py([(_hash_py(i), float(i))
+                                  for i in range(n)], k)]
+    # exact linear interpolation over the sample
+    assert est["p25"] == round(_interp(samp, 0.25), 4)
+    assert est["p50"] == round(_interp(samp, 0.5), 4)
+    assert est["p90"] == round(_interp(samp, 0.9), 4)
+    # and the sample quantiles track the true distribution
+    assert abs(est["p50"] - (n - 1) / 2) < 0.15 * n
+
+
+def test_quantile_sketch_ungrouped_plan_is_take_ordered(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    sk = SK.quantile_sketch(df, "v", F.col("k"), k=16)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
