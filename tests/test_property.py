@@ -9,7 +9,13 @@ from scardina_spark.plans.parse import parse_query
 from scardina_spark.plans.predicates import (
     Predicate, literal_value, normalize_predicates)
 
-idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_SQL_RESERVED = {
+    "as", "and", "or", "not", "in", "is", "null", "like", "between",
+    "select", "from", "where", "count", "on", "join", "by", "group",
+    "order", "asc", "desc", "true", "false", "all",
+}
+idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True) \
+    .filter(lambda s: s not in _SQL_RESERVED)
 
 
 @given(dist_size=st.integers(3, 2 ** 24), threshold=st.integers(1, 16))
