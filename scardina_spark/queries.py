@@ -2165,6 +2165,100 @@ group by l_returnflag order by l_returnflag
 """
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (beyond reference): per part, the minimum line
+    price and the supplier achieving it — the correlated-min-subquery
+    pattern.  One shuffle on the part key serves both the window min
+    and the tie-break aggregate; the part dimension broadcasts."""
+    from pyspark.sql import Window
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    li = (t["lineitem"]
+          .withColumn("__minp__", F.min("l_extendedprice").over(w))
+          .where(F.col("l_extendedprice") == F.col("__minp__")))
+    best = (li.groupBy("l_partkey")
+            .agg(F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.min("l_suppkey").alias("best_suppkey")))
+    return (best.join(t["part"].where(F.col("p_size") == 10),
+                      F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_partkey", "p_name", "min_price", "best_suppkey")
+            .orderBy("p_partkey"))
+
+
+SQL_CHEAPEST_SUPPLIER = """
+with m as (
+  select l_partkey, min(l_extendedprice) as minp
+  from lineitem group by l_partkey)
+select p_partkey, p_name,
+       round(m.minp, 2) as min_price,
+       min(l_suppkey) as best_suppkey
+from part
+join m on m.l_partkey = p_partkey
+join lineitem l on l.l_partkey = p_partkey and l.l_extendedprice = m.minp
+where p_size = 10
+group by p_partkey, p_name, m.minp
+order by p_partkey
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (beyond reference): customers with above-average
+    positive balance and no urgent orders, counted per market segment — a
+    scalar aggregate subquery (broadcast 1-row cross join, never a
+    driver collect) plus a left-anti join on the order keys."""
+    t = load_tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg_bal__")))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("__avg_bal__")))
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"],
+                     "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(_d6(F.col("c_acctbal"))).cast("double")
+                 .alias("total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+select c_mktsegment, count(*) as n_cust,
+       sum(c_acctbal::DECIMAL(18,6))::DOUBLE as total_bal
+from customer
+where c_acctbal > (select avg(c_acctbal) from customer
+                   where c_acctbal > 0)
+  and not exists (select 1 from orders where o_custkey = c_custkey
+                  and o_orderpriority = '1-URGENT')
+group by c_mktsegment order by c_mktsegment
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation in the driver contract: the salted
+    two-phase groupBy (`operators/skew.salted_group_agg`) must produce
+    exactly the result of a plain GROUP BY — decimal sums make the
+    re-merge order-insensitive, so the oracle is the unsalted SQL."""
+    from .operators.skew import salted_group_agg
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("__q6__", _d6(F.col("l_quantity"))))
+    out = salted_group_agg(li, ["l_returnflag"],
+                           sum_cols={"__q6__": "sum_qty"},
+                           count_alias="n", n_salts=8)
+    return (out.select("l_returnflag",
+                       F.col("sum_qty").cast("double").alias("sum_qty"),
+                       "n")
+            .orderBy("l_returnflag"))
+
+
+SQL_SALTED_AGG = """
+select l_returnflag,
+       sum(l_quantity::DECIMAL(18,6))::DOUBLE as sum_qty,
+       count(*) as n
+from lineitem group by l_returnflag order by l_returnflag
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -2252,7 +2346,10 @@ def queries() -> dict:
         "a18_disjunctive_revenue": q_disjunctive_revenue,
         "a19_rollup": q_rollup_agg,
         "a20_pivot": q_pivot_counts,
+        "a21_cheapest_supplier": q_cheapest_supplier,
+        "a22_idle_rich_customers": q_idle_rich_customers,
         "x29_quantile_sketch": q_quantile_sketch,
+        "x30_salted_agg": q_salted_agg,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2334,7 +2431,10 @@ def oracle_sql() -> dict[str, str]:
         "a18_disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
         "a19_rollup": SQL_ROLLUP_AGG,
         "a20_pivot": SQL_PIVOT_COUNTS,
+        "a21_cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
+        "a22_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "x29_quantile_sketch": sql_quantile_sketch(),
+        "x30_salted_agg": SQL_SALTED_AGG,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

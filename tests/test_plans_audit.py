@@ -209,3 +209,24 @@ def test_pivot_is_single_pass(spark, sf_dir):
     plan = _plan(q_pivot_counts(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert "partial" in plan.lower()  # map-side partial aggregation
+
+
+def test_cheapest_supplier_single_partkey_shuffle(spark, sf_dir):
+    """Q2 shape: the window min and the tie-break aggregate share the
+    l_partkey partitioning (one exchange), and the part dim broadcasts."""
+    from scardina_spark.queries import q_cheapest_supplier
+    plan = _plan(q_cheapest_supplier(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_idle_rich_customers_broadcast_scalar_and_anti(spark, sf_dir):
+    """Q22 shape: the scalar subquery is a broadcast 1-row nested-loop
+    join (no driver collect) and the NOT EXISTS is a broadcast anti
+    join."""
+    from scardina_spark.queries import q_idle_rich_customers
+    plan = _plan(q_idle_rich_customers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
