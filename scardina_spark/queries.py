@@ -1383,6 +1383,26 @@ group by 1 order by user_id
 """
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a KMV distinct sketch (beyond
+    reference): per-batch sketch deltas written idempotently via
+    foreachBatch, read-time semigroup fold — the streamed estimate must
+    equal the batch sketch bit-for-bit (deterministic md5 hashing), so
+    the oracle is the same SQL as the batch x17 entry."""
+    import tempfile
+
+    from .operators.sketches import kmv_estimate
+    from .streaming import read_events_stream
+    from .streaming.stats import maintain_kmv_sketch, read_kmv_sketch
+
+    state = tempfile.mkdtemp(prefix="stream_kmv_")
+    maintain_kmv_sketch(read_events_stream(spark, sf_dir), "user_id",
+                        state, k=32, group_cols=["event_type"])
+    sk = read_kmv_sketch(spark, state, k=32, group_cols=["event_type"])
+    return (kmv_estimate(sk, k=32, group_cols=["event_type"])
+            .orderBy("event_type"))
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filtered semi join (beyond reference): lineitem rows whose part
     is oversized, with the probe side pre-pruned map-side by a broadcast
@@ -2308,6 +2328,7 @@ def queries() -> dict:
         "st5_stream_first_seen": q_stream_first_seen,
         "st6_stream_join": q_stream_join,
         "st7_stream_fk_counts": q_stream_fk_counts,
+        "st8_stream_kmv": q_stream_kmv,
         "x1_dedup_exact": q_dedup_exact,
         "x2_minhash_sigs": q_minhash_sigs,
         "x3_ngram_jaccard": q_ngram_jaccard,
@@ -2393,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         "st5_stream_first_seen": SQL_STREAM_FIRST_SEEN,
         "st6_stream_join": SQL_CLICKS_TO_PURCHASES,
         "st7_stream_fk_counts": SQL_STREAM_FK_COUNTS,
+        "st8_stream_kmv": sql_kmv_distinct(),
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_minhash_sigs": SQL_MINHASH_SIGS,
         "x3_ngram_jaccard": SQL_NGRAM_JACCARD,

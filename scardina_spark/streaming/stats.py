@@ -64,6 +64,45 @@ def read_fk_counts(spark: SparkSession, state_dir: str) -> DataFrame:
             .agg(F.sum(COUNT).alias("cnt")))
 
 
+def maintain_kmv_sketch(stream: DataFrame, col: str, state_dir: str,
+                        k: int = 64, group_cols: list[str] | None = None,
+                        timeout_sec: int = 120) -> None:
+    """Drain ``stream`` (availableNow) maintaining a per-group KMV
+    distinct sketch under ``state_dir``.  Same exactly-once shape as
+    ``maintain_fk_counts``: each micro-batch overwrites only its own
+    ``batch_id=`` delta, and because KMV sketches are a semigroup
+    (merge = union hashes, re-take k smallest — `sketches.kmv_merge`),
+    the current sketch is a read-time fold of the deltas.  Each delta is
+    O(groups × k) regardless of batch size."""
+    from ..operators.sketches import kmv_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (kmv_sketch(batch_df, col, k, group_cols)
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch_id={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{state_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+
+
+def read_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Current sketch: n-way semigroup merge of every batch delta —
+    ``(group..., hashes array<long>)``, identical to the sketch of the
+    union of all batches."""
+    group_cols = group_cols or []
+    deltas = spark.read.parquet(f"{state_dir}/batch_id=*")
+    ex = (deltas.select(*group_cols, F.explode("hashes").alias("__kh__"))
+          .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__")))
+    grouped = ex.groupBy(*group_cols) if group_cols else ex.groupBy()
+    return grouped.agg(
+        F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
+        .alias("hashes"))
+
+
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     """Fold all deltas into ``batch_id=-1`` and drop the originals —
     bounds the delta-file count without changing the merged statistic.

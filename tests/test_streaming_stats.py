@@ -82,3 +82,23 @@ def test_compaction_preserves_counts(spark, event_files, tmp_path):
     dirs = [d for d in os.listdir(state) if d.startswith("batch_id=")]
     assert dirs == ["batch_id=-1"]
     assert sorted(read_fk_counts(spark, state).collect()) == before
+
+
+def test_stream_kmv_sketch_equals_batch(spark, tables, event_files,
+                                        tmp_path):
+    """Multi-batch streamed KMV sketch == batch sketch of all events,
+    bit-for-bit (deterministic hashing + semigroup merge)."""
+    from scardina_spark.operators.sketches import kmv_sketch
+    from scardina_spark.streaming.stats import (
+        maintain_kmv_sketch, read_kmv_sketch)
+
+    state = str(tmp_path / "state")
+    maintain_kmv_sketch(_stream(spark, event_files), "user_id", state,
+                        k=16, group_cols=["event_type"])
+    got = {r["event_type"]: r["hashes"] for r in
+           read_kmv_sketch(spark, state, k=16,
+                           group_cols=["event_type"]).collect()}
+    want = {r["event_type"]: r["hashes"] for r in
+            kmv_sketch(tables["events"], "user_id", k=16,
+                       group_cols=["event_type"]).collect()}
+    assert got == want
