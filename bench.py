@@ -241,10 +241,10 @@ def main() -> None:
     def build_cin() -> NarCinEstimator:
         big = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
         small = _TC(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
-        # thread-parallel across centers: Spark prep of one subschema
-        # overlaps numpy training of another.  localize=True so the
-        # chained path's HT cross-validation (sample_arbiter) runs as a
-        # few vectorized numpy passes per fragment.
+        # sequential across centers (the thread-parallel build inverts
+        # at data-bound scale — see build_cin_estimator).  localize=True
+        # so the chained path's HT cross-validation (sample_arbiter)
+        # runs as a few vectorized numpy passes per fragment.
         return build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
             lambda center: big if center == "lineitem" else small,

@@ -198,17 +198,20 @@ def build_cin_estimator(sg, tables, model_columns: dict,
                         cfg_for, *, sample_size: int = 1000,
                         max_rows: int = 32_000, fact_threshold: int = 8,
                         seed: int = 42, localize: bool = False,
-                        parallel: bool = True) -> NarCinEstimator:
-    """Prepare + train every CIN subschema model, thread-parallel.
+                        parallel: bool = False) -> NarCinEstimator:
+    """Prepare + train every CIN subschema model.
 
-    The per-center work — Spark jobs (weights, sampling, the training
-    matrix collect) and driver-side numpy fitting — is independent across
-    centers, so a thread pool overlaps the cluster-side stages of one
-    model with the driver-side training of another; on an otherwise idle
-    local[32] this roughly halves wall-clock vs the sequential loop.
-    Model order (and therefore every estimate) is deterministic: results
-    are collected in ``model_columns`` iteration order regardless of
-    completion order, and each trainer owns its own seeded RandomState.
+    ``parallel=True`` runs centers on a thread pool, overlapping the
+    Spark-side stages of one model with the driver-side numpy fitting of
+    another.  That wins only while the Spark jobs are overhead-dominated
+    (tiny inputs: ~1.5x at sf0.01); once the per-center jobs are
+    data-bound they compete for the same executor cores and the overlap
+    INVERTS (measured 2x SLOWER at sf0.1 on local[32], 85s vs 43s) — so
+    the default is sequential, which is also the right shape on a real
+    cluster where each prep stage already uses every executor.  Model
+    order (and therefore every estimate) is deterministic either way:
+    results are collected in ``model_columns`` iteration order, and each
+    trainer owns its own seeded RandomState.
 
     ``cfg_for(center)`` returns the TrainConfig for one center.
     """
