@@ -2279,6 +2279,57 @@ from lineitem group by l_returnflag order by l_returnflag
 """
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (beyond
+    reference): per-term frequencies as array projections, corpus stats
+    as one broadcast aggregate row, top-k via TakeOrderedAndProject —
+    all JVM-side, and the fixed-order double arithmetic is reproduced
+    bit-for-bit by the SQL oracle."""
+    from .operators.bm25 import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) as tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_defs = ",\n         ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end)::DOUBLE as df{i}"
+        for i in range(len(_BM25_TERMS)))
+    score = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0}"
+        f" / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+with t as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
+  from documents),
+s as (
+  select doc_id, len(toks) as dl_int, len(toks)::DOUBLE as dl,
+         {tf_defs}
+  from t),
+g as (
+  select count(*)::DOUBLE as n,
+         sum(dl_int)::DOUBLE / count(*)::DOUBLE as avgdl,
+         {df_defs}
+  from s)
+select doc_id, round(score, 4) as score from (
+  select doc_id, score from (
+    select doc_id, {score} as score
+    from s, g)
+  where score > 0
+  -- rank on the RAW score (the rounded alias would re-order near-ties)
+  order by score desc, doc_id limit 10)
+order by score desc, doc_id
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -2371,6 +2422,7 @@ def queries() -> dict:
         "a22_idle_rich_customers": q_idle_rich_customers,
         "x29_quantile_sketch": q_quantile_sketch,
         "x30_salted_agg": q_salted_agg,
+        "x31_bm25_topk": q_bm25_topk,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2457,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "a22_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "x29_quantile_sketch": sql_quantile_sketch(),
         "x30_salted_agg": SQL_SALTED_AGG,
+        "x31_bm25_topk": sql_bm25_topk(),
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,
