@@ -2330,6 +2330,79 @@ order by score desc, doc_id
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (beyond reference): BM25 lexical top-20 fused
+    with embedding-cosine top-20 by reciprocal-rank fusion.  Both input
+    lists are bounded before fusion, so the rank windows and the
+    full-outer id join run on k-sized relations at any corpus scale."""
+    from .operators import similarity as SIM
+    from .operators.bm25 import bm25_topk
+    from .operators.fusion import rrf_fuse
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    sem = SIM.topk_cosine(emb, qv, 20) \
+        .withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([(lex, "score"), (sem, "cos_sim")], k=10)
+
+
+def sql_hybrid_search(k1: float = 1.2, b: float = 0.75) -> str:
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) as tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_defs = ",\n         ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end)::DOUBLE as df{i}"
+        for i in range(len(_BM25_TERMS)))
+    score = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0}"
+        f" / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+with t as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
+  from documents),
+s as (
+  select doc_id, len(toks)::DOUBLE as dl, len(toks) as dl_int,
+         {tf_defs}
+  from t),
+g as (
+  select count(*)::DOUBLE as n,
+         sum(dl_int)::DOUBLE / count(*)::DOUBLE as avgdl,
+         {df_defs}
+  from s),
+bm as (
+  select doc_id, score from (
+    select doc_id, {score} as score from s, g)
+  where score > 0 order by score desc, doc_id limit 20),
+bmr as (
+  select doc_id, row_number() over (order by score desc, doc_id) as r1
+  from bm),
+q as (select embedding::DOUBLE[] v from embeddings where vec_id = 0),
+cs as (
+  select vec_id as doc_id,
+         round(list_dot_product(embedding::DOUBLE[], q.v) /
+               greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6)
+           as cos_sim
+  from embeddings, q
+  order by cos_sim desc, doc_id limit 20),
+csr as (
+  select doc_id, row_number() over (order by cos_sim desc, doc_id) as r2
+  from cs),
+f as (
+  select doc_id,
+         coalesce(1.0 / (60.0 + r1), 0.0)
+           + coalesce(1.0 / (60.0 + r2), 0.0) as rrf
+  from bmr full outer join csr using (doc_id))
+select doc_id, round(rrf, 6) as rrf_score
+from f order by rrf desc, doc_id limit 10
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -2423,6 +2496,7 @@ def queries() -> dict:
         "x29_quantile_sketch": q_quantile_sketch,
         "x30_salted_agg": q_salted_agg,
         "x31_bm25_topk": q_bm25_topk,
+        "x32_hybrid_search": q_hybrid_search,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2510,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "x29_quantile_sketch": sql_quantile_sketch(),
         "x30_salted_agg": SQL_SALTED_AGG,
         "x31_bm25_topk": sql_bm25_topk(),
+        "x32_hybrid_search": sql_hybrid_search(),
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

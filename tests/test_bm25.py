@@ -75,3 +75,34 @@ def test_absent_term_contributes_nothing(spark):
     plus = {r["doc_id"]: r["score"]
             for r in bm25_scores(df, ["spark", "zzz_absent"]).collect()}
     assert base == plus
+
+
+# ----------------------------------------------------------------- fusion
+
+
+def test_rrf_matches_hand_computation(spark):
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                              ["doc_id", "s"])
+    bdf = spark.createDataFrame([(3, 0.9), (4, 0.8)], ["doc_id", "s"])
+    from scardina_spark.operators.fusion import rrf_fuse
+    got = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse([(a, "s"), (bdf, "s")], k=10).collect()}
+    want = {
+        1: 1 / 61,               # rank 1 in a only
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,      # rank 3 in a, rank 1 in b
+        4: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - round(want[d], 6)) < 1e-9
+
+
+def test_rrf_orders_and_limits(spark):
+    a = spark.createDataFrame([(i, float(100 - i)) for i in range(30)],
+                              ["doc_id", "s"])
+    from scardina_spark.operators.fusion import rrf_fuse
+    rows = rrf_fuse([(a, "s")], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4]
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
