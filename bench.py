@@ -320,6 +320,16 @@ def main() -> None:
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     timed("cosine_topk", lambda: SIM.topk_cosine(emb, qv, 10).collect())
 
+    # 6. retrieval: BM25 lexical top-k and RRF hybrid (lexical + cosine)
+    from scardina_spark.operators.bm25 import bm25_topk
+    from scardina_spark.operators.fusion import rrf_fuse
+    timed("bm25_topk", lambda: bm25_topk(
+        docs, ["spark", "join", "window"], k=10).collect())
+    timed("hybrid_search", lambda: rrf_fuse(
+        [(bm25_topk(docs, ["spark", "join", "window"], k=20), "score"),
+         (SIM.topk_cosine(emb, qv, 20).withColumnRenamed("vec_id", "doc_id"),
+          "cos_sim")], k=10).collect())
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",
