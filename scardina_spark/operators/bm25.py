@@ -48,6 +48,9 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     with the BM25+-style smoothed ``idf = ln(1 + (N-df+0.5)/(df+0.5))``
     (non-negative for any df).
     """
+    # tokens are lowercased, so normalize the query side symmetrically —
+    # otherwise a capitalized term silently matches nothing
+    query_terms = [t.lower() for t in query_terms]
     toks = tokenize(df, text_col)
 
     def _is(term):

@@ -37,6 +37,8 @@ def rrf_fuse(rankings: list[tuple[DataFrame, str]], k: int = 10,
     (id_col, rrf_score double).  A document absent from one list simply
     contributes nothing for it (no imputed rank).  Contributions are
     summed in list order, so the double arithmetic is reproducible."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     fused = None
     for i, (df, score_col) in enumerate(rankings):
         r = with_rank(df, score_col, id_col) \
@@ -49,7 +51,11 @@ def rrf_fuse(rankings: list[tuple[DataFrame, str]], k: int = 10,
             F.lit(1.0) / (F.lit(k_const) + F.col(f"__r{i}__")
                           .cast("double")),
             F.lit(0.0))
-    return (fused.select(F.col(id_col),
-                         F.round(score, 6).alias("rrf_score"))
-            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-            .limit(k))
+    # rank and cut on the RAW sum; round only for display (ranking on
+    # the rounded value could re-order near-ties at the k boundary and
+    # diverge from a raw-ordering oracle)
+    return (fused.select(F.col(id_col), score.alias("__raw__"))
+            .orderBy(F.col("__raw__").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col),
+                    F.round(F.col("__raw__"), 6).alias("rrf_score")))

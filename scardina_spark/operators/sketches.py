@@ -64,19 +64,28 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64,
                  .alias("hashes")))
 
 
+def kmv_fold(sketches: DataFrame, k: int = 64,
+             group_cols: list[str] | None = None) -> DataFrame:
+    """N-way semigroup fold of a sketch table (group..., hashes): union
+    the hash sets per group, dedup, keep the k smallest.  This is THE
+    canonical merge — `kmv_merge` and the streaming read-time fold both
+    route through it, so sketch semantics live in one place."""
+    group_cols = group_cols or []
+    ex = (sketches.select(*group_cols, F.explode("hashes").alias("__kh__"))
+          .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__")))
+    grouped = ex.groupBy(*group_cols) if group_cols else ex.groupBy()
+    return grouped.agg(
+        F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
+        .alias("hashes"))
+
+
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64,
               group_cols: list[str] | None = None) -> DataFrame:
-    """Merge two sketch tables (semigroup op): union the hash sets per
-    group, dedup, keep the k smallest.  merge(sketch(A), sketch(B)) ==
-    sketch(A ∪ B) exactly — the property that makes partial sketches
-    composable across partitions, executors, and incremental batches."""
-    group_cols = group_cols or []
-    both = a.unionByName(b)
-    ex = (both.select(*group_cols, F.explode("hashes").alias("__kh__"))
-          .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__")))
-    return (ex.groupBy(*group_cols)
-            .agg(F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
-                 .alias("hashes")))
+    """Merge two sketch tables (semigroup op): merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) exactly — the property that makes
+    partial sketches composable across partitions, executors, and
+    incremental batches."""
+    return kmv_fold(a.unionByName(b), k, group_cols)
 
 
 def kmv_estimate(sketch: DataFrame, k: int = 64,

@@ -2294,7 +2294,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_sql_parts(k1: float = 1.2, b: float = 0.75) -> tuple[str, str]:
+    """Shared DuckDB fragments for every BM25-based oracle: the
+    ``t``/``s``/``g`` CTE text and the per-row score expression — one
+    source of truth so x31 and x32 can never disagree on the math."""
     tf_defs = ",\n         ".join(
         f"len(list_filter(toks, x -> x = '{t}')) as tf{i}"
         for i, t in enumerate(_BM25_TERMS))
@@ -2305,8 +2308,7 @@ def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
         f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0}"
         f" / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
         for i in range(len(_BM25_TERMS)))
-    return f"""
-with t as (
+    ctes = f"""t as (
   select doc_id,
          list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
   from documents),
@@ -2318,7 +2320,14 @@ g as (
   select count(*)::DOUBLE as n,
          sum(dl_int)::DOUBLE / count(*)::DOUBLE as avgdl,
          {df_defs}
-  from s)
+  from s)"""
+    return ctes, score
+
+
+def sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    ctes, score = _bm25_sql_parts(k1, b)
+    return f"""
+with {ctes}
 select doc_id, round(score, 4) as score from (
   select doc_id, score from (
     select doc_id, {score} as score
@@ -2349,30 +2358,9 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_hybrid_search(k1: float = 1.2, b: float = 0.75) -> str:
-    tf_defs = ",\n         ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) as tf{i}"
-        for i, t in enumerate(_BM25_TERMS))
-    df_defs = ",\n         ".join(
-        f"sum(case when tf{i} > 0 then 1 else 0 end)::DOUBLE as df{i}"
-        for i in range(len(_BM25_TERMS)))
-    score = " + ".join(
-        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0}"
-        f" / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
-        for i in range(len(_BM25_TERMS)))
+    ctes, score = _bm25_sql_parts(k1, b)
     return f"""
-with t as (
-  select doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
-  from documents),
-s as (
-  select doc_id, len(toks)::DOUBLE as dl, len(toks) as dl_int,
-         {tf_defs}
-  from t),
-g as (
-  select count(*)::DOUBLE as n,
-         sum(dl_int)::DOUBLE / count(*)::DOUBLE as avgdl,
-         {df_defs}
-  from s),
+with {ctes},
 bm as (
   select doc_id, score from (
     select doc_id, {score} as score from s, g)

@@ -53,7 +53,18 @@ def maintain_fk_counts(stream: DataFrame, fk_col: str, state_dir: str,
          .option("checkpointLocation", f"{state_dir}/_checkpoint")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec)
+
+
+def _await_drained(q, timeout_sec: int) -> None:
+    """Fail fast if the availableNow drain did not finish: returning
+    with the sink still writing would let a read-time fold silently
+    merge partial state."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream did not drain within {timeout_sec}s; "
+            "state is partial — raise timeout_sec or reduce the batch")
 
 
 def read_fk_counts(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -85,7 +96,7 @@ def maintain_kmv_sketch(stream: DataFrame, col: str, state_dir: str,
          .option("checkpointLocation", f"{state_dir}/_checkpoint")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec)
 
 
 def read_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
@@ -93,14 +104,10 @@ def read_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
     """Current sketch: n-way semigroup merge of every batch delta —
     ``(group..., hashes array<long>)``, identical to the sketch of the
     union of all batches."""
-    group_cols = group_cols or []
+    from ..operators.sketches import kmv_fold
+
     deltas = spark.read.parquet(f"{state_dir}/batch_id=*")
-    ex = (deltas.select(*group_cols, F.explode("hashes").alias("__kh__"))
-          .groupBy(*group_cols, "__kh__").agg(F.lit(1).alias("__one__")))
-    grouped = ex.groupBy(*group_cols) if group_cols else ex.groupBy()
-    return grouped.agg(
-        F.slice(F.sort_array(F.collect_list("__kh__")), 1, k)
-        .alias("hashes"))
+    return kmv_fold(deltas, k, group_cols)
 
 
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:

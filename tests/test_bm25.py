@@ -106,3 +106,12 @@ def test_rrf_orders_and_limits(spark):
     assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4]
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_query_terms_case_normalized(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    lower = {r["doc_id"]: r["score"]
+             for r in bm25_scores(df, ["spark"]).collect()}
+    upper = {r["doc_id"]: r["score"]
+             for r in bm25_scores(df, ["Spark"]).collect()}
+    assert lower == upper and lower

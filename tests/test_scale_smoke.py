@@ -21,18 +21,20 @@ pytestmark = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
     reason="10x scale smoke is opt-in (SPARK_GRAFT_SCALE_SMOKE=1)")
 
-SF_DIR = "/root/testdata/sf0.1"
+# sf0.1 sibling of the configured test data root (matches conftest's
+# SPARK_GRAFT_TEST_SF_DIR convention)
+SF_DIR = os.path.join(
+    os.path.dirname(os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                   "/root/testdata/sf0.001")),
+    "sf0.1")
 
 
 def _replicate(tables, factor=10):
     n_ord = tables["orders"].agg(F.max("o_orderkey")).first()[0] + 1
-    reps = None
+    reps = tables["orders"].sparkSession.range(factor) \
+        .select(F.col("id").alias("__rep__"))
     out = dict(tables)
     for name, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
-        if reps is None:
-            from scardina_spark.session import get_spark
-            reps = get_spark("scale-smoke").range(factor) \
-                .select(F.col("id").alias("__rep__"))
         out[name] = (tables[name].crossJoin(reps)
                      .withColumn(key, F.col(key) + F.col("__rep__") * n_ord)
                      .drop("__rep__"))
