@@ -95,3 +95,21 @@ def test_run_benchmark_skips_unsupported_when_asked():
     assert rep.summary["n_queries"] == 1
     assert rep.summary["n_skipped"] == 1
     assert rep.skipped[0][0] == "bad"
+
+
+def test_shipped_benchmark_csvs_parse():
+    """The repo ships reference-format benchmark CSVs
+    (benchmarks/tpch/job-light-sf*.csv, the layout of Scardina's
+    benchmarks/<ds>/<bench>.csv) with exact truths; they must parse and
+    stay in sync with the generated suite size."""
+    import os
+
+    from scardina_spark.runner import load_benchmark_csv
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "tpch")
+    for sf in ["0.001", "0.01"]:
+        rows = load_benchmark_csv(os.path.join(root, f"job-light-sf{sf}.csv"))
+        assert len(rows) == 82
+        assert all(t is not None and t >= 0 for t, _ in rows)
+        assert all(s.upper().startswith("SELECT COUNT(*)") for _, s in rows)
