@@ -173,3 +173,48 @@ def test_hybrid_ci_clamp(estimator, exact):
     # zero mode unchanged: wild estimate passes through when ht > 0
     zero = HybridEstimator(Fake(ht * 100), estimator, mode="zero")
     assert zero.estimate(sql) == pytest.approx(ht * 100, rel=1e-9)
+
+
+def test_parallel_edge_subschemas_route_queries(spark):
+    """Two FKs from one table into the same parent (the reference's
+    parallel-edge case, scardina/schema.py:117) expand into one
+    subschema per choice, each samples independently, and the estimator
+    routes a query to the subschema whose join edge it uses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scardina_spark.estimators import SampleEstimator
+    from scardina_spark.estimators.sample import prepare_tree_sample
+    from scardina_spark.schema import SchemaGraph
+
+    random.seed(7)
+    nation = spark.createDataFrame([(i, f"N{i}") for i in range(10)],
+                                   ["n_id", "n_name"])
+    orders2 = spark.createDataFrame(
+        [(i, random.randrange(10), random.randrange(10))
+         for i in range(2000)],
+        ["o_id", "ship_n", "bill_n"])
+    sg = SchemaGraph("par")
+    sg.add_table("nation", size=10)
+    sg.add_table("orders2", size=2000)
+    sg.add_relationship("nation", "n_id", "orders2", "ship_n")
+    sg.add_relationship("nation", "n_id", "orders2", "bill_n")
+    subs = [s for s in sg.cin_subschemas().values()
+            if s.center == "orders2"]
+    assert len(subs) == 2  # one per parallel-edge choice
+
+    tables = {"nation": nation, "orders2": orders2}
+    est = SampleEstimator()
+    for ss in subs:
+        ts = prepare_tree_sample(ss, tables, "orders2",
+                                 n_min=1000, n_max=1000, seed=1)
+        est.add(ts)
+
+    for fk in ["ship_n", "bill_n"]:
+        e = est.estimate(
+            f"SELECT COUNT(*) FROM orders2 o, nation n "
+            f"WHERE o.{fk} = n.n_id AND n.n_name = 'N3'")
+        truth = orders2.where(F.col(fk) == 3).count()
+        assert truth > 0
+        assert max(e / truth, truth / e) < 1.5, (fk, e, truth)
