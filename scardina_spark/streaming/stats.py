@@ -110,6 +110,23 @@ def read_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
     return kmv_fold(deltas, k, group_cols)
 
 
+def compact_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
+                       group_cols: list[str] | None = None) -> None:
+    """Fold all sketch deltas into ``batch_id=-1`` and drop the
+    originals — bounds the delta-file count without changing the merged
+    sketch (the fold is associative, so compaction commutes with new
+    batches)."""
+    import os
+    import shutil
+
+    merged = read_kmv_sketch(spark, state_dir, k, group_cols)
+    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id="):
+            shutil.rmtree(f"{state_dir}/{d}")
+    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")
+
+
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     """Fold all deltas into ``batch_id=-1`` and drop the originals —
     bounds the delta-file count without changing the merged statistic.

@@ -102,3 +102,25 @@ def test_stream_kmv_sketch_equals_batch(spark, tables, event_files,
             kmv_sketch(tables["events"], "user_id", k=16,
                        group_cols=["event_type"]).collect()}
     assert got == want
+
+
+def test_kmv_compaction_preserves_sketch(spark, tables, event_files,
+                                         tmp_path):
+    import os
+
+    from scardina_spark.streaming.stats import (
+        compact_kmv_sketch, maintain_kmv_sketch, read_kmv_sketch)
+
+    state = str(tmp_path / "state")
+    maintain_kmv_sketch(_stream(spark, event_files), "user_id", state,
+                        k=16, group_cols=["event_type"])
+    before = {r["event_type"]: r["hashes"] for r in
+              read_kmv_sketch(spark, state, k=16,
+                              group_cols=["event_type"]).collect()}
+    compact_kmv_sketch(spark, state, k=16, group_cols=["event_type"])
+    deltas = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert deltas == ["batch_id=-1"]
+    after = {r["event_type"]: r["hashes"] for r in
+             read_kmv_sketch(spark, state, k=16,
+                             group_cols=["event_type"]).collect()}
+    assert before == after
