@@ -2279,6 +2279,61 @@ from lineitem group by l_returnflag order by l_returnflag
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analytics (beyond reference): users who did
+    view → click → purchase in strict timestamp order, each step within
+    24 h of the previous.  ONE shuffle on user_id builds per-user event
+    arrays; the ordered-stage walk is three array projections
+    (filter + transform + array_min) in whole-stage codegen — no
+    window function, no re-join per stage."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.where(F.col("event_type")
+                         .isin("view", "click", "purchase"))
+                .where(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg(F.collect_list(F.struct("ts", "event_type"))
+                     .alias("a")))
+
+    def first_after(et, after):
+        bound = (None if after is None
+                 else after + F.expr("INTERVAL 24 HOURS"))
+        hits = F.filter(F.col("a"),
+                        lambda x: (x["event_type"] == et)
+                        & (((x["ts"] > after) & (x["ts"] <= bound))
+                           if after is not None else F.lit(True)))
+        return F.array_min(F.transform(hits, lambda x: x["ts"]))
+
+    s1 = per_user.select("user_id", "a",
+                         first_after("view", None).alias("t1"))
+    s2 = s1.select("user_id", "a", "t1",
+                   first_after("click", F.col("t1")).alias("t2"))
+    s3 = s2.select("user_id", "t1", "t2",
+                   first_after("purchase", F.col("t2")).alias("t3"))
+    return s3.agg(F.count("t1").alias("n_view"),
+                  F.count("t2").alias("n_click"),
+                  F.count("t3").alias("n_purchase"))
+
+
+SQL_EVENT_FUNNEL = """
+with v as (
+  select user_id, min(ts) as t1 from events
+  where event_type = 'view' and user_id is not null group by 1),
+c as (
+  select e.user_id, min(e.ts) as t2 from events e
+  join v on e.user_id = v.user_id
+  where e.event_type = 'click' and e.ts > v.t1
+    and e.ts <= v.t1 + interval 24 hours group by 1),
+p as (
+  select e.user_id, min(e.ts) as t3 from events e
+  join c on e.user_id = c.user_id
+  where e.event_type = 'purchase' and e.ts > c.t2
+    and e.ts <= c.t2 + interval 24 hours group by 1)
+select (select count(*) from v) as n_view,
+       (select count(*) from c) as n_click,
+       (select count(*) from p) as n_purchase
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -2481,6 +2536,7 @@ def queries() -> dict:
         "a20_pivot": q_pivot_counts,
         "a21_cheapest_supplier": q_cheapest_supplier,
         "a22_idle_rich_customers": q_idle_rich_customers,
+        "a23_event_funnel": q_event_funnel,
         "x29_quantile_sketch": q_quantile_sketch,
         "x30_salted_agg": q_salted_agg,
         "x31_bm25_topk": q_bm25_topk,
@@ -2569,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "a20_pivot": SQL_PIVOT_COUNTS,
         "a21_cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
         "a22_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+        "a23_event_funnel": SQL_EVENT_FUNNEL,
         "x29_quantile_sketch": sql_quantile_sketch(),
         "x30_salted_agg": SQL_SALTED_AGG,
         "x31_bm25_topk": sql_bm25_topk(),

@@ -230,3 +230,14 @@ def test_idle_rich_customers_broadcast_scalar_and_anti(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_funnel_single_user_shuffle_no_window(spark, sf_dir):
+    """The funnel builds per-user arrays with ONE data shuffle and walks
+    stages as array projections — no window function, no per-stage
+    re-join of the events table."""
+    from scardina_spark.queries import q_event_funnel
+    plan = _plan(q_event_funnel(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
