@@ -124,6 +124,23 @@ def cmd_estimate(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the physical plan of a registered contract query — the
+    per-operator `.explain` loop the scale docs (SCALE.md) are pinned
+    against, exposed for ad-hoc inspection."""
+    from . import queries as Q
+    qs = Q.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; one of: "
+              + " ".join(sorted(qs)), file=sys.stderr)
+        return 2
+    df = qs[args.query](_spark(), args.sf_dir)
+    print(df._jdf.queryExecution().explainString(
+        _spark()._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString(args.mode)))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -301,6 +318,15 @@ def main(argv=None) -> int:
                         "over the benchmark's multi-join queries")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("explain")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--query", required=True,
+                   help="a queries() key, e.g. a18_disjunctive_revenue")
+    p.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost",
+                            "codegen"])
+    p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("train")
     p.add_argument("--sf-dir", required=True)

@@ -76,3 +76,19 @@ def test_cli_bench_perror(capsys, spark, sf_dir):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["perror_n"] >= 1
     assert out["perror_p50"] >= 1.0
+
+
+def test_cli_explain(capsys, spark, sf_dir):
+    rc = main(["explain", "--sf-dir", sf_dir,
+               "--query", "a18_disjunctive_revenue"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out
+    assert "BroadcastHashJoin" in out
+
+
+def test_cli_explain_unknown_query(capsys, spark, sf_dir):
+    rc = main(["explain", "--sf-dir", sf_dir, "--query", "nope"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().err
