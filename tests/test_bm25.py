@@ -115,3 +115,26 @@ def test_query_terms_case_normalized(spark):
     upper = {r["doc_id"]: r["score"]
              for r in bm25_scores(df, ["Spark"]).collect()}
     assert lower == upper and lower
+
+
+def test_bm25_random_corpora_match_python():
+    """Randomized corpora (seeded) against the pure-python oracle —
+    formula parity beyond the hand-written fixture."""
+    import random
+
+    from scardina_spark.session import get_spark
+
+    spark = get_spark("bm25-prop")
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rng = random.Random(11)
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+                for i in range(rng.randint(2, 25))]
+        terms = rng.sample(vocab, k=rng.randint(1, 3))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_scores(df, terms).collect()}
+        want = _py_bm25(docs, terms)
+        assert set(got) == set(want), (trial, terms)
+        for i in want:
+            assert abs(got[i] - want[i]) < 1e-9, (trial, i)
