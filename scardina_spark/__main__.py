@@ -84,7 +84,7 @@ def cmd_estimate(args) -> int:
         est = train_join_estimator(
             ts, UR_MODEL_COLUMNS,
             TrainConfig(epochs=args.epochs, seed=args.seed),
-            fact_threshold=8)
+            fact_threshold=8, arch=args.arch)
     elif args.estimator == "nar-cin":
         from .benchmarks import CIN_MODEL_COLUMNS
         from .estimators.cin import build_cin_estimator
@@ -92,7 +92,8 @@ def cmd_estimate(args) -> int:
         est = build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
             lambda center: TrainConfig(epochs=args.epochs, seed=args.seed),
-            max_rows=32_000, fact_threshold=8, seed=args.seed)
+            max_rows=32_000, fact_threshold=8, seed=args.seed,
+            arch=args.arch)
     else:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
@@ -286,6 +287,8 @@ def main(argv=None) -> int:
                         "3-sigma confidence band")
     p.add_argument("--estimator", default="sample",
                    choices=["sample", "stitch", "exact", "nar-ur", "nar-cin"])
+    p.add_argument("--arch", default="mlp", choices=["mlp", "trm"],
+                   help="model architecture for nar-* estimators")
     p.add_argument("--root", default="lineitem")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)

@@ -198,7 +198,8 @@ def build_cin_estimator(sg, tables, model_columns: dict,
                         cfg_for, *, sample_size: int = 1000,
                         max_rows: int = 32_000, fact_threshold: int = 8,
                         seed: int = 42, localize: bool = False,
-                        parallel: bool = False) -> NarCinEstimator:
+                        parallel: bool = False,
+                        arch: str = "mlp") -> NarCinEstimator:
     """Prepare + train every CIN subschema model.
 
     ``parallel=True`` runs centers on a thread pool, overlapping the
@@ -226,7 +227,7 @@ def build_cin_estimator(sg, tables, model_columns: dict,
                                  seed=seed)
         m = train_join_estimator(ts, cin_cols, cfg_for(center),
                                  sample_size=sample_size, max_rows=max_rows,
-                                 fact_threshold=fact_threshold)
+                                 fact_threshold=fact_threshold, arch=arch)
         if localize:
             ts.localize()
         return m

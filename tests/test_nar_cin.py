@@ -179,3 +179,30 @@ def test_parallel_builder_matches_sequential(tables):
     assert seq.estimate(sql) == par.estimate(sql)
     assert [m.ts.tree.center for m in seq.models] == \
         [m.ts.tree.center for m in par.models]
+
+
+def test_cin_builder_transformer_arch(spark, tables):
+    """build_cin_estimator threads arch= through to every subschema
+    model; a trm-arch CIN still answers a chained query sensibly."""
+    from scardina_spark.catalog import build_tpch_schema
+    from scardina_spark.estimators.cin import build_cin_estimator
+    from scardina_spark.model import TrainConfig
+
+    sg = build_tpch_schema()
+    cols = {"orders": ["orders.o_orderstatus", "orders.o_orderpriority",
+                       "customer.c_mktsegment", "customer.c_nationkey"]}
+    cfg = TrainConfig(epochs=4, d_word=12, d_ff=32, batch_size=512,
+                      seed=42)
+    est = build_cin_estimator(sg, tables, cols, lambda c: cfg,
+                              sample_size=400, max_rows=8_000,
+                              fact_threshold=8, arch="trm")
+    from scardina_spark.model.transformer import NarTransformer
+    assert est.models
+    assert all(isinstance(m.model, NarTransformer) for m in est.models)
+    sql = ("SELECT COUNT(*) FROM orders o, customer c "
+           "WHERE o.o_custkey = c.c_custkey "
+           "AND c.c_mktsegment = 'BUILDING'")
+    e = est.estimate(sql)
+    from scardina_spark.estimators import ExactEstimator
+    t = ExactEstimator(sg, tables).estimate(sql)
+    assert t > 0 and max(e / t, t / e) < 3.0, (e, t)
