@@ -124,8 +124,9 @@ def load_jdbc_table(spark: SparkSession, url: str, table: str,
     evaluation, scardina/run.py:992-1008 — which reads whole tables through
     a single connection; here the read parallelizes over
     ``partition_column`` ranges so a large table splits across executors).
-    Untested in this environment (no live database); the call shape is the
-    supported Spark 4 API."""
+    Tested against the bundled Derby embedded database
+    (tests/test_pipeline_sources.py); a server database (e.g. the
+    reference's Postgres) differs only in URL/driver."""
     reader = spark.read.format("jdbc").option("url", url) \
         .option("dbtable", table)
     for k, v in (properties or {}).items():

@@ -63,3 +63,35 @@ def test_csv_escape_handling(spark, tmp_path):
     rows = {r["id"]: r["txt"] for r in df.collect()}
     assert rows[1] == 'say "hi"'
     assert rows[2] == "plain"
+
+
+def test_jdbc_source_reads_embedded_derby(spark):
+    """S5 (JDBC source): read back a table from the Derby embedded
+    database Spark already bundles — both the single-connection shape
+    and the partitioned range read (4 executor-side range queries)."""
+    from scardina_spark.catalog import load_jdbc_table
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:jdbctest;create=true")
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(
+            "CREATE TABLE t_jdbc (id INT PRIMARY KEY, name VARCHAR(20))")
+    except Exception:
+        st.executeUpdate("DELETE FROM t_jdbc")  # re-run in same JVM
+    for i in range(20):
+        st.executeUpdate(f"INSERT INTO t_jdbc VALUES ({i}, 'n{i}')")
+    st.close()
+    conn.close()
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = load_jdbc_table(spark, "jdbc:derby:memory:jdbctest", "t_jdbc",
+                         properties=props)
+    assert sorted(r["ID"] for r in df.collect()) == list(range(20))
+
+    dfp = load_jdbc_table(spark, "jdbc:derby:memory:jdbctest", "t_jdbc",
+                          properties=props, partition_column="id",
+                          num_partitions=4, lower_bound=0, upper_bound=20)
+    assert dfp.rdd.getNumPartitions() == 4
+    assert sorted(r["ID"] for r in dfp.collect()) == list(range(20))
