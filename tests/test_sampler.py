@@ -101,3 +101,35 @@ def test_join_sample_pk_side_exact(spark, tables):
         F.col("`lineitem.l_orderkey`") != F.col("`orders.o_orderkey`")).count()
     assert bad == 0
     assert samp.where(~F.col("`__in__:orders`")).count() == 0
+
+
+def test_join_sample_marginal_depth2_weighted_root(spark, tables, duck):
+    """Depth-2 weighted root: sampling nation -> customer -> orders from
+    root=nation needs weights that COMPOSE across two one-to-many levels
+    (reverse-BFS weight passes, J3).  The sampled o_orderpriority
+    marginal must match the full nation⋈customer⋈orders outer join."""
+    sg = build_tpch_schema()
+    rels = {(r.pk_table, r.fk_table): r for r in sg.relationships()}
+    from scardina_spark.schema import Subschema
+    tree = Subschema(name="nation_chain", center="nation",
+                     rels=(rels[("nation", "customer")],
+                           rels[("customer", "orders")]))
+    w = compute_weights(tree, tables, "nation")
+    n = 20_000
+    samp = join_sample(tree, w, "nation", n, seed=13)
+    assert samp.count() == n
+
+    got = {r["p"]: r["c"] for r in samp.groupBy(
+        F.col("`orders.o_orderpriority`").alias("p")).agg(
+        F.count("*").alias("c")).collect()}
+    full = dict(duck.sql("""
+        select o_orderpriority, count(*) from nation n
+        left join customer c on c.c_nationkey = n.n_nationkey
+        left join orders o on o.o_custkey = c.c_custkey
+        group by 1""").fetchall())
+    total = sum(full.values())
+    for p, cnt in full.items():
+        frac = cnt / total
+        tol = 6 * math.sqrt(n * frac * (1 - frac)) + 1
+        assert abs(got.get(p, 0) - n * frac) < tol, (p, got.get(p, 0),
+                                                     n * frac)
