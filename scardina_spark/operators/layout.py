@@ -1,0 +1,79 @@
+"""Scan-friendly data layout: range-partitioned, sorted parquet writes.
+
+At 100 TB the cheapest scan is the one that never reads a row group:
+parquet footers carry per-row-group min/max statistics, and both Spark's
+parquet reader and external engines skip row groups whose range cannot
+match a pushed filter.  Those statistics only prune well when the data
+is CLUSTERED on the filter column — which is a write-time decision.
+
+``write_sorted`` makes it: ``repartitionByRange`` on the cluster
+columns gives globally disjoint per-file ranges (each task owns one
+range), ``sortWithinPartitions`` tightens every row group inside a file.
+Rows land exactly once (range partitioning is a partition of the key
+space); the cost is one range-exchange at write time, repaid on every
+subsequent filtered scan.
+
+Reference anchor: Scardina caches pickles with no layout control
+(scardina/datasets.py:362-364); a columnar lake needs the clustered
+form instead.  This is the same idea as Delta/Iceberg ORDER BY /
+Z-ORDER maintenance, restricted to the single-column linear case Spark
+can express natively (multi-column Z-curves would interleave bits with
+the factorization helpers in functions/factorize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_sorted(df: DataFrame, path: str, cluster_cols: list[str],
+                 n_files: int | None = None) -> None:
+    """Write ``df`` as parquet clustered on ``cluster_cols``: one range
+    exchange, per-file disjoint key ranges, sorted row groups."""
+    n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    (df.repartitionByRange(n, *cluster_cols)
+       .sortWithinPartitions(*cluster_cols)
+       .write.mode("overwrite").parquet(path))
+
+
+def row_group_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` for every row group under ``path`` —
+    the statistics the pruning argument rests on, read from the parquet
+    footers themselves."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = pq.ParquetFile(os.path.join(path, name))
+        idx = f.schema_arrow.get_field_index(column)
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"no min/max statistics for {column!r} in {name}: "
+                    "the writer emitted a stats-less physical type "
+                    "(e.g. TIMESTAMP_NANOS) — nothing can prune this "
+                    "layout")
+            out.append((st.min, st.max))
+    return out
+
+
+def overlap_fraction(ranges: list[tuple]) -> float:
+    """Fraction of range pairs that overlap — 0.0 is perfectly
+    clustered (every row group prunable independently), ~1.0 means the
+    stats are useless for pruning."""
+    n = len(ranges)
+    if n < 2:
+        return 0.0
+    pairs = overlapping = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            pairs += 1
+            (a_lo, a_hi), (b_lo, b_hi) = ranges[i], ranges[j]
+            if a_lo <= b_hi and b_lo <= a_hi:
+                overlapping += 1
+    return overlapping / pairs

@@ -44,6 +44,11 @@ def get_spark(
         # catalog.load_table (reference analog: tz normalization on load,
         # scardina/datasets.py:97-104)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write micros, not nanos: nanos parquet timestamps get NO
+        # footer min/max statistics (so no row-group pruning — see
+        # operators/layout.py) and are exactly the interop hazard
+        # load_table has to normalize away on read
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # scan-task sizing: at 100 TB pick this so (maxPartitionBytes x
