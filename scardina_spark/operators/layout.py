@@ -36,6 +36,40 @@ def write_sorted(df: DataFrame, path: str, cluster_cols: list[str],
        .write.mode("overwrite").parquet(path))
 
 
+def zorder_value(cols, bits: int = 16):
+    """Z-curve (Morton) value of 2+ non-negative integer columns as one
+    codegen expression: bit j of column i lands at interleaved position
+    ``j * n_cols + i``.  Clustering on this single value gives PARTIAL
+    clustering on every input column at once — the multi-column
+    complement to ``write_sorted``'s linear order (same bit-slicing idea
+    as functions/factorize.py, run in reverse).  Column values must fit
+    in ``bits`` bits (clamp or bucketize wider domains first)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        col = col.cast("long")
+        for j in range(bits):
+            bit = F.shiftright(col, j).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, j * n + i)
+    return out
+
+
+def write_zordered(df: DataFrame, path: str, cluster_cols: list[str],
+                   bits: int = 16, n_files: int | None = None) -> None:
+    """Write parquet clustered on the Z-curve of ``cluster_cols`` —
+    filtered scans on ANY of the columns prune row groups."""
+    z = zorder_value(cluster_cols, bits).alias("__z__")
+    n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    (df.withColumn("__z__", z)
+       .repartitionByRange(n, "__z__")
+       .sortWithinPartitions("__z__")
+       .drop("__z__")
+       .write.mode("overwrite").parquet(path))
+
+
 def row_group_ranges(path: str, column: str) -> list[tuple]:
     """(min, max) of ``column`` for every row group under ``path`` —
     the statistics the pruning argument rests on, read from the parquet
