@@ -142,6 +142,31 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Rewrite a table parquet clustered on the given columns (linear
+    sort or Z-order) and report the footer-level pruning quality."""
+    from .catalog import load_table
+    from .operators.layout import (
+        overlap_fraction, row_group_ranges, write_sorted, write_zordered)
+    spark = _spark()
+    df = load_table(spark, args.sf_dir, args.table)
+    cols = args.cols.split(",")
+    if args.zorder:
+        write_zordered(df, args.out, cols, bits=args.bits,
+                       n_files=args.n_files)
+    else:
+        write_sorted(df, args.out, cols, n_files=args.n_files)
+    report = {
+        "out": args.out, "cols": cols,
+        "mode": "zorder" if args.zorder else "sorted",
+        "overlap_fraction": {
+            c: round(overlap_fraction(row_group_ranges(args.out, c)), 4)
+            for c in cols},
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -321,6 +346,18 @@ def main(argv=None) -> int:
                         "over the benchmark's multi-join queries")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("layout")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--cols", required=True,
+                   help="comma-separated cluster columns")
+    p.add_argument("--out", required=True)
+    p.add_argument("--zorder", action="store_true",
+                   help="Z-order (multi-column) instead of linear sort")
+    p.add_argument("--bits", type=int, default=16)
+    p.add_argument("--n-files", type=int, default=None)
+    p.set_defaults(fn=cmd_layout)
 
     p = sub.add_parser("explain")
     p.add_argument("--sf-dir", required=True)

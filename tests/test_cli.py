@@ -92,3 +92,14 @@ def test_cli_explain_unknown_query(capsys, spark, sf_dir):
     rc = main(["explain", "--sf-dir", sf_dir, "--query", "nope"])
     assert rc == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_layout(capsys, spark, sf_dir, tmp_path):
+    import json
+    out = str(tmp_path / "clustered")
+    rc = main(["layout", "--sf-dir", sf_dir, "--table", "lineitem",
+               "--cols", "l_shipdate", "--out", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "sorted"
+    assert rep["overlap_fraction"]["l_shipdate"] < 0.1
