@@ -204,3 +204,46 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.9,
         .where(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def similarity_selection_card(df: DataFrame, query_vec: list[float],
+                              threshold: float, k: int = 512,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Cardinality of a similarity selection — ``|{v : cos(v, q) >= t}|``
+    — estimated WITHOUT a learned model from a deterministic
+    bottom-k-by-hash uniform sample (the sketch machinery of
+    `operators/sketches.quantile_sketch`): est = N x (sample hit
+    fraction).  The sample is chosen by the row-id hash, independent of
+    the value, so the hit fraction is unbiased; determinism makes the
+    estimate itself oracle-replayable.
+
+    Returns one row: (n_total, n_sample, est_card double, true_card).
+    ``true_card`` is the exact count from the same pass — at 100 TB you
+    would drop it and keep only the O(k) sample evaluation; it is
+    returned here so accuracy is visible in the contract output.
+
+    Paper anchor: similarity-selection cardinality estimation (SIGMOD'20
+    "Monotonic Cardinality Estimation of Similarity Selection") — this
+    is the sampling baseline such learned estimators are measured
+    against; monotonicity holds by construction (raising t can only
+    shrink the sample hit set).
+    """
+    from .sketches import kmv_hash
+
+    sims = df.select(
+        F.col(id_col),
+        kmv_hash(F.col(id_col)).alias("__h__"),
+        cosine(F.col(vec_col), _lit_vec(query_vec)).alias("__sim__"))
+    hit = (F.col("__sim__") >= F.lit(float(threshold))).cast("long")
+    totals = sims.agg(F.count(F.lit(1)).alias("n_total"),
+                      F.sum(hit).alias("true_card"))
+    samp = (sims.orderBy("__h__", id_col).limit(k)
+            .agg(F.count(F.lit(1)).alias("n_sample"),
+                 F.sum(hit).alias("__hits__")))
+    return totals.crossJoin(F.broadcast(samp)).select(
+        "n_total", "n_sample",
+        F.round(F.col("n_total").cast("double")
+                * F.col("__hits__").cast("double")
+                / F.col("n_sample").cast("double"), 4).alias("est_card"),
+        "true_card")

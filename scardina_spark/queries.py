@@ -2394,6 +2394,44 @@ order by score desc, doc_id
 """
 
 
+def q_simsel_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-selection cardinality (beyond reference, paper-anchored
+    sampling baseline): |{v : cos(v, q) >= 0.2}| estimated from a
+    deterministic bottom-k-by-hash sample next to the exact count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    from .operators.similarity import similarity_selection_card
+    return similarity_selection_card(emb, qv, threshold=0.2, k=128)
+
+
+def sql_simsel_card(threshold: float = 0.2, k: int = 128) -> str:
+    poly = _duck_kmv_poly("vec_id::VARCHAR")
+    return f"""
+with q as (select embedding::DOUBLE[] v from embeddings where vec_id = 0),
+s as (
+  select vec_id, {poly} as h,
+         list_dot_product(embedding::DOUBLE[], q.v) /
+         greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.v, q.v)), 1e-12) as sim
+  from embeddings, q),
+t as (
+  select count(*) as n_total,
+         sum(case when sim >= {threshold} then 1 else 0 end) as true_card
+  from s),
+sk as (
+  select count(*) as n_sample,
+         sum(case when sim >= {threshold} then 1 else 0 end) as hits
+  from (select * from s order by h, vec_id limit {k}))
+select n_total, n_sample,
+       round(n_total::DOUBLE * hits::DOUBLE / n_sample::DOUBLE, 4)
+         as est_card,
+       true_card
+from t, sk
+"""
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (beyond reference): BM25 lexical top-20 fused
     with embedding-cosine top-20 by reciprocal-rank fusion.  Both input
@@ -2541,6 +2579,7 @@ def queries() -> dict:
         "x30_salted_agg": q_salted_agg,
         "x31_bm25_topk": q_bm25_topk,
         "x32_hybrid_search": q_hybrid_search,
+        "x33_simsel_card": q_simsel_card,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2630,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "x30_salted_agg": SQL_SALTED_AGG,
         "x31_bm25_topk": sql_bm25_topk(),
         "x32_hybrid_search": sql_hybrid_search(),
+        "x33_simsel_card": sql_simsel_card(),
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

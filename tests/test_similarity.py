@@ -125,3 +125,40 @@ def test_cosine_matches_numpy(spark):
     got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(got - want) < 1e-9
+
+
+def test_similarity_selection_card_unbiased_and_monotone(tables):
+    """Sampling estimate tracks the exact similarity-selection count and
+    is monotone in the threshold (raising t can only shrink the set)."""
+    from scardina_spark.operators.similarity import (
+        similarity_selection_card)
+
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.first()["embedding"]]
+    ests = {}
+    for t in [0.0, 0.2, 0.5]:
+        r = similarity_selection_card(emb, qv, threshold=t, k=128).first()
+        assert r["n_sample"] == 128
+        ests[t] = (r["est_card"], r["true_card"])
+        # binomial 4-sigma bound around the truth's fraction
+        import math
+        n, k = r["n_total"], r["n_sample"]
+        p = r["true_card"] / n
+        tol = 4 * n * math.sqrt(p * (1 - p) / k) + 1
+        assert abs(r["est_card"] - r["true_card"]) < tol, (t, ests[t])
+    assert ests[0.0][0] >= ests[0.2][0] >= ests[0.5][0]
+
+
+def test_similarity_selection_card_exact_when_sample_covers(spark):
+    from scardina_spark.operators.similarity import (
+        similarity_selection_card)
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[0][1]
+    r = similarity_selection_card(df, qv, threshold=0.3, k=100).first()
+    # sample covers the whole table -> estimate IS the exact count
+    assert r["n_sample"] == 60
+    assert r["est_card"] == float(r["true_card"])
