@@ -150,7 +150,7 @@ def cmd_layout(args) -> int:
         overlap_fraction, row_group_ranges, write_sorted, write_zordered)
     spark = _spark()
     df = load_table(spark, args.sf_dir, args.table)
-    cols = args.cols.split(",")
+    cols = [c.strip() for c in args.cols.split(",")]
     if args.zorder:
         write_zordered(df, args.out, cols, bits=args.bits,
                        n_files=args.n_files)

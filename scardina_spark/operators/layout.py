@@ -47,6 +47,12 @@ def zorder_value(cols, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 62:
+        # bit 63 is the long sign bit and JVM shift counts alias mod 64
+        # — either would silently corrupt the curve, so refuse
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits; "
+            "at most 62 fit in a signed long — lower bits= or bucketize")
     out = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
@@ -99,15 +105,18 @@ def row_group_ranges(path: str, column: str) -> list[tuple]:
 def overlap_fraction(ranges: list[tuple]) -> float:
     """Fraction of range pairs that overlap — 0.0 is perfectly
     clustered (every row group prunable independently), ~1.0 means the
-    stats are useless for pruning."""
+    stats are useless for pruning.
+
+    O(n log n) sweep: an unordered pair is DISJOINT iff exactly one of
+    the two starts strictly after the other ends, so counting, for each
+    interval, how many intervals start after its hi (binary search over
+    the sorted starts) counts each disjoint pair exactly once."""
+    import bisect
+
     n = len(ranges)
     if n < 2:
         return 0.0
-    pairs = overlapping = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            pairs += 1
-            (a_lo, a_hi), (b_lo, b_hi) = ranges[i], ranges[j]
-            if a_lo <= b_hi and b_lo <= a_hi:
-                overlapping += 1
-    return overlapping / pairs
+    los = sorted(lo for lo, _ in ranges)
+    disjoint = sum(n - bisect.bisect_right(los, hi) for _, hi in ranges)
+    pairs = n * (n - 1) // 2
+    return (pairs - disjoint) / pairs

@@ -219,9 +219,11 @@ def similarity_selection_card(df: DataFrame, query_vec: list[float],
     estimate itself oracle-replayable.
 
     Returns one row: (n_total, n_sample, est_card double, true_card).
-    ``true_card`` is the exact count from the same pass — at 100 TB you
-    would drop it and keep only the O(k) sample evaluation; it is
-    returned here so accuracy is visible in the contract output.
+    ``true_card`` is an exact second pass kept so accuracy is visible in
+    the contract output — at 100 TB you would drop it; the SAMPLE
+    branch stays cheap at any scale because the cosine fold runs only
+    on the k surviving rows (the scan before the top-k carries just the
+    id, hash and vector).
 
     Paper anchor: similarity-selection cardinality estimation (SIGMOD'20
     "Monotonic Cardinality Estimation of Similarity Selection") — this
@@ -231,19 +233,26 @@ def similarity_selection_card(df: DataFrame, query_vec: list[float],
     """
     from .sketches import kmv_hash
 
-    sims = df.select(
-        F.col(id_col),
-        kmv_hash(F.col(id_col)).alias("__h__"),
-        cosine(F.col(vec_col), _lit_vec(query_vec)).alias("__sim__"))
-    hit = (F.col("__sim__") >= F.lit(float(threshold))).cast("long")
-    totals = sims.agg(F.count(F.lit(1)).alias("n_total"),
-                      F.sum(hit).alias("true_card"))
-    samp = (sims.orderBy("__h__", id_col).limit(k)
-            .agg(F.count(F.lit(1)).alias("n_sample"),
-                 F.sum(hit).alias("__hits__")))
-    return totals.crossJoin(F.broadcast(samp)).select(
-        "n_total", "n_sample",
+    t = F.lit(float(threshold))
+    qv = _lit_vec(query_vec)
+    full_hit = (cosine(F.col(vec_col), qv) >= t).cast("long")
+    totals = df.agg(F.count(F.lit(1)).alias("n_total"),
+                    F.sum(full_hit).alias("true_card"))
+    # sample branch: top-k by hash FIRST, cosine only on the k survivors
+    samp_rows = (df.select(F.col(id_col),
+                           kmv_hash(F.col(id_col)).alias("__h__"),
+                           F.col(vec_col))
+                 .orderBy("__h__", id_col).limit(k))
+    samp = samp_rows.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum((cosine(F.col(vec_col), qv) >= t).cast("long"))
+        .alias("__hits__"))
+    est = F.when(
+        F.col("n_sample") > 0,
         F.round(F.col("n_total").cast("double")
                 * F.col("__hits__").cast("double")
-                / F.col("n_sample").cast("double"), 4).alias("est_card"),
-        "true_card")
+                / F.col("n_sample").cast("double"), 4)) \
+        .otherwise(F.lit(0.0))
+    return totals.crossJoin(F.broadcast(samp)).select(
+        "n_total", "n_sample", est.alias("est_card"),
+        F.coalesce(F.col("true_card"), F.lit(0)).alias("true_card"))

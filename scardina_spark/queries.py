@@ -2289,7 +2289,8 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = (ev.where(F.col("event_type")
                          .isin("view", "click", "purchase"))
-                .where(F.col("user_id").isNotNull())
+                .where(F.col("user_id").isNotNull()
+                       & F.col("ts").isNotNull())
                 .groupBy("user_id")
                 .agg(F.collect_list(F.struct("ts", "event_type"))
                      .alias("a")))
@@ -2317,7 +2318,8 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENT_FUNNEL = """
 with v as (
   select user_id, min(ts) as t1 from events
-  where event_type = 'view' and user_id is not null group by 1),
+  where event_type = 'view' and user_id is not null
+    and ts is not null group by 1),
 c as (
   select e.user_id, min(e.ts) as t2 from events e
   join v on e.user_id = v.user_id

@@ -67,10 +67,45 @@ def _await_drained(q, timeout_sec: int) -> None:
             "state is partial — raise timeout_sec or reduce the batch")
 
 
+def _read_deltas(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All current delta tables, recovering from a crashed compaction:
+    if a crash left the folded snapshot in ``__compact__`` after the
+    deltas were deleted but before it was published, publish it now
+    (the snapshot is only trusted when NO deltas remain — otherwise the
+    deltas are complete and a stale ``__compact__`` is discarded)."""
+    import os
+    import shutil
+
+    has_deltas = any(d.startswith("batch_id=")
+                     for d in os.listdir(state_dir))
+    compact = f"{state_dir}/__compact__"
+    if os.path.exists(compact):
+        if has_deltas:
+            shutil.rmtree(compact)  # interrupted BEFORE deletes: stale
+        else:
+            os.rename(compact, f"{state_dir}/batch_id=-1")
+    return spark.read.parquet(f"{state_dir}/batch_id=*")
+
+
+def _swap_deltas(state_dir: str, merged: DataFrame) -> None:
+    """Crash-safe delta swap: write the folded snapshot OUTSIDE the
+    readable glob, delete the deltas, then publish by rename.  A crash
+    at any point leaves the state recoverable by ``_read_deltas``: the
+    deltas are only deleted once ``__compact__`` is fully written."""
+    import os
+    import shutil
+
+    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id="):
+            shutil.rmtree(f"{state_dir}/{d}")
+    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")
+
+
 def read_fk_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current counts: semigroup merge of every batch delta —
     ``(key, cnt)``."""
-    deltas = spark.read.parquet(f"{state_dir}/batch_id=*")
+    deltas = _read_deltas(spark, state_dir)
     return (deltas.groupBy(KEY)
             .agg(F.sum(COUNT).alias("cnt")))
 
@@ -106,7 +141,7 @@ def read_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
     union of all batches."""
     from ..operators.sketches import kmv_fold
 
-    deltas = spark.read.parquet(f"{state_dir}/batch_id=*")
+    deltas = _read_deltas(spark, state_dir)
     return kmv_fold(deltas, k, group_cols)
 
 
@@ -115,30 +150,16 @@ def compact_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
     """Fold all sketch deltas into ``batch_id=-1`` and drop the
     originals — bounds the delta-file count without changing the merged
     sketch (the fold is associative, so compaction commutes with new
-    batches)."""
-    import os
-    import shutil
-
-    merged = read_kmv_sketch(spark, state_dir, k, group_cols)
-    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
-    for d in os.listdir(state_dir):
-        if d.startswith("batch_id="):
-            shutil.rmtree(f"{state_dir}/{d}")
-    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")
+    batches; the swap is crash-recoverable, see ``_swap_deltas``)."""
+    _swap_deltas(state_dir, read_kmv_sketch(spark, state_dir, k,
+                                            group_cols))
 
 
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     """Fold all deltas into ``batch_id=-1`` and drop the originals —
-    bounds the delta-file count without changing the merged statistic.
-    (The merge is associative, so compaction commutes with new batches.)
-    """
-    import shutil
-
+    bounds the delta-file count without changing the merged statistic
+    (associative merge: compaction commutes with new batches; the swap
+    is crash-recoverable, see ``_swap_deltas``)."""
     merged = read_fk_counts(spark, state_dir) \
         .select(KEY, F.col("cnt").alias(COUNT))
-    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
-    import os
-    for d in os.listdir(state_dir):
-        if d.startswith("batch_id="):
-            shutil.rmtree(f"{state_dir}/{d}")
-    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")
+    _swap_deltas(state_dir, merged)

@@ -124,3 +124,56 @@ def test_kmv_compaction_preserves_sketch(spark, tables, event_files,
              read_kmv_sketch(spark, state, k=16,
                              group_cols=["event_type"]).collect()}
     assert before == after
+
+
+def test_compaction_crash_window_recovers(spark, tables, event_files,
+                                          tmp_path):
+    """A crash between delta deletion and snapshot publication must not
+    lose state: the read path publishes the orphaned __compact__."""
+    import os
+    import shutil
+
+    from scardina_spark.operators.sketches import kmv_sketch
+    from scardina_spark.streaming.stats import (
+        maintain_kmv_sketch, read_kmv_sketch)
+
+    state = str(tmp_path / "state")
+    maintain_kmv_sketch(_stream(spark, event_files), "user_id", state,
+                        k=16, group_cols=["event_type"])
+    want = {r["event_type"]: r["hashes"] for r in
+            read_kmv_sketch(spark, state, k=16,
+                            group_cols=["event_type"]).collect()}
+
+    # simulate the crash: snapshot written, deltas deleted, rename lost
+    merged = read_kmv_sketch(spark, state, k=16,
+                             group_cols=["event_type"])
+    merged.write.mode("overwrite").parquet(f"{state}/__compact__")
+    for d in os.listdir(state):
+        if d.startswith("batch_id="):
+            shutil.rmtree(f"{state}/{d}")
+
+    got = {r["event_type"]: r["hashes"] for r in
+           read_kmv_sketch(spark, state, k=16,
+                           group_cols=["event_type"]).collect()}
+    assert got == want
+    assert not os.path.exists(f"{state}/__compact__")  # published
+
+
+def test_stale_compact_snapshot_is_discarded(spark, tables, event_files,
+                                             tmp_path):
+    """__compact__ alongside surviving deltas (crash BEFORE deletion)
+    is stale and must be ignored, not double-merged."""
+    import os
+
+    from scardina_spark.streaming.stats import (
+        maintain_fk_counts, read_fk_counts)
+
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    want = sorted(read_fk_counts(spark, state).collect())
+    # orphan snapshot next to intact deltas
+    read_fk_counts(spark, state).selectExpr("key", "cnt as cnt") \
+        .write.mode("overwrite").parquet(f"{state}/__compact__")
+    got = sorted(read_fk_counts(spark, state).collect())
+    assert got == want
+    assert not os.path.exists(f"{state}/__compact__")
