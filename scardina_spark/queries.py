@@ -2286,33 +2286,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays; the ordered-stage walk is three array projections
     (filter + transform + array_min) in whole-stage codegen — no
     window function, no re-join per stage."""
+    from .operators.funnel import funnel_counts
     ev = load_table(spark, sf_dir, "events")
-    per_user = (ev.where(F.col("event_type")
-                         .isin("view", "click", "purchase"))
-                .where(F.col("user_id").isNotNull()
-                       & F.col("ts").isNotNull())
-                .groupBy("user_id")
-                .agg(F.collect_list(F.struct("ts", "event_type"))
-                     .alias("a")))
-
-    def first_after(et, after):
-        bound = (None if after is None
-                 else after + F.expr("INTERVAL 24 HOURS"))
-        hits = F.filter(F.col("a"),
-                        lambda x: (x["event_type"] == et)
-                        & (((x["ts"] > after) & (x["ts"] <= bound))
-                           if after is not None else F.lit(True)))
-        return F.array_min(F.transform(hits, lambda x: x["ts"]))
-
-    s1 = per_user.select("user_id", "a",
-                         first_after("view", None).alias("t1"))
-    s2 = s1.select("user_id", "a", "t1",
-                   first_after("click", F.col("t1")).alias("t2"))
-    s3 = s2.select("user_id", "t1", "t2",
-                   first_after("purchase", F.col("t2")).alias("t3"))
-    return s3.agg(F.count("t1").alias("n_view"),
-                  F.count("t2").alias("n_click"),
-                  F.count("t3").alias("n_purchase"))
+    return funnel_counts(ev, ["view", "click", "purchase"],
+                         horizon="INTERVAL 24 HOURS")
 
 
 SQL_EVENT_FUNNEL = """

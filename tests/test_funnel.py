@@ -1,0 +1,58 @@
+"""Generalized funnel operator: hand-checkable fixture, horizon
+semantics, stage ordering strictness, and input validation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.funnel import funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), t)
+         for u, h, t in rows],
+        ["user_id", "ts", "event_type"])
+
+
+def test_funnel_hand_fixture(spark):
+    ev = _ev(spark, [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "buy"),      # full path
+        (2, 0, "view"), (2, 1, "click"),                      # no buy
+        (3, 0, "click"), (3, 1, "view"),                      # wrong order
+        (4, 0, "view"), (4, 30, "click"),                     # out of horizon
+    ])
+    r = funnel_counts(ev, ["view", "click", "buy"],
+                      horizon="INTERVAL 24 HOURS").first()
+    assert (r["n_view"], r["n_click"], r["n_buy"]) == (4, 2, 1)
+
+
+def test_funnel_unbounded_horizon(spark):
+    ev = _ev(spark, [(1, 0, "view"), (1, 1000, "click")])
+    bounded = funnel_counts(ev, ["view", "click"],
+                            horizon="INTERVAL 24 HOURS").first()
+    unbounded = funnel_counts(ev, ["view", "click"], horizon=None).first()
+    assert bounded["n_click"] == 0
+    assert unbounded["n_click"] == 1
+
+
+def test_funnel_strict_order_ties_excluded(spark):
+    # same timestamp does NOT advance the funnel (strict >)
+    ev = _ev(spark, [(1, 0, "view"), (1, 0, "click")])
+    r = funnel_counts(ev, ["view", "click"]).first()
+    assert (r["n_view"], r["n_click"]) == (1, 0)
+
+
+def test_funnel_rejects_empty_stages(spark):
+    ev = _ev(spark, [(1, 0, "view")])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, [])
+
+
+def test_funnel_plan_single_scan_no_window(spark):
+    ev = _ev(spark, [(1, 0, "view"), (2, 1, "click")])
+    df = funnel_counts(ev, ["view", "click"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan
