@@ -203,3 +203,19 @@ def test_parse_or_roundtrip(branches):
     (g,) = pq.filters
     assert g.o == "OR"
     assert [(b.o, b.v) for b in g.branches] == list(branches)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_overlap_fraction_matches_bruteforce(iv):
+    from scardina_spark.operators.layout import overlap_fraction
+    ranges = [(min(a, b), max(a, b)) for a, b in iv]
+    n = len(ranges)
+    if n < 2:
+        assert overlap_fraction(ranges) == 0.0
+        return
+    brute = sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if ranges[i][0] <= ranges[j][1] and ranges[j][0] <= ranges[i][1])
+    assert overlap_fraction(ranges) == brute / (n * (n - 1) // 2)
