@@ -38,6 +38,30 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text"
     )
 
 
+def keep_latest(df: DataFrame, key_cols: list[str], order_cols: list[str]
+                ) -> DataFrame:
+    """Keep one row per key: the one with the greatest ``order_cols``
+    tuple (version/timestamp dedup, ties broken by the later order
+    columns — pass enough of them to make the winner deterministic).
+
+    Implemented as ONE aggregation of a struct max — map-side partial
+    combine, per-group state of a single row — instead of the usual
+    ``row_number() OVER (PARTITION BY ...) = 1`` window, which must
+    SORT every group's rows inside the shuffle.  At 100 TB on a skewed
+    key that sort is the bottleneck; the struct max never is.
+    """
+    others = [c for c in df.columns
+              if c not in key_cols and c not in order_cols]
+    packed = F.struct(*[F.col(f"`{c}`") for c in order_cols],
+                      *[F.col(f"`{c}`") for c in others])
+    agg = df.groupBy(*[F.col(f"`{k}`") for k in key_cols]) \
+        .agg(F.max(packed).alias("__m__"))
+    return agg.select(
+        *key_cols,
+        *[F.col(f"__m__.`{c}`").alias(c) for c in order_cols],
+        *[F.col(f"__m__.`{c}`").alias(c) for c in others])
+
+
 def word_shingles(col: str = "text", k: int = 3) -> F.Column:
     """Distinct k-word shingles of the normalized text (array<string>)."""
     toks = F.split(normalized(col), " ")

@@ -2373,6 +2373,31 @@ order by score desc, doc_id
 """
 
 
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version dedup (beyond reference): each user's latest event as a
+    single struct-max aggregation — map-side combinable, one row of
+    per-group state — instead of a window sort over every group."""
+    from .operators.dedup import keep_latest
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+    out = keep_latest(ev, ["user_id"], ["ts", "event_id"])
+    return (out.select("user_id", "ts", "event_id", "event_type",
+                       F.round("value", 4).alias("value"))
+            .orderBy("user_id"))
+
+
+SQL_LATEST_PER_KEY = """
+select user_id, ts, event_id, event_type, round(value, 4) as value
+from (
+  select user_id, ts, event_id, event_type, value,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events where user_id is not null)
+where rn = 1 order by user_id
+"""
+
+
 def q_simsel_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-selection cardinality (beyond reference, paper-anchored
     sampling baseline): |{v : cos(v, q) >= 0.2}| estimated from a
@@ -2559,6 +2584,7 @@ def queries() -> dict:
         "x31_bm25_topk": q_bm25_topk,
         "x32_hybrid_search": q_hybrid_search,
         "x33_simsel_card": q_simsel_card,
+        "x34_latest_per_key": q_latest_per_key,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2649,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "x31_bm25_topk": sql_bm25_topk(),
         "x32_hybrid_search": sql_hybrid_search(),
         "x33_simsel_card": sql_simsel_card(),
+        "x34_latest_per_key": SQL_LATEST_PER_KEY,
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,

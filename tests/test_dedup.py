@@ -131,3 +131,24 @@ def test_minhash_unknown_hash_fn_rejected(tables):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         minhash_signatures(tables["documents"], hash_fn="sha1")
+
+
+def test_keep_latest_matches_window_semantics(spark):
+    from scardina_spark.operators.dedup import keep_latest
+
+    rows = [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"),
+            (2, 5, "d"), (3, 1, "e")]  # key 2 ties on version
+    df = spark.createDataFrame(rows, ["k", "v", "payload"])
+    got = {r["k"]: (r["v"], r["payload"])
+           for r in keep_latest(df, ["k"], ["v"]).collect()}
+    # ties on the order column resolve by the remaining columns' max
+    assert got == {1: (20, "b"), 2: (5, "d"), 3: (1, "e")}
+
+
+def test_keep_latest_plan_is_aggregate_not_window(spark):
+    from scardina_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame([(1, 1, "x")], ["k", "v", "p"])
+    plan = keep_latest(df, ["k"], ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
