@@ -54,6 +54,19 @@ _EXPORTS = {
                             "load_join_estimator"),
     "parse_query": ("scardina_spark.plans.parse", "parse_query"),
     "p_error": ("scardina_spark.estimators.perror", "p_error"),
+    "build_cin_estimator": ("scardina_spark.estimators.cin",
+                            "build_cin_estimator"),
+    "bm25_topk": ("scardina_spark.operators.bm25", "bm25_topk"),
+    "rrf_fuse": ("scardina_spark.operators.fusion", "rrf_fuse"),
+    "funnel_counts": ("scardina_spark.operators.funnel", "funnel_counts"),
+    "keep_latest": ("scardina_spark.operators.dedup", "keep_latest"),
+    "write_sorted": ("scardina_spark.operators.layout", "write_sorted"),
+    "write_zordered": ("scardina_spark.operators.layout",
+                       "write_zordered"),
+    "quantile_sketch": ("scardina_spark.operators.sketches",
+                        "quantile_sketch"),
+    "approx_distinct": ("scardina_spark.operators.sketches",
+                        "approx_distinct"),
 }
 
 
