@@ -2373,6 +2373,39 @@ order by score desc, doc_id
 """
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (beyond reference — the prep stats its
+    dictionaries come from): null counts, exact distincts and numeric
+    ranges for the orders table, one aggregation pass + constant-size
+    unpivot."""
+    from .operators.profile import profile_table
+    orders = load_table(spark, sf_dir, "orders")
+    out = profile_table(orders, _PROFILE_COLS, exact=True)
+    return out.select("column", "n_rows", "n_nulls", "n_distinct",
+                      F.round("min_num", 4).alias("min_num"),
+                      F.round("max_num", 4).alias("max_num"))
+
+
+def sql_profile_table() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    parts = []
+    for c in _PROFILE_COLS:
+        mn = (f"round(min({c})::DOUBLE, 4)" if c in numeric
+              else "NULL::DOUBLE")
+        mx = (f"round(max({c})::DOUBLE, 4)" if c in numeric
+              else "NULL::DOUBLE")
+        parts.append(
+            f"select '{c}' as \"column\", count(*) as n_rows, "
+            f"count(*) - count({c}) as n_nulls, "
+            f"count(distinct {c}) as n_distinct, "
+            f"{mn} as min_num, {mx} as max_num from orders")
+    return " union all ".join(parts) + ' order by "column"'
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version dedup (beyond reference): each user's latest event as a
     single struct-max aggregation — map-side combinable, one row of
@@ -2585,6 +2618,7 @@ def queries() -> dict:
         "x32_hybrid_search": q_hybrid_search,
         "x33_simsel_card": q_simsel_card,
         "x34_latest_per_key": q_latest_per_key,
+        "x35_profile": q_profile_table,
         "x11_near_dup": q_near_dup,
         "x12_incremental_counts": q_incremental_counts,
         "x13_dup_groups": q_dup_groups,
@@ -2676,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "x32_hybrid_search": sql_hybrid_search(),
         "x33_simsel_card": sql_simsel_card(),
         "x34_latest_per_key": SQL_LATEST_PER_KEY,
+        "x35_profile": sql_profile_table(),
         "x11_near_dup": sql_near_dup(),
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,
