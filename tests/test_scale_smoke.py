@@ -62,3 +62,41 @@ def test_join_sampler_scales_linearly(spark):
     # 10x input should cost well under 20x (roughly linear; the bound is
     # loose to tolerate shared-box noise)
     assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
+
+
+def test_minhash_dedup_exact_under_replication(spark):
+    """10x the documents corpus (each doc replicated with offset ids,
+    text unchanged).  Signatures depend only on text, so the verified
+    pair count must follow the exact combinatorial law:
+    100x the original near-dup pairs (every (a_i, b_j) replica combo)
+    plus C(10,2)=45 identical-replica pairs per document — a strong
+    end-to-end correctness check of the LSH banding + verification at
+    10x volume."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    t0 = time.perf_counter()
+    base_pairs = DD.minhash_dedup(docs, threshold=0.5,
+                                  hash_fn="xxhash64").count()
+    base_s = time.perf_counter() - t0
+
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    docs10 = (docs.crossJoin(reps)
+              .withColumn("doc_id",
+                          F.col("doc_id") + F.col("__rep__") * n)
+              .drop("__rep__"))
+    t0 = time.perf_counter()
+    pairs10 = DD.minhash_dedup(docs10, threshold=0.5,
+                               hash_fn="xxhash64").count()
+    big_s = time.perf_counter() - t0
+
+    assert pairs10 == 100 * base_pairs + 45 * n, (pairs10, base_pairs, n)
+    # candidate volume grows ~100x by construction (every replica combo
+    # is a true near-dup); runtime must stay within that envelope
+    assert big_s < 100 * max(base_s, 1.0), (base_s, big_s)
