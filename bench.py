@@ -278,6 +278,15 @@ def main() -> None:
     extras["jl_cin_ci_qerror_p90"] = round(pct(ccq, 0.9), 4)
     extras["jl_cin_ci_qerror_max"] = round(max(ccq), 4)
 
+    # free the cluster-side sample caches: every remaining clamp reads
+    # the localized (driver) copies, and holding ~3M cached rows through
+    # the dedup/analytics sections causes GC-driven timing variance
+    for ts_ in [ts, *nar_cin.samples]:
+        try:
+            ts_.sample.unpersist()
+        except Exception:
+            pass
+
     # 2b. NAR model: Spark-encoded training matrix -> numpy masked-AE ->
     # progressive-sampling estimates
     from scardina_spark.model import TrainConfig
