@@ -2373,6 +2373,39 @@ order by score desc, doc_id
 """
 
 
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (beyond reference): customers ranked by revenue
+    lost to returned items — a 4-table join where the two dimension
+    sides broadcast, the fact-side join shuffles once on the order key,
+    and the ranking is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (t["lineitem"].where(F.col("l_returnflag") == "R")
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(_d6(rev)).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+SQL_RETURNED_REVENUE = """
+select c_custkey, c_name, n_name,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         as revenue,
+       count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+group by c_custkey, c_name, n_name
+order by revenue desc, c_custkey limit 20
+"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderpriority"]
 
@@ -2612,6 +2645,7 @@ def queries() -> dict:
         "a21_cheapest_supplier": q_cheapest_supplier,
         "a22_idle_rich_customers": q_idle_rich_customers,
         "a23_event_funnel": q_event_funnel,
+        "a24_returned_revenue": q_returned_revenue,
         "x29_quantile_sketch": q_quantile_sketch,
         "x30_salted_agg": q_salted_agg,
         "x31_bm25_topk": q_bm25_topk,
@@ -2704,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "a21_cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
         "a22_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "a23_event_funnel": SQL_EVENT_FUNNEL,
+        "a24_returned_revenue": SQL_RETURNED_REVENUE,
         "x29_quantile_sketch": sql_quantile_sketch(),
         "x30_salted_agg": SQL_SALTED_AGG,
         "x31_bm25_topk": sql_bm25_topk(),

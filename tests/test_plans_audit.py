@@ -241,3 +241,13 @@ def test_event_funnel_single_user_shuffle_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("FileScan") == 1
     assert "Python" not in plan
+
+
+def test_returned_revenue_broadcasts_and_takeordered(spark, sf_dir):
+    """Q10 shape: all three non-fact joins broadcast (no sort-merge at
+    this scale) and the ranking is TakeOrderedAndProject."""
+    from scardina_spark.queries import q_returned_revenue
+    plan = _plan(q_returned_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
