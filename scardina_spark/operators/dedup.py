@@ -49,15 +49,26 @@ def keep_latest(df: DataFrame, key_cols: list[str], order_cols: list[str]
     ``row_number() OVER (PARTITION BY ...) = 1`` window, which must
     SORT every group's rows inside the shuffle.  At 100 TB on a skewed
     key that sort is the bottleneck; the struct max never is.
+
+    Limitation: every payload column joins the packed struct, so all
+    columns must be orderable — map-typed payloads are rejected up
+    front (use the window form for those).
     """
     others = [c for c in df.columns
               if c not in key_cols and c not in order_cols]
+    dtypes = dict(df.dtypes)
+    unorderable = [c for c in order_cols + others
+                   if dtypes.get(c, "").startswith("map<")]
+    if unorderable:
+        raise ValueError(
+            f"keep_latest packs all columns into an ordered struct; "
+            f"map-typed columns are not orderable: {unorderable}")
     packed = F.struct(*[F.col(f"`{c}`") for c in order_cols],
                       *[F.col(f"`{c}`") for c in others])
     agg = df.groupBy(*[F.col(f"`{k}`") for k in key_cols]) \
         .agg(F.max(packed).alias("__m__"))
     return agg.select(
-        *key_cols,
+        *[F.col(f"`{k}`") for k in key_cols],
         *[F.col(f"__m__.`{c}`").alias(c) for c in order_cols],
         *[F.col(f"__m__.`{c}`").alias(c) for c in others])
 

@@ -33,7 +33,7 @@ def funnel_counts(events: DataFrame, stages: list[str],
           .groupBy(user_col)
           .agg(F.collect_list(F.struct(F.col(ts_col).alias("ts"),
                                        F.col(type_col).alias("et")))
-               .alias("a")))
+               .alias("__evts__")))
 
     def first_after(et, after):
         bound = (None if after is None or horizon is None
@@ -42,7 +42,8 @@ def funnel_counts(events: DataFrame, stages: list[str],
             lambda x: (x["et"] == et) & (x["ts"] > after)
             & (F.lit(True) if bound is None else (x["ts"] <= bound)))
         return F.array_min(
-            F.transform(F.filter(F.col("a"), cond), lambda x: x["ts"]))
+            F.transform(F.filter(F.col("__evts__"), cond),
+                        lambda x: x["ts"]))
 
     cur = ev
     prev = None

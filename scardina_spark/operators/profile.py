@@ -25,11 +25,14 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     """(column, n_rows, n_nulls, n_distinct, min_num, max_num) per
     profiled column; min/max are null for non-numeric columns."""
     dtypes = dict(df.dtypes)
-    cols = cols or [c for c in df.columns]
+    cols = list(df.columns) if cols is None else list(cols)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, c in enumerate(cols):
         col = F.col(f"`{c}`")
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn{i}__"))
+        aggs.append(F.coalesce(F.sum(col.isNull().cast("long")),
+                               F.lit(0)).alias(f"__nn{i}__"))
         if exact:
             aggs.append(F.countDistinct(col).alias(f"__nd{i}__"))
         else:

@@ -152,3 +152,18 @@ def test_keep_latest_plan_is_aggregate_not_window(spark):
     plan = keep_latest(df, ["k"], ["v"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_keep_latest_rejects_map_columns_and_handles_dotted_keys(spark):
+    import pytest
+
+    from scardina_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame([(1, 2, {"a": "b"})], ["k", "v", "m"])
+    with pytest.raises(ValueError, match="map-typed"):
+        keep_latest(df, ["k"], ["v"])
+
+    dotted = spark.createDataFrame([(1, 2, "x"), (1, 3, "y")],
+                                   ["user.id", "v", "p"])
+    got = keep_latest(dotted, ["user.id"], ["v"]).collect()
+    assert len(got) == 1 and got[0]["v"] == 3 and got[0]["p"] == "y"

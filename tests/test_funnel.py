@@ -56,3 +56,14 @@ def test_funnel_plan_single_scan_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_funnel_entity_column_named_a(spark):
+    # internal aliases must not collide with user column names
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view"),
+         (1, dt.datetime(2024, 1, 1, 1), "click")],
+        ["a", "ts", "event_type"])
+    r = funnel_counts(ev, ["view", "click"], user_col="a").first()
+    assert (r["n_view"], r["n_click"]) == (1, 1)

@@ -31,3 +31,16 @@ def test_profile_approx_mode_single_scan(spark, tables):
              for c in ["o_orderkey", "o_orderstatus"]}
     for c in exact:
         assert abs(got[c] - exact[c]) <= max(0.1 * exact[c], 2), (c, got)
+
+
+def test_profile_empty_frame_and_empty_cols(spark):
+    import pytest
+
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    schema = StructType([StructField("x", LongType())])
+    empty = spark.createDataFrame([], schema)
+    r = profile_table(empty).first()
+    assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        profile_table(empty, cols=[])
