@@ -75,3 +75,22 @@ def proportional_stratified(df: DataFrame, strata_cols: list[str],
     all — per-stratum proportions hold in expectation because the hash
     is uniform within every stratum."""
     return bernoulli_sample(df, fraction, id_col, salt)
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   group_col: str, id_col: str,
+                   default_rate: float = 0.0,
+                   salt: str = "mix") -> DataFrame:
+    """Training-corpus mixing: keep each row with its GROUP's rate
+    (e.g. ``{"web": 0.1, "books": 1.0}``) — one hash comparison per
+    row, no shuffle, deterministic and re-partitioning-proof like every
+    sampler here.  Groups absent from ``rates`` get ``default_rate``
+    (0.0 = drop).  Because the coin is the id hash, raising one
+    source's rate keeps a SUPERSET of the previous sample — mixtures
+    can be re-weighted incrementally without resampling everything."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))) \
+            .otherwise(rate)
+    return df.where(hash_fraction(key) < rate)

@@ -1175,6 +1175,36 @@ from documents group by 1 order by split
 """
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixture (beyond reference): per-source keep
+    rates applied as one hash comparison per row — no shuffle,
+    deterministic, and monotone in the rate (raising a source's rate
+    keeps a superset).  Returns per-source kept counts."""
+    from .operators.sampling import mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, _MIX_RATES, "source", "doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_id"))
+            .orderBy("source"))
+
+
+def sql_mixture_sample() -> str:
+    kh = _duck_kmv_poly("'mix' || doc_id::VARCHAR")
+    rate = "0.0"
+    for g, r in sorted(_MIX_RATES.items()):
+        rate = f"case when source = '{g}' then {r} else {rate} end"
+    return f"""
+select source, count(*) as n_kept, min(doc_id)::BIGINT as min_id
+from documents
+where {kh} / 4294967296.0 < ({rate})
+group by source order by source
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (beyond reference): count events whose ts falls
     inside each order's [orderdate, orderdate + 1 day) window — a pure
@@ -2620,6 +2650,7 @@ def queries() -> dict:
         "x28_kmv_setops": q_kmv_setops,
         "x18_stratified_sample": q_stratified_sample,
         "x19_holdout_split": q_holdout_split,
+        "x36_mixture_sample": q_mixture_sample,
         "x20_range_join": q_range_join,
         "x21_time_rollup": q_time_rollup,
         "x25_bloom_semi": q_bloom_semi_join,
@@ -2713,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "x28_kmv_setops": sql_kmv_setops(),
         "x18_stratified_sample": sql_stratified_sample(),
         "x19_holdout_split": sql_holdout_split(),
+        "x36_mixture_sample": sql_mixture_sample(),
         "x20_range_join": SQL_RANGE_JOIN,
         "x21_time_rollup": SQL_TIME_ROLLUP,
         "x25_bloom_semi": SQL_BLOOM_SEMI_JOIN,

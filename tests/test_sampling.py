@@ -58,3 +58,32 @@ def test_stratified_picks_smallest_hashes(spark):
                  SA.stratified_sample(df, ["g"], 5, "id").collect())
     want = sorted(sorted(range(50), key=lambda i: (_frac(str(i)), i))[:5])
     assert got == want
+
+
+def test_mixture_sample_rates_and_superset(tables):
+    from scardina_spark.operators.sampling import mixture_sample
+
+    docs = tables["documents"]
+    low = mixture_sample(docs, {"src0": 0.3}, "source", "doc_id")
+    high = mixture_sample(docs, {"src0": 0.8}, "source", "doc_id")
+    low_ids = {r["doc_id"] for r in low.collect()}
+    high_ids = {r["doc_id"] for r in high.collect()}
+    # monotone: raising the rate keeps a superset (same hash coin)
+    assert low_ids <= high_ids
+    # unlisted sources drop entirely by default
+    assert {r["source"] for r in high.select("source").distinct()
+            .collect()} == {"src0"}
+    # rate 1.0 keeps everything in the group
+    n_src0 = docs.where("source = 'src0'").count()
+    full = mixture_sample(docs, {"src0": 1.0}, "source", "doc_id")
+    assert full.count() == n_src0
+
+
+def test_mixture_sample_default_rate(tables):
+    from scardina_spark.operators.sampling import mixture_sample
+
+    docs = tables["documents"]
+    kept = mixture_sample(docs, {"src0": 0.0}, "source", "doc_id",
+                          default_rate=1.0)
+    assert kept.where("source = 'src0'").count() == 0
+    assert kept.count() == docs.where("source <> 'src0'").count()
