@@ -2436,6 +2436,36 @@ order by revenue desc, c_custkey limit 20
 """
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (beyond reference): late-shipped lines (shipped
+    more than 60 days after the order date — a cross-table date
+    predicate that evaluates inside the join's codegen span) counted by
+    line status and order priority class, both classes in ONE
+    conditional aggregate pass."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .where(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    return (j.groupBy("l_linestatus")
+            .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                 F.sum((~high).cast("long")).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+select l_linestatus,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end) as high_line_count,
+       sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end) as low_line_count
+from lineitem join orders on l_orderkey = o_orderkey
+where l_shipdate > o_orderdate + interval 60 day
+group by l_linestatus order by l_linestatus
+"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderpriority"]
 
@@ -2677,6 +2707,7 @@ def queries() -> dict:
         "a22_idle_rich_customers": q_idle_rich_customers,
         "a23_event_funnel": q_event_funnel,
         "a24_returned_revenue": q_returned_revenue,
+        "a25_late_shipment_priority": q_late_shipment_priority,
         "x29_quantile_sketch": q_quantile_sketch,
         "x30_salted_agg": q_salted_agg,
         "x31_bm25_topk": q_bm25_topk,
@@ -2771,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "a22_idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "a23_event_funnel": SQL_EVENT_FUNNEL,
         "a24_returned_revenue": SQL_RETURNED_REVENUE,
+        "a25_late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
         "x29_quantile_sketch": sql_quantile_sketch(),
         "x30_salted_agg": SQL_SALTED_AGG,
         "x31_bm25_topk": sql_bm25_topk(),
