@@ -1206,27 +1206,33 @@ group by source order by source
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded range join (beyond reference): count events whose ts falls
-    inside each order's [orderdate, orderdate + 1 day) window — a pure
-    interval join with no equi-key, rewritten as a bucket equi-join."""
+    """Banded range join (beyond reference): count lineitems whose
+    l_shipdate falls inside each probe order's [orderdate, orderdate +
+    30 days) window — a pure interval join with no equi-key, rewritten
+    as a bucket equi-join.  The interval side is filtered small and
+    broadcast; the point side (the fact table) never shuffles."""
     from .operators.rangejoin import range_join
-    ev = load_table(spark, sf_dir, "events") \
-        .select(F.unix_timestamp("ts").alias("p"), "event_id")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.unix_timestamp("o_orderdate").alias("lo"),
-        (F.unix_timestamp("o_orderdate") + 86400).alias("hi"))
-    j = range_join(ev, orders, "p", "lo", "hi", bucket_width=86400.0)
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select(F.unix_timestamp("l_shipdate").alias("p"), "l_orderkey")
+    win = 30 * 86400
+    orders = F.broadcast(
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey",
+                F.unix_timestamp("o_orderdate").alias("lo"),
+                (F.unix_timestamp("o_orderdate") + win).alias("hi")))
+    j = range_join(li, orders, "p", "lo", "hi", bucket_width=float(win))
     return (j.groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
-            .agg(F.count(F.lit(1)).alias("n_events"))
+            .agg(F.count(F.lit(1)).alias("n_items"))
             .orderBy("o_orderkey"))
 
 
 SQL_RANGE_JOIN = """
-select o.o_orderkey::BIGINT as o_orderkey, count(*) as n_events
-from orders o join events e
-  on e.ts >= o.o_orderdate
- and e.ts < o.o_orderdate + interval 1 day
+select o.o_orderkey::BIGINT as o_orderkey, count(*) as n_items
+from orders o join lineitem l
+  on l.l_shipdate >= o.o_orderdate
+ and l.l_shipdate < o.o_orderdate + interval 30 day
+where o.o_orderkey <= 100
 group by 1 order by o_orderkey
 """
 
@@ -1461,24 +1467,27 @@ group by 1 order by l_returnflag
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters (beyond reference): users producing >= 1% of events,
-    via per-partition Misra-Gries candidate pruning + exact recount —
-    never materializes the full distinct-value histogram."""
+    """Heavy hitters (beyond reference): event types covering >= 20% of
+    events, via per-partition Misra-Gries candidate pruning + exact
+    recount — never materializes the full distinct-value histogram.
+    The 0.2 threshold splits the near-uniform 5-type distribution, so
+    the fixture is discriminating (some types pass, some fail) at every
+    test scale factor."""
     from .operators.heavyhitters import heavy_hitters
 
-    hh = heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", 0.01)
-    return (hh.select(F.col("value").cast("long").alias("user_id"),
+    hh = heavy_hitters(load_table(spark, sf_dir, "events"), "event_type", 0.2)
+    return (hh.select(F.col("value").alias("event_type"),
                       F.col("cnt").alias("cnt"))
-            .orderBy("user_id"))
+            .orderBy("event_type"))
 
 
 SQL_HEAVY_HITTERS = """
-select user_id::BIGINT as user_id, count(*) as cnt
-from events where user_id is not null
+select event_type, count(*) as cnt
+from events where event_type is not null
 group by 1
-having count(*) >= ceil(0.01 * (select count(*) from events
-                                where user_id is not null))
-order by user_id
+having count(*) >= ceil(0.2 * (select count(*) from events
+                               where event_type is not null))
+order by event_type
 """
 
 
@@ -1684,23 +1693,114 @@ from media order by media_id
 # --------------------------------------------------------------------------
 
 def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: distributed weighted join sample (randomized -> rows-only)."""
+    """J4: distributed weighted join sample, driver-checked through its
+    deterministic marginals (reference join.py:73-245 semantics — NOT
+    code).  The sample itself is seeded-random, so the contract row
+    asserts the provable invariants instead of raw rows:
+
+    - exactly n samples with distinct sample ids (multinomial draw);
+    - every sampled customer key exists in the base table;
+    - every (c_custkey, o_orderkey) pair with ``__in__:orders`` set is a
+      real pair of the true join;
+    - the ``__in__:orders`` rate matches the closed-form expectation
+      sum(n_orders)/sum(max(1, n_orders)) within 0.05 (5+ sigma at
+      n=2000);
+    - per-mktsegment sample shares match the weighted expectation
+      w_seg/W within 0.05 per segment (weighted-with-replacement law).
+    """
     sg = build_tpch_schema()
     tables = load_tables(spark, sf_dir)
     from .estimators.sample import cin_tree
     tree = cin_tree(sg, "orders")
     w = compute_weights(tree, tables, "customer")
-    samp = join_sample(tree, w, "customer", 2000, seed=42)
-    return samp.select(
+    samp = join_sample(tree, w, "customer", 2000, seed=42).select(
         F.col("`__sample_id__`").alias("sample_id"),
         F.col("`customer.c_custkey`").alias("c_custkey"),
         F.col("`orders.o_orderkey`").alias("o_orderkey"),
-        F.col("`__in__:orders`").alias("has_order"))
+        F.col("`__in__:orders`").alias("has_order")).cache()
+
+    cust = tables["customer"]
+    orders = tables["orders"]
+    n = samp.count()
+    n_ids = samp.select("sample_id").distinct().count()
+    bad_ids = samp.join(F.broadcast(cust.select("c_custkey")),
+                        "c_custkey", "left_anti").count()
+    true_pairs = orders.select(F.col("o_custkey").alias("c_custkey"),
+                               "o_orderkey")
+    bad_pairs = (samp.where("has_order")
+                 .join(true_pairs, ["c_custkey", "o_orderkey"], "left_anti")
+                 .count())
+    # closed-form weights: w_c = max(1, n_orders(c)) under outer-join
+    # null-extension semantics
+    wdf = (cust.select("c_custkey", "c_mktsegment")
+           .join(orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+                 .agg(F.count(F.lit(1)).alias("n_o")),
+                 "c_custkey", "left")
+           .withColumn("n_o", F.coalesce("n_o", F.lit(0)))
+           .withColumn("w", F.greatest(F.col("n_o"), F.lit(1))))
+    tot = wdf.agg(F.sum("w").alias("w"), F.sum("n_o").alias("n_o")).first()
+    exp_rate = tot["n_o"] / tot["w"]
+    got_rate = samp.agg(
+        F.avg(F.col("has_order").cast("double"))).first()[0]
+    exp_seg = {r["c_mktsegment"]: r["ws"] / tot["w"] for r in
+               wdf.groupBy("c_mktsegment").agg(F.sum("w").alias("ws"))
+               .collect()}
+    got_seg = {r["c_mktsegment"]: r["cnt"] / n for r in
+               samp.join(F.broadcast(cust.select("c_custkey",
+                                                 "c_mktsegment")),
+                         "c_custkey")
+               .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+               .collect()}
+    seg_dev = max(abs(exp_seg.get(s, 0.0) - got_seg.get(s, 0.0))
+                  for s in set(exp_seg) | set(got_seg))
+    samp.unpersist()
+    row = (int(n), int(n_ids), bad_ids == 0, bad_pairs == 0,
+           abs(got_rate - exp_rate) <= 0.05, seg_dev <= 0.05)
+    return spark.createDataFrame(
+        [row], "n_samples long, n_distinct_ids long, ids_valid boolean, "
+               "pairs_valid boolean, rate_ok boolean, segments_ok boolean")
+
+
+SQL_JOIN_SAMPLE = """
+select 2000::BIGINT as n_samples, 2000::BIGINT as n_distinct_ids,
+       true as ids_valid, true as pairs_valid,
+       true as rate_ok, true as segments_ok
+"""
+
+
+def _qerror_check_df(spark, est_fn, exact, bench: dict, bound: float
+                     ) -> DataFrame:
+    """Shared shape for the estimator contract rows: per benchmark query,
+    the exact truth (deterministic — the oracle recomputes it in SQL) and
+    a q-error-bounded boolean (the seeded estimate stays private so the
+    row is oracle-comparable; reference protocol run.py:60-67 golden
+    q-error checks, semantics NOT code)."""
+    rows = []
+    for name, sql in bench.items():
+        e = est_fn(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, int(t), bool(q <= bound)))
+    return (spark.createDataFrame(rows, "query string, truth long, ok boolean")
+            .orderBy("query"))
+
+
+def _qerror_check_sql(bench: dict) -> str:
+    """DuckDB oracle for :func:`_qerror_check_df`: recompute each truth
+    as a scalar subquery; `ok` certifies the Spark-side q-error bound."""
+    parts = [
+        f"select '{name}' as query, ({sql})::BIGINT as truth, true as ok"
+        for name, sql in bench.items()
+    ]
+    return "\nunion all\n".join(parts) + "\norder by query"
 
 
 def q_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/J8-analog: sample-backed cardinality estimates vs exact truth
-    (randomized -> rows-only)."""
+    """M6/J8-analog: sample-backed cardinality estimates vs exact truth.
+    Deterministic contract: truth values (oracle-recomputed) plus a
+    q-error <= 2 assertion on the seeded estimate (observed max 1.04 at
+    sf0.001/sf0.01)."""
     from .estimators import SampleEstimator, prepare_tree_sample
     from .estimators.sample import spanning_tree
     sg = build_tpch_schema()
@@ -1709,21 +1809,14 @@ def q_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
                                 "lineitem", n_min=50_000, seed=42))
     exact = ExactEstimator(sg, tables)
-    rows = []
-    for name, sql in BENCH_QUERIES.items():
-        e = est.estimate(sql)
-        t = exact.estimate(sql)
-        q = max(e / t, t / e) if e > 0 and t > 0 else (
-            1.0 if e == t else float("inf"))
-        rows.append((name, float(e), int(t), float(q)))
-    return spark.createDataFrame(
-        rows, "query string, est double, truth long, qerror double")
+    return _qerror_check_df(spark, est.estimate, exact, BENCH_QUERIES, 2.0)
 
 
 def q_nar_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3-M7: NumPy NAR masked-autoencoder trained on the Spark-encoded
-    matrix; progressive-sampling estimates vs exact truth (randomized ->
-    rows-only)."""
+    matrix; progressive-sampling estimates vs exact truth.  Deterministic
+    contract: oracle-recomputed truths + q-error <= 3 assertion on the
+    seeded estimate (observed max 1.04)."""
     from .model import TrainConfig
     from .model.bridge import train_single_table
     li = load_table(spark, sf_dir, "lineitem")
@@ -1731,21 +1824,15 @@ def q_nar_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
     nar = train_single_table(li, cols, cfg, sample_size=1000)
     exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
-    rows = []
-    for name, sql in NAR_BENCH_QUERIES.items():
-        e = nar.estimate(sql)
-        t = exact.estimate(sql)
-        q = max(e / t, t / e) if e > 0 and t > 0 else (
-            1.0 if e == t else float("inf"))
-        rows.append((name, float(e), int(t), float(q)))
-    return spark.createDataFrame(
-        rows, "query string, est double, truth long, qerror double")
+    return _qerror_check_df(spark, nar.estimate, exact,
+                            NAR_BENCH_QUERIES, 3.0)
 
 
 def q_nar_ur_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full UR-mode learned estimator (NAR over the join sample with
-    existence markers + fanout scaling) vs exact truth (randomized ->
-    rows-only)."""
+    existence markers + fanout scaling) vs exact truth.  Deterministic
+    contract: oracle-recomputed truths + q-error <= 4 assertion on the
+    seeded estimate (observed max 1.45)."""
     from .estimators import prepare_tree_sample
     from .estimators.sample import spanning_tree
     from .model import TrainConfig
@@ -1761,21 +1848,14 @@ def q_nar_ur_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer.c_mktsegment", "customer.c_acctbal"],
         cfg, sample_size=1000, max_rows=100_000)
     exact = ExactEstimator(sg, tables)
-    rows = []
-    for name, sql in BENCH_QUERIES.items():
-        e = nar.estimate(sql)
-        t = exact.estimate(sql)
-        q = max(e / t, t / e) if e > 0 and t > 0 else (
-            1.0 if e == t else float("inf"))
-        rows.append((name, float(e), int(t), float(q)))
-    return spark.createDataFrame(
-        rows, "query string, est double, truth long, qerror double")
+    return _qerror_check_df(spark, nar.estimate, exact, BENCH_QUERIES, 4.0)
 
 
 def q_nar_cin_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CIN mode: per-subschema NAR models chained via inherited-sample
-    conditioning (reference ProgressiveSamplingCIN) vs exact truth
-    (randomized -> rows-only)."""
+    conditioning (reference ProgressiveSamplingCIN) vs exact truth.
+    Deterministic contract: oracle-recomputed truths + q-error <= 4
+    assertion on the seeded estimate (observed max 1.12)."""
     from .estimators import prepare_tree_sample
     from .estimators.cin import NarCinEstimator
     from .estimators.sample import cin_tree
@@ -1794,32 +1874,28 @@ def q_nar_cin_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     n_min=30_000, seed=11)
         est.add(train_join_estimator(tscin, cols, cfg, sample_size=800))
     exact = ExactEstimator(sg, tables)
-    cin_queries = {
-        # single-model path
-        "c1_single": "SELECT COUNT(*) FROM customer c, nation n WHERE "
-                     "c.c_nationkey = n.n_nationkey AND "
-                     "n.n_name LIKE 'NATION_1%'",
-        # chained path: customer-model conditions the nation-model
-        "c2_chain": "SELECT COUNT(*) FROM customer c, nation n, region r "
-                    "WHERE c.c_nationkey = n.n_nationkey AND "
-                    "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
-    }
-    rows = []
-    for name, sql in cin_queries.items():
-        e = est.estimate(sql)
-        t = exact.estimate(sql)
-        q = max(e / t, t / e) if e > 0 and t > 0 else (
-            1.0 if e == t else float("inf"))
-        rows.append((name, float(e), int(t), float(q)))
-    return spark.createDataFrame(
-        rows, "query string, est double, truth long, qerror double")
+    return _qerror_check_df(spark, est.estimate, exact, CIN_BENCH_QUERIES,
+                            4.0)
+
+
+CIN_BENCH_QUERIES = {
+    # single-model path
+    "c1_single": "SELECT COUNT(*) FROM customer c, nation n WHERE "
+                 "c.c_nationkey = n.n_nationkey AND "
+                 "n.n_name LIKE 'NATION_1%'",
+    # chained path: customer-model conditions the nation-model
+    "c2_chain": "SELECT COUNT(*) FROM customer c, nation n, region r "
+                "WHERE c.c_nationkey = n.n_nationkey AND "
+                "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+}
 
 
 def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan-quality (p-error) of the sample-backed estimator: C_out cost
     over left-deep join orders, per-subquery cards, DuckDB truth (the
-    reference's CEB/Postgres protocol made self-contained; randomized
-    sample -> rows-only)."""
+    reference's CEB/Postgres protocol made self-contained).  Deterministic
+    contract: p-error <= 1.5 assertion per query (observed exactly 1.0 —
+    estimates never change the chosen plan)."""
     from .benchmarks import duckdb_connection
     from .estimators import SampleEstimator, prepare_tree_sample
     from .estimators.perror import p_error, to_sql
@@ -1846,9 +1922,18 @@ def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey "
                    "AND p.p_size > 25",
     }
-    rows = [(name, float(p_error(sql, est.estimate, true_fn)))
+    rows = [(name, bool(p_error(sql, est.estimate, true_fn) <= 1.5))
             for name, sql in queries.items()]
-    return spark.createDataFrame(rows, "query string, p_error double")
+    return (spark.createDataFrame(rows, "query string, ok boolean")
+            .orderBy("query"))
+
+
+SQL_PERROR = """
+select 'p1_3way' as query, true as ok
+union all select 'p2_4way', true
+union all select 'p3_5way', true
+order by query
+"""
 
 
 NAR_BENCH_QUERIES = {
@@ -2634,57 +2719,12 @@ BENCH_QUERIES = {
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
+    # Registry order matters: the driver's correctness gate checks entries
+    # in order (r01 covered the first 50 of 89), so the keys with no
+    # CORRECTNESS row from round 1 come first this round; key names are
+    # stable across rounds.
     return {
-        "s1_scan_project": q_scan_project,
-        "j1_fk_counts": q_fk_counts,
-        "j2_fanout_attach": q_fanout_attach,
-        "j3_weights": q_weights,
-        "j9_join_size": q_join_size,
-        "a3_dictionary": q_dictionary,
-        "m1_encode": q_encode,
-        "m2_factorize": q_factorize,
-        "p1_filter_ops": q_filter_ops,
-        "p2_filter_like": q_filter_like,
-        "p9_or_filters": q_or_filters,
-        "j5_join_two": q_join_two,
-        "j6_join_tree": q_join_tree,
-        "j6_join_translated": q_join_translated,
-        "a2_group_agg": q_group_agg,
-        "a4_join_group_topk": q_join_group_topk,
-        "f2_json_extract": q_json_extract,
-        "a5_quantiles": q_quantiles,
-        "a7_entropy": q_entropy,
-        "o1_topk": q_topk,
-        "f1_scalar_funcs": q_scalar_funcs,
-        "st1_window_hourly": q_window_hourly,
-        "st2_sessionize": q_sessionize,
-        "st3_stream_window": q_stream_window,
-        "st4_stream_sessions": q_stream_sessions,
-        "st5_stream_first_seen": q_stream_first_seen,
-        "st6_stream_join": q_stream_join,
-        "st7_stream_fk_counts": q_stream_fk_counts,
-        "st8_stream_kmv": q_stream_kmv,
-        "x1_dedup_exact": q_dedup_exact,
-        "x2_minhash_sigs": q_minhash_sigs,
-        "x3_ngram_jaccard": q_ngram_jaccard,
-        "x4_simhash": q_simhash,
-        "x5_text_stats": q_text_stats,
-        "x6_lang_id": q_lang_id,
-        "x7_fingerprint": q_fingerprint,
-        "x24_training_corpus": q_training_corpus,
-        "x8_sim_topk": q_sim_topk,
-        "x9_lsh_buckets": q_lsh_buckets,
-        "x15_ivf_cells": q_ivf_cells,
-        "x16_ivf_topk": q_ivf_topk,
-        "x17_kmv_distinct": q_kmv_distinct,
-        "x28_kmv_setops": q_kmv_setops,
-        "x18_stratified_sample": q_stratified_sample,
-        "x19_holdout_split": q_holdout_split,
-        "x36_mixture_sample": q_mixture_sample,
-        "x20_range_join": q_range_join,
-        "x21_time_rollup": q_time_rollup,
-        "x25_bloom_semi": q_bloom_semi_join,
-        "x26_heavy_hitters": q_heavy_hitters,
+        # --- no driver row in round 1 ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
         "a9_cube": q_cube_agg,
@@ -2725,6 +2765,58 @@ def queries() -> dict:
         "e3_nar_ur_qerror": q_nar_ur_qerror,
         "e4_nar_cin_qerror": q_nar_cin_qerror,
         "e5_perror": q_perror,
+        # --- passed vacuously (0 rows) in round 1; fixtures now non-empty ---
+        "x20_range_join": q_range_join,
+        "x26_heavy_hitters": q_heavy_hitters,
+        # --- green in round 1 ---
+        "s1_scan_project": q_scan_project,
+        "j1_fk_counts": q_fk_counts,
+        "j2_fanout_attach": q_fanout_attach,
+        "j3_weights": q_weights,
+        "j5_join_two": q_join_two,
+        "j9_join_size": q_join_size,
+        "a3_dictionary": q_dictionary,
+        "m1_encode": q_encode,
+        "m2_factorize": q_factorize,
+        "p1_filter_ops": q_filter_ops,
+        "p2_filter_like": q_filter_like,
+        "p9_or_filters": q_or_filters,
+        "j6_join_tree": q_join_tree,
+        "j6_join_translated": q_join_translated,
+        "a2_group_agg": q_group_agg,
+        "a4_join_group_topk": q_join_group_topk,
+        "f2_json_extract": q_json_extract,
+        "a5_quantiles": q_quantiles,
+        "a7_entropy": q_entropy,
+        "o1_topk": q_topk,
+        "f1_scalar_funcs": q_scalar_funcs,
+        "st1_window_hourly": q_window_hourly,
+        "st2_sessionize": q_sessionize,
+        "st3_stream_window": q_stream_window,
+        "st4_stream_sessions": q_stream_sessions,
+        "st5_stream_first_seen": q_stream_first_seen,
+        "st6_stream_join": q_stream_join,
+        "st7_stream_fk_counts": q_stream_fk_counts,
+        "st8_stream_kmv": q_stream_kmv,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_minhash_sigs": q_minhash_sigs,
+        "x3_ngram_jaccard": q_ngram_jaccard,
+        "x4_simhash": q_simhash,
+        "x5_text_stats": q_text_stats,
+        "x6_lang_id": q_lang_id,
+        "x7_fingerprint": q_fingerprint,
+        "x24_training_corpus": q_training_corpus,
+        "x8_sim_topk": q_sim_topk,
+        "x9_lsh_buckets": q_lsh_buckets,
+        "x15_ivf_cells": q_ivf_cells,
+        "x16_ivf_topk": q_ivf_topk,
+        "x17_kmv_distinct": q_kmv_distinct,
+        "x28_kmv_setops": q_kmv_setops,
+        "x18_stratified_sample": q_stratified_sample,
+        "x19_holdout_split": q_holdout_split,
+        "x36_mixture_sample": q_mixture_sample,
+        "x21_time_rollup": q_time_rollup,
+        "x25_bloom_semi": q_bloom_semi_join,
     }
 
 
@@ -2814,5 +2906,12 @@ def oracle_sql() -> dict[str, str]:
         "x12_incremental_counts": SQL_INCREMENTAL_COUNTS,
         "x13_dup_groups": SQL_DUP_GROUPS,
         "x14_asof_join": SQL_ASOF_JOIN,
-        # j4_join_sample, e1_estimate_qerror: randomized -> rows-only checks
+        # randomized-but-seeded paths, checked via deterministic marginals
+        # and oracle-recomputed truths (see _qerror_check_sql)
+        "j4_join_sample": SQL_JOIN_SAMPLE,
+        "e1_estimate_qerror": _qerror_check_sql(BENCH_QUERIES),
+        "e2_nar_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),
+        "e3_nar_ur_qerror": _qerror_check_sql(BENCH_QUERIES),
+        "e4_nar_cin_qerror": _qerror_check_sql(CIN_BENCH_QUERIES),
+        "e5_perror": SQL_PERROR,
     }
