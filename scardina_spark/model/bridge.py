@@ -13,12 +13,27 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.dictionary import CODE, VALUE
+from ..functions.dictionary import CODE, VALUE, encode_with_dictionary
 from .nar import NarMLP, TrainConfig
-from .progressive import ColumnDomain, NarEstimator
+from .progressive import ColumnDomain, DistributedDomain, NarEstimator
+
+# Largest dictionary whose VALUES are collected to the driver.  Above
+# this, the domain stays a distributed DataFrame (DistributedDomain):
+# encoding happens via the dictionary join and valid masks ship only
+# matching int codes — driver memory is O(codes) bits-scale, never
+# O(distinct) values-scale (the 100M-distinct `title.title`-at-100x case
+# that would OOM the driver).
+DICT_DRIVER_CAP = 1_000_000
 
 
-def collect_domain(dictionary: DataFrame, name: str) -> ColumnDomain:
+def collect_domain(dictionary: DataFrame, name: str,
+                   driver_cap: int = DICT_DRIVER_CAP) -> ColumnDomain:
+    """Driver-side domain for dictionaries up to ``driver_cap`` values;
+    larger dictionaries return a :class:`DistributedDomain` that never
+    localizes its values."""
+    n = dictionary.count()
+    if n > driver_cap:
+        return DistributedDomain(name, None, dictionary, n)
     rows = dictionary.orderBy(CODE).collect()
     return ColumnDomain(name, np.array([r[VALUE] for r in rows]))
 
@@ -60,14 +75,30 @@ def training_matrix(df: DataFrame, columns: list[str],
     sample); dictionary building and encoding are then driver-side numpy
     over that sample — domain-scale work that needs no cluster round-trips
     (the previous per-column ``distinct``/``join`` plan cost ~3 jobs per
-    column, which dominated training prep)."""
+    column, which dominated training prep).  Columns whose injected
+    dictionary exceeds ``DICT_DRIVER_CAP`` values are instead encoded
+    DISTRIBUTED (dictionary join before the collect) and their domain
+    stays a :class:`DistributedDomain` — the driver never holds the
+    values of a 100M-distinct column."""
+    cont = cont_log2 or set()
+    # resolve injected domains first: distributed ones encode Spark-side
+    injected_doms: dict[str, ColumnDomain] = {}
+    for c in columns:
+        injected = (dictionaries or {}).get(c)
+        if c not in cont and injected is not None:
+            injected_doms[c] = collect_domain(injected, c)
+
     proj = df.select(*[F.col(f"`{c}`") for c in columns])
     n = proj.count()
     if n > max_rows:
         proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
             .limit(max_rows)
+    for c, dom in injected_doms.items():
+        if isinstance(dom, DistributedDomain):
+            proj = encode_with_dictionary(proj, c, dom.dictionary,
+                                          broadcast=False)
     pdf = proj.toPandas()
-    cont = cont_log2 or set()
+    # domains insertion order must follow `columns` (training order)
     domains: dict[str, ColumnDomain] = {}
     codes_cols: list[np.ndarray] = []
     for c in columns:
@@ -78,15 +109,17 @@ def training_matrix(df: DataFrame, columns: list[str],
             v = np.nan_to_num(v, nan=1.0)
             codes_cols.append(np.log2(np.maximum(v, 1.0)))
             continue
-        injected = (dictionaries or {}).get(c)
-        if injected is not None:
-            dom = collect_domain(injected, c)
-        else:
+        dom = injected_doms.get(c)
+        if dom is None:
             import pandas as pd
             s = pdf[c]
             dom = ColumnDomain(c, np.unique(s[~pd.isna(s)].to_numpy()))
         domains[c] = dom
-        codes_cols.append(_encode_series(pdf[c], dom))
+        if isinstance(dom, DistributedDomain):
+            # already dictionary codes (int) from the distributed join
+            codes_cols.append(pdf[c].to_numpy(dtype=np.int64))
+        else:
+            codes_cols.append(_encode_series(pdf[c], dom))
     dtype = np.float64 if cont else np.int64
     return np.stack(codes_cols, axis=1).astype(dtype), domains
 
@@ -118,10 +151,18 @@ def fine_tune_single_table(est: NarEstimator, delta_df: DataFrame,
     if n > max_rows:
         proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
             .limit(max_rows)
+    for c in columns:
+        dom = est.domains[c]
+        if isinstance(dom, DistributedDomain):
+            proj = encode_with_dictionary(proj, c, dom.dictionary,
+                                          broadcast=False)
     pdf = proj.toPandas()
     mat_cols: list[np.ndarray] = []
     for c in columns:
-        code = _encode_series(pdf[c], est.domains[c])
+        dom = est.domains[c]
+        code = (pdf[c].to_numpy(dtype=np.int64)
+                if isinstance(dom, DistributedDomain)
+                else _encode_series(pdf[c], dom))
         grp = (est.groups or {}).get(c)
         if grp is None:
             mat_cols.append(code)
@@ -157,7 +198,9 @@ def train_single_table(df: DataFrame, columns: list[str],
                        sample_size: int = 512,
                        max_rows: int = 200_000,
                        fact_threshold: int | None = None,
-                       arch: str = "mlp") -> NarEstimator:
+                       arch: str = "mlp",
+                       dictionaries: dict[str, DataFrame] | None = None,
+                       ) -> NarEstimator:
     """End-to-end: encode with Spark, train the NAR-MLP, return the
     progressive-sampling estimator.
 
@@ -169,7 +212,8 @@ def train_single_table(df: DataFrame, columns: list[str],
     from .progressive import ColumnGroup
 
     cfg = cfg or TrainConfig()
-    codes, domains = training_matrix(df, columns, max_rows, cfg.seed)
+    codes, domains = training_matrix(df, columns, max_rows, cfg.seed,
+                                     dictionaries=dictionaries)
 
     bins: list[tuple[str, int]] = []
     mat_cols: list[np.ndarray] = []

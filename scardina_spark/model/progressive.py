@@ -51,6 +51,62 @@ class ColumnDomain:
         return len(self.values) + 2
 
 
+@dataclass
+class DistributedDomain(ColumnDomain):
+    """Huge-dictionary column domain that NEVER collects its values.
+
+    The driver-bound of the plain path is O(distinct) *values* (strings —
+    gigabytes for a 100M-distinct column at cluster scale).  Here the
+    dictionary stays a distributed ``(__value__, __code__)`` DataFrame;
+    the driver holds only its size and, per query, the {0,1} valid mask
+    (bits-scale, same bound as the reference's own mask arrays,
+    scardina/estimators.py:673-793).  Predicates are evaluated Spark-side
+    against the dictionary (the SURVEY §2.2 P1 "evaluated against the
+    dictionary DataFrame" primitive) and only matching int codes come
+    back.
+
+    ``values`` is always None; encoding must go through the distributed
+    join (`functions.dictionary.encode_with_dictionary`), which
+    `model.bridge.training_matrix` does automatically for domains of this
+    type.
+    """
+
+    dictionary: "object | None" = None  # (VALUE, CODE) DataFrame
+    n_values: int = 0
+
+    @property
+    def dom_size(self) -> int:
+        return self.n_values + 2
+
+    def eval_mask(self, preds: list[Predicate]) -> np.ndarray:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from ..functions.dictionary import CODE, VALUE  # noqa: PLC0415
+        from ..plans.predicates import predicates_to_column  # noqa: PLC0415
+
+        short = self.name.split(".")[-1]
+        d = self.dictionary.select(F.col(VALUE).alias(short), F.col(CODE))
+        matched = d.where(predicates_to_column(preds)).select(CODE).collect()
+        m = np.zeros(self.dom_size)
+        if matched:
+            m[np.array([r[0] for r in matched], dtype=np.int64)] = 1.0
+        m[MASK_SLOT] = 0.0
+        # NULL-slot tri-state, mirroring the numpy valid_mask exactly:
+        # dictionaries hold no NULLs, so IS/IS NOT never reach the filter
+        null_ok = None
+        for p in preds:
+            o = p.o.upper()
+            if o == "IS":
+                null_ok = True
+            elif o == "IS NOT":
+                null_ok = False
+            elif o == "OR" and null_ok is None and any(
+                    b.o.upper() == "IS" for b in p.v):
+                null_ok = True
+        m[NULL_SLOT] = 1.0 if null_ok else 0.0
+        return m
+
+
 def _like_regex(pattern: str) -> re.Pattern:
     out = []
     for ch in pattern:
@@ -76,7 +132,13 @@ def _coerce_literal(vals: np.ndarray, v):
 
 def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
     """{0,1} float mask over the code domain [dom_size] combining all
-    predicates on this column (AND).  MASK slot 0; NULL slot per IS/IS NOT."""
+    predicates on this column (AND).  MASK slot 0; NULL slot per IS/IS NOT.
+
+    Distributed domains (huge dictionaries) evaluate Spark-side and ship
+    only matching codes back; the numpy path below runs over collected
+    values for driver-scale dictionaries."""
+    if isinstance(dom, DistributedDomain):
+        return dom.eval_mask(preds)
     vals = dom.values
     m = np.ones(dom.dom_size)
     m[MASK_SLOT] = 0.0

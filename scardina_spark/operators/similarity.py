@@ -184,21 +184,83 @@ def topk_cosine_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+def derive_lsh_params(n_rows: int, target_bucket_rows: int = 1024,
+                      sim: float = 0.95, target_recall: float = 0.9,
+                      ) -> tuple[int, int]:
+    """Pick ``(n_bands, rows_per_band)`` for :func:`near_dup_pairs` from
+    the corpus size: ``rows_per_band`` grows with log2(N) so the expected
+    bucket holds ~``target_bucket_rows`` vectors (bounding the quadratic
+    within-bucket join), then ``n_bands`` is the smallest band count whose
+    OR-construction recall at cosine ``sim`` reaches ``target_recall``
+    (sign-LSH collision prob p = 1 - theta/pi; recall = 1-(1-p^r)^B).
+
+    This is what keeps the operator viable at 100 TB: a FIXED plane count
+    makes the per-bucket self-join O((N/2^r)^2) with constant r — banding
+    with r derived from N keeps buckets constant-sized and buys the lost
+    recall back with more bands.
+    """
+    import math
+    r = max(4, math.ceil(math.log2(max(n_rows / max(target_bucket_rows, 1),
+                                       2.0))))
+    p = 1.0 - math.acos(min(max(sim, -1.0), 1.0)) / math.pi
+    pr = p ** r
+    if pr >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - min(target_recall, 0.999999))
+                                 / math.log(1.0 - pr)))
+    return bands, r
+
+
 def near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                    planes: list[list[float]] | None = None, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   ) -> DataFrame:
-    """Embedding near-duplicates: LSH-bucket join, exact cosine inside
-    buckets, pairs (a < b) above threshold."""
-    planes = planes or hyperplanes(dim)
-    b = with_lsh_bucket(df, planes, vec_col)
-    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"),
-                 F.col(vec_col).alias("va"))
-    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"),
-                 F.col(vec_col).alias("vb"))
-    pairs = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+                   n_bands: int = 4, rows_per_band: int = 8) -> DataFrame:
+    """Embedding near-duplicates: banded sign-LSH candidate join, exact
+    cosine verification, pairs (a < b) above threshold.
+
+    Banded like `dedup.lsh_candidate_pairs`: each vector lands in one
+    bucket per band (bucket id = sign bits of that band's
+    ``rows_per_band`` hyperplanes), candidates are pairs sharing ANY
+    band's bucket.  Scale shape:
+
+    * the per-band buckets come from ONE projection + explode — the
+      shuffle key is (band, bucket) and within-bucket join work is
+      B * (N/2^r)^2, tunable via :func:`derive_lsh_params` (a single
+      fixed-width table is (N/2^r)^2 with r frozen — quadratic
+      blowup once buckets outgrow the corpus);
+    * candidate ids (not vectors) travel through the self-join; the
+      vectors are fetched by two hash joins only for the surviving
+      distinct pairs, so shuffle volume is O(pairs), not O(pairs * d).
+    """
+    n_planes = n_bands * rows_per_band
+    planes = planes or hyperplanes(dim, n_planes)
+    if len(planes) != n_planes:
+        raise ValueError(
+            f"need {n_planes} planes ({n_bands} bands x {rows_per_band}), "
+            f"got {len(planes)}")
+    band_structs = []
+    for b in range(n_bands):
+        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket(F.col(vec_col), sub).alias("bucket")))
+    exploded = (df.select(F.col(id_col).alias("__id__"),
+                          F.explode(F.array(*band_structs)).alias("__b__"))
+                .select("__id__",
+                        F.col("__b__.band").alias("__band__"),
+                        F.col("__b__.bucket").alias("__bk__")))
+    a = exploded.select("__band__", "__bk__", F.col("__id__").alias("id_a"))
+    c = exploded.select("__band__", "__bk__", F.col("__id__").alias("id_b"))
+    cands = (a.join(c, ["__band__", "__bk__"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        pairs.select(
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select(
             "id_a", "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)

@@ -939,33 +939,56 @@ from embeddings group by 1 order by bucket
 """
 
 
+NEAR_DUP_BANDS = 4
+NEAR_DUP_ROWS_PER_BAND = 8
+
+
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH bucket join + exact cosine
-    within buckets (approximate by design; deterministic planes)."""
+    """Embedding near-duplicate pairs: banded sign-LSH candidate join
+    (4 bands x 8 planes) + exact cosine verification (approximate by
+    design; deterministic planes, so the oracle re-derives the same
+    candidate set)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = SIM.hyperplanes(64, 8, seed=42)
-    return SIM.near_dup_pairs(emb, threshold=0.35, planes=planes)
+    planes = SIM.hyperplanes(
+        64, NEAR_DUP_BANDS * NEAR_DUP_ROWS_PER_BAND, seed=42)
+    return SIM.near_dup_pairs(emb, threshold=0.35, planes=planes,
+                              n_bands=NEAR_DUP_BANDS,
+                              rows_per_band=NEAR_DUP_ROWS_PER_BAND)
 
 
 def sql_near_dup() -> str:
-    lits = _plane_lits()
-    bucket = " + ".join(
-        f"(case when list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
-        f"then 1::BIGINT << {i} else 0 end)"
-        for i, lit in enumerate(lits))
+    planes = SIM.hyperplanes(
+        64, NEAR_DUP_BANDS * NEAR_DUP_ROWS_PER_BAND, seed=42)
+    lits = ["[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+            for p in planes]
+    r = NEAR_DUP_ROWS_PER_BAND
+    band_selects = []
+    for b in range(NEAR_DUP_BANDS):
+        bucket = " + ".join(
+            f"(case when list_dot_product(embedding::DOUBLE[], "
+            f"{lits[b * r + i]}) > 0 then 1::BIGINT << {i} else 0 end)"
+            for i in range(r))
+        band_selects.append(
+            f"select vec_id, {b} as band, ({bucket})::BIGINT as bk "
+            f"from embeddings")
+    bands = "\nunion all\n".join(band_selects)
+    cos = ("list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /"
+           " (sqrt(list_dot_product(ea.embedding::DOUBLE[],"
+           " ea.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(eb.embedding::DOUBLE[],"
+           " eb.embedding::DOUBLE[])))")
     return f"""
-with b as (
-  select vec_id, embedding, ({bucket})::BIGINT as bucket from embeddings)
-select a.vec_id as id_a, c.vec_id as id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
-         as cos_sim
-from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
-where round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
-      >= 0.35
+with x as (
+{bands}),
+cand as (
+  select distinct a.vec_id as id_a, c.vec_id as id_b
+  from x a join x c on a.band = c.band and a.bk = c.bk
+                   and a.vec_id < c.vec_id)
+select id_a, id_b, round({cos}, 6) as cos_sim
+from cand
+join embeddings ea on ea.vec_id = id_a
+join embeddings eb on eb.vec_id = id_b
+where round({cos}, 6) >= 0.35
 order by id_a, id_b
 """
 

@@ -50,12 +50,34 @@ def test_funnel_rejects_empty_stages(spark):
         funnel_counts(ev, [])
 
 
-def test_funnel_plan_single_scan_no_window(spark):
+def test_funnel_plan_bounded_state_no_window(spark):
     ev = _ev(spark, [(1, 0, "view"), (2, 1, "click")])
     df = funnel_counts(ev, ["view", "click"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Python" not in plan
+    # heavy-entity safety: per-entity state must be a min, never an array
+    assert "collect_list" not in plan
+    # map-side partial aggregation absorbs hot keys before the shuffle
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_funnel_heavy_entity_bounded_memory(spark):
+    # one bot entity holding 10^6 events must stream through (bounded
+    # per-task state), not materialize as a single per-entity array
+    n = 1_000_000
+    ev = (spark.range(n)
+          .select(F.lit(1).alias("user_id"),
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(secs=F.col("id").cast("double")))
+                  .alias("ts"),
+                  F.when(F.col("id") % 3 == 0, "view")
+                  .when(F.col("id") % 3 == 1, "click")
+                  .otherwise("buy").alias("event_type")))
+    r = funnel_counts(ev, ["view", "click", "buy"],
+                      horizon="INTERVAL 24 HOURS").first()
+    # view@t=0, first click after it @t=1, first buy after that @t=2
+    assert (r["n_view"], r["n_click"], r["n_buy"]) == (1, 1, 1)
 
 
 def test_funnel_entity_column_named_a(spark):

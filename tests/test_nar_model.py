@@ -102,3 +102,51 @@ def test_nar_qerror(li_estimator, tables, duck, sql, bound):
 def test_nar_no_predicates_returns_table_size(li_estimator, tables):
     est = li_estimator.estimate("SELECT COUNT(*) FROM lineitem")
     assert est == tables["lineitem"].count()
+
+
+# --- distributed-domain bridge: huge dictionaries never localize ---
+
+def test_huge_dictionary_never_collects_values(spark):
+    """A 5M-distinct column trains and answers queries with the domain
+    kept distributed: driver holds codes/masks (ints/bits), never the
+    value array (the 100M-distinct `title.title`-at-100x OOM case)."""
+    from pyspark.sql import functions as F
+
+    from scardina_spark.functions.dictionary import build_dictionary
+    from scardina_spark.model import TrainConfig
+    from scardina_spark.model.bridge import train_single_table
+    from scardina_spark.model.progressive import DistributedDomain
+
+    n = 5_000_000
+    df = (spark.range(n)
+          .select(F.col("id").alias("v"),
+                  (F.col("id") % 4).cast("string").alias("cat")))
+    dict5m = build_dictionary(df, "v")
+
+    cfg = TrainConfig(epochs=2, d_word=8, d_ff=16, batch_size=512, seed=3)
+    est = train_single_table(df, ["v", "cat"], cfg, sample_size=200,
+                             max_rows=2_000, fact_threshold=8,
+                             dictionaries={"v": dict5m})
+
+    dom = est.domains["v"]
+    assert isinstance(dom, DistributedDomain)
+    assert dom.values is None            # the 5M values never shipped
+    assert dom.dom_size == n + 2
+    # the huge column must be factorized (8-bit slices), so the model's
+    # embedding tables are O(2^fact_threshold), not O(distinct)
+    assert est.groups and "v" in est.groups
+    assert all(b <= 2 ** 8 + 2 for c, b in zip(est.model.cols,
+                                               est.model.doms)
+               if c.startswith("v"))
+
+    # query path: the valid mask is evaluated Spark-side over the
+    # distributed dictionary (range predicate -> contiguous codes)
+    sel = est.estimate(
+        f"SELECT COUNT(*) FROM t WHERE v >= {n - n // 4}")
+    assert 0 < sel < n
+    # a selective equality keeps the collected code set tiny
+    from scardina_spark.model.progressive import valid_mask
+    from scardina_spark.plans.predicates import Predicate
+    m = valid_mask(dom, [Predicate("v", "=", 12345)])
+    assert m.sum() == 1.0
+    assert m[12345 + 2] == 1.0           # code = sorted position + 2

@@ -162,3 +162,98 @@ def test_similarity_selection_card_exact_when_sample_covers(spark):
     # sample covers the whole table -> estimate IS the exact count
     assert r["n_sample"] == 60
     assert r["est_card"] == float(r["true_card"])
+
+
+# --- banded near-dup LSH ---
+
+def _planted_corpus(spark, n=300, dim=16, n_dups=12, seed=7):
+    """Random unit-ish vectors plus planted near-duplicates: vec i and
+    vec (n + j) are tiny perturbations of each other (cos > 0.99)."""
+    rs = np.random.RandomState(seed)
+    base = rs.randn(n, dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    for j in range(n_dups):
+        pert = base[j] + 0.02 * rs.randn(dim)
+        rows.append((n + j, [float(x) for x in pert]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_near_dup_banded_finds_planted_pairs(spark):
+    df = _planted_corpus(spark)
+    planes = S.hyperplanes(16, 4 * 8, seed=42)
+    got = S.near_dup_pairs(df, threshold=0.99, planes=planes,
+                           n_bands=4, rows_per_band=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    # every planted pair (j, 300+j) with true cos >= 0.99 must be found
+    # by the OR-construction (recall at cos ~0.998 with 4x8 bands > 0.999)
+    for j in range(12):
+        assert (j, 300 + j) in found, f"missing planted pair {j}"
+    for r in got:
+        assert r["cos_sim"] >= 0.99
+
+
+def test_near_dup_candidate_shrink_vs_single_table(spark):
+    """Banding with wider bands (r=12) shrinks the candidate set vs one
+    fixed 8-plane table: B*(N/2^r)^2 < (N/2^8)^2 once r > 8 + log2(B)."""
+    from pyspark.sql import functions as F
+    df = _planted_corpus(spark, n=400)
+
+    def n_candidates(n_bands, rows_per_band):
+        planes = S.hyperplanes(16, n_bands * rows_per_band, seed=42)
+        band_structs = []
+        for b in range(n_bands):
+            sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
+            band_structs.append(F.struct(
+                F.lit(b).alias("band"),
+                S.lsh_bucket(F.col("embedding"), sub).alias("bucket")))
+        ex = (df.select(F.col("vec_id").alias("id"),
+                        F.explode(F.array(*band_structs)).alias("b"))
+              .select("id", "b.band", "b.bucket"))
+        a = ex.select("band", "bucket", F.col("id").alias("ia"))
+        c = ex.select("band", "bucket", F.col("id").alias("ib"))
+        return (a.join(c, ["band", "bucket"])
+                .where(F.col("ia") < F.col("ib"))
+                .select("ia", "ib").distinct().count())
+
+    single = n_candidates(1, 8)       # the old fixed-width table
+    banded = n_candidates(3, 12)      # 3 bands x 12 planes
+    assert banded < single, (banded, single)
+
+
+def test_near_dup_recall_against_bruteforce(spark):
+    """Measured recall of the banded OR-construction vs exact all-pairs
+    at cos >= 0.99 (planted dups sit near cos 0.999)."""
+    df = _planted_corpus(spark, n=250, n_dups=10)
+    planes = S.hyperplanes(16, 4 * 8, seed=42)
+    approx = {(r["id_a"], r["id_b"]) for r in
+              S.near_dup_pairs(df, threshold=0.99, planes=planes,
+                               n_bands=4, rows_per_band=8).collect()}
+    rows = df.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    exact = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            cos = va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb),
+                                1e-12)
+            if round(cos, 6) >= 0.99:
+                exact.add((a, b))
+    assert exact, "fixture must plant true near-dups"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
+
+
+def test_derive_lsh_params_scales_with_corpus():
+    b_small, r_small = S.derive_lsh_params(10_000)
+    b_big, r_big = S.derive_lsh_params(10_000_000_000)
+    assert r_big > r_small          # buckets stay bounded as N grows
+    assert b_big >= b_small         # more bands buy the recall back
+    # bucket-size bound: expected rows per bucket ~ N / 2^r <= 2*target
+    assert 10_000_000_000 / 2 ** r_big <= 2 * 1024
+    # recall at the design point
+    import math
+    p = 1 - math.acos(0.95) / math.pi
+    recall = 1 - (1 - p ** r_big) ** b_big
+    assert recall >= 0.9
