@@ -128,7 +128,11 @@ def cmd_estimate(args) -> int:
 def cmd_explain(args) -> int:
     """Print the physical plan of a registered contract query — the
     per-operator `.explain` loop the scale docs (SCALE.md) are pinned
-    against, exposed for ad-hoc inspection."""
+    against, exposed for ad-hoc inspection.
+
+    Note: side-effecting queries (the st* streaming entries, and the
+    estimator e* entries that train) execute that work during plan
+    construction — their "explain" is not free."""
     from . import queries as Q
     qs = Q.queries()
     if args.query not in qs:

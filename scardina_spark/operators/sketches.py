@@ -122,14 +122,21 @@ def quantile_sketch(df: DataFrame, value_col: str, key_col: F.Column | str,
 
     Scale shape: the ungrouped path is ``orderBy(h).limit(k)`` —
     Spark's TakeOrderedAndProject, i.e. per-partition top-k then a
-    k-sized merge, never a global sort.  The grouped path is the same
-    salted two-phase shape as ``kmv_sketch``: per (group, salt) top-k,
-    then a ≤ n_salts*k merge per group.
+    k-sized merge, never a global sort.  The grouped path salts each
+    group over ``n_salts`` cells and takes each cell's bottom-k via
+    ``row_number`` over a (cell)-partitioned sort — sort-based, so a
+    heavy group SPILLS instead of materializing |cell| rows in one
+    aggregation buffer (a ``collect_list``-then-slice would hold the
+    whole cell in task memory; there is no upstream dedup bounding it,
+    unlike ``kmv_sketch``).  Only the ≤ k survivors per cell reach the
+    final per-group merge, whose state is ≤ ``n_salts * k``.
 
     Reference anchor: Scardina reports q-error percentiles with exact
     ``numpy.quantile`` over in-memory arrays (run.py:967-973); this is
     the bounded-memory, mergeable stand-in at data scale.
     """
+    from pyspark.sql import Window
+
     group_cols = group_cols or []
     h = df.select(
         *group_cols,
@@ -139,12 +146,12 @@ def quantile_sketch(df: DataFrame, value_col: str, key_col: F.Column | str,
         topk = h.orderBy("h", "v").limit(k)
         return topk.agg(F.sort_array(F.collect_list(F.struct("h", "v")))
                         .alias("samp"))
+    w = Window.partitionBy(*group_cols, "__salt__").orderBy("h", "v")
     part = (h.withColumn("__salt__", F.pmod(F.col("h"), F.lit(n_salts)))
-            .groupBy(*group_cols, "__salt__")
-            .agg(F.slice(F.sort_array(F.collect_list(F.struct("h", "v"))),
-                         1, k).alias("__part__")))
-    return (part.select(*group_cols, F.explode("__part__").alias("__s__"))
-            .groupBy(*group_cols)
+            .withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= k)
+            .select(*group_cols, F.struct("h", "v").alias("__s__")))
+    return (part.groupBy(*group_cols)
             .agg(F.slice(F.sort_array(F.collect_list("__s__")), 1, k)
                  .alias("samp")))
 

@@ -1417,17 +1417,32 @@ where rn = 1 order by user_id
 """
 
 
+def _stream_state_dir(kind: str, sf_dir: str) -> str:
+    """Fixed per-(query, sf_dir) streaming-state dir under the system tmp
+    dir, wiped on entry: repeated invocations (including ``explain``,
+    which executes st* queries' drain as a side effect of plan
+    construction) reuse ONE directory instead of leaking a fresh
+    ``mkdtemp`` per call."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"scardina_{kind}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def q_stream_fk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the estimator's J1 statistic: events
     stream through foreachBatch writing idempotent per-batch count
     deltas; the current per-user counts are the read-time semigroup
     merge and must equal the batch recompute."""
-    import tempfile
-
     from .streaming import read_events_stream
     from .streaming.stats import maintain_fk_counts, read_fk_counts
 
-    state = tempfile.mkdtemp(prefix="stream_fk_counts_")
+    state = _stream_state_dir("stream_fk_counts", sf_dir)
     maintain_fk_counts(read_events_stream(spark, sf_dir), "user_id", state)
     return (read_fk_counts(spark, state)
             .select(F.col("key").cast("long").alias("user_id"),
@@ -1448,13 +1463,11 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch, read-time semigroup fold — the streamed estimate must
     equal the batch sketch bit-for-bit (deterministic md5 hashing), so
     the oracle is the same SQL as the batch x17 entry."""
-    import tempfile
-
     from .operators.sketches import kmv_estimate
     from .streaming import read_events_stream
     from .streaming.stats import maintain_kmv_sketch, read_kmv_sketch
 
-    state = tempfile.mkdtemp(prefix="stream_kmv_")
+    state = _stream_state_dir("stream_kmv", sf_dir)
     maintain_kmv_sketch(read_events_stream(spark, sf_dir), "user_id",
                         state, k=32, group_cols=["event_type"])
     sk = read_kmv_sketch(spark, state, k=32, group_cols=["event_type"])

@@ -67,39 +67,76 @@ def _await_drained(q, timeout_sec: int) -> None:
             "state is partial — raise timeout_sec or reduce the batch")
 
 
+def _folded_manifest(compact: str) -> list[str] | None:
+    """The list of delta dirs a ``__compact__`` snapshot folded, or None
+    when the manifest is absent/garbled (= the swap never committed)."""
+    import json
+    import os
+
+    path = f"{compact}/_manifest.json"
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            folded = json.load(f)
+        return list(folded)
+    except (OSError, ValueError):
+        return None
+
+
 def _read_deltas(spark: SparkSession, state_dir: str) -> DataFrame:
-    """All current delta tables, recovering from a crashed compaction:
-    if a crash left the folded snapshot in ``__compact__`` after the
-    deltas were deleted but before it was published, publish it now
-    (the snapshot is only trusted when NO deltas remain — otherwise the
-    deltas are complete and a stale ``__compact__`` is discarded)."""
+    """All current delta tables, recovering from a crashed compaction.
+
+    Recovery is gated on the snapshot's COMMIT MANIFEST, not on delta
+    presence: a crash inside the delete loop leaves a fully-written
+    ``__compact__`` coexisting with a partial subset of ``batch_id=``
+    deltas, and folding those survivors would silently lose the deleted
+    batches' contribution.  So:
+
+    * ``__compact__/_manifest.json`` exists → the swap committed; FINISH
+      it by deleting exactly the manifested delta dirs (deltas written
+      AFTER the crash are untouched) and publishing as ``batch_id=-1``;
+    * no manifest → the snapshot never committed; the deltas are still
+      complete, so discard ``__compact__``.
+    """
     import os
     import shutil
 
-    has_deltas = any(d.startswith("batch_id=")
-                     for d in os.listdir(state_dir))
     compact = f"{state_dir}/__compact__"
     if os.path.exists(compact):
-        if has_deltas:
-            shutil.rmtree(compact)  # interrupted BEFORE deletes: stale
-        else:
+        folded = _folded_manifest(compact)
+        if folded is not None:
+            for d in folded:
+                p = f"{state_dir}/{d}"
+                if os.path.exists(p):
+                    shutil.rmtree(p)
             os.rename(compact, f"{state_dir}/batch_id=-1")
+        else:
+            shutil.rmtree(compact)  # uncommitted: deltas are complete
     return spark.read.parquet(f"{state_dir}/batch_id=*")
 
 
 def _swap_deltas(state_dir: str, merged: DataFrame) -> None:
-    """Crash-safe delta swap: write the folded snapshot OUTSIDE the
-    readable glob, delete the deltas, then publish by rename.  A crash
-    at any point leaves the state recoverable by ``_read_deltas``: the
-    deltas are only deleted once ``__compact__`` is fully written."""
+    """Crash-safe delta swap: snapshot the fold OUTSIDE the readable
+    glob, commit by writing a manifest of the folded delta dirs, delete
+    exactly those dirs, then publish by rename.  The manifest is the
+    commit point: before it exists the deltas are authoritative
+    (``_read_deltas`` discards the snapshot); after it, the snapshot is,
+    and recovery deletes only the manifested dirs — a batch that lands
+    between a crash and recovery is preserved, and a crash midway
+    through the delete loop loses nothing."""
+    import json
     import os
     import shutil
 
-    merged.write.mode("overwrite").parquet(f"{state_dir}/__compact__")
-    for d in os.listdir(state_dir):
-        if d.startswith("batch_id="):
-            shutil.rmtree(f"{state_dir}/{d}")
-    os.rename(f"{state_dir}/__compact__", f"{state_dir}/batch_id=-1")
+    folded = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    compact = f"{state_dir}/__compact__"
+    merged.write.mode("overwrite").parquet(compact)
+    with open(f"{compact}/_manifest.json", "w") as f:
+        json.dump(folded, f)
+    for d in folded:
+        shutil.rmtree(f"{state_dir}/{d}")
+    os.rename(compact, f"{state_dir}/batch_id=-1")
 
 
 def read_fk_counts(spark: SparkSession, state_dir: str) -> DataFrame:

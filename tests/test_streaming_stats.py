@@ -126,14 +126,27 @@ def test_kmv_compaction_preserves_sketch(spark, tables, event_files,
     assert before == after
 
 
+def _committed_snapshot(state, merged):
+    """Replicate _swap_deltas up to its commit point (manifest written),
+    returning the folded delta dirs — callers then crash the delete loop
+    wherever they like."""
+    import json
+    import os
+
+    folded = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    merged.write.mode("overwrite").parquet(f"{state}/__compact__")
+    with open(f"{state}/__compact__/_manifest.json", "w") as f:
+        json.dump(folded, f)
+    return folded
+
+
 def test_compaction_crash_window_recovers(spark, tables, event_files,
                                           tmp_path):
     """A crash between delta deletion and snapshot publication must not
-    lose state: the read path publishes the orphaned __compact__."""
+    lose state: the read path publishes the committed __compact__."""
     import os
     import shutil
 
-    from scardina_spark.operators.sketches import kmv_sketch
     from scardina_spark.streaming.stats import (
         maintain_kmv_sketch, read_kmv_sketch)
 
@@ -144,13 +157,11 @@ def test_compaction_crash_window_recovers(spark, tables, event_files,
             read_kmv_sketch(spark, state, k=16,
                             group_cols=["event_type"]).collect()}
 
-    # simulate the crash: snapshot written, deltas deleted, rename lost
+    # simulate the crash: snapshot committed, deltas deleted, rename lost
     merged = read_kmv_sketch(spark, state, k=16,
                              group_cols=["event_type"])
-    merged.write.mode("overwrite").parquet(f"{state}/__compact__")
-    for d in os.listdir(state):
-        if d.startswith("batch_id="):
-            shutil.rmtree(f"{state}/{d}")
+    for d in _committed_snapshot(state, merged):
+        shutil.rmtree(f"{state}/{d}")
 
     got = {r["event_type"]: r["hashes"] for r in
            read_kmv_sketch(spark, state, k=16,
@@ -159,10 +170,65 @@ def test_compaction_crash_window_recovers(spark, tables, event_files,
     assert not os.path.exists(f"{state}/__compact__")  # published
 
 
-def test_stale_compact_snapshot_is_discarded(spark, tables, event_files,
-                                             tmp_path):
-    """__compact__ alongside surviving deltas (crash BEFORE deletion)
-    is stale and must be ignored, not double-merged."""
+def test_mid_delete_crash_recovers(spark, tables, event_files, tmp_path):
+    """THE lost-update window: a committed snapshot coexisting with a
+    partial subset of deltas (crash midway through the delete loop).
+    Folding the survivors would silently drop the deleted batches; the
+    manifest gate must finish the swap instead."""
+    import os
+    import shutil
+
+    from scardina_spark.streaming.stats import (
+        maintain_fk_counts, read_fk_counts)
+
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    want = sorted(read_fk_counts(spark, state).collect())
+
+    merged = read_fk_counts(spark, state).selectExpr("key", "cnt as count")
+    folded = _committed_snapshot(state, merged)
+    assert len(folded) >= 2, "fixture needs multiple deltas"
+    shutil.rmtree(f"{state}/{folded[0]}")  # crash after the FIRST delete
+
+    got = sorted(read_fk_counts(spark, state).collect())
+    assert got == want
+    assert not os.path.exists(f"{state}/__compact__")
+
+
+def test_post_crash_batch_survives_recovery(spark, tables, event_files,
+                                            tmp_path):
+    """A delta written AFTER a crashed (committed) compaction but BEFORE
+    recovery is not part of the manifest and must survive the finished
+    swap."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scardina_spark.streaming.stats import (
+        maintain_fk_counts, read_fk_counts)
+
+    state = str(tmp_path / "state")
+    maintain_fk_counts(_stream(spark, event_files), "user_id", state)
+    base = {r["key"]: r["cnt"] for r in read_fk_counts(spark, state).collect()}
+
+    merged = read_fk_counts(spark, state).selectExpr("key", "cnt as count")
+    for d in _committed_snapshot(state, merged):
+        shutil.rmtree(f"{state}/{d}")
+    # the late batch: one more occurrence of a known key
+    some_key = min(base)
+    spark.createDataFrame([(some_key, 1)], "key long, count long") \
+        .write.mode("overwrite").parquet(f"{state}/batch_id=999")
+
+    got = {r["key"]: r["cnt"] for r in read_fk_counts(spark, state).collect()}
+    assert got[some_key] == base[some_key] + 1
+    assert {k: v for k, v in got.items() if k != some_key} == \
+        {k: v for k, v in base.items() if k != some_key}
+
+
+def test_uncommitted_compact_snapshot_is_discarded(spark, tables,
+                                                   event_files, tmp_path):
+    """__compact__ without a manifest (crash BEFORE the commit point)
+    must be ignored — the deltas are still complete — not double-merged."""
     import os
 
     from scardina_spark.streaming.stats import (
@@ -171,7 +237,7 @@ def test_stale_compact_snapshot_is_discarded(spark, tables, event_files,
     state = str(tmp_path / "state")
     maintain_fk_counts(_stream(spark, event_files), "user_id", state)
     want = sorted(read_fk_counts(spark, state).collect())
-    # orphan snapshot next to intact deltas
+    # uncommitted snapshot (no manifest) next to intact deltas
     read_fk_counts(spark, state).selectExpr("key", "cnt as cnt") \
         .write.mode("overwrite").parquet(f"{state}/__compact__")
     got = sorted(read_fk_counts(spark, state).collect())
