@@ -278,10 +278,121 @@ def main() -> None:
     extras["jl_cin_ci_qerror_p90"] = round(pct(ccq, 0.9), 4)
     extras["jl_cin_ci_qerror_max"] = round(max(ccq), 4)
 
+    # 2c. job-m-shape suite: a second fact table (derived `shipments`)
+    # with TWO parallel FK edges into supplier — the reference's job-m
+    # distinguishing shapes (multi-fact chains + parallel-edge subschema
+    # expansion, scardina/schema.py:117, benchmarks/imdb/job-m.csv).
+    from scardina_spark.jobm import (
+        JM_CIN_SH_COLUMNS, JM_UR_MODEL_COLUMNS, build_jobm_schema,
+        jm_sample_trees, job_m_suite, jobm_duckdb_truths, load_jobm_tables)
+    jm_tables = timed("jm_derive_shipments",
+                      lambda: load_jobm_tables(spark, sf_dir))
+    jm_sg = build_jobm_schema()
+    jm_suite = job_m_suite()
+    jm_truths = jobm_duckdb_truths(sf_dir, jm_suite)
+    extras["jm_n_queries"] = len(jm_suite)
+
+    # HT: one UR sample per parallel-edge alternative (a spanning tree
+    # keeps at most one supplier edge), rooted at shipments so both its
+    # join edges survive BFS; together they cover every suite query
+    def prep_jm():
+        se = SampleEstimator(name="jm-ht")
+        for t in jm_sample_trees():
+            se.add(prepare_tree_sample(t, jm_tables, "shipments",
+                                       n_max=100_000, seed=42).localize())
+        return se
+    jm_ht = timed("jm_prep_samples", prep_jm)
+    rep_jm = timed("jm_est_ht", lambda: run_benchmark(
+        jm_ht, jm_suite, truths=jm_truths))
+    s_jm = rep_jm.summary
+    extras["jm_ht_n_queries"] = s_jm["n_queries"]
+    for p in (50, 90, 100):
+        extras[f"jm_ht_qerror_p{p}"] = round(s_jm[f"q_p{p}"], 4)
+    extras["jm_ht_mean_ms_per_query"] = round(s_jm["mean_ms"], 2)
+
+    # NAR-UR: one model per alternative, routed by edge support; zero
+    # and CI clamps against the jm HT samples (same protocol as 2a'')
+    def train_jm_ur():
+        return [train_join_estimator(
+            ts_, JM_UR_MODEL_COLUMNS,
+            _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42),
+            sample_size=500, max_rows=32_000, fact_threshold=8)
+            for ts_ in jm_ht.samples]
+    jm_urs = timed("jm_nar_train", train_jm_ur)
+    jm_hyb = [HybridEstimator(m, jm_ht) for m in jm_urs]
+    jm_ci = [HybridEstimator(m, jm_ht, name="jm-ci", mode="ci")
+             for m in jm_urs]
+    ju, juh, juc = [], [], []
+    t0 = time.perf_counter()
+    for name, sql in jm_suite.items():
+        e = h = ci = None
+        for m, hy, cl in zip(jm_urs, jm_hyb, jm_ci):
+            try:
+                e = m.estimate(sql)
+                h = hy.clamp(sql, e)
+                ci = cl.clamp(sql, e)
+                break
+            except (UnsupportedQueryError, ValueError):
+                continue
+        if e is None:
+            continue
+        ju.append(qerr(e, jm_truths[name]))
+        juh.append(qerr(h, jm_truths[name]))
+        juc.append(qerr(ci, jm_truths[name]))
+    timings["jm_nar_est"] = round(time.perf_counter() - t0, 4)
+    extras["jm_nar_n_supported"] = len(ju)
+    extras["jm_nar_qerror_p50"] = round(pct(ju, 0.5), 4)
+    extras["jm_nar_qerror_max"] = round(max(ju), 4)
+    extras["jm_nar_hybrid_qerror_max"] = round(max(juh), 4)
+    extras["jm_nar_ci_qerror_max"] = round(max(juc), 4)
+
+    # CIN: BOTH shipments parallel-edge subschemas (cartesian expansion)
+    # + the chain partners; multi-fact queries stitch across models
+    from scardina_spark.estimators.sample import cin_tree as _cin_tree
+
+    def build_jm_cin() -> NarCinEstimator:
+        cfg = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
+        cin = NarCinEstimator()
+        subs = [ss for ss in jm_sg.cin_subschemas().values()
+                if ss.center == "shipments"]
+        for ss in subs:
+            ts_ = prepare_tree_sample(ss, jm_tables, "shipments",
+                                      n_max=50_000, seed=42)
+            cin.add(train_join_estimator(
+                ts_, JM_CIN_SH_COLUMNS, cfg, sample_size=500,
+                max_rows=32_000, fact_threshold=8))
+            ts_.localize()
+        for center in ["lineitem", "orders", "supplier", "nation"]:
+            ts_ = prepare_tree_sample(_cin_tree(jm_sg, center), jm_tables,
+                                      center, n_max=50_000, seed=42)
+            cin.add(train_join_estimator(
+                ts_, CIN_MODEL_COLUMNS[center], cfg, sample_size=500,
+                max_rows=32_000, fact_threshold=8))
+            ts_.localize()
+        return cin
+    jm_cin = timed("jm_cin_train", build_jm_cin)
+    jm_cin_ci = HybridEstimator(jm_cin, jm_ht, name="jm-cin-ci", mode="ci")
+    jc, jcc = [], []
+    t0 = time.perf_counter()
+    for name, sql in jm_suite.items():
+        try:
+            e = jm_cin.estimate(sql)
+            ci = jm_cin_ci.clamp(sql, e)
+        except (UnsupportedQueryError, ValueError):
+            continue
+        jc.append(qerr(e, jm_truths[name]))
+        jcc.append(qerr(ci, jm_truths[name]))
+    timings["jm_cin_est"] = round(time.perf_counter() - t0, 4)
+    extras["jm_cin_n_supported"] = len(jc)
+    extras["jm_cin_qerror_p50"] = round(pct(jc, 0.5), 4)
+    extras["jm_cin_qerror_p90"] = round(pct(jc, 0.9), 4)
+    extras["jm_cin_qerror_max"] = round(max(jc), 4)
+    extras["jm_cin_ci_qerror_max"] = round(max(jcc), 4)
+
     # free the cluster-side sample caches: every remaining clamp reads
     # the localized (driver) copies, and holding ~3M cached rows through
     # the dedup/analytics sections causes GC-driven timing variance
-    for ts_ in [ts, *nar_cin.samples]:
+    for ts_ in [ts, *nar_cin.samples, *jm_ht.samples, *jm_cin.samples]:
         try:
             ts_.sample.unpersist()
         except Exception:

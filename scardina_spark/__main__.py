@@ -178,8 +178,13 @@ def cmd_bench(args) -> int:
     from .queries import BENCH_QUERIES
     from .runner import load_benchmark_csv, run_benchmark
     spark = _spark()
-    tables = load_tables(spark, args.sf_dir)
-    sg = build_tpch_schema()
+    if getattr(args, "schema", "tpch") == "jobm":
+        from .jobm import build_jobm_schema, load_jobm_tables
+        tables = load_jobm_tables(spark, args.sf_dir)
+        sg = build_jobm_schema()
+    else:
+        tables = load_tables(spark, args.sf_dir)
+        sg = build_tpch_schema()
     if args.model:
         # the reference's eval workflow (run.py:770-788): load a trained
         # checkpoint and run the whole benchmark against it
@@ -190,6 +195,13 @@ def cmd_bench(args) -> int:
         else:
             from .model.join_bridge import load_join_estimator
             est = load_join_estimator(args.model, sg=sg)
+    elif getattr(args, "schema", "tpch") == "jobm":
+        from .jobm import jm_sample_trees
+        est = SampleEstimator(name="jm-ht")
+        for t in jm_sample_trees():
+            est.add(prepare_tree_sample(t, tables, "shipments",
+                                        n_max=100_000,
+                                        seed=args.seed).localize())
     else:
         est = SampleEstimator()
         est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
@@ -348,6 +360,10 @@ def main(argv=None) -> int:
     p.add_argument("--perror", action="store_true",
                    help="additionally report C_out plan-quality p-error "
                         "over the benchmark's multi-join queries")
+    p.add_argument("--schema", default="tpch", choices=["tpch", "jobm"],
+                   help="jobm adds the derived shipments fact table "
+                        "(parallel FK edges) and samples both "
+                        "alternatives — for job-m-sf*.csv benchmarks")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
 

@@ -59,40 +59,69 @@ class StitchedEstimator(SampleEstimator):
 def build_chain(samples: list[TreeSample], pq: ParsedQuery,
                 alias_to_table: dict[str, str]
                 ) -> list[tuple[TreeSample, set[str], set[str]]]:
-    """Greedy cover: repeatedly pick the sample covering the most uncovered
-    query tables/edges while overlapping the covered set (reference analog:
-    root = largest hyperedge + BFS visit, estimators.py:1196-1232)."""
+    """Greedy cover: repeatedly pick the sample whose QUERY-CONNECTED
+    fragment covers the most uncovered query tables/edges while
+    overlapping the covered set (reference analog: root = largest
+    hyperedge + BFS visit, estimators.py:1196-1232).
+
+    Fragments are trimmed to connected components of the query graph:
+    a sample may contain a query table that the fragment's own query
+    joins do not reach (e.g. supplier in the lineitem subschema when the
+    query joins supplier to a DIFFERENT fact table's FK) — including
+    such a "rider" table would make make_fragment reconnect it through
+    the sample's own tree edge, silently estimating a different join
+    than the query's (measured 600x+ over-estimates on multi-fact job-m
+    chains before this trim)."""
+    from .sample import _tree_edge_pairs
+
     q_tables = set(alias_to_table.values())
     qg = nx.Graph()
     qg.add_nodes_from(q_tables)
+    q_edges = []  # (table_a, table_b, column-level key)
     for a, b in pq.joins:
-        qg.add_edge(alias_to_table[a.split(".", 1)[0]],
-                    alias_to_table[b.split(".", 1)[0]])
+        al_a, col_a = a.split(".", 1)
+        al_b, col_b = b.split(".", 1)
+        ta, tb = alias_to_table[al_a], alias_to_table[al_b]
+        qg.add_edge(ta, tb)
+        q_edges.append((ta, tb, frozenset(((ta, col_a), (tb, col_b)))))
     if len(q_tables) > 1 and not nx.is_connected(qg):
         raise UnsupportedQueryError("query tables are not connected")
 
     chain: list[tuple[TreeSample, set[str], set[str]]] = []
     covered: set[str] = set()
-    uncovered_edges = set(frozenset(e) for e in qg.edges)
+    uncovered_edges = set(frozenset((ta, tb)) for ta, tb, _ in q_edges)
     while covered != q_tables or uncovered_edges:
-        best, best_gain = None, -1
+        best, best_frag, best_gain = None, None, -1
         for ts in samples:
-            overlap_ok = not covered or (ts.tables & covered)
-            gain_tables = len((ts.tables & q_tables) - covered)
-            gain_edges = len([e for e in uncovered_edges
-                              if set(e) <= ts.tables])
-            gain = gain_tables + gain_edges
-            if overlap_ok and gain > best_gain and gain > 0:
-                best, best_gain = ts, gain
+            # the per-sample query graph keeps only joins this sample's
+            # tree can actually evaluate — with parallel FK edges, two
+            # samples over the same TABLES differ in which COLUMN-level
+            # join they materialize, and picking by table overlap alone
+            # would route a carrier-FK query to the from-FK sample
+            pairs = _tree_edge_pairs(ts.tree)
+            cand = ts.tables & q_tables
+            g_ts = nx.Graph()
+            g_ts.add_nodes_from(cand)
+            for ta, tb, key in q_edges:
+                if ta in cand and tb in cand and key in pairs:
+                    g_ts.add_edge(ta, tb)
+            for comp in nx.connected_components(g_ts):
+                if covered and not (comp & covered):
+                    continue
+                gain_tables = len(comp - covered)
+                gain_edges = len([e for e in uncovered_edges
+                                  if set(e) <= comp])
+                gain = gain_tables + gain_edges
+                if gain > best_gain and gain > 0:
+                    best, best_frag, best_gain = ts, set(comp), gain
         if best is None:
             raise UnsupportedQueryError(
                 f"no sample chain covers tables {sorted(q_tables)}")
-        frag_tables = best.tables & q_tables
-        shared = frag_tables & covered
-        chain.append((best, frag_tables, shared))
-        covered |= frag_tables
+        shared = best_frag & covered
+        chain.append((best, best_frag, shared))
+        covered |= best_frag
         uncovered_edges = {e for e in uncovered_edges
-                           if not set(e) <= best.tables}
+                           if not set(e) <= best_frag}
     return chain
 
 
