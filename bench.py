@@ -217,18 +217,23 @@ def main() -> None:
             _est_cache[sql] = nar_hyb.estimate(frag)
         return _est_cache[sql]
 
-    pes = []
+    pes, pes_mm = [], []
     t0 = time.perf_counter()
     for name, sql in suite.items():
         pq = _parse(sql)
         if len(pq.tables) < 3:
             continue
         pes.append(p_error(pq, est_fn, true_fn))
+        # second cost model (C_smj sort-merge): the memoized est/truth
+        # caches make this near-free; agreement means the p-error
+        # conclusion is cost-model-robust
+        pes_mm.append(p_error(pq, est_fn, true_fn, cost_model="smj"))
     timings["joblight_nar_perror"] = round(time.perf_counter() - t0, 4)
     extras["jl_nar_perror_n"] = len(pes)
     extras["jl_nar_perror_p50"] = round(pct(pes, 0.5), 4)
     extras["jl_nar_perror_p90"] = round(pct(pes, 0.9), 4)
     extras["jl_nar_perror_max"] = round(max(pes), 4)
+    extras["jl_nar_perror_smj_max"] = round(max(pes_mm), 4)
 
     # 2a'''. CIN mode over the same suite: one NAR model per
     # closed-in-neighborhood subschema (the reference's headline

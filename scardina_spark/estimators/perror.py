@@ -93,15 +93,46 @@ def left_deep_plans(pq: ParsedQuery) -> list[tuple[str, ...]]:
     return plans
 
 
-def plan_cost(plan: tuple[str, ...], cards: dict[frozenset, float]) -> float:
-    """C_out: sum of intermediate (prefix-join) sizes, excluding the
-    base-table scans and counting the final result once."""
-    return sum(max(cards[frozenset(plan[:k])], 1.0)
-               for k in range(2, len(plan) + 1))
+def plan_cost(plan: tuple[str, ...], cards: dict[frozenset, float],
+              cost_model: str = "out") -> float:
+    """Cost of a left-deep join order under ``cards``.
+
+    * ``out`` — C_out: sum of intermediate (prefix-join) sizes,
+      excluding base-table scans, counting the final result once — the
+      standard planner-cost proxy (Leis et al., VLDB 2015).
+    * ``smj`` — sort-merge cost: per join, ``x·log2(x)`` sort terms for
+      both inputs plus the output size (the C_smj shape of Leis et al.
+      §5).  A genuinely SECOND cost model — the log terms are nonlinear
+      in the intermediate sizes, so its argmin plan can differ from
+      C_out's (a simple per-join linear input+output model cannot: for
+      left-deep plans it reduces to 2·C_out + an order-invariant
+      constant).  If estimates never change the chosen plan under
+      either model, the "planner would pick the same plan" claim is
+      cost-model-robust.
+    """
+    if cost_model == "out":
+        return sum(max(cards[frozenset(plan[:k])], 1.0)
+                   for k in range(2, len(plan) + 1))
+    if cost_model == "smj":
+        import math
+
+        def srt(x: float) -> float:
+            x = max(x, 2.0)
+            return x * math.log2(x)
+
+        total = 0.0
+        for k in range(2, len(plan) + 1):
+            total += (srt(cards[frozenset(plan[:k - 1])])        # sort probe
+                      + srt(cards[frozenset((plan[k - 1],))])    # sort build
+                      + max(cards[frozenset(plan[:k])], 1.0))    # output
+        return total
+    raise ValueError(f"unknown cost_model: {cost_model}")
 
 
-def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
-    """p-error of ``est_fn``'s cardinalities on ``query``.
+def p_error(query: ParsedQuery | str, est_fn, true_fn,
+            cost_model: str = "out") -> float:
+    """p-error of ``est_fn``'s cardinalities on ``query`` under the
+    given cost model.
 
     ``est_fn`` / ``true_fn``: ParsedQuery -> cardinality.  Sub-queries
     the estimator cannot answer fall back to the true value (matching
@@ -119,8 +150,10 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
         raise UnsupportedQueryError(
             "disconnected join graph (cartesian product) has no "
             "left-deep join orders")
-    # size-1 subsets are base-table scans — plan_cost never reads them
-    subsets = [s for s in connected_subsets(pq) if len(s) >= 2]
+    # size-1 subsets are base-table scans — C_out never reads them, the
+    # smj model charges their sort as a build input
+    min_size = 1 if cost_model == "smj" else 2
+    subsets = [s for s in connected_subsets(pq) if len(s) >= min_size]
     true_cards: dict[frozenset, float] = {}
     est_cards: dict[frozenset, float] = {}
     for s in subsets:
@@ -133,9 +166,9 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn) -> float:
             # truth (the reference injects just the cards the model
             # produced); anything else is a bug and must surface
             est_cards[s] = true_cards[s]
-    plan_est = min(plans, key=lambda p: plan_cost(p, est_cards))
-    best_true = min(plan_cost(p, true_cards) for p in plans)
-    chosen_true = plan_cost(plan_est, true_cards)
+    plan_est = min(plans, key=lambda p: plan_cost(p, est_cards, cost_model))
+    best_true = min(plan_cost(p, true_cards, cost_model) for p in plans)
+    chosen_true = plan_cost(plan_est, true_cards, cost_model)
     return chosen_true / max(best_true, 1e-12)
 
 

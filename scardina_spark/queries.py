@@ -1927,11 +1927,13 @@ CIN_BENCH_QUERIES = {
 
 
 def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan-quality (p-error) of the sample-backed estimator: C_out cost
-    over left-deep join orders, per-subquery cards, DuckDB truth (the
-    reference's CEB/Postgres protocol made self-contained).  Deterministic
-    contract: p-error <= 1.5 assertion per query (observed exactly 1.0 —
-    estimates never change the chosen plan)."""
+    """Plan-quality (p-error) of the sample-backed estimator: C_out AND
+    C_smj (sort-merge) costs over left-deep join orders, per-subquery
+    cards, DuckDB truth (the reference's CEB/Postgres protocol made
+    self-contained; the second cost model corroborates that the
+    conclusion is not an artifact of C_out's shape).  Deterministic
+    contract: p-error <= 1.5 under BOTH models per query (observed
+    exactly 1.0 — estimates never change the chosen plan)."""
     from .benchmarks import duckdb_connection
     from .estimators import SampleEstimator, prepare_tree_sample
     from .estimators.perror import p_error, to_sql
@@ -1958,7 +1960,10 @@ def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey "
                    "AND p.p_size > 25",
     }
-    rows = [(name, bool(p_error(sql, est.estimate, true_fn) <= 1.5))
+    rows = [(name,
+             bool(p_error(sql, est.estimate, true_fn) <= 1.5
+                  and p_error(sql, est.estimate, true_fn,
+                              cost_model="smj") <= 1.5))
             for name, sql in queries.items()]
     return (spark.createDataFrame(rows, "query string, ok boolean")
             .orderBy("query"))

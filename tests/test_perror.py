@@ -108,3 +108,62 @@ def test_estimator_bugs_surface_not_masked():
     with pytest.raises(TypeError):
         p_error(SQL3, lambda f: (_ for _ in ()).throw(TypeError("bug")),
                 lambda f: 10.0)
+
+
+def test_smj_cost_model_hand_computed():
+    """C_smj = per join: x*log2(x) sorts of both inputs + output size."""
+    import math
+    cards = {frozenset(s): c for s, c in [
+        (("l",), 6000.0), (("o",), 1500.0), (("c",), 30.0),
+        (("l", "o"), 6000.0), (("c", "o"), 300.0),
+        (("c", "l", "o"), 1200.0)]}
+    srt = lambda x: x * math.log2(x)  # noqa: E731
+    want = (srt(30) + srt(1500) + 300) + (srt(300) + srt(6000) + 1200)
+    got = plan_cost(("c", "o", "l"), cards, cost_model="smj")
+    assert abs(got - want) < 1e-9
+    # C_out for comparison reads only the intermediates
+    assert plan_cost(("c", "o", "l"), cards) == 300 + 1200
+
+
+SQL4 = ("SELECT COUNT(*) FROM supplier s, lineitem l, orders o, customer c "
+        "WHERE s.s_suppkey = l.l_suppkey AND l.l_orderkey = o.o_orderkey "
+        "AND o.o_custkey = c.c_custkey")
+
+
+def test_smj_model_can_disagree_with_out_on_plan_choice():
+    """The log2 sort terms are convex, so smj prefers balanced
+    intermediates where out prefers a smaller skewed sum — a genuine
+    second opinion, not a monotone transform of C_out."""
+    pq = parse_query(SQL4)
+    cards = {frozenset(s): c for s, c in [
+        (("s",), 100.0), (("l",), 6000.0), (("o",), 1500.0), (("c",), 30.0),
+        (("s", "l"), 550.0), (("l", "o"), 5000.0), (("c", "o"), 20.0),
+        (("l", "o", "s"), 550.0), (("c", "l", "o"), 1050.0),
+        (("c", "l", "o", "s"), 400.0)]}
+    fn = lambda frag: cards[frozenset(frag.tables)]  # noqa: E731
+    out_best = min(left_deep_plans(pq), key=lambda p: plan_cost(p, cards))
+    smj_best = min(left_deep_plans(pq),
+                   key=lambda p: plan_cost(p, cards, cost_model="smj"))
+    # out: intermediates (20, 1050) sum 1070 beat (550, 550) sum 1100
+    assert set(out_best[:2]) == {"c", "o"}
+    # smj: sorting the 1050-row intermediate costs more than two 550s
+    assert set(smj_best[:2]) == {"s", "l"}
+    # perfect estimates are optimal under EITHER model
+    assert p_error(pq, fn, fn) == 1.0
+    assert p_error(pq, fn, fn, cost_model="smj") == 1.0
+
+
+def test_ht_estimator_perror_one_under_both_models(tables, sf_dir):
+    from scardina_spark.estimators import SampleEstimator, prepare_tree_sample
+    from scardina_spark.estimators.sample import spanning_tree
+    from scardina_spark.catalog import build_tpch_schema
+
+    sg = build_tpch_schema()
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", n_min=20_000, seed=42).localize())
+    con = duckdb_connection(sf_dir)
+    true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
+    for model in ("out", "smj"):
+        pe = p_error(SQL3, est.estimate, true_fn, cost_model=model)
+        assert pe < 1.5, (model, pe)
