@@ -1527,6 +1527,90 @@ order by event_type
 """
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (beyond reference; GPT-3-lineage n-gram
+    collision protocol): per training doc (source != src0), the fraction
+    of its word 3-grams that appear anywhere in the held-out benchmark
+    slice (source = src0).  The benchmark gram set broadcasts; the train
+    side never shuffles grams (per-doc rollup map-side combines)."""
+    from .operators.decontam import contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return (contamination_scores(train, bench, n=3)
+            .orderBy("doc_id"))
+
+
+SQL_DECONTAM = """
+with norm as (
+  select doc_id, source,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, greatest(len(toks) - 2, 1) + 1)
+         ]) as sh
+  from (select doc_id, source,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') toks
+        from documents)),
+bench as (select distinct unnest(sh) as g from norm where source = 'src0'),
+train as (select doc_id, unnest(sh) as g from norm where source != 'src0'),
+hits as (
+  select t.doc_id, count(*) as n_grams,
+         count(b.g) as n_hits
+  from train t left join bench b on t.g = b.g
+  group by t.doc_id)
+select doc_id, n_grams, n_hits::BIGINT as n_hits,
+       round(n_hits::DOUBLE / greatest(n_grams, 1), 4) as contamination
+from hits order by doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (beyond reference): typed-placeholder redaction of
+    emails/SSNs/phones/IPs as one regexp_replace codegen chain.  The
+    fixture plants deterministic PII spans derived from doc_id (the
+    corpus itself is synthetic and clean), so the scrub is
+    discriminating: every planted span must be redacted, surrounding
+    text untouched."""
+    from .operators.decontam import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4"),
+            F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
+            F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 end")).alias("text"))
+    return (scrub_pii(planted).orderBy("doc_id")
+            .select("doc_id", "text"))
+
+
+SQL_PII_SCRUB = """
+with planted as (
+  select doc_id,
+         substring(text, 1, 40)
+         || ' contact u' || doc_id || '@example.com or 555-123-4'
+         || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         || ' ip 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789 end'
+           as text
+  from documents where doc_id < 200)
+select doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '(\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b',
+      '<PHONE>', 'g'),
+    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') as text
+from planted order by doc_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -2809,6 +2893,9 @@ def queries() -> dict:
         # --- passed vacuously (0 rows) in round 1; fixtures now non-empty ---
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
+        # --- new this round ---
+        "x37_decontam": q_decontam,
+        "x38_pii_scrub": q_pii_scrub,
         # --- green in round 1 ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
@@ -2949,6 +3036,8 @@ def oracle_sql() -> dict[str, str]:
         "x14_asof_join": SQL_ASOF_JOIN,
         # randomized-but-seeded paths, checked via deterministic marginals
         # and oracle-recomputed truths (see _qerror_check_sql)
+        "x37_decontam": SQL_DECONTAM,
+        "x38_pii_scrub": SQL_PII_SCRUB,
         "j4_join_sample": SQL_JOIN_SAMPLE,
         "e1_estimate_qerror": _qerror_check_sql(BENCH_QUERIES),
         "e2_nar_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),
