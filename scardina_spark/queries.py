@@ -2676,6 +2676,152 @@ group by l_linestatus order by l_linestatus
 """
 
 
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (beyond reference): suppliers who were the ONLY
+    late shipper on a multi-supplier order — EXISTS (another supplier's
+    line) + NOT EXISTS (another supplier's late line), lowered to a
+    left-semi and a left-anti join on the order key.  All three passes
+    over lineitem reduce BEFORE joining (distinct keys / late keys), so
+    the anti/semi build sides stay small; late = shipped > 60 days
+    after the order date (the schema's Q12 convention — no receipt
+    dates in the testdata)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (li.join(t["orders"].select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey").distinct()
+            # consumed twice (candidates + the NOT EXISTS probe):
+            # materialize the small distinct-pair relation once instead
+            # of scanning lineitem again per consumer
+            .localCheckpoint())
+    multi = (li.select("l_orderkey", "l_suppkey").distinct()
+             .groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_supp"))
+             .where(F.col("n_supp") > 1)
+             .select("l_orderkey"))
+    # candidate: a late (order, supplier) pair on a multi-supplier order
+    cand = late.join(multi, "l_orderkey", "left_semi")
+    # NOT EXISTS another late supplier on the same order
+    other_late = late.select(F.col("l_orderkey").alias("__o__"),
+                             F.col("l_suppkey").alias("__s__"))
+    sole = cand.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("__o__"))
+        & (F.col("l_suppkey") != F.col("__s__")),
+        "left_anti")
+    return (sole.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_suppkey")
+            .limit(25))
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+with late as (
+  select distinct l_orderkey, l_suppkey
+  from lineitem join orders on l_orderkey = o_orderkey
+  where l_shipdate > o_orderdate + interval 60 day),
+multi as (
+  select l_orderkey from (select distinct l_orderkey, l_suppkey
+                          from lineitem)
+  group by 1 having count(*) > 1),
+cand as (
+  select la.* from late la where la.l_orderkey in
+    (select l_orderkey from multi)),
+sole as (
+  select c.* from cand c
+  where not exists (select 1 from late x
+                    where x.l_orderkey = c.l_orderkey
+                      and x.l_suppkey <> c.l_suppkey))
+select s_suppkey, s_name, count(*) as numwait
+from sole join supplier on l_suppkey = s_suppkey
+group by 1, 2 order by numwait desc, s_suppkey limit 25
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (beyond reference): supplier(s) achieving the
+    global maximum 3-month revenue — the revenue "view" is one grouped
+    aggregate, its max is a 1-row broadcast scalar, and the equality
+    filter reuses the aggregated relation (no second scan of
+    lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_d6(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")))).alias("__rev__"))
+        # the revenue "view" feeds both the max scalar and the equality
+        # filter: one supplier-sized materialization, one lineitem scan
+        .localCheckpoint())
+    mx = rev.agg(F.max("__rev__").alias("__mx__"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), F.col("__rev__") == F.col("__mx__"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.round(F.col("__rev__").cast("double"), 4)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+with rev as (
+  select l_suppkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) as r
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01'
+    and l_shipdate < timestamp '1996-04-01'
+  group by 1)
+select s_suppkey::BIGINT as s_suppkey, s_name,
+       round(r::DOUBLE, 4) as total_revenue
+from rev join supplier on l_suppkey = s_suppkey
+where r = (select max(r) from rev)
+order by s_suppkey
+"""
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (beyond reference): groups whose aggregate
+    exceeds a FRACTION OF THE GLOBAL TOTAL — the global scalar comes
+    from re-aggregating the per-group aggregates (no second base scan)
+    and broadcasts into the HAVING filter."""
+    t = load_tables(spark, sf_dir)
+    rev = _d6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_nation = (t["lineitem"]
+                  .join(t["supplier"],
+                        F.col("l_suppkey") == F.col("s_suppkey"))
+                  .join(F.broadcast(t["nation"]),
+                        F.col("s_nationkey") == F.col("n_nationkey"))
+                  .groupBy("n_name")
+                  .agg(F.sum(rev).alias("__val__")))
+    total = per_nation.agg(F.sum("__val__").alias("__tot__"))
+    return (per_nation.crossJoin(F.broadcast(total))
+            .where(F.col("__val__") > F.col("__tot__") * 0.05)
+            .select("n_name",
+                    F.round(F.col("__val__").cast("double"), 4)
+                    .alias("value"))
+            .orderBy(F.col("value").desc(), "n_name"))
+
+
+SQL_NATION_REVENUE_SHARE = """
+with per_nation as (
+  select n_name,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) as v
+  from lineitem
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  group by 1)
+select n_name, round(v::DOUBLE, 4) as value
+from per_nation
+where v > (select sum(v) from per_nation) * 0.05
+order by value desc, n_name
+"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderpriority"]
 
@@ -2896,6 +3042,9 @@ def queries() -> dict:
         # --- new this round ---
         "x37_decontam": q_decontam,
         "x38_pii_scrub": q_pii_scrub,
+        "a26_sole_late_supplier": q_sole_late_supplier,
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
+        "a28_nation_revenue_share": q_nation_revenue_share,
         # --- green in round 1 ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
@@ -3038,6 +3187,9 @@ def oracle_sql() -> dict[str, str]:
         # and oracle-recomputed truths (see _qerror_check_sql)
         "x37_decontam": SQL_DECONTAM,
         "x38_pii_scrub": SQL_PII_SCRUB,
+        "a26_sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
+        "a27_top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+        "a28_nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "j4_join_sample": SQL_JOIN_SAMPLE,
         "e1_estimate_qerror": _qerror_check_sql(BENCH_QUERIES),
         "e2_nar_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),

@@ -254,3 +254,36 @@ def test_returned_revenue_broadcasts_and_takeordered(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sole_late_supplier_semi_anti_no_bnlj(spark, sf_dir):
+    """Q21 shape: EXISTS/NOT EXISTS lower to semi/anti joins; the late
+    pair set materializes once (no repeated lineitem scan per consumer);
+    result via TakeOrderedAndProject."""
+    from scardina_spark.queries import q_sole_late_supplier
+    plan = _plan(q_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_revenue_supplier_single_lineitem_scan(spark, sf_dir):
+    """Q15 shape: the revenue view feeds both the max scalar and the
+    equality filter from ONE materialization — a single lineitem scan,
+    scalar joined by broadcast."""
+    from scardina_spark.queries import q_top_revenue_supplier
+    plan = _plan(q_top_revenue_supplier(spark, sf_dir))
+    assert plan.count("FileScan") == 1  # supplier only; rev checkpointed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nation_revenue_share_scalar_broadcast(spark, sf_dir):
+    """Q11 shape: the global total re-aggregates the per-group relation
+    and broadcasts as a 1-row scalar (the one legitimate
+    BroadcastNestedLoopJoin: a single-row build side)."""
+    from scardina_spark.queries import q_nation_revenue_share
+    plan = _plan(q_nation_revenue_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
