@@ -219,12 +219,11 @@ def build_cin_estimator(sg, tables, model_columns: dict,
     from concurrent.futures import ThreadPoolExecutor
 
     from ..model.join_bridge import train_join_estimator
-    from .sample import cin_tree, prepare_tree_sample
+    from .sample import cin_trees, prepare_tree_sample
 
     def one(item):
-        center, cin_cols = item
-        ts = prepare_tree_sample(cin_tree(sg, center), tables, center,
-                                 seed=seed)
+        center, cin_cols, tree = item
+        ts = prepare_tree_sample(tree, tables, center, seed=seed)
         m = train_join_estimator(ts, cin_cols, cfg_for(center),
                                  sample_size=sample_size, max_rows=max_rows,
                                  fact_threshold=fact_threshold, arch=arch)
@@ -233,7 +232,14 @@ def build_cin_estimator(sg, tables, model_columns: dict,
         return m
 
     est = NarCinEstimator()
-    items = list(model_columns.items())
+    # a center with parallel FK edges expands into one subschema per
+    # alternative (reference scardina/schema.py:117) — train them ALL so
+    # query-time routing can pick the alternative whose edge the query
+    # uses (shared model columns; the supplier-role columns bind to
+    # whichever FK the subschema materializes)
+    items = [(center, cin_cols, tree)
+             for center, cin_cols in model_columns.items()
+             for tree in cin_trees(sg, center)]
     if parallel and len(items) > 1:
         with ThreadPoolExecutor(max_workers=len(items)) as ex:
             for m in ex.map(one, items):

@@ -157,10 +157,19 @@ def spanning_tree(sg: SchemaGraph, root: str) -> Subschema:
     return Subschema(f"{sg.name}__ur__{root}", root, tuple(rels))
 
 
+def cin_trees(sg: SchemaGraph, center: str) -> list[Subschema]:
+    """ALL closed-in-neighborhood subschemas of ``center`` — more than
+    one when parallel FK edges expand into alternatives (reference
+    scardina/schema.py:117), deterministically ordered by name."""
+    return sorted((ss for ss in sg.cin_subschemas().values()
+                   if ss.center == center), key=lambda s: s.name)
+
+
 def cin_tree(sg: SchemaGraph, center: str) -> Subschema:
-    """The closed-in-neighborhood subschema of ``center``."""
-    subs = [ss for ss in sg.cin_subschemas().values() if ss.center == center]
-    return subs[0]
+    """The closed-in-neighborhood subschema of ``center`` (first
+    alternative under parallel edges; use :func:`cin_trees` to cover
+    every alternative)."""
+    return cin_trees(sg, center)[0]
 
 
 def attach_tree_adj_fanouts(tree: Subschema, tables: dict[str, DataFrame]

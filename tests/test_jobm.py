@@ -151,3 +151,32 @@ def test_build_chain_rejects_uncoverable_edge():
         "SELECT COUNT(*) FROM f1 a, d WHERE a.f1_other = d.d_id")
     with pytest.raises(UnsupportedQueryError):
         build_chain([s1], pq, dict(pq.tables))
+
+
+def test_build_cin_estimator_covers_parallel_alternatives(spark):
+    """build_cin_estimator trains one model per parallel-edge subschema
+    alternative, so both supplier roles route without manual wiring."""
+    from scardina_spark.estimators.cin import build_cin_estimator
+    from scardina_spark.jobm import JM_CIN_SH_COLUMNS
+    from scardina_spark.model import TrainConfig
+
+    tables = JM.load_jobm_tables(spark, SF_DIR)
+    sg = JM.build_jobm_schema()
+    cfg = TrainConfig(epochs=2, d_word=8, d_ff=16, batch_size=512, seed=5)
+    cin = build_cin_estimator(
+        sg, tables, {"shipments": JM_CIN_SH_COLUMNS},
+        lambda center: cfg, sample_size=100, max_rows=4_000,
+        fact_threshold=8, seed=5, localize=True)
+    assert len(cin.models) == 2
+    fk_sets = {frozenset(r.fk_col for r in m.ts.tree.rels)
+               for m in cin.models}
+    assert fk_sets == {
+        frozenset({"sh_orderkey", "sh_from_suppkey"}),
+        frozenset({"sh_orderkey", "sh_carrier_suppkey"}),
+    }
+    # each alternative answers the query over ITS edge
+    for fk in ["sh_from_suppkey", "sh_carrier_suppkey"]:
+        e = cin.estimate(
+            f"SELECT COUNT(*) FROM shipments h, supplier s "
+            f"WHERE h.{fk} = s.s_suppkey AND s.s_nationkey < 5")
+        assert e > 0
