@@ -1,0 +1,78 @@
+"""Sequence packing: lay a tokenized corpus onto fixed-capacity
+training sequences.
+
+Pre-training batches want constant-length sequences (e.g. 2048 tokens);
+documents are laid end-to-end on a single global token line and cut
+every ``seq_len`` tokens — the standard "packed" dataset layout
+(concat-and-chunk, as used by GPT-2/T5-style pipelines).  This module
+computes, per document, WHERE on that line it lands:
+
+* ``pack_id``    — the sequence containing the document's first token;
+* ``pack_offset``— the document's start position inside that sequence;
+* ``n_packs``    — how many sequences the document spans (a document
+  longer than the remaining room spills into the next pack(s)).
+
+The layout is a pure function of (corpus, order, seq_len): documents
+are ordered deterministically (by id) and positioned by the EXCLUSIVE
+prefix sum of their token counts — so the assignment is exactly
+reproducible by a SQL window cumsum, and a writer can materialize the
+physical packed sequences partition-by-partition with no coordination.
+
+Scale shape: one range-partitioned sort for the distributed prefix sum
+(`operators/prefix.with_prefix_sum` — per-partition offsets, no
+single-partition window), then pure projections.  Reference anchor:
+none (Scardina has no text pipeline); north-star training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .prefix import CUM, with_prefix_sum
+from .textstats import token_count
+
+
+def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_tokens_col: str | None = None) -> DataFrame:
+    """Assign each document its place in the packed layout.
+
+    ``n_tokens_col`` supplies a pre-computed token count column;
+    otherwise whitespace tokens of ``text_col`` are counted.  Documents
+    with zero tokens still occupy a position (width 0) so ids never
+    vanish.  Returns ``(id, n_tokens, pack_id, pack_offset, n_packs)``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    nt = (F.col(n_tokens_col) if n_tokens_col
+          else token_count(text_col)).cast("long")
+    base = docs.select(F.col(id_col), nt.alias("n_tokens"))
+    laid = with_prefix_sum(base.withColumn("__w__", F.col("n_tokens")
+                                           .cast("double")),
+                           "__w__", [id_col])
+    start = F.col(CUM).cast("long")
+    end = start + F.col("n_tokens")
+    # a document [start, end) spans packs floor(start/L) ..
+    # floor((end-1)/L); empty documents span exactly their start pack
+    last = F.when(F.col("n_tokens") > 0, (end - 1) / seq_len) \
+        .otherwise(start / seq_len)
+    return (laid.select(
+        id_col, "n_tokens",
+        F.floor(start / seq_len).alias("pack_id"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("pack_offset"),
+        (F.floor(last) - F.floor(start / seq_len) + 1).cast("long")
+        .alias("n_packs"))
+    )
+
+
+def pack_stats(assignment: DataFrame, seq_len: int) -> DataFrame:
+    """One-row layout audit: total tokens, number of packs, mean fill of
+    the non-final packs (always 1.0 — the layout has no padding holes
+    except the final partial pack), and the count of boundary-crossing
+    documents."""
+    return assignment.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / F.lit(seq_len)).cast("long")
+        .alias("n_full_packs"),
+        F.sum((F.col("n_packs") > 1).cast("long")).alias("n_spanning_docs"),
+        F.max(F.col("pack_id") + F.col("n_packs") - 1).alias("last_pack_id"))

@@ -1611,6 +1611,40 @@ from planted order by doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (beyond reference): lay the corpus on one global
+    token line in doc-id order and cut fixed 256-token training
+    sequences; per doc, its pack id / offset / span.  The layout is the
+    distributed prefix sum (range partition + partition offsets), never
+    a single-partition window, and is exactly reproducible by the
+    oracle's window cumsum."""
+    from .operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, 256).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+with toks as (
+  select doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0))::BIGINT as n_tokens
+  from documents),
+laid as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+                  rows between unbounded preceding and 1 preceding),
+                  0)::BIGINT as s
+  from toks)
+select doc_id, n_tokens,
+       (s // 256)::BIGINT as pack_id,
+       (s % 256)::BIGINT as pack_offset,
+       ((case when n_tokens > 0 then (s + n_tokens - 1) // 256
+              else s // 256 end) - s // 256 + 1)::BIGINT as n_packs
+from laid order by doc_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -3045,6 +3079,7 @@ def queries() -> dict:
         "a26_sole_late_supplier": q_sole_late_supplier,
         "a27_top_revenue_supplier": q_top_revenue_supplier,
         "a28_nation_revenue_share": q_nation_revenue_share,
+        "x39_pack_sequences": q_pack_sequences,
         # --- green in round 1 ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
@@ -3190,6 +3225,7 @@ def oracle_sql() -> dict[str, str]:
         "a26_sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
         "a27_top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
         "a28_nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+        "x39_pack_sequences": SQL_PACK_SEQUENCES,
         "j4_join_sample": SQL_JOIN_SAMPLE,
         "e1_estimate_qerror": _qerror_check_sql(BENCH_QUERIES),
         "e2_nar_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),

@@ -1,0 +1,76 @@
+"""Sequence packing: hand-checkable layout, invariants, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.packing import pack_sequences, pack_stats
+
+
+def _docs(spark, token_counts):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_hand_fixture(spark):
+    # widths 4, 8, 3 on a seq_len-10 line: starts 0, 4, 12
+    df = _docs(spark, [4, 8, 3])
+    got = {r["doc_id"]: r for r in pack_sequences(df, 10).collect()}
+    assert (got[0]["pack_id"], got[0]["pack_offset"], got[0]["n_packs"]) \
+        == (0, 0, 1)
+    # doc 1 occupies [4, 12): starts in pack 0, spills into pack 1
+    assert (got[1]["pack_id"], got[1]["pack_offset"], got[1]["n_packs"]) \
+        == (0, 4, 2)
+    assert (got[2]["pack_id"], got[2]["pack_offset"], got[2]["n_packs"]) \
+        == (1, 2, 1)
+
+
+def test_pack_boundary_exact_fit_does_not_spill(spark):
+    # widths 10, 10: each exactly fills a pack
+    df = _docs(spark, [10, 10])
+    got = {r["doc_id"]: r for r in pack_sequences(df, 10).collect()}
+    assert (got[0]["pack_id"], got[0]["n_packs"]) == (0, 1)
+    assert (got[1]["pack_id"], got[1]["pack_offset"], got[1]["n_packs"]) \
+        == (1, 0, 1)
+
+
+def test_empty_document_keeps_position(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, ""), (2, "c d e")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pack_sequences(df, 10).collect()}
+    assert got[1]["n_tokens"] == 0
+    assert (got[1]["pack_id"], got[1]["pack_offset"], got[1]["n_packs"]) \
+        == (0, 2, 1)
+    assert got[2]["pack_offset"] == 2  # empty doc consumed no room
+
+
+def test_pack_layout_invariants(spark, tables):
+    """Contiguity on real data: sorted by doc_id, each document starts
+    exactly where the previous ended (global position = pack_id*L +
+    offset), and stats agree with the token total."""
+    seq_len = 128
+    docs = tables["documents"]
+    asg = pack_sequences(docs, seq_len).orderBy("doc_id").collect()
+    pos = 0
+    for r in asg:
+        assert r["pack_id"] * seq_len + r["pack_offset"] == pos, r
+        pos += r["n_tokens"]
+    st = pack_stats(pack_sequences(docs, seq_len), seq_len).first()
+    assert st["total_tokens"] == pos
+    assert st["n_full_packs"] == -(-pos // seq_len)
+    assert st["last_pack_id"] == (pos - 1) // seq_len
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    df = _docs(spark, [3])
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+
+
+def test_pack_plan_no_single_partition_window(spark):
+    df = _docs(spark, [4, 8, 3])
+    plan = pack_sequences(df, 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
