@@ -2095,6 +2095,72 @@ order by query
 """
 
 
+JM_BENCH_QUERIES = {
+    # one per job-m template family: parallel-edge alternatives (u/v),
+    # multi-fact chains (l-o-h), and the plain shipments star
+    "m1_h": "SELECT COUNT(*) FROM shipments h WHERE h.sh_mode = 'AIR'",
+    "m2_ho": "SELECT COUNT(*) FROM shipments h, orders o "
+             "WHERE h.sh_orderkey = o.o_orderkey "
+             "AND o.o_orderstatus = 'F'",
+    "m3_hu": "SELECT COUNT(*) FROM shipments h, supplier u "
+             "WHERE h.sh_from_suppkey = u.s_suppkey AND u.s_acctbal > 0",
+    "m4_hv": "SELECT COUNT(*) FROM shipments h, supplier v "
+             "WHERE h.sh_carrier_suppkey = v.s_suppkey "
+             "AND v.s_nationkey < 12",
+    "m5_hoc": "SELECT COUNT(*) FROM shipments h, orders o, customer c "
+              "WHERE h.sh_orderkey = o.o_orderkey "
+              "AND o.o_custkey = c.c_custkey "
+              "AND c.c_mktsegment = 'BUILDING'",
+    "m6_hun": "SELECT COUNT(*) FROM shipments h, supplier u, nation n "
+              "WHERE h.sh_from_suppkey = u.s_suppkey "
+              "AND u.s_nationkey = n.n_nationkey "
+              "AND n.n_name LIKE 'NATION_1%'",
+    "m7_loh": "SELECT COUNT(*) FROM lineitem l, orders o, shipments h "
+              "WHERE l.l_orderkey = o.o_orderkey "
+              "AND h.sh_orderkey = o.o_orderkey AND h.sh_cost < 500 "
+              "AND l.l_returnflag = 'R'",
+    "m8_lohu": "SELECT COUNT(*) FROM lineitem l, orders o, shipments h, "
+               "supplier u WHERE l.l_orderkey = o.o_orderkey "
+               "AND h.sh_orderkey = o.o_orderkey "
+               "AND h.sh_from_suppkey = u.s_suppkey AND u.s_acctbal > 2500",
+}
+
+
+def q_jobm_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-m-shape estimation under the hard gate: HT over the two
+    parallel-edge variant UR samples vs Spark-exact truth on the derived
+    shipments schema (the shipments table is derivation-deterministic
+    but not an oracle view, so truths stay Spark-side and the contract
+    row asserts the seeded q-error bound; observed max 1.38 at sf0.01).
+    Exercises parallel-FK routing and the multi-fact chain in one
+    deterministic check."""
+    from .estimators import ExactEstimator, SampleEstimator
+    from .estimators.sample import prepare_tree_sample
+    from .jobm import build_jobm_schema, jm_sample_trees, load_jobm_tables
+
+    tables = load_jobm_tables(spark, sf_dir)
+    sg = build_jobm_schema()
+    est = SampleEstimator(name="jm-ht")
+    for t in jm_sample_trees():
+        est.add(prepare_tree_sample(t, tables, "shipments", n_min=20_000,
+                                    n_max=50_000, seed=42).localize())
+    exact = ExactEstimator(sg, tables)
+    rows = []
+    for name, sql in JM_BENCH_QUERIES.items():
+        e = est.estimate(sql)
+        t = exact.estimate(sql)
+        q = max(e / t, t / e) if e > 0 and t > 0 else (
+            1.0 if e == t else float("inf"))
+        rows.append((name, bool(q <= 3.0)))
+    return (spark.createDataFrame(rows, "query string, ok boolean")
+            .orderBy("query"))
+
+
+SQL_JOBM_QERROR = "\nunion all\n".join(
+    f"select '{name}' as query, true as ok"
+    for name in sorted(JM_BENCH_QUERIES)) + "\norder by query"
+
+
 NAR_BENCH_QUERIES = {
     "n1_eq": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
     "n2_range": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
@@ -3070,6 +3136,7 @@ def queries() -> dict:
         "e3_nar_ur_qerror": q_nar_ur_qerror,
         "e4_nar_cin_qerror": q_nar_cin_qerror,
         "e5_perror": q_perror,
+        "e6_jobm_qerror": q_jobm_qerror,
         # --- passed vacuously (0 rows) in round 1; fixtures now non-empty ---
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
@@ -3232,4 +3299,5 @@ def oracle_sql() -> dict[str, str]:
         "e3_nar_ur_qerror": _qerror_check_sql(BENCH_QUERIES),
         "e4_nar_cin_qerror": _qerror_check_sql(CIN_BENCH_QUERIES),
         "e5_perror": SQL_PERROR,
+        "e6_jobm_qerror": SQL_JOBM_QERROR,
     }

@@ -100,3 +100,51 @@ def test_minhash_dedup_exact_under_replication(spark):
     # candidate volume grows ~100x by construction (every replica combo
     # is a true near-dup); runtime must stay within that envelope
     assert big_s < 100 * max(base_s, 1.0), (base_s, big_s)
+
+
+def test_jobm_10x_scale_smoke(spark):
+    """10x shipments (rows_per_order=20 instead of 2): the two-variant
+    jm sample prep must stay clamped at n_max output rows and complete
+    within a modest multiple of the 1x wall, and parallel-edge routing
+    must still answer both supplier roles."""
+    import tempfile
+
+    from scardina_spark.estimators.sample import SampleEstimator
+    from scardina_spark.jobm import (
+        derive_shipments, jm_sample_trees, load_jobm_tables)
+
+    tables_1x = load_jobm_tables(spark, SF_DIR)
+
+    def prep(tables):
+        est = SampleEstimator(name="jm-ht")
+        t0 = time.perf_counter()
+        for t in jm_sample_trees():
+            est.add(prepare_tree_sample(t, tables, "shipments",
+                                        n_min=20_000, n_max=50_000,
+                                        seed=3).localize())
+        return est, time.perf_counter() - t0
+
+    est1, dt1 = prep(tables_1x)
+
+    big_dir = tempfile.mkdtemp(prefix="jm10x_")
+    path = derive_shipments(spark, SF_DIR, out_dir=big_dir,
+                            rows_per_order=20)
+    tables_10x = dict(tables_1x)
+    tables_10x["shipments"] = spark.read.parquet(path)
+    est10, dt10 = prep(tables_10x)
+
+    for est in (est1, est10):
+        for ts in est.samples:
+            assert ts.n_sample <= 50_000
+    # 10x shipments: wall grows sublinearly vs input (the sample is
+    # clamped; only the fanout aggregates and the sampled-key join grow)
+    assert dt10 < dt1 * 8, (dt1, dt10)
+    for fk in ["sh_from_suppkey", "sh_carrier_suppkey"]:
+        e = est10.estimate(
+            f"SELECT COUNT(*) FROM shipments h, supplier s "
+            f"WHERE h.{fk} = s.s_suppkey AND s.s_nationkey < 12")
+        truth = tables_10x["shipments"].join(
+            tables_10x["supplier"].where(F.col("s_nationkey") < 12),
+            F.col(fk) == F.col("s_suppkey")).count()
+        assert truth > 0
+        assert max(e / truth, truth / e) < 1.5, (fk, e, truth)
