@@ -177,7 +177,15 @@ def attach_tree_adj_fanouts(tree: Subschema, tables: dict[str, DataFrame]
     """Per tree edge, attach both directed adjacency fanouts: the PK side
     gets the FK side's per-key row count; the FK side gets constant 1 (a
     PK matches at most one row).  Unmatched keys fill 1 — a null-extended
-    row contributes exactly one join row."""
+    row contributes exactly one join row.
+
+    Sibling trees (parallel-edge variants) recompute shared per-edge
+    aggregates; sharing them via a cache changes partition lineage and
+    therefore the seeded sample draw, so cross-tree reuse belongs to the
+    parquet checkpoint stages (operators/pipeline.py), which preserve
+    determinism.  Measured at sf0.1 the aggregates are not the prep
+    bottleneck anyway (cache saved nothing; the weighted-sample
+    materialization dominates)."""
     out = {t: tables[t] for t in tree.tables}
     for rel in tree.rels:
         pk_col = adj_fanout_col(rel.pk_col, rel.fk_table, rel.fk_col)
