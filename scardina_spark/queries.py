@@ -1475,6 +1475,46 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a per-group quantile sketch (beyond
+    reference): per-batch bottom-k-by-hash deltas written idempotently
+    via foreachBatch, read-time semigroup fold — the streamed summary
+    equals the batch sketch bit-for-bit (deterministic md5 hashing), so
+    the oracle recomputes the same bottom-k quantiles in SQL."""
+    from .operators.sketches import quantile_estimate
+    from .streaming import read_events_stream
+    from .streaming.stats import (
+        maintain_quantile_sketch, read_quantile_sketch)
+
+    state = _stream_state_dir("stream_quantiles", sf_dir)
+    maintain_quantile_sketch(read_events_stream(spark, sf_dir), "value",
+                             "event_id", state, k=128,
+                             group_cols=["event_type"])
+    sk = read_quantile_sketch(spark, state, k=128,
+                              group_cols=["event_type"])
+    return (quantile_estimate(sk, [0.25, 0.5, 0.75],
+                              group_cols=["event_type"])
+            .orderBy("event_type"))
+
+
+def sql_stream_quantiles(k: int = 128) -> str:
+    poly = _duck_kmv_poly("event_id::VARCHAR")
+    return f"""
+with h as (
+  select event_type, {poly} as kh, value::DOUBLE as v from events),
+r as (
+  select event_type, kh, v,
+         row_number() over (partition by event_type order by kh, v) as rn
+  from h)
+select event_type,
+       round(quantile_cont(v, 0.25), 4) as p25,
+       round(quantile_cont(v, 0.50), 4) as p50,
+       round(quantile_cont(v, 0.75), 4) as p75
+from r where rn <= {k}
+group by event_type order by event_type
+"""
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filtered semi join (beyond reference): lineitem rows whose part
     is oversized, with the probe side pre-pruned map-side by a broadcast
@@ -3147,6 +3187,7 @@ def queries() -> dict:
         "a27_top_revenue_supplier": q_top_revenue_supplier,
         "a28_nation_revenue_share": q_nation_revenue_share,
         "x39_pack_sequences": q_pack_sequences,
+        "st9_stream_quantiles": q_stream_quantiles,
         # --- green in round 1 ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
@@ -3293,6 +3334,7 @@ def oracle_sql() -> dict[str, str]:
         "a27_top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
         "a28_nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "x39_pack_sequences": SQL_PACK_SEQUENCES,
+        "st9_stream_quantiles": sql_stream_quantiles(),
         "j4_join_sample": SQL_JOIN_SAMPLE,
         "e1_estimate_qerror": _qerror_check_sql(BENCH_QUERIES),
         "e2_nar_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),

@@ -192,6 +192,55 @@ def compact_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
                                             group_cols))
 
 
+def maintain_quantile_sketch(stream: DataFrame, value_col: str,
+                             key_col: str, state_dir: str, k: int = 256,
+                             group_cols: list[str] | None = None,
+                             timeout_sec: int = 120) -> None:
+    """Drain ``stream`` (availableNow) maintaining a per-group quantile
+    sketch (bottom-k-by-hash row sample) under ``state_dir``.  Same
+    exactly-once shape as ``maintain_kmv_sketch``: idempotent per-batch
+    deltas; the sketch is a semigroup (`sketches.quantile_sketch_merge`
+    — union samples, re-take the k smallest hashes), so the current
+    summary is a read-time fold.  Each delta is O(groups × k) regardless
+    of batch size."""
+    from ..operators.sketches import quantile_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (quantile_sketch(batch_df, value_col, key_col, k, group_cols)
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch_id={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{state_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    _await_drained(q, timeout_sec)
+
+
+def read_quantile_sketch(spark: SparkSession, state_dir: str, k: int = 256,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Current quantile sketch: n-way semigroup merge of every batch
+    delta — identical to the sketch of the union of all batches
+    (deterministic hashing, so bit-for-bit)."""
+    from ..operators.sketches import quantile_sketch_merge
+
+    deltas = _read_deltas(spark, state_dir)
+    group_cols = group_cols or []
+    ex = deltas.select(*group_cols, F.explode("samp").alias("__s__"))
+    grouped = ex.groupBy(*group_cols) if group_cols else ex.groupBy()
+    return grouped.agg(
+        F.slice(F.sort_array(F.collect_list("__s__")), 1, k).alias("samp"))
+
+
+def compact_quantile_sketch(spark: SparkSession, state_dir: str,
+                            k: int = 256,
+                            group_cols: list[str] | None = None) -> None:
+    """Fold all quantile-sketch deltas into ``batch_id=-1`` and drop the
+    originals (associative merge; crash-recoverable swap)."""
+    _swap_deltas(state_dir, read_quantile_sketch(spark, state_dir, k,
+                                                 group_cols))
+
+
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     """Fold all deltas into ``batch_id=-1`` and drop the originals —
     bounds the delta-file count without changing the merged statistic

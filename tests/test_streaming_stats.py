@@ -243,3 +243,47 @@ def test_uncommitted_compact_snapshot_is_discarded(spark, tables,
     got = sorted(read_fk_counts(spark, state).collect())
     assert got == want
     assert not os.path.exists(f"{state}/__compact__")
+
+
+def test_stream_quantile_sketch_equals_batch(spark, tables, event_files,
+                                             tmp_path):
+    """Multi-batch streamed quantile sketch == batch sketch of all
+    events, bit-for-bit (deterministic hashing + semigroup merge)."""
+    from scardina_spark.operators.sketches import quantile_sketch
+    from scardina_spark.streaming.stats import (
+        maintain_quantile_sketch, read_quantile_sketch)
+
+    state = str(tmp_path / "state")
+    maintain_quantile_sketch(_stream(spark, event_files), "value",
+                             "event_id", state, k=32,
+                             group_cols=["event_type"])
+    got = {r["event_type"]: r["samp"] for r in
+           read_quantile_sketch(spark, state, k=32,
+                                group_cols=["event_type"]).collect()}
+    want = {r["event_type"]: r["samp"] for r in
+            quantile_sketch(spark.read.parquet(event_files), "value",
+                            "event_id", 32,
+                            group_cols=["event_type"]).collect()}
+    assert got == want
+
+
+def test_quantile_compaction_preserves_sketch(spark, tables, event_files,
+                                              tmp_path):
+    from scardina_spark.streaming.stats import (
+        compact_quantile_sketch, maintain_quantile_sketch,
+        read_quantile_sketch)
+
+    state = str(tmp_path / "state")
+    maintain_quantile_sketch(_stream(spark, event_files), "value",
+                             "event_id", state, k=32,
+                             group_cols=["event_type"])
+    before = {r["event_type"]: r["samp"] for r in
+              read_quantile_sketch(spark, state, k=32,
+                                   group_cols=["event_type"]).collect()}
+    compact_quantile_sketch(spark, state, k=32, group_cols=["event_type"])
+    deltas = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert deltas == ["batch_id=-1"]
+    after = {r["event_type"]: r["samp"] for r in
+             read_quantile_sketch(spark, state, k=32,
+                                  group_cols=["event_type"]).collect()}
+    assert before == after
