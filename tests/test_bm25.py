@@ -138,3 +138,48 @@ def test_bm25_random_corpora_match_python():
         assert set(got) == set(want), (trial, terms)
         for i in want:
             assert abs(got[i] - want[i]) < 1e-9, (trial, i)
+
+
+# --- materialized inverted index ------------------------------------------
+
+def test_indexed_topk_matches_scan_path(spark, tables):
+    from scardina_spark.operators.bm25 import (
+        bm25_build_index, bm25_topk, bm25_topk_indexed)
+
+    docs = tables["documents"]
+    idx = bm25_build_index(docs)
+    for terms in [["spark", "join"], ["table"], ["spark", "window", "agg"]]:
+        scan = bm25_topk(docs, terms, k=10).collect()
+        fast = bm25_topk_indexed(idx, terms, k=10).collect()
+        assert [r["doc_id"] for r in scan] == [r["doc_id"] for r in fast]
+        for a, b in zip(scan, fast):
+            assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_index_save_load_roundtrip_and_pruned_scan(spark, tables, tmp_path):
+    from scardina_spark.operators.bm25 import (
+        bm25_build_index, bm25_load_index, bm25_topk, bm25_topk_indexed)
+
+    docs = tables["documents"]
+    path = str(tmp_path / "bm25idx")
+    bm25_build_index(docs).save(path)
+    idx = bm25_load_index(spark, path)
+    got = bm25_topk_indexed(idx, ["spark", "join"], k=5)
+    want = bm25_topk(docs, ["spark", "join"], k=5).collect()
+    assert [r["doc_id"] for r in got.collect()] == \
+        [r["doc_id"] for r in want]
+    # the per-query scan must carry the term IN filter down to parquet
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    assert "term" in pushed and "In(" in pushed
+
+
+def test_index_dedup_terms_and_case(spark, tables):
+    from scardina_spark.operators.bm25 import (
+        bm25_build_index, bm25_topk, bm25_topk_indexed)
+
+    docs = tables["documents"]
+    idx = bm25_build_index(docs)
+    a = bm25_topk_indexed(idx, ["Spark", "spark", "SPARK"], k=5).collect()
+    b = bm25_topk(docs, ["spark"], k=5).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
