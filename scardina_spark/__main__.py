@@ -61,16 +61,29 @@ def cmd_estimate(args) -> int:
                           "query_ms": round(ms, 2)}))
         return 0
     spark = _spark()
-    tables = load_tables(spark, args.sf_dir)
-    sg = build_tpch_schema()
+    jobm = getattr(args, "schema", "tpch") == "jobm"
+    if jobm:
+        from .jobm import build_jobm_schema, load_jobm_tables
+        tables = load_jobm_tables(spark, args.sf_dir)
+        sg = build_jobm_schema()
+    else:
+        tables = load_tables(spark, args.sf_dir)
+        sg = build_tpch_schema()
     t0 = time.perf_counter()
     if args.estimator == "exact":
         est = ExactEstimator(sg, tables)
     elif args.estimator in ("sample", "stitch"):
         cls = SampleEstimator if args.estimator == "sample" else StitchedEstimator
         est = cls()
-        est.add(prepare_tree_sample(spanning_tree(sg, args.root), tables,
-                                    args.root, seed=args.seed).localize())
+        if jobm:
+            from .jobm import jm_sample_trees
+            for t in jm_sample_trees():
+                est.add(prepare_tree_sample(t, tables, "shipments",
+                                            n_max=100_000,
+                                            seed=args.seed).localize())
+        else:
+            est.add(prepare_tree_sample(spanning_tree(sg, args.root), tables,
+                                        args.root, seed=args.seed).localize())
         if args.estimator == "stitch":
             for center in ("customer", "nation", "supplier"):
                 est.add(prepare_tree_sample(cin_tree(sg, center), tables,
@@ -322,6 +335,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("estimate")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--sql", required=True)
+    p.add_argument("--schema", default="tpch", choices=["tpch", "jobm"],
+                   help="jobm adds the derived shipments fact table and "
+                        "(for sample/stitch) both parallel-edge samples")
     p.add_argument("--hybrid", default=None, choices=["zero", "ci"],
                    help="clamp a learned (nar-*) estimate against the "
                         "materialized sample: zero short-circuit or "
