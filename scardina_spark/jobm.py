@@ -41,22 +41,9 @@ SHIPMENTS_RELATIONSHIPS = [
 _MODES = ["AIR", "RAIL", "SHIP", "TRUCK", "PIPELINE"]
 
 
-def build_jobm_schema(sizes: dict[str, int] | None = None) -> SchemaGraph:
-    """TPC-H star schema + the shipments fact table (two parallel edges
-    into supplier)."""
-    sg = SchemaGraph("jobm")
-    pks = dict(PKS, shipments="sh_shipkey")
-    from .catalog import RELATIONAL_TABLES
-    for t in [*RELATIONAL_TABLES, "shipments"]:
-        sg.add_table(t, size=(sizes or {}).get(t), pk=pks.get(t))
-    for pk_t, pk_c, fk_t, fk_c in [*TPCH_RELATIONSHIPS,
-                                   *SHIPMENTS_RELATIONSHIPS]:
-        sg.add_relationship(pk_t, pk_c, fk_t, fk_c)
-    return sg
-
-
 def variant_schema(drop_fk_cols: str | list[str],
-                   sizes: dict[str, int] | None = None) -> SchemaGraph:
+                   sizes: dict[str, int] | None = None,
+                   name: str | None = None) -> SchemaGraph:
     """The job-m schema minus the named FK edges — the per-alternative
     graph a UR spanning tree is taken over.  A tree keeps at most one
     edge between the same table pair, and BFS breaks the
@@ -66,7 +53,7 @@ def variant_schema(drop_fk_cols: str | list[str],
     multi-fact chain the suite queries use)."""
     if isinstance(drop_fk_cols, str):
         drop_fk_cols = [drop_fk_cols]
-    sg = SchemaGraph(f"jobm_no_{'_'.join(drop_fk_cols)}")
+    sg = SchemaGraph(name or f"jobm_no_{'_'.join(drop_fk_cols)}")
     pks = dict(PKS, shipments="sh_shipkey")
     from .catalog import RELATIONAL_TABLES
     for t in [*RELATIONAL_TABLES, "shipments"]:
@@ -76,6 +63,12 @@ def variant_schema(drop_fk_cols: str | list[str],
         if fk_c not in drop_fk_cols:
             sg.add_relationship(pk_t, pk_c, fk_t, fk_c)
     return sg
+
+
+def build_jobm_schema(sizes: dict[str, int] | None = None) -> SchemaGraph:
+    """TPC-H star schema + the shipments fact table (two parallel edges
+    into supplier) — the full graph (nothing dropped)."""
+    return variant_schema([], sizes, name="jobm")
 
 
 def jm_sample_trees():
@@ -104,17 +97,38 @@ def shipments_dir(sf_dir: str) -> str:
 def derive_shipments(spark: SparkSession, sf_dir: str,
                      out_dir: str | None = None,
                      rows_per_order: int = 2) -> str:
-    """Materialize ``shipments.parquet`` derived from ``sf_dir``'s key
-    ranges; returns the parquet path.  Reused when already present (the
-    derivation is deterministic, so a cached copy is always valid)."""
+    """Materialize the derived shipments parquet for ``sf_dir``; returns
+    the path.  The cache file name carries ``rows_per_order`` so a
+    non-default derivation never aliases the default one; the cache is
+    keyed by the sf_dir PATH, so regenerating the testdata in place
+    requires clearing the tmp cache dir (the derivation is otherwise
+    deterministic, so a cached copy is always valid).
+
+    Requires contiguous 0..n-1 keys in orders/supplier (asserted) —
+    the hashed FKs index into [0, n) directly."""
     out_dir = out_dir or shipments_dir(sf_dir)
-    path = os.path.join(out_dir, "shipments.parquet")
+    fname = ("shipments.parquet" if rows_per_order == 2
+             else f"shipments_rpo{rows_per_order}.parquet")
+    path = os.path.join(out_dir, fname)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from .catalog import load_table
 
-    n_orders = load_table(spark, sf_dir, "orders").count()
-    n_supp = load_table(spark, sf_dir, "supplier").count()
+    orders_keys = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n"), F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi")).first()
+    supp_keys = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("n"), F.min("s_suppkey").alias("lo"),
+        F.max("s_suppkey").alias("hi")).first()
+    for label, r in [("orders.o_orderkey", orders_keys),
+                     ("supplier.s_suppkey", supp_keys)]:
+        if r["n"] == 0 or r["lo"] != 0 or r["hi"] != r["n"] - 1:
+            raise ValueError(
+                f"derive_shipments needs contiguous 0..n-1 keys in "
+                f"{label}; got min={r['lo']} max={r['hi']} n={r['n']} — "
+                f"sparse keys would create dangling FKs")
+    n_orders = int(orders_keys["n"])
+    n_supp = int(supp_keys["n"])
     n = rows_per_order * n_orders
 
     def h(salt: int) -> F.Column:

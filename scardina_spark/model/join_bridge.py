@@ -36,8 +36,23 @@ from .nar import NarMLP, TrainConfig
 from .progressive import MASK_SLOT, NarEstimator, valid_mask
 
 
+def _require_local_values(dom, what: str) -> np.ndarray:
+    """Guard for paths that need the collected value array: a
+    DistributedDomain (huge dictionary, values never localized) cannot
+    serve them — fail with a clear message instead of an AttributeError
+    deep in numpy."""
+    if dom.values is None:
+        raise ValueError(
+            f"{what} needs the collected dictionary values of "
+            f"'{dom.name}', but its domain is distributed "
+            f"(> DICT_DRIVER_CAP distinct values); use a driver-scale "
+            f"dictionary for this column or skip the operation")
+    return dom.values
+
+
 def _decode_codes(dom, codes: np.ndarray) -> np.ndarray:
     """Dictionary codes → values (object array; MASK/NULL/OOD → None)."""
+    _require_local_values(dom, "cross-model value decoding")
     out = np.empty(len(codes), dtype=object)
     out[:] = None
     ok = (codes >= 2) & (codes < len(dom.values) + 2)
@@ -52,7 +67,7 @@ def _encode_values(dom, values: np.ndarray) -> np.ndarray:
     convention, functions/dictionary.encode_with_dictionary)."""
     codes = np.full(len(values), 1, dtype=np.int64)
     nn = np.array([v is not None for v in values], dtype=bool)
-    vals = dom.values
+    vals = _require_local_values(dom, "cross-model value encoding")
     if len(vals) and nn.any():
         arr = np.array([v for v in values[nn]], dtype=vals.dtype)
         idx = np.searchsorted(vals, arr)
@@ -407,7 +422,7 @@ def save_join_estimator(est: NarJoinEstimator, path: str) -> None:
     est.model.save(os.path.join(path, "model.npz"))
     doms = {}
     for i, (c, dom) in enumerate(est.domains.items()):
-        vals = dom.values
+        vals = _require_local_values(dom, "estimator checkpointing")
         if vals.dtype == object:
             vals = vals.astype(np.str_)  # no pickle in the npz
         doms[f"dom_{i}"] = vals

@@ -58,12 +58,19 @@ class DistributedDomain(ColumnDomain):
     The driver-bound of the plain path is O(distinct) *values* (strings —
     gigabytes for a 100M-distinct column at cluster scale).  Here the
     dictionary stays a distributed ``(__value__, __code__)`` DataFrame;
-    the driver holds only its size and, per query, the {0,1} valid mask
-    (bits-scale, same bound as the reference's own mask arrays,
-    scardina/estimators.py:673-793).  Predicates are evaluated Spark-side
-    against the dictionary (the SURVEY §2.2 P1 "evaluated against the
-    dictionary DataFrame" primitive) and only matching int codes come
-    back.
+    predicates are evaluated Spark-side against it (the SURVEY §2.2 P1
+    "evaluated against the dictionary DataFrame" primitive) and only
+    matching int codes come back via Arrow.
+
+    What the driver still holds per predicated query: the matching-code
+    int64 array (O(selectivity · distinct)) and the float mask over the
+    code domain the progressive sampler consumes — the same
+    domain-length mask arrays the reference itself allocates
+    (scardina/estimators.py:673-793), i.e. numbers-scale, never
+    values-scale.  A 100M-distinct column costs ~0.8 GB of mask per
+    predicated column; columns at that scale should also be rare
+    predicate targets — the bound to remove next would be a packed/
+    interval mask representation threaded through the sampler.
 
     ``values`` is always None; encoding must go through the distributed
     join (`functions.dictionary.encode_with_dictionary`), which
@@ -86,10 +93,13 @@ class DistributedDomain(ColumnDomain):
 
         short = self.name.split(".")[-1]
         d = self.dictionary.select(F.col(VALUE).alias(short), F.col(CODE))
-        matched = d.where(predicates_to_column(preds)).select(CODE).collect()
+        # Arrow localization: matching codes arrive as one int64 column,
+        # not per-row JVM->Python Row objects
+        matched = (d.where(predicates_to_column(preds)).select(CODE)
+                   .toPandas()[CODE].to_numpy(dtype=np.int64))
         m = np.zeros(self.dom_size)
-        if matched:
-            m[np.array([r[0] for r in matched], dtype=np.int64)] = 1.0
+        if len(matched):
+            m[matched] = 1.0
         m[MASK_SLOT] = 0.0
         # NULL-slot tri-state, mirroring the numpy valid_mask exactly:
         # dictionaries hold no NULLs, so IS/IS NOT never reach the filter

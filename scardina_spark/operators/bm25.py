@@ -49,8 +49,13 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     (non-negative for any df).
     """
     # tokens are lowercased, so normalize the query side symmetrically —
-    # otherwise a capitalized term silently matches nothing
-    query_terms = [t.lower() for t in query_terms]
+    # otherwise a capitalized term silently matches nothing.  The query
+    # is a term SET (order-preserving dedup): duplicated terms must not
+    # double their contribution, and both the scan and indexed paths
+    # must score the same query identically.
+    seen: set[str] = set()
+    query_terms = [t for t in (t.lower() for t in query_terms)
+                   if not (t in seen or seen.add(t))]
     toks = tokenize(df, text_col)
 
     def _is(term):

@@ -72,10 +72,15 @@ def decontaminate(train: DataFrame, bench: DataFrame,
                   n: int = 13, max_contamination: float = 0.0) -> DataFrame:
     """Training rows whose benchmark n-gram overlap fraction is at most
     ``max_contamination`` (0.0 = drop on any collision, the strict
-    GPT-3-style rule)."""
+    GPT-3-style rule).
+
+    The filter uses the UNROUNDED hit fraction — the rounded
+    ``contamination`` column is for reporting only, and a long document
+    with one real collision rounds to 0.0000 (20k+ grams), which must
+    NOT survive the strict rule."""
     scores = contamination_scores(train, bench, id_col, text_col, n)
-    keep = scores.where(F.col("contamination") <= max_contamination) \
-        .select(id_col)
+    frac = F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1))
+    keep = scores.where(frac <= max_contamination).select(id_col)
     return train.join(keep, id_col, "left_semi")
 
 

@@ -74,12 +74,22 @@ def keep_latest(df: DataFrame, key_cols: list[str], order_cols: list[str]
 
 
 def word_shingles(col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-word shingles of the normalized text (array<string>)."""
+    """Distinct k-word shingles of the normalized text (array<string>),
+    in first-occurrence order.
+
+    Built by zipping k SHIFTED VIEWS of the token array: ``arrays_zip``
+    evaluates each input once, so the whole expression is O(k·n) per
+    document.  The obvious ``transform(sequence(...), i -> slice(toks,
+    i+1, k))`` form re-evaluates the token split per lambda element —
+    O(n²) in document length (measured 160 s for ONE 30k-token doc),
+    which silently kills MinHash/decontamination on long documents."""
     toks = F.split(normalized(col), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    cnt = n - (k - 1)
+    parts = [F.slice(toks, j + 1, cnt).alias(f"__w{j}__") for j in range(k)]
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"__w{j}__"] for j in range(k)]))
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(toks[0])))
 
 

@@ -47,22 +47,29 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
     nt = (F.col(n_tokens_col) if n_tokens_col
           else token_count(text_col)).cast("long")
     base = docs.select(F.col(id_col), nt.alias("n_tokens"))
+    handles: list = []
     laid = with_prefix_sum(base.withColumn("__w__", F.col("n_tokens")
                                            .cast("double")),
-                           "__w__", [id_col])
+                           "__w__", [id_col], cache_out=handles)
     start = F.col(CUM).cast("long")
     end = start + F.col("n_tokens")
     # a document [start, end) spans packs floor(start/L) ..
     # floor((end-1)/L); empty documents span exactly their start pack
     last = F.when(F.col("n_tokens") > 0, (end - 1) / seq_len) \
         .otherwise(start / seq_len)
-    return (laid.select(
+    out = laid.select(
         id_col, "n_tokens",
         F.floor(start / seq_len).alias("pack_id"),
         F.pmod(start, F.lit(seq_len)).cast("long").alias("pack_offset"),
         (F.floor(last) - F.floor(start / seq_len) + 1).cast("long")
         .alias("n_packs"))
-    )
+    # materialize the (5-numeric-column) assignment eagerly so the
+    # prefix-sum's internal cache can be released — without this, each
+    # invocation pins a corpus-sized cached projection for the session
+    out = out.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def pack_stats(assignment: DataFrame, seq_len: int) -> DataFrame:

@@ -54,11 +54,19 @@ def _with_sorted_partitions(df: DataFrame, order_cols: list[str],
 
 
 def with_prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
-                    n_partitions: int | None = None) -> DataFrame:
+                    n_partitions: int | None = None,
+                    cache_out: list | None = None) -> DataFrame:
     """Add ``__cum__``: the EXCLUSIVE prefix sum of ``weight_col`` in the
-    global order defined by ``order_cols``.  Returns a persisted DataFrame
-    (unpersist when done)."""
+    global order defined by ``order_cols``.
+
+    The sorted input is persisted internally (it is read twice: once for
+    the per-partition totals, once by the output's lineage).  Pass
+    ``cache_out`` (a list) to receive the persisted handle — callers
+    that eagerly materialize the result should then ``unpersist()`` it;
+    without it the cached projection lives until session end."""
     d = _with_sorted_partitions(df, order_cols, n_partitions).persist()
+    if cache_out is not None:
+        cache_out.append(d)
     part_sums = {
         r[PID]: r["s"]
         for r in d.groupBy(PID).agg(F.sum(F.col(f"`{weight_col}`")).alias("s")).collect()

@@ -2102,7 +2102,24 @@ def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
     est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
                                 "lineitem", seed=42).localize())
     con = duckdb_connection(sf_dir)
-    true_fn = lambda frag: con.sql(to_sql(frag)).fetchone()[0]  # noqa: E731
+    # memoize by fragment SQL: the smj pass re-enumerates the SAME
+    # connected subsets as the out pass (plus the size-1 sets), so
+    # without the caches every truth query and estimate runs twice
+    _truths: dict[str, float] = {}
+    _ests: dict[str, float] = {}
+
+    def true_fn(frag):
+        sql = to_sql(frag)
+        if sql not in _truths:
+            _truths[sql] = con.sql(sql).fetchone()[0]
+        return _truths[sql]
+
+    def est_fn(frag):
+        sql = to_sql(frag)
+        if sql not in _ests:
+            _ests[sql] = est.estimate(frag)
+        return _ests[sql]
+
     queries = {
         "p1_3way": "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
                    "WHERE l.l_orderkey = o.o_orderkey AND "
@@ -2119,8 +2136,8 @@ def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "AND p.p_size > 25",
     }
     rows = [(name,
-             bool(p_error(sql, est.estimate, true_fn) <= 1.5
-                  and p_error(sql, est.estimate, true_fn,
+             bool(p_error(sql, est_fn, true_fn) <= 1.5
+                  and p_error(sql, est_fn, true_fn,
                               cost_model="smj") <= 1.5))
             for name, sql in queries.items()]
     return (spark.createDataFrame(rows, "query string, ok boolean")

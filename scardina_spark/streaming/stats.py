@@ -116,20 +116,34 @@ def _read_deltas(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/batch_id=*")
 
 
-def _swap_deltas(state_dir: str, merged: DataFrame) -> None:
+def _swap_deltas(spark: SparkSession, state_dir: str, fold_fn) -> None:
     """Crash-safe delta swap: snapshot the fold OUTSIDE the readable
     glob, commit by writing a manifest of the folded delta dirs, delete
-    exactly those dirs, then publish by rename.  The manifest is the
-    commit point: before it exists the deltas are authoritative
-    (``_read_deltas`` discards the snapshot); after it, the snapshot is,
-    and recovery deletes only the manifested dirs — a batch that lands
-    between a crash and recovery is preserved, and a crash midway
-    through the delete loop loses nothing."""
+    exactly those dirs, then publish by rename.
+
+    ONE directory listing drives everything: the snapshot is built by
+    ``fold_fn`` over exactly the listed delta paths, and the manifest
+    records exactly that list — so a batch landing mid-compaction is
+    neither folded nor deleted (it simply survives into the next
+    compaction).  A pre-listed DataFrame passed in by the caller would
+    reopen that window: Spark fixes the glob's file set when the reader
+    is created, while the delete loop would list again later.
+
+    The manifest is the commit point: before it exists the deltas are
+    authoritative (``_read_deltas`` discards the snapshot); after it,
+    the snapshot is, and recovery deletes only the manifested dirs — a
+    batch that lands between a crash and recovery is preserved, and a
+    crash midway through the delete loop loses nothing."""
     import json
     import os
     import shutil
 
-    folded = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    folded = sorted(d for d in os.listdir(state_dir)
+                    if d.startswith("batch_id="))
+    if not folded:
+        return
+    deltas = spark.read.parquet(*[f"{state_dir}/{d}" for d in folded])
+    merged = fold_fn(deltas)
     compact = f"{state_dir}/__compact__"
     merged.write.mode("overwrite").parquet(compact)
     with open(f"{compact}/_manifest.json", "w") as f:
@@ -187,9 +201,13 @@ def compact_kmv_sketch(spark: SparkSession, state_dir: str, k: int = 64,
     """Fold all sketch deltas into ``batch_id=-1`` and drop the
     originals — bounds the delta-file count without changing the merged
     sketch (the fold is associative, so compaction commutes with new
-    batches; the swap is crash-recoverable, see ``_swap_deltas``)."""
-    _swap_deltas(state_dir, read_kmv_sketch(spark, state_dir, k,
-                                            group_cols))
+    batches; the swap is crash-recoverable and lists the deltas exactly
+    once, see ``_swap_deltas``)."""
+    from ..operators.sketches import kmv_fold
+
+    _read_deltas(spark, state_dir)  # finish any interrupted swap first
+    _swap_deltas(spark, state_dir,
+                 lambda deltas: kmv_fold(deltas, k, group_cols))
 
 
 def maintain_quantile_sketch(stream: DataFrame, value_col: str,
@@ -217,14 +235,10 @@ def maintain_quantile_sketch(stream: DataFrame, value_col: str,
     _await_drained(q, timeout_sec)
 
 
-def read_quantile_sketch(spark: SparkSession, state_dir: str, k: int = 256,
-                         group_cols: list[str] | None = None) -> DataFrame:
-    """Current quantile sketch: n-way semigroup merge of every batch
-    delta — identical to the sketch of the union of all batches
-    (deterministic hashing, so bit-for-bit)."""
-    from ..operators.sketches import quantile_sketch_merge
-
-    deltas = _read_deltas(spark, state_dir)
+def _quantile_fold(deltas: DataFrame, k: int,
+                   group_cols: list[str] | None) -> DataFrame:
+    """n-way semigroup merge of quantile-sketch deltas (union samples,
+    re-take the k smallest hashes)."""
     group_cols = group_cols or []
     ex = deltas.select(*group_cols, F.explode("samp").alias("__s__"))
     grouped = ex.groupBy(*group_cols) if group_cols else ex.groupBy()
@@ -232,20 +246,32 @@ def read_quantile_sketch(spark: SparkSession, state_dir: str, k: int = 256,
         F.slice(F.sort_array(F.collect_list("__s__")), 1, k).alias("samp"))
 
 
+def read_quantile_sketch(spark: SparkSession, state_dir: str, k: int = 256,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Current quantile sketch: n-way semigroup merge of every batch
+    delta — identical to the sketch of the union of all batches
+    (deterministic hashing, so bit-for-bit)."""
+    return _quantile_fold(_read_deltas(spark, state_dir), k, group_cols)
+
+
 def compact_quantile_sketch(spark: SparkSession, state_dir: str,
                             k: int = 256,
                             group_cols: list[str] | None = None) -> None:
     """Fold all quantile-sketch deltas into ``batch_id=-1`` and drop the
-    originals (associative merge; crash-recoverable swap)."""
-    _swap_deltas(state_dir, read_quantile_sketch(spark, state_dir, k,
-                                                 group_cols))
+    originals (associative merge; crash-recoverable swap listing the
+    deltas exactly once — see ``_swap_deltas``)."""
+    _read_deltas(spark, state_dir)  # finish any interrupted swap first
+    _swap_deltas(spark, state_dir,
+                 lambda deltas: _quantile_fold(deltas, k, group_cols))
 
 
 def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     """Fold all deltas into ``batch_id=-1`` and drop the originals —
     bounds the delta-file count without changing the merged statistic
     (associative merge: compaction commutes with new batches; the swap
-    is crash-recoverable, see ``_swap_deltas``)."""
-    merged = read_fk_counts(spark, state_dir) \
-        .select(KEY, F.col("cnt").alias(COUNT))
-    _swap_deltas(state_dir, merged)
+    is crash-recoverable and lists the deltas exactly once, see
+    ``_swap_deltas``)."""
+    _read_deltas(spark, state_dir)  # finish any interrupted swap first
+    _swap_deltas(spark, state_dir,
+                 lambda deltas: deltas.groupBy(KEY)
+                 .agg(F.sum(COUNT).alias(COUNT)))

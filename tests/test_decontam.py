@@ -97,3 +97,18 @@ def test_pii_stats_counts(spark):
     assert r["docs_email"] == 1 and r["spans_email"] == 2
     assert r["docs_ipv4"] == 1 and r["spans_ipv4"] == 1
     assert r["docs_ssn"] == 0 and r["docs_phone"] == 0
+
+
+def test_strict_rule_survives_rounding(spark):
+    """A long document with ONE real collision must be dropped by the
+    strict rule even though its 4-decimal contamination rounds to
+    0.0000 (the filter keys on unrounded hits, not the report column)."""
+    bench = _docs(spark, [(100, "zq1 zq2 zq3")])
+    long_text = " ".join(f"w{i}" for i in range(30_000)) + " zq1 zq2 zq3"
+    train = _docs(spark, [(1, long_text), (2, "clean words only here")])
+    scores = {r["doc_id"]: r for r in
+              contamination_scores(train, bench, n=3).collect()}
+    assert scores[1]["n_hits"] >= 1
+    assert scores[1]["contamination"] == 0.0  # rounds away
+    kept = decontaminate(train, bench, n=3, max_contamination=0.0)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
