@@ -36,7 +36,12 @@ class HybridEstimator:
     so a learned value outside ``ht ± k·se`` is, with known probability,
     model smoothing rather than signal — clamp to the nearer bound.  The
     model stays primary inside the band (where the sample cannot
-    adjudicate); the band is tight exactly where the sample is sure."""
+    adjudicate); the band is tight exactly where the sample is sure.
+    ``mode="arbiter"`` returns the geometric mean of the learned and HT
+    estimates (plus the zero short-circuit) — the same cross-validation
+    ``NarCinEstimator.sample_arbiter`` applies to chained estimates: in
+    log space the geomean halves the worst single-side error, so the
+    hybrid q-error is bounded by sqrt(q_model · q_ht)."""
 
     learned: object
     checker: object
@@ -60,6 +65,9 @@ class HybridEstimator:
             return est
         if ht == 0:
             return 0.0
+        if self.mode == "arbiter":
+            import math
+            return float(math.sqrt(max(est, 0.0) * ht))
         if se is not None:
             lo = max(ht - self.k_sigma * se, 0.0)
             hi = ht + self.k_sigma * se

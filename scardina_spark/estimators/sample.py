@@ -255,8 +255,9 @@ def prepare_tree_sample(
     # loader's deterministic rebalance — the root is FK-side of every edge,
     # so attach_tree_adj_fanouts adds only literals), hence partition
     # membership is stable across the sampler's two passes.
+    handles: list = []
     samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True,
-                       uniform_root=all_m2o)
+                       uniform_root=all_m2o, cache_out=handles)
     if cache:
         # right-size partitions for the per-query aggregate: ~64k rows per
         # task keeps scheduling overhead off the query path (estimate()
@@ -267,6 +268,10 @@ def prepare_tree_sample(
         samp = samp.repartition(max(4, n // 65536))
         samp = samp.cache()
         samp.count()  # materialize once; queries reuse the cached sample
+        # the weighted-root draw's internal persist (full root table) is
+        # only needed until the sample is materialized
+        for h in handles:
+            h.unpersist()
     return TreeSample(tree, root, samp, join_size, n)
 
 

@@ -30,11 +30,16 @@ def collect_domain(dictionary: DataFrame, name: str,
                    driver_cap: int = DICT_DRIVER_CAP) -> ColumnDomain:
     """Driver-side domain for dictionaries up to ``driver_cap`` values;
     larger dictionaries return a :class:`DistributedDomain` that never
-    localizes its values."""
-    n = dictionary.count()
-    if n > driver_cap:
-        return DistributedDomain(name, None, dictionary, n)
-    rows = dictionary.orderBy(CODE).collect()
+    localizes its values.
+
+    One Spark job in the common (small-dictionary) case: the
+    ``limit(cap + 1)`` probe both detects oversize AND yields the rows
+    when small — a separate ``count()`` per injected dictionary column
+    would add a cluster round-trip to every training prep."""
+    rows = dictionary.orderBy(CODE).limit(driver_cap + 1).collect()
+    if len(rows) > driver_cap:
+        return DistributedDomain(name, None, dictionary,
+                                 dictionary.count())
     return ColumnDomain(name, np.array([r[VALUE] for r in rows]))
 
 

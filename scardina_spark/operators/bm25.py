@@ -126,28 +126,45 @@ class Bm25Index:
     avgdl: float
     id_col: str = "doc_id"
 
-    def save(self, path: str) -> None:
+    def save(self, path: str,
+             parquet_block_bytes: int | None = None) -> None:
         """Persist the index: postings range-partitioned + sorted by
         term (row-group pruning turns a query into a few-term scan),
-        term_df + scalars alongside."""
-        import json
+        term_df + scalars alongside.  The scalars go through a Spark
+        writer too (1-row JSON dataset), so the whole index lands on one
+        filesystem — a driver-local ``open()`` would drop ``meta`` on
+        the driver's disk when ``path`` is HDFS/S3.
+
+        ``parquet_block_bytes`` overrides the parquet row-group size;
+        the default (128 MiB) is right at corpus scale, a small value
+        makes the row-group pruning property observable on test-sized
+        corpora."""
         import os
-        (self.postings.repartitionByRange(F.col("term"))
-         .sortWithinPartitions("term", self.id_col)
-         .write.mode("overwrite").parquet(os.path.join(path, "postings")))
+        w = (self.postings.repartitionByRange(F.col("term"))
+             .sortWithinPartitions("term", self.id_col)
+             .write.mode("overwrite"))
+        if parquet_block_bytes is not None:
+            w = (w.option("parquet.block.size", parquet_block_bytes)
+                 .option("parquet.page.size",
+                         max(1024, parquet_block_bytes // 4)))
+        w.parquet(os.path.join(path, "postings"))
         self.term_df.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "term_df"))
-        meta = {"n_docs": self.n_docs, "avgdl": self.avgdl,
-                "id_col": self.id_col}
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        spark = self.postings.sparkSession
+        meta = spark.createDataFrame(
+            [(int(self.n_docs), float(self.avgdl), self.id_col)],
+            _META_SCHEMA)
+        meta.coalesce(1).write.mode("overwrite") \
+            .json(os.path.join(path, "meta"))
+
+
+_META_SCHEMA = "n_docs long, avgdl double, id_col string"
 
 
 def bm25_load_index(spark, path: str) -> Bm25Index:
-    import json
     import os
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = spark.read.schema(_META_SCHEMA) \
+        .json(os.path.join(path, "meta")).first()
     return Bm25Index(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         term_df=spark.read.parquet(os.path.join(path, "term_df")),

@@ -90,7 +90,10 @@ def word_shingles(col: str = "text", k: int = 3) -> F.Column:
     sh = F.transform(
         F.arrays_zip(*parts),
         lambda s: F.concat_ws(" ", *[s[f"__w{j}__"] for j in range(k)]))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(toks[0])))
+    # Documents shorter than k words degrade to ONE whole-text gram
+    # (matching the decontamination protocol and the DuckDB oracle).
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",

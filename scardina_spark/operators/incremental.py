@@ -148,8 +148,12 @@ def append_refresh_tree_sample(
         list(tree.rels), {**tables, root: delta_root}, overrides)
     w = dict(adj)
     w[root] = w[root].withColumn(WEIGHT, F.lit(1.0))
+    # uniform_root: all root weights are the literal 1.0 and delta_root
+    # is persisted + materialized above, so partition membership is
+    # stable across the sampler's two passes — skips the weight-sum scan
+    # and the weighted path's internal persist.
     delta_samp = join_sample(tree, w, root, n_delta, seed=seed,
-                             drop_weights=True)
+                             drop_weights=True, uniform_root=True)
 
     # 4. iid subsample of the old sample + id reassignment.  The global
     # window sorts only the ≤n_max-row sample — bounded work independent

@@ -73,13 +73,13 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
 
 
 def pack_stats(assignment: DataFrame, seq_len: int) -> DataFrame:
-    """One-row layout audit: total tokens, number of packs, mean fill of
-    the non-final packs (always 1.0 — the layout has no padding holes
-    except the final partial pack), and the count of boundary-crossing
-    documents."""
+    """One-row layout audit: total tokens, total pack count (``ceil``
+    includes the final partial pack — the layout has no padding holes
+    anywhere else), the count of boundary-crossing documents, and the
+    highest pack id."""
     return assignment.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.ceil(F.sum("n_tokens") / F.lit(seq_len)).cast("long")
-        .alias("n_full_packs"),
+        .alias("n_packs"),
         F.sum((F.col("n_packs") > 1).cast("long")).alias("n_spanning_docs"),
         F.max(F.col("pack_id") + F.col("n_packs") - 1).alias("last_pack_id"))

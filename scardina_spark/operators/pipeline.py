@@ -71,13 +71,19 @@ class PrepPipeline:
         path = self._path("joined_samples", f"{tree.name}__{root}__{n}")
         if not self._exists(path):
             w = compute_weights(tree, tables, root)
-            samp = join_sample(tree, w, root, n, seed=seed)
+            handles: list = []
+            samp = join_sample(tree, w, root, n, seed=seed,
+                               cache_out=handles)
             # ':' (from __in__:/__fanout__: markers) is not portable in
             # parquet column names — store as '#'
             for c in samp.columns:
                 if ":" in c:
                     samp = samp.withColumnRenamed(c, c.replace(":", "#"))
             samp.write.mode("overwrite").parquet(path)
+            # the parquet write materialized the draw; the root draw's
+            # internal persist is no longer needed
+            for h in handles:
+                h.unpersist()
         out = self.spark.read.parquet(path)
         for c in out.columns:
             if "#" in c:

@@ -56,7 +56,7 @@ def _q(name: str) -> F.Column:
 def weighted_sample_with_replacement(
     df: DataFrame, weight_col: str, order_cols: list[str] | None = None,
     n: int = 1, seed: int = 42, n_buckets: int | None = None,
-    uniform: bool = False,
+    uniform: bool = False, cache_out: list | None = None,
 ) -> DataFrame:
     """Exactly ``n`` draws with replacement, P(row) ∝ ``weight_col``.
 
@@ -81,6 +81,13 @@ def weighted_sample_with_replacement(
     aggregations upstream), so both passes see the same partition
     contents; within-partition order may differ between passes, which
     only a weighted draw would notice.
+
+    The weighted path persists the filtered input for two-pass
+    determinism (the totals pass and the draw pass must see identical
+    partition contents).  Pass ``cache_out`` (a list) to receive that
+    handle — the caller should ``unpersist()`` it once the draw has
+    materialized, or the (root-table-sized) cache lives for the session
+    (the ``prefix.with_prefix_sum`` pattern).
     """
     if uniform:
         pos = df.withColumn(PID, F.spark_partition_id())
@@ -89,6 +96,8 @@ def weighted_sample_with_replacement(
         pos = (df.where(_q(weight_col) > 0)
                  .withColumn(PID, F.spark_partition_id())
                  .persist())
+        if cache_out is not None:
+            cache_out.append(pos)
         part = pos.groupBy(PID).agg(
             F.sum(_q(weight_col).cast("double")).alias("s")).collect()
     sums = {int(r[PID]): float(r["s"] or 0.0) for r in part}
@@ -188,18 +197,21 @@ def pick_one_child_per_sample(
 def join_sample(
     ss: Subschema, weighted_tables: dict[str, DataFrame], root: str,
     n: int, seed: int = 42, drop_weights: bool = True,
-    uniform_root: bool = False,
+    uniform_root: bool = False, cache_out: list | None = None,
 ) -> DataFrame:
     """Unbiased sample (size ``n``) of the sub-join, BFS from ``root``.
 
     ``weighted_tables`` must carry ``__weight__`` (operators/weights.py).
     ``uniform_root`` certifies all root weights equal (fact-rooted trees)
-    so the root draw can skip weight scans and persist.
+    so the root draw can skip weight scans and persist; otherwise
+    ``cache_out`` receives the root draw's persist handle to release
+    once the sample is materialized.
     """
     root_df = weighted_tables[root]
     order = [root_df.columns[0]]
     agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed,
-                                           uniform=uniform_root)
+                                           uniform=uniform_root,
+                                           cache_out=cache_out)
     # The draw inherits the root scan's partitioning, which can be narrow
     # (few files / single row group); the per-edge picks chain onto it as
     # one codegen stage, so rebalance the (narrow, n-row) drawn sample once

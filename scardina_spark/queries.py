@@ -1418,18 +1418,21 @@ where rn = 1 order by user_id
 
 
 def _stream_state_dir(kind: str, sf_dir: str) -> str:
-    """Fixed per-(query, sf_dir) streaming-state dir under the system tmp
-    dir, wiped on entry: repeated invocations (including ``explain``,
-    which executes st* queries' drain as a side effect of plan
-    construction) reuse ONE directory instead of leaking a fresh
-    ``mkdtemp`` per call."""
+    """Fixed per-(query, sf_dir, process) streaming-state dir under the
+    system tmp dir, wiped on entry: repeated invocations (including
+    ``explain``, which executes st* queries' drain as a side effect of
+    plan construction) reuse ONE directory instead of leaking a fresh
+    ``mkdtemp`` per call.  The pid suffix keeps two concurrent processes
+    (e.g. bench + a contract run on one box) from clobbering each
+    other's checkpoint mid-run."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"scardina_{kind}_{tag}")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"scardina_{kind}_{tag}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     return d
 
@@ -1907,7 +1910,9 @@ def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .estimators.sample import cin_tree
     tree = cin_tree(sg, "orders")
     w = compute_weights(tree, tables, "customer")
-    samp = join_sample(tree, w, "customer", 2000, seed=42).select(
+    handles: list = []
+    samp = join_sample(tree, w, "customer", 2000, seed=42,
+                       cache_out=handles).select(
         F.col("`__sample_id__`").alias("sample_id"),
         F.col("`customer.c_custkey`").alias("c_custkey"),
         F.col("`orders.o_orderkey`").alias("o_orderkey"),
@@ -1916,6 +1921,8 @@ def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables["customer"]
     orders = tables["orders"]
     n = samp.count()
+    for h in handles:  # sample cached above; release the root-draw persist
+        h.unpersist()
     n_ids = samp.select("sample_id").distinct().count()
     bad_ids = samp.join(F.broadcast(cust.select("c_custkey")),
                         "c_custkey", "left_anti").count()
@@ -2082,6 +2089,66 @@ CIN_BENCH_QUERIES = {
                 "WHERE c.c_nationkey = n.n_nationkey AND "
                 "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
 }
+
+
+def q_trm_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (Transformer arch): the non-autoregressive Transformer NAR
+    (reference scardina/models.py:435-475 — stacked self-attention blocks
+    over per-column word embeddings, semantics NOT code) trained on the
+    Spark-encoded matrix; progressive-sampling estimates vs exact truth.
+    Deterministic contract: oracle-recomputed truths + q-error <= 3
+    assertion on the seeded estimate (same protocol as e2)."""
+    from .model.bridge import train_single_table
+    from .model.transformer import TrmConfig
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    cfg = TrmConfig(epochs=8, d_word=12, d_ff=48, batch_size=1024,
+                    seed=42, n_blocks=1, n_heads=2)
+    nar = train_single_table(li, cols, cfg, sample_size=1000, arch="trm")
+    exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
+    return _qerror_check_df(spark, nar.estimate, exact,
+                            NAR_BENCH_QUERIES, 3.0)
+
+
+def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: deterministic hyperparameter grid search (reference
+    scardina/run.py:611-657 — Ray Tune/Optuna over {d_word, d_ff},
+    scored by validation loss; semantics NOT code).  Contract: one row
+    per grid config with `selected` = (grid_search returned this config)
+    and `ok` certifying Spark-side that (a) the returned model's config
+    equals the independently recomputed argmin of the exported per-trial
+    validation-loss table and (b) every trial loss is finite.  The oracle
+    emits the literal grid; which config wins is loss-dependent so it is
+    carried by the booleans, not the hashed values."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import grid_search
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=4, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed)
+    bins = [(c, domains[c].dom_size) for c in cols]
+    d_words, d_ffs = (8, 16), (32, 64)
+    best_model, trials = grid_search(bins, codes, base,
+                                     d_words=d_words, d_ffs=d_ffs)
+    argmin = min(trials, key=lambda t: t.val_loss)
+    sel = best_model.cfg
+    ok = (sel.d_word == argmin.cfg.d_word and sel.d_ff == argmin.cfg.d_ff
+          and all(math.isfinite(t.val_loss) and math.isfinite(t.train_loss)
+                  for t in trials)
+          and len(trials) == len(d_words) * len(d_ffs))
+    rows = [(t.cfg.d_word, t.cfg.d_ff, bool(ok)) for t in trials]
+    return (spark.createDataFrame(rows, "d_word int, d_ff int, ok boolean")
+            .orderBy("d_word", "d_ff"))
+
+
+def _sql_grid_search(d_words=(8, 16), d_ffs=(32, 64)) -> str:
+    parts = [f"select {dw}::INT as d_word, {dff}::INT as d_ff, true as ok"
+             for dw in d_words for dff in d_ffs]
+    return "\nunion all\n".join(parts) + "\norder by d_word, d_ff"
 
 
 def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2824,9 +2891,9 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LATE_SHIPMENT_PRIORITY = """
 select l_linestatus,
        sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
-                then 1 else 0 end) as high_line_count,
+                then 1 else 0 end)::BIGINT as high_line_count,
        sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
-                then 1 else 0 end) as low_line_count
+                then 1 else 0 end)::BIGINT as low_line_count
 from lineitem join orders on l_orderkey = o_orderkey
 where l_shipdate > o_orderdate + interval 60 day
 group by l_linestatus order by l_linestatus
@@ -3061,7 +3128,8 @@ s as (
   from embeddings, q),
 t as (
   select count(*) as n_total,
-         sum(case when sim >= {threshold} then 1 else 0 end) as true_card
+         sum(case when sim >= {threshold} then 1 else 0 end)::BIGINT
+           as true_card
   from s),
 sk as (
   select count(*) as n_sample,
@@ -3147,65 +3215,22 @@ BENCH_QUERIES = {
 # --------------------------------------------------------------------------
 
 def queries() -> dict:
-    # Registry order matters: the driver's correctness gate checks entries
-    # in order (r01 covered the first 50 of 89), so the keys with no
-    # CORRECTNESS row from round 1 come first this round; key names are
-    # stable across rounds.
+    # Registry order matters: the driver's correctness gate checks the
+    # first ~50 entries in order (r01 and r02 each recorded exactly 50
+    # rows).  Round-3 order: the two r02 hash-fails (oracle casts now
+    # fixed) first, then the two new keys (e7/e8), then the 48 keys whose
+    # only green row is from round 1 so regressions can't hide behind the
+    # cap.  x19/x36 close that block (positions 51-52, may spill to next
+    # round): both exercise the same monotone-hash machinery as x18,
+    # which stays inside the cap.  Key names are stable across rounds.
     return {
-        # --- no driver row in round 1 ---
-        "x27_repetition": q_repetition_stats,
-        "j10_semi_anti": q_semi_anti_join,
-        "a9_cube": q_cube_agg,
-        "a10_window_funcs": q_window_funcs,
-        "o2_set_ops": q_set_ops,
-        "x10_media_meta": q_media_meta,
-        "x22_frame_sample": q_frame_sample,
-        "x23_resize_batch": q_resize_batch,
-        "a11_pricing_summary": q_pricing_summary,
-        "a12_region_revenue": q_region_revenue,
-        "a13_ship_priority": q_ship_priority,
-        "a14_promo_revenue": q_promo_revenue,
-        "a15_priority_orders": q_priority_orders,
-        "a16_large_orders": q_large_orders,
-        "a17_brand_supplier_count": q_brand_supplier_count,
-        "a18_disjunctive_revenue": q_disjunctive_revenue,
-        "a19_rollup": q_rollup_agg,
-        "a20_pivot": q_pivot_counts,
-        "a21_cheapest_supplier": q_cheapest_supplier,
-        "a22_idle_rich_customers": q_idle_rich_customers,
-        "a23_event_funnel": q_event_funnel,
-        "a24_returned_revenue": q_returned_revenue,
+        # --- r02 hash-fail re-checks (oracle ::BIGINT casts fixed) ---
         "a25_late_shipment_priority": q_late_shipment_priority,
-        "x29_quantile_sketch": q_quantile_sketch,
-        "x30_salted_agg": q_salted_agg,
-        "x31_bm25_topk": q_bm25_topk,
-        "x32_hybrid_search": q_hybrid_search,
         "x33_simsel_card": q_simsel_card,
-        "x34_latest_per_key": q_latest_per_key,
-        "x35_profile": q_profile_table,
-        "x11_near_dup": q_near_dup,
-        "x12_incremental_counts": q_incremental_counts,
-        "x13_dup_groups": q_dup_groups,
-        "x14_asof_join": q_asof_join,
-        "j4_join_sample": q_join_sample,
-        "e1_estimate_qerror": q_estimate_qerror,
-        "e2_nar_qerror": q_nar_qerror,
-        "e3_nar_ur_qerror": q_nar_ur_qerror,
-        "e4_nar_cin_qerror": q_nar_cin_qerror,
-        "e5_perror": q_perror,
-        "e6_jobm_qerror": q_jobm_qerror,
-        # --- passed vacuously (0 rows) in round 1; fixtures now non-empty ---
-        "x20_range_join": q_range_join,
-        "x26_heavy_hitters": q_heavy_hitters,
         # --- new this round ---
-        "x37_decontam": q_decontam,
-        "x38_pii_scrub": q_pii_scrub,
-        "a26_sole_late_supplier": q_sole_late_supplier,
-        "a27_top_revenue_supplier": q_top_revenue_supplier,
-        "a28_nation_revenue_share": q_nation_revenue_share,
-        "x39_pack_sequences": q_pack_sequences,
-        "st9_stream_quantiles": q_stream_quantiles,
-        # --- green in round 1 ---
+        "e7_trm_qerror": q_trm_qerror,
+        "e8_search": q_grid_search,
+        # --- green only in round 1: re-verify ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
         "j2_fanout_attach": q_fanout_attach,
@@ -3250,10 +3275,59 @@ def queries() -> dict:
         "x17_kmv_distinct": q_kmv_distinct,
         "x28_kmv_setops": q_kmv_setops,
         "x18_stratified_sample": q_stratified_sample,
-        "x19_holdout_split": q_holdout_split,
-        "x36_mixture_sample": q_mixture_sample,
         "x21_time_rollup": q_time_rollup,
         "x25_bloom_semi": q_bloom_semi_join,
+        "x19_holdout_split": q_holdout_split,
+        "x36_mixture_sample": q_mixture_sample,
+        # --- green in round 2 ---
+        "x27_repetition": q_repetition_stats,
+        "j10_semi_anti": q_semi_anti_join,
+        "a9_cube": q_cube_agg,
+        "a10_window_funcs": q_window_funcs,
+        "o2_set_ops": q_set_ops,
+        "x10_media_meta": q_media_meta,
+        "x22_frame_sample": q_frame_sample,
+        "x23_resize_batch": q_resize_batch,
+        "a11_pricing_summary": q_pricing_summary,
+        "a12_region_revenue": q_region_revenue,
+        "a13_ship_priority": q_ship_priority,
+        "a14_promo_revenue": q_promo_revenue,
+        "a15_priority_orders": q_priority_orders,
+        "a16_large_orders": q_large_orders,
+        "a17_brand_supplier_count": q_brand_supplier_count,
+        "a18_disjunctive_revenue": q_disjunctive_revenue,
+        "a19_rollup": q_rollup_agg,
+        "a20_pivot": q_pivot_counts,
+        "a21_cheapest_supplier": q_cheapest_supplier,
+        "a22_idle_rich_customers": q_idle_rich_customers,
+        "a23_event_funnel": q_event_funnel,
+        "a24_returned_revenue": q_returned_revenue,
+        "x29_quantile_sketch": q_quantile_sketch,
+        "x30_salted_agg": q_salted_agg,
+        "x31_bm25_topk": q_bm25_topk,
+        "x32_hybrid_search": q_hybrid_search,
+        "x34_latest_per_key": q_latest_per_key,
+        "x35_profile": q_profile_table,
+        "x11_near_dup": q_near_dup,
+        "x12_incremental_counts": q_incremental_counts,
+        "x13_dup_groups": q_dup_groups,
+        "x14_asof_join": q_asof_join,
+        "j4_join_sample": q_join_sample,
+        "e1_estimate_qerror": q_estimate_qerror,
+        "e2_nar_qerror": q_nar_qerror,
+        "e3_nar_ur_qerror": q_nar_ur_qerror,
+        "e4_nar_cin_qerror": q_nar_cin_qerror,
+        "e5_perror": q_perror,
+        "e6_jobm_qerror": q_jobm_qerror,
+        "x20_range_join": q_range_join,
+        "x26_heavy_hitters": q_heavy_hitters,
+        "x37_decontam": q_decontam,
+        "x38_pii_scrub": q_pii_scrub,
+        "a26_sole_late_supplier": q_sole_late_supplier,
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
+        "a28_nation_revenue_share": q_nation_revenue_share,
+        "x39_pack_sequences": q_pack_sequences,
+        "st9_stream_quantiles": q_stream_quantiles,
     }
 
 
@@ -3359,4 +3433,6 @@ def oracle_sql() -> dict[str, str]:
         "e4_nar_cin_qerror": _qerror_check_sql(CIN_BENCH_QUERIES),
         "e5_perror": SQL_PERROR,
         "e6_jobm_qerror": SQL_JOBM_QERROR,
+        "e7_trm_qerror": _qerror_check_sql(NAR_BENCH_QUERIES),
+        "e8_search": _sql_grid_search(),
     }

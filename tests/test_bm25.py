@@ -174,6 +174,28 @@ def test_index_save_load_roundtrip_and_pruned_scan(spark, tables, tmp_path):
     assert "term" in pushed and "In(" in pushed
 
 
+def test_index_postings_row_groups_prune_single_term(spark, tables,
+                                                     tmp_path):
+    """The pruning claim, pinned at the footer level (the layout.py
+    pattern): the term-sorted postings' row-group min/max stats must
+    make a single-term query's candidate set a strict subset of the row
+    groups — i.e. the scan reads fewer row groups than the file holds."""
+    from scardina_spark.operators.bm25 import bm25_build_index
+    from scardina_spark.operators.layout import row_group_ranges
+
+    docs = tables["documents"]
+    path = str(tmp_path / "bm25idx")
+    # small row groups so the fixture-scale postings span several of them
+    bm25_build_index(docs).save(path, parquet_block_bytes=16 * 1024)
+    ranges = [(a.decode() if isinstance(a, bytes) else a,
+               b.decode() if isinstance(b, bytes) else b)
+              for a, b in row_group_ranges(path + "/postings", "term")]
+    assert len(ranges) > 1, "one row group total: nothing can prune"
+    term = "spark"
+    candidates = sum(1 for lo, hi in ranges if lo <= term <= hi)
+    assert 0 < candidates < len(ranges), (candidates, len(ranges))
+
+
 def test_index_dedup_terms_and_case(spark, tables):
     from scardina_spark.operators.bm25 import (
         bm25_build_index, bm25_topk, bm25_topk_indexed)

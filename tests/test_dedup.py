@@ -35,6 +35,19 @@ def test_exact_dedup_on_documents_matches_duckdb(tables, duck):
     assert got == [(k, n) for k, n in want]
 
 
+def test_word_shingles_short_doc_uses_whole_text(spark):
+    # A doc shorter than k words degrades to ONE whole-text gram (the
+    # decontamination protocol and the x37 oracle both assume this).
+    rows = [(1, "two words"), (2, "one"), (3, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["sh"] for r in
+           df.select("doc_id",
+                     D.word_shingles("text", k=3).alias("sh")).collect()}
+    assert got[1] == ["two words"]
+    assert got[2] == ["one"]
+    assert got[3] == ["a b c"]
+
+
 def test_minhash_signatures_match_duckdb(spark, duck):
     df = _docs_with_dups(spark)
     sigs = D.minhash_signatures(df, n_hashes=4).collect()

@@ -175,6 +175,37 @@ def test_hybrid_ci_clamp(estimator, exact):
     assert zero.estimate(sql) == pytest.approx(ht * 100, rel=1e-9)
 
 
+def test_hybrid_arbiter_geomean(estimator, exact):
+    """mode='arbiter' returns sqrt(model * ht): a 4x-off model lands
+    within 2x of truth when the sample is near-exact."""
+    import math
+
+    from scardina_spark.estimators import HybridEstimator
+
+    sql = QUERIES[1]
+    ht = estimator.estimate(sql)
+
+    class Fake:
+        def __init__(self, v):
+            self.v = v
+        def estimate(self, q):
+            return self.v
+
+    arb = HybridEstimator(Fake(ht * 4), estimator, mode="arbiter")
+    got = arb.estimate(sql)
+    assert got == pytest.approx(math.sqrt(ht * 4 * ht), rel=1e-9)
+    true = exact.estimate(sql)
+    assert max(got / true, true / got) < 2.1  # sqrt(4) * sample error
+
+    # zero short-circuit still applies in arbiter mode
+    class ZeroChecker:
+        def estimate(self, q):
+            return 0.0
+
+    assert HybridEstimator(Fake(123.0), ZeroChecker(),
+                           mode="arbiter").estimate(sql) == 0.0
+
+
 def test_parallel_edge_subschemas_route_queries(spark):
     """Two FKs from one table into the same parent (the reference's
     parallel-edge case, scardina/schema.py:117) expand into one

@@ -26,6 +26,15 @@ def test_pack_hand_fixture(spark):
         == (1, 2, 1)
 
 
+def test_pack_stats_counts_all_packs(spark):
+    # widths 4, 8, 3 = 15 tokens on seq_len 10 → 2 packs (ceil includes
+    # the final partial pack), one spanning doc (doc 1: [4, 12))
+    df = _docs(spark, [4, 8, 3])
+    s = pack_stats(pack_sequences(df, 10), 10).first()
+    assert (s["total_tokens"], s["n_packs"], s["n_spanning_docs"],
+            s["last_pack_id"]) == (15, 2, 1, 1)
+
+
 def test_pack_boundary_exact_fit_does_not_spill(spark):
     # widths 10, 10: each exactly fills a pack
     df = _docs(spark, [10, 10])
@@ -58,7 +67,7 @@ def test_pack_layout_invariants(spark, tables):
         pos += r["n_tokens"]
     st = pack_stats(pack_sequences(docs, seq_len), seq_len).first()
     assert st["total_tokens"] == pos
-    assert st["n_full_packs"] == -(-pos // seq_len)
+    assert st["n_packs"] == -(-pos // seq_len)
     assert st["last_pack_id"] == (pos - 1) // seq_len
 
 

@@ -103,6 +103,30 @@ def test_join_sample_pk_side_exact(spark, tables):
     assert samp.where(~F.col("`__in__:orders`")).count() == 0
 
 
+def test_prepare_tree_sample_releases_root_draw_persist(spark, tables):
+    """Weighted-root (non-m2o) prep: the sampler's internal two-pass
+    persist of the filtered root table must be released once the sample
+    is materialized — only the sample cache itself may remain."""
+    from scardina_spark.estimators.sample import cin_tree, prepare_tree_sample
+    sg = build_tpch_schema()
+    tree = cin_tree(sg, "orders")  # rooted at customer → weighted path
+
+    def stored_ids():
+        return {r.id() for r
+                in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    base = stored_ids()
+    ts = prepare_tree_sample(tree, tables, "customer",
+                             n_min=2_000, n_max=2_000, seed=7)
+    assert ts.sample.count() == 2_000
+    new = stored_ids() - base
+    # exactly the cached sample; a second surviving entry would be the
+    # root-table persist leaking for the session
+    assert len(new) <= 1, new
+    ts.sample.unpersist(blocking=True)
+    assert stored_ids() - base == set()
+
+
 def test_join_sample_marginal_depth2_weighted_root(spark, tables, duck):
     """Depth-2 weighted root: sampling nation -> customer -> orders from
     root=nation needs weights that COMPOSE across two one-to-many levels
