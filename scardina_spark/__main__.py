@@ -184,6 +184,36 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation pipeline (decontam → repetition gate →
+    quality/lang/dedup/budget → packing) over the documents table and
+    write the packed selection as parquet."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.curate import curate_corpus
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    out = curate_corpus(
+        docs, seq_len=args.seq_len, bench_source=args.bench_source,
+        ngram=args.ngram, max_contamination=args.max_contamination,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+        token_budget=args.token_budget)
+    out.orderBy("doc_id").write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max(F.col("pack_id") + F.col("n_packs") - 1) + 1)
+        .alias("n_packs")).first()
+    print(json.dumps({"out": args.out, "n_docs": int(stats["n_docs"]),
+                      "n_tokens": int(stats["n_tokens"] or 0),
+                      "n_packs": int(stats["n_packs"] or 0),
+                      "seq_len": args.seq_len}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -364,6 +394,18 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_train_join)
+
+    p = sub.add_parser("curate")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--bench-source", default="src0")
+    p.add_argument("--ngram", type=int, default=4)
+    p.add_argument("--max-contamination", type=float, default=0.02)
+    p.add_argument("--min-quality", type=float, default=0.7)
+    p.add_argument("--langs", default="en")
+    p.add_argument("--token-budget", type=float, default=None)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("bench")
     p.add_argument("--sf-dir", required=True)

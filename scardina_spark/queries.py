@@ -1688,6 +1688,108 @@ from laid order by doc_id
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composition (beyond reference):
+    benchmark decontamination (4-gram, ≤2% overlap) → repetition gate →
+    quality/language gate → fingerprint dedup → fixed-128 sequence
+    packing.  Each stage is individually oracled elsewhere (x37, x27,
+    x24, x39); this entry pins the COMPOSITION — stage order, filter
+    semantics, and the packed layout of the survivors — against one
+    end-to-end SQL oracle."""
+    from .operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs, seq_len=128).orderBy("doc_id")
+
+
+def sql_curate_corpus() -> str:
+    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
+    hits = {
+        lang: (f"len(list_filter(ws, x -> lower(x) in "
+               f"({','.join(repr(w) for w in markers)})))")
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    order = sorted(hits)
+    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
+    cases = " ".join(
+        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
+    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return f"""
+with norm as (
+  select doc_id, source,
+         list_distinct([array_to_string(toks[i:i+3], ' ')
+           for i in range(1, greatest(len(toks) - 3, 1) + 1)]) as sh
+  from (select doc_id, source,
+        string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                     ' ') toks
+        from documents)),
+bench_g as (select distinct unnest(sh) as g from norm
+            where source = 'src0'),
+train_g as (select doc_id, unnest(sh) as g from norm
+            where source != 'src0'),
+contam as (select t.doc_id, count(*) n_grams, count(b.g) n_hits
+           from train_g t left join bench_g b on t.g = b.g group by 1),
+clean as (select doc_id from contam
+          where n_hits::DOUBLE / n_grams <= 0.02),
+rt as (select d.doc_id, d.text, d.source,
+              list_filter(string_split_regex(d.text, '\\s+'),
+                          x -> len(x) > 0) t
+       from documents d join clean using (doc_id)),
+bg as (select doc_id, t[i] || ' ' || t[i+1] bigram
+       from rt, unnest(generate_series(1, len(t)-1)) u(i)),
+topbg as (select doc_id, max(cnt) best
+          from (select doc_id, bigram, count(*) cnt from bg
+                group by 1, 2) group by 1),
+kept as (
+  select rt.doc_id, rt.text, rt.source
+  from rt left join topbg using (doc_id)
+  where round(case when len(t) = 0 then 0.0
+              else 1.0 - len(list_distinct(t)) / len(t) end, 4) <= 0.5
+    and round(least(1.0, coalesce(best, 0) * 2.0
+              / greatest(len(t), 1)), 4) <= 0.2),
+toks as (select doc_id, text, source,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) ws
+         from kept),
+s as (
+  select doc_id, source,
+    len(ws)::BIGINT as n_tokens,
+    round(0.4 * (case when len(text) between 50 and 5000
+                 then 1.0 else 0.3 end)
+        + 0.3 * (case when round(len(regexp_replace(
+                   text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / greatest(len(text), 1), 4) <= 0.1
+                 then 1.0 else 0.5 end)
+        + 0.3 * (case when round(len(list_filter(
+                   ws, x -> lower(x) in ({stop_in})))
+                 / greatest(len(ws), 1), 4) between 0.05 and 0.6
+                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {sel},
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      as fingerprint
+  from toks),
+lp as (select *, case when {gst} = 0 then 'und' {cases} end
+       as lang_pred from s),
+gated as (select doc_id, lang_pred, quality, n_tokens, fingerprint
+          from lp where quality >= 0.7 and lang_pred in ('en')),
+dedup as (select * from (select *, row_number() over
+              (partition by fingerprint order by doc_id) as rn
+          from gated) where rn = 1),
+laid as (
+  select doc_id, lang_pred, quality, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+                  rows between unbounded preceding and 1 preceding),
+                  0)::BIGINT as st
+  from dedup)
+select doc_id, lang_pred, quality, n_tokens,
+       (st // 128)::BIGINT as pack_id,
+       (st % 128)::BIGINT as pack_offset,
+       ((case when n_tokens > 0 then (st + n_tokens - 1) // 128
+              else st // 128 end) - st // 128 + 1)::BIGINT as n_packs
+from laid order by doc_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -3513,6 +3615,7 @@ def queries() -> dict:
         "s5_jdbc_roundtrip": q_jdbc_roundtrip,
         "o3_stitch_chain": q_stitch_chain,
         "o4_sampling_orderings": q_sampling_orderings,
+        "x40_curate_corpus": q_curate_corpus,
         # --- green in round 2 ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3674,4 +3777,5 @@ def oracle_sql() -> dict[str, str]:
         "s5_jdbc_roundtrip": SQL_JDBC_ROUNDTRIP,
         "o3_stitch_chain": _qerror_check_sql(O3_BENCH_QUERIES),
         "o4_sampling_orderings": _sql_sampling_orderings(),
+        "x40_curate_corpus": sql_curate_corpus(),
     }
