@@ -1025,6 +1025,44 @@ from best where rn = 1 group by cell order by cell
 """
 
 
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (one Lloyd step) for the IVF quantizer
+    (beyond reference): assignment under the deterministic seed
+    centroids (vec_id < 8) + the per-cell centroid UPDATE
+    (posexplode → groupBy(cell, pos) elementwise mean — map-side
+    combinable, shuffle O(parts·k·d) not O(rows·d)).  Per cell: member
+    count and the updated centroid's element sum (4 dp — float addition
+    order differs between engines at ~1e-14, the rounding absorbs it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents0 = _ivf_seed_centroids(emb)
+    counts = (SIM.ivf_assign(emb, cents0)
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    cents1 = SIM.ivf_train(emb, k=8, iters=1)
+    csum = spark.createDataFrame(
+        [(i, round(sum(v), 4)) for i, v in enumerate(cents1)],
+        "cell int, centroid_sum double")
+    return (counts.join(csum, "cell")
+            .select("cell", "n", "centroid_sum").orderBy("cell"))
+
+
+SQL_KMEANS_ITER = """
+with cents as (
+  select vec_id as cell, embedding::DOUBLE[] as cv
+  from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, e.embedding, c.cell,
+         row_number() over (partition by e.vec_id
+             order by list_dot_product(e.embedding::DOUBLE[], c.cv) desc,
+                      c.cell) as rn
+  from embeddings e cross join cents c),
+a as (select vec_id, cell, embedding from best where rn = 1)
+select cell::INT as cell, count(*)::BIGINT as n,
+       round(sum(list_sum(embedding::DOUBLE[])) / count(*), 4)
+         as centroid_sum
+from a group by cell order by cell
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-10 to vec_id 0's embedding, probing the 2 nearest
     of 8 cells; exact cosine inside the probed cells only."""
@@ -3616,6 +3654,7 @@ def queries() -> dict:
         "o3_stitch_chain": q_stitch_chain,
         "o4_sampling_orderings": q_sampling_orderings,
         "x40_curate_corpus": q_curate_corpus,
+        "x41_kmeans_iter": q_kmeans_iter,
         # --- green in round 2 ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3778,4 +3817,5 @@ def oracle_sql() -> dict[str, str]:
         "o3_stitch_chain": _qerror_check_sql(O3_BENCH_QUERIES),
         "o4_sampling_orderings": _sql_sampling_orderings(),
         "x40_curate_corpus": sql_curate_corpus(),
+        "x41_kmeans_iter": SQL_KMEANS_ITER,
     }
