@@ -184,6 +184,72 @@ def topk_cosine_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
 
 
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class IvfIndex:
+    """Materialized IVF-Flat index: the assigned vectors written
+    PARTITIONED BY cell (a probe's `cell IN (...)` filter becomes
+    partition pruning — the scan touches nprobe/k of the files, the
+    property the in-memory path can only approximate with a pushed
+    predicate), plus the trained centroids."""
+
+    assigned: "DataFrame"
+    centroids: list[list[float]]
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def save(self, path: str) -> None:
+        """Write cells as parquet partitions + centroids through a Spark
+        JSON writer (same one-filesystem rule as ``Bm25Index.save``)."""
+        import os
+        (self.assigned.write.partitionBy("cell")
+         .mode("overwrite").parquet(os.path.join(path, "cells")))
+        spark = self.assigned.sparkSession
+        meta = spark.createDataFrame(
+            [(i, [float(x) for x in c], self.id_col, self.vec_col)
+             for i, c in enumerate(self.centroids)], _IVF_META_SCHEMA)
+        meta.coalesce(1).write.mode("overwrite") \
+            .json(os.path.join(path, "centroids"))
+
+
+_IVF_META_SCHEMA = ("cell int, centroid array<double>, id_col string, "
+                    "vec_col string")
+
+
+def ivf_build_index(df: DataFrame, k: int = 16, iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> IvfIndex:
+    cents = ivf_train(df, k=k, iters=iters, vec_col=vec_col)
+    return IvfIndex(ivf_assign(df, cents, vec_col=vec_col), cents,
+                    id_col, vec_col)
+
+
+def ivf_load_index(spark, path: str) -> IvfIndex:
+    import os
+    rows = (spark.read.schema(_IVF_META_SCHEMA)
+            .json(os.path.join(path, "centroids"))
+            .orderBy("cell").collect())
+    cents = [[float(x) for x in r["centroid"]] for r in rows]
+    return IvfIndex(spark.read.parquet(os.path.join(path, "cells")),
+                    cents, rows[0]["id_col"], rows[0]["vec_col"])
+
+
+def topk_cosine_ivf_indexed(index: IvfIndex, query_vec: list[float],
+                            k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Top-k over the materialized index: identical probe-selection and
+    scoring arithmetic as :func:`topk_cosine_ivf`, but the cell filter
+    lands on the partition column of the saved layout, so the scan reads
+    only the probed cells' files (partition pruning, pinned in tests)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = [(float(q @ np.asarray(c, dtype=np.float64)), i)
+            for i, c in enumerate(index.centroids)]
+    probe = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    cands = index.assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return topk_cosine(cands, query_vec, k, index.id_col, index.vec_col)
+
+
 def derive_lsh_params(n_rows: int, target_bucket_rows: int = 1024,
                       sim: float = 0.95, target_recall: float = 0.9,
                       ) -> tuple[int, int]:

@@ -1099,6 +1099,32 @@ order by cos_sim desc, a.vec_id limit 10
 """
 
 
+def q_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-IVF ANN (beyond reference): the index saves cells as
+    parquet PARTITIONS (probe filter → partition pruning, the 100 TB
+    layout) + centroids through a Spark writer; a save/load round-trip
+    then answers the same probe as the in-memory path — with iters=0 the
+    quantizer equals the seed centroids, so the x16 oracle applies
+    verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.ivf_build_index(emb, k=8, iters=0)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"scardina_ivfidx_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    idx.save(path)
+    loaded = SIM.ivf_load_index(spark, path)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = SIM.topk_cosine_ivf_indexed(loaded, qv, 10, nprobe=2)
+    rows = out.collect()  # materialize before the index dir is removed
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (beyond reference): per event_type,
     approximate distinct users from the 32 smallest md5 hash values —
@@ -3655,6 +3681,7 @@ def queries() -> dict:
         "o4_sampling_orderings": q_sampling_orderings,
         "x40_curate_corpus": q_curate_corpus,
         "x41_kmeans_iter": q_kmeans_iter,
+        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
         # --- green in round 2 ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3818,4 +3845,5 @@ def oracle_sql() -> dict[str, str]:
         "o4_sampling_orderings": _sql_sampling_orderings(),
         "x40_curate_corpus": sql_curate_corpus(),
         "x41_kmeans_iter": SQL_KMEANS_ITER,
+        "x42_ivf_indexed_topk": SQL_IVF_TOPK,
     }

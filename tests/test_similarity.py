@@ -257,3 +257,42 @@ def test_derive_lsh_params_scales_with_corpus():
     p = 1 - math.acos(0.95) / math.pi
     recall = 1 - (1 - p ** r_big) ** b_big
     assert recall >= 0.9
+
+
+def test_ivf_index_roundtrip_matches_scan_path(spark, tables, tmp_path,
+                                               query_vec):
+    idx = S.ivf_build_index(tables["embeddings"], k=8, iters=1)
+    path = str(tmp_path / "ivfidx")
+    idx.save(path)
+    loaded = S.ivf_load_index(spark, path)
+    for a, b in zip(loaded.centroids, idx.centroids):
+        assert np.allclose(a, b, rtol=1e-12)
+    # same probe-selection + scoring against the SAME (loaded) centroids:
+    # the indexed path must reproduce the in-memory path exactly
+    want = S.topk_cosine_ivf(tables["embeddings"], query_vec, 5,
+                             centroids=loaded.centroids, nprobe=2).collect()
+    got = S.topk_cosine_ivf_indexed(loaded, query_vec, 5, nprobe=2)
+    rows = got.collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in want]
+    for a, b in zip(rows, want):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tables, tmp_path,
+                                             query_vec):
+    """The scale claim, pinned: the saved layout has one directory per
+    cell, and a probe's scan carries the cell filter as a PARTITION
+    filter (pruning whole directories), not a mere data filter."""
+    import os
+
+    idx = S.ivf_build_index(tables["embeddings"], k=8, iters=1)
+    path = str(tmp_path / "ivfidx")
+    idx.save(path)
+    dirs = [d for d in os.listdir(os.path.join(path, "cells"))
+            if d.startswith("cell=")]
+    assert len(dirs) == 8
+    loaded = S.ivf_load_index(spark, path)
+    got = S.topk_cosine_ivf_indexed(loaded, query_vec, 5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf and "IN" in pf.upper()
