@@ -1854,6 +1854,82 @@ from laid order by doc_id
 """
 
 
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (beyond reference): documents stream
+    through the stateless quality/language/repetition gates, then a
+    stateful lowest-id-per-fingerprint dedup (applyInPandasWithState,
+    update mode) admits each content fingerprint once.  Drained with
+    availableNow; must equal the batch gates + min(doc_id) per
+    fingerprint."""
+    from .streaming.curate import curate_doc_stream, read_documents_stream
+    from .streaming.events import run_to_memory_sink
+
+    st = read_documents_stream(spark, sf_dir)
+    out = run_to_memory_sink(curate_doc_stream(st), "q_stream_curate",
+                             output_mode="update")
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "fingerprint", "n_tokens", "quality", "lang_pred")
+            .orderBy("doc_id"))
+
+
+def sql_stream_curate() -> str:
+    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
+    hits = {
+        lang: (f"len(list_filter(ws, x -> lower(x) in "
+               f"({','.join(repr(w) for w in markers)})))")
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    order = sorted(hits)
+    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
+    cases = " ".join(
+        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
+    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return f"""
+with rt as (
+  select doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> len(x) > 0) t
+  from documents),
+bg as (select doc_id, t[i] || ' ' || t[i+1] bigram
+       from rt, unnest(generate_series(1, len(t)-1)) u(i)),
+topbg as (select doc_id, max(cnt) best
+          from (select doc_id, bigram, count(*) cnt from bg
+                group by 1, 2) group by 1),
+rep as (
+  select rt.doc_id, rt.text, rt.t as ws
+  from rt left join topbg using (doc_id)
+  where round(case when len(t) = 0 then 0.0
+              else 1.0 - len(list_distinct(t)) / len(t) end, 4) <= 0.5
+    and round(least(1.0, coalesce(best, 0) * 2.0
+              / greatest(len(t), 1)), 4) <= 0.2),
+s as (
+  select doc_id,
+    len(ws)::BIGINT as n_tokens,
+    round(0.4 * (case when len(text) between 50 and 5000
+                 then 1.0 else 0.3 end)
+        + 0.3 * (case when round(len(regexp_replace(
+                   text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / greatest(len(text), 1), 4) <= 0.1
+                 then 1.0 else 0.5 end)
+        + 0.3 * (case when round(len(list_filter(
+                   ws, x -> lower(x) in ({stop_in})))
+                 / greatest(len(ws), 1), 4) between 0.05 and 0.6
+                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {sel},
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      as fingerprint
+  from rep),
+lp as (select *, case when {gst} = 0 then 'und' {cases} end
+       as lang_pred from s),
+gated as (select doc_id, fingerprint, n_tokens, quality, lang_pred
+          from lp where quality >= 0.7 and lang_pred in ('en')),
+win as (select *, row_number() over
+            (partition by fingerprint order by doc_id) as rn from gated)
+select doc_id, fingerprint, n_tokens, quality, lang_pred
+from win where rn = 1 order by doc_id
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (absent in the reference, SURVEY §2.3): per market
     segment, customers with at least one order (left_semi) and with none
@@ -3682,6 +3758,7 @@ def queries() -> dict:
         "x40_curate_corpus": q_curate_corpus,
         "x41_kmeans_iter": q_kmeans_iter,
         "x42_ivf_indexed_topk": q_ivf_indexed_topk,
+        "st10_stream_curate": q_stream_curate,
         # --- green in round 2 ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3846,4 +3923,5 @@ def oracle_sql() -> dict[str, str]:
         "x40_curate_corpus": sql_curate_corpus(),
         "x41_kmeans_iter": SQL_KMEANS_ITER,
         "x42_ivf_indexed_topk": SQL_IVF_TOPK,
+        "st10_stream_curate": sql_stream_curate(),
     }

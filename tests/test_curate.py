@@ -61,3 +61,54 @@ def test_pipeline_is_one_lazy_jvm_plan(spark, tables):
     plan = (curate_corpus(tables["documents"], seq_len=128)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
+
+
+def test_stream_curate_revises_and_suppresses(spark, tmp_path):
+    """Stateful fingerprint dedup across micro-batches: a later batch
+    with a LOWER doc id revises the key (update emitted); a replay of an
+    already-beaten id emits nothing."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scardina_spark.streaming.curate import curate_doc_stream
+    from scardina_spark.streaming.events import run_to_memory_sink
+
+    other = ("a completely different clean document with many various "
+             "plain common words that score well on every quality rule "
+             "and the text keeps going for a while longer")
+    d = str(tmp_path)
+
+    def write(name, rows, mtime):
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                         type=pa.int64()),
+                      "text": [r[1] for r in rows],
+                      "source": [r[2] for r in rows]})
+        p = os.path.join(d, name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    write("documents.parquet", [(5, GOOD, "web")], now - 30)
+    write("documents-2.parquet", [(3, GOOD, "web"), (9, other, "web")],
+          now - 20)
+    write("documents-3.parquet", [(5, GOOD, "web")], now - 10)
+
+    schema = spark.read.parquet(os.path.join(d, "documents.parquet")).schema
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "documents*.parquet").parquet(d))
+    out = run_to_memory_sink(curate_doc_stream(st),
+                             "t_stream_curate_rev", output_mode="update")
+    rows = out.collect()
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    assert len(by_fp) == 2
+    good_fp = [fp for fp, ids in by_fp.items() if 5 in ids or 3 in ids][0]
+    # batch 1 admitted 5, batch 2 revised to 3, batch 3's replay of 5
+    # was suppressed — exactly two updates for the duplicated content
+    assert by_fp[good_fp] == [5, 3]
+    assert sum(len(v) for v in by_fp.values()) == 3
