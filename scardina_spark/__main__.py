@@ -188,10 +188,9 @@ def cmd_curate(args) -> int:
     """Run the composed curation pipeline (decontam → repetition gate →
     quality/lang/dedup/budget → packing) over the documents table and
     write the packed selection as parquet."""
-    from pyspark.sql import functions as F
-
     from .catalog import load_table
     from .operators.curate import curate_corpus
+    from .operators.packing import pack_stats
     spark = _spark()
     docs = load_table(spark, args.sf_dir, "documents")
     out = curate_corpus(
@@ -202,13 +201,10 @@ def cmd_curate(args) -> int:
         token_budget=args.token_budget)
     out.orderBy("doc_id").write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
-    stats = back.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        (F.max(F.col("pack_id") + F.col("n_packs") - 1) + 1)
-        .alias("n_packs")).first()
-    print(json.dumps({"out": args.out, "n_docs": int(stats["n_docs"]),
-                      "n_tokens": int(stats["n_tokens"] or 0),
+    n_docs = back.count()
+    stats = pack_stats(back, args.seq_len).first()
+    print(json.dumps({"out": args.out, "n_docs": int(n_docs),
+                      "n_tokens": int(stats["total_tokens"] or 0),
                       "n_packs": int(stats["n_packs"] or 0),
                       "seq_len": args.seq_len}))
     return 0

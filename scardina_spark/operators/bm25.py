@@ -163,8 +163,17 @@ _META_SCHEMA = "n_docs long, avgdl double, id_col string"
 
 def bm25_load_index(spark, path: str) -> Bm25Index:
     import os
-    meta = spark.read.schema(_META_SCHEMA) \
-        .json(os.path.join(path, "meta")).first()
+    legacy = os.path.join(path, "meta.json")
+    if os.path.exists(legacy):
+        # index written by the earlier driver-local-meta format
+        import json
+        with open(legacy) as f:
+            m = json.load(f)
+        meta = {"n_docs": m["n_docs"], "avgdl": m["avgdl"],
+                "id_col": m["id_col"]}
+    else:
+        meta = spark.read.schema(_META_SCHEMA) \
+            .json(os.path.join(path, "meta")).first()
     return Bm25Index(
         postings=spark.read.parquet(os.path.join(path, "postings")),
         term_df=spark.read.parquet(os.path.join(path, "term_df")),

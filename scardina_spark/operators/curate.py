@@ -58,9 +58,11 @@ def curate_corpus(docs: DataFrame, seq_len: int = 128,
     sel = select_training_corpus(kept, min_quality=min_quality,
                                  langs=langs, token_budget=token_budget,
                                  col=text_col)
-    packed = pack_sequences(
-        docs.join(sel.select(id_col), id_col, "left_semi"), seq_len,
-        id_col=id_col, text_col=text_col)
+    # sel already carries the token counts — packing the selection frame
+    # (n_tokens_col) avoids a second scan + re-tokenization of the
+    # corpus-sized docs table
+    packed = pack_sequences(sel, seq_len, id_col=id_col,
+                            n_tokens_col="n_tokens")
     return (packed
             .join(sel.select(id_col, "lang_pred", "quality"), id_col)
             .select(id_col, "lang_pred", "quality", "n_tokens",

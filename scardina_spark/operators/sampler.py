@@ -68,8 +68,13 @@ def weighted_sample_with_replacement(
     (Arrow-batched numpy).  A partition is materialized in pandas to draw
     from it, so partition sizing (``spark.sql.files.maxPartitionBytes``)
     bounds executor memory exactly as for any other Arrow exchange.
-    ``order_cols``/``n_buckets`` are accepted for API stability; draw
-    determinism comes from the persisted partition layout + fixed seed.
+    ``order_cols`` stabilizes the draw: each partition batch is sorted by
+    these columns before indexing, so the seeded draw is independent of
+    within-partition ARRIVAL order — a partition recomputed after cache
+    loss (shuffle outputs replay rows in nondeterministic order) yields
+    the same rows.  Partition MEMBERSHIP is deterministic by itself
+    (hash shuffles + scan splits).  ``n_buckets`` is accepted for API
+    stability.
 
     ``uniform=True`` asserts every weight is the same positive constant
     (the fact-rooted fast path, where all weights are 1): the per-partition
@@ -79,15 +84,16 @@ def weighted_sample_with_replacement(
     deterministic partition membership (a scan, optionally behind the
     loader's sort-stabilized round-robin rebalance — no joins or
     aggregations upstream), so both passes see the same partition
-    contents; within-partition order may differ between passes, which
-    only a weighted draw would notice.
+    contents; the ``order_cols`` sort neutralizes any within-partition
+    order difference between the passes.
 
-    The weighted path persists the filtered input for two-pass
-    determinism (the totals pass and the draw pass must see identical
-    partition contents).  Pass ``cache_out`` (a list) to receive that
-    handle — the caller should ``unpersist()`` it once the draw has
-    materialized, or the (root-table-sized) cache lives for the session
-    (the ``prefix.with_prefix_sum`` pattern).
+    The weighted path persists the filtered input so the totals pass and
+    the draw pass share one materialization (a performance choice — with
+    the ``order_cols`` sort the draw is correct under recompute too).
+    Pass ``cache_out`` (a list) to receive that handle — the caller
+    should ``unpersist()`` it once the draw has materialized, or the
+    (root-table-sized) cache lives for the session (the
+    ``prefix.with_prefix_sum`` pattern).
     """
     if uniform:
         pos = df.withColumn(PID, F.spark_partition_id())
@@ -120,6 +126,7 @@ def weighted_sample_with_replacement(
 
     safe, mapping = _safe_names(pos)
     w_safe, pid_safe = mapping[weight_col], mapping[PID]
+    sort_safe = [mapping[c] for c in (order_cols or []) if c in mapping]
     schema = StructType(safe.schema.fields + [StructField(SAMPLE_ID, LongType())])
 
     def draw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -128,6 +135,9 @@ def weighted_sample_with_replacement(
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True)
+        if sort_safe:
+            pdf = pdf.sort_values(sort_safe, kind="mergesort",
+                                  ignore_index=True)
         pid = int(pdf[pid_safe].iloc[0])
         k = b_quota.value.get(pid, 0)
         if k <= 0:

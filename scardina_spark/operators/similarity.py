@@ -162,6 +162,17 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
     return centroids
 
 
+def _probe_cells(centroids: list[list[float]], query_vec: list[float],
+                 nprobe: int) -> list[int]:
+    """The ``nprobe`` cells whose centroids score highest against the
+    query (ties → lowest cell id) — shared by the in-memory and
+    materialized-index probe paths so they cannot diverge."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = [(float(q @ np.asarray(c, dtype=np.float64)), i)
+            for i, c in enumerate(centroids)]
+    return [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+
 def topk_cosine_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
                     centroids: list[list[float]] | None = None,
                     nprobe: int = 2, id_col: str = "vec_id",
@@ -175,10 +186,7 @@ def topk_cosine_ivf(df: DataFrame, query_vec: list[float], k: int = 10,
     """
     if centroids is None:
         centroids = ivf_train(df, vec_col=vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    sims = [(float(q @ np.asarray(c, dtype=np.float64)), i)
-            for i, c in enumerate(centroids)]
-    probe = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    probe = _probe_cells(centroids, query_vec, nprobe)
     assigned = ivf_assign(df, centroids, vec_col=vec_col)
     cands = assigned.where(F.col("cell").isin(probe)).drop("cell")
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
@@ -242,10 +250,7 @@ def topk_cosine_ivf_indexed(index: IvfIndex, query_vec: list[float],
     scoring arithmetic as :func:`topk_cosine_ivf`, but the cell filter
     lands on the partition column of the saved layout, so the scan reads
     only the probed cells' files (partition pruning, pinned in tests)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    sims = [(float(q @ np.asarray(c, dtype=np.float64)), i)
-            for i, c in enumerate(index.centroids)]
-    probe = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    probe = _probe_cells(index.centroids, query_vec, nprobe)
     cands = index.assigned.where(F.col("cell").isin(probe)).drop("cell")
     return topk_cosine(cands, query_vec, k, index.id_col, index.vec_col)
 

@@ -735,6 +735,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _sql_quality_expr() -> str:
+    """DuckDB text of the quality formula over columns ``(text, ws)`` —
+    ONE rendering shared by every oracle that scores quality (x5, x24,
+    x40, st10), so the formula cannot drift between oracles."""
+    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
+    return f"""round(0.4 * (case when len(text) between 50 and 5000 then 1.0 else 0.3 end)
+      + 0.3 * (case when round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / greatest(len(text), 1), 4) <= 0.1 then 1.0 else 0.5 end)
+      + 0.3 * (case when round(len(list_filter(ws, x -> lower(x) in ({stop_in})))
+                           / greatest(len(ws), 1), 4) between 0.05 and 0.6
+               then 1.0 else 0.5 end), 4)::DOUBLE"""
+
+
+def _sql_lang_parts() -> tuple[str, str, str]:
+    """``(sel, gst, cases)`` fragments for the lang-ID marker argmax —
+    shared by x6/x24/x40/st10 (`order` sorted = the operator's
+    first-argmax tie-break)."""
+    hits = {
+        lang: (f"len(list_filter(ws, x -> lower(x) in "
+               f"({','.join(repr(w) for w in markers)})))")
+        for lang, markers in TS.LANG_MARKERS.items()
+    }
+    order = sorted(hits)
+    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
+    cases = " ".join(
+        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
+    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return sel, gst, cases
+
+
 SQL_TEXT_STATS = f"""
 with toks as (
   select doc_id, text,
@@ -747,13 +777,7 @@ select doc_id,
         / greatest(len(text), 1), 4) as punct_ratio,
   round(len(list_filter(ws, x -> lower(x) in ({','.join(repr(w) for w in TS.STOPWORDS)})))
         / greatest(len(ws), 1), 4) as stopword_ratio,
-  round(0.4 * (case when len(text) between 50 and 5000 then 1.0 else 0.3 end)
-      + 0.3 * (case when round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / greatest(len(text), 1), 4) <= 0.1 then 1.0 else 0.5 end)
-      + 0.3 * (case when round(len(list_filter(ws, x -> lower(x) in
-                    ({','.join(repr(w) for w in TS.STOPWORDS)})))
-                           / greatest(len(ws), 1), 4) between 0.05 and 0.6
-               then 1.0 else 0.5 end), 4)::DOUBLE as quality
+  {_sql_quality_expr()} as quality
 from toks order by doc_id
 """
 
@@ -765,16 +789,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_lang_id() -> str:
-    hits = {
-        lang: (f"len(list_filter(ws, x -> lower(x) in "
-               f"({','.join(repr(w) for w in markers)})))")
-        for lang, markers in TS.LANG_MARKERS.items()
-    }
-    order = sorted(hits)  # matches the operator's first-argmax tie-break
-    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
-    cases = " ".join(
-        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
-    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    sel, gst, cases = _sql_lang_parts()
     return f"""
 with toks as (
   select doc_id,
@@ -847,17 +862,7 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_training_corpus() -> str:
-    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
-    hits = {
-        lang: (f"len(list_filter(ws, x -> lower(x) in "
-               f"({','.join(repr(w) for w in markers)})))")
-        for lang, markers in TS.LANG_MARKERS.items()
-    }
-    order = sorted(hits)
-    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
-    cases = " ".join(
-        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
-    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    sel, gst, cases = _sql_lang_parts()
     return f"""
 with toks as (
   select doc_id, text, source,
@@ -866,12 +871,7 @@ with toks as (
 s as (
   select doc_id, source,
     len(ws)::BIGINT as n_tokens,
-    round(0.4 * (case when len(text) between 50 and 5000 then 1.0 else 0.3 end)
-        + 0.3 * (case when round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                             / greatest(len(text), 1), 4) <= 0.1 then 1.0 else 0.5 end)
-        + 0.3 * (case when round(len(list_filter(ws, x -> lower(x) in ({stop_in})))
-                             / greatest(len(ws), 1), 4) between 0.05 and 0.6
-                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {_sql_quality_expr()} as quality,
     {sel},
     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint
   from toks),
@@ -1038,9 +1038,11 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (SIM.ivf_assign(emb, cents0)
               .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
     cents1 = SIM.ivf_train(emb, k=8, iters=1)
+    # F.round (HALF_UP, matching DuckDB) — NOT Python round (half-even)
     csum = spark.createDataFrame(
-        [(i, round(sum(v), 4)) for i, v in enumerate(cents1)],
-        "cell int, centroid_sum double")
+        [(i, float(sum(v))) for i, v in enumerate(cents1)],
+        "cell int, raw double").select(
+        "cell", F.round("raw", 4).alias("centroid_sum"))
     return (counts.join(csum, "cell")
             .select("cell", "n", "centroid_sum").orderBy("cell"))
 
@@ -1488,7 +1490,8 @@ def _stream_state_dir(kind: str, sf_dir: str) -> str:
     plan construction) reuse ONE directory instead of leaking a fresh
     ``mkdtemp`` per call.  The pid suffix keeps two concurrent processes
     (e.g. bench + a contract run on one box) from clobbering each
-    other's checkpoint mid-run."""
+    other's checkpoint mid-run; an atexit hook removes this process's
+    dirs so dead pids don't accumulate state under tmp."""
     import hashlib
     import os
     import shutil
@@ -1498,7 +1501,21 @@ def _stream_state_dir(kind: str, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(),
                      f"scardina_{kind}_{tag}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
+    _register_stream_state_cleanup(d)
     return d
+
+
+_STREAM_STATE_DIRS: set = set()
+
+
+def _register_stream_state_cleanup(d: str) -> None:
+    import atexit
+    import shutil
+
+    if not _STREAM_STATE_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _STREAM_STATE_DIRS])
+    _STREAM_STATE_DIRS.add(d)
 
 
 def q_stream_fk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,17 +1784,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_curate_corpus() -> str:
-    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
-    hits = {
-        lang: (f"len(list_filter(ws, x -> lower(x) in "
-               f"({','.join(repr(w) for w in markers)})))")
-        for lang, markers in TS.LANG_MARKERS.items()
-    }
-    order = sorted(hits)
-    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
-    cases = " ".join(
-        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
-    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    sel, gst, cases = _sql_lang_parts()
     return f"""
 with norm as (
   select doc_id, source,
@@ -1818,16 +1825,7 @@ toks as (select doc_id, text, source,
 s as (
   select doc_id, source,
     len(ws)::BIGINT as n_tokens,
-    round(0.4 * (case when len(text) between 50 and 5000
-                 then 1.0 else 0.3 end)
-        + 0.3 * (case when round(len(regexp_replace(
-                   text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / greatest(len(text), 1), 4) <= 0.1
-                 then 1.0 else 0.5 end)
-        + 0.3 * (case when round(len(list_filter(
-                   ws, x -> lower(x) in ({stop_in})))
-                 / greatest(len(ws), 1), 4) between 0.05 and 0.6
-                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {_sql_quality_expr()} as quality,
     {sel},
     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
       as fingerprint
@@ -1864,26 +1862,25 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.curate import curate_doc_stream, read_documents_stream
     from .streaming.events import run_to_memory_sink
 
+    from pyspark.sql import Window
+
     st = read_documents_stream(spark, sf_dir)
     out = run_to_memory_sink(curate_doc_stream(st), "q_stream_curate",
                              output_mode="update")
-    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
-                       "fingerprint", "n_tokens", "quality", "lang_pred")
+    # The update-mode memory sink keeps the per-key REVISION HISTORY
+    # (a multi-file source can admit doc 5 in batch 1 and revise to
+    # doc 3 in batch 2); the corpus view is the final state — the
+    # lowest-id row per fingerprint.
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (out.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1).drop("__rn__")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "fingerprint", "n_tokens", "quality", "lang_pred")
             .orderBy("doc_id"))
 
 
 def sql_stream_curate() -> str:
-    stop_in = ",".join(repr(w) for w in TS.STOPWORDS)
-    hits = {
-        lang: (f"len(list_filter(ws, x -> lower(x) in "
-               f"({','.join(repr(w) for w in markers)})))")
-        for lang, markers in TS.LANG_MARKERS.items()
-    }
-    order = sorted(hits)
-    gst = "greatest(" + ", ".join(f"h_{lang}" for lang in order) + ")"
-    cases = " ".join(
-        f"when h_{lang} = {gst} then '{lang}'" for lang in order)
-    sel = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    sel, gst, cases = _sql_lang_parts()
     return f"""
 with rt as (
   select doc_id, text,
@@ -1905,16 +1902,7 @@ rep as (
 s as (
   select doc_id,
     len(ws)::BIGINT as n_tokens,
-    round(0.4 * (case when len(text) between 50 and 5000
-                 then 1.0 else 0.3 end)
-        + 0.3 * (case when round(len(regexp_replace(
-                   text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / greatest(len(text), 1), 4) <= 0.1
-                 then 1.0 else 0.5 end)
-        + 0.3 * (case when round(len(list_filter(
-                   ws, x -> lower(x) in ({stop_in})))
-                 / greatest(len(ws), 1), 4) between 0.05 and 0.6
-                 then 1.0 else 0.5 end), 4)::DOUBLE as quality,
+    {_sql_quality_expr()} as quality,
     {sel},
     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
       as fingerprint
