@@ -148,3 +148,44 @@ def test_jobm_10x_scale_smoke(spark):
             F.col(fk) == F.col("s_suppkey")).count()
         assert truth > 0
         assert max(e / truth, truth / e) < 1.5, (fk, e, truth)
+
+
+def test_curate_pipeline_scales_linearly(spark):
+    """The composed curation pipeline at 20x documents (~100k docs at
+    sf0.1): wall-clock must scale roughly linearly and the survivor
+    count must scale with the corpus (the gates are per-document, the
+    dedup and packing shuffles are O(survivors))."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_base = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(20).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           # shift ids AND make the replicated text distinct, otherwise
+           # the fingerprint dedup collapses every replica to one row
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_base)
+           .withColumn("text", F.concat_ws(" ", "text",
+                                           F.concat(F.lit("rep"),
+                                                    F.col("__rep__"))))
+           .drop("__rep__"))
+
+    t0 = time.perf_counter()
+    base_n = curate_corpus(docs, seq_len=128).count()
+    base_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big_n = curate_corpus(big, seq_len=128).count()
+    big_s = time.perf_counter() - t0
+
+    assert base_n > 0
+    # every replica's text passes the same gates (the suffix token does
+    # not change quality bands or language) and fingerprints are unique,
+    # so survivors scale ~20x
+    assert big_n >= 10 * base_n
+    # generous linearity bound: 20x input in < 20x wall (fixed per-stage
+    # overheads amortize; a quadratic stage would blow far past this)
+    assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
+    print(f"curate 20x: {n_docs} -> {n_docs * 20} docs, "
+          f"{base_n} -> {big_n} survivors, {base_s:.1f}s -> {big_s:.1f}s")
