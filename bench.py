@@ -421,7 +421,7 @@ def main() -> None:
     nar = timed("nar_train", lambda: train_single_table(
         li, ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
         TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42),
-        sample_size=1000))
+        sample_size=1000, id_cols=["l_orderkey", "l_linenumber"]))
     nar_qerrs, nar_ms = [], []
     for sql in NAR_BENCH_QUERIES.values():
         t0 = time.perf_counter()

@@ -65,9 +65,22 @@ def training_matrix(df: DataFrame, columns: list[str],
                     max_rows: int = 200_000, seed: int = 42,
                     dictionaries: dict[str, DataFrame] | None = None,
                     cont_log2: set[str] | None = None,
+                    id_cols: list[str] | None = None,
                     ) -> tuple[np.ndarray, dict[str, ColumnDomain]]:
     """Dictionary-encode ``columns`` and collect an int64 matrix [n, C]
     (row-capped by deterministic sample) plus the collected domains.
+
+    ``id_cols`` names a unique row key; the cap then selects the
+    ``max_rows`` smallest seeded hashes of that key (a monotone
+    hash-Bernoulli prefilter — a pure projection at any input scale —
+    followed by an exact top-k on the ~max_rows survivors) and the
+    collected matrix is sorted by (hash, key): the matrix is then
+    IDENTICAL regardless of partition layout or arrival order, so every
+    learned model downstream is reproducible across sessions (the same
+    layout-independence the sampler's order_cols sort gives draws).
+    Without ``id_cols`` the cap falls back to the seeded Bernoulli
+    ``sample()``, whose selection depends on within-partition row
+    order.
 
     ``dictionaries`` injects pre-built per-column dictionaries — the
     cross-subschema consistency mechanism (reference analog: the shared
@@ -93,16 +106,41 @@ def training_matrix(df: DataFrame, columns: list[str],
         if c not in cont and injected is not None:
             injected_doms[c] = collect_domain(injected, c)
 
-    proj = df.select(*[F.col(f"`{c}`") for c in columns])
-    n = proj.count()
-    if n > max_rows:
-        proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05), seed=seed) \
-            .limit(max_rows)
+    sel = [F.col(f"`{c}`") for c in columns]
+    if id_cols:
+        idn = [f"__id{i}__" for i in range(len(id_cols))]
+        hcol = F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in id_cols],
+                                 F.lit(seed)), F.lit(1 << 32))
+        proj = df.select(*sel,
+                         *[F.col(f"`{c}`").alias(a)
+                           for c, a in zip(id_cols, idn)],
+                         hcol.alias("__h__"))
+        n = proj.count()
+        if n > max_rows:
+            thr = int(min(1.0, max_rows / n * 1.05) * (1 << 32))
+            proj = proj.where(F.col("__h__") < thr)
+    else:
+        idn = []
+        proj = df.select(*sel)
+        n = proj.count()
+        if n > max_rows:
+            proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05),
+                               seed=seed).limit(max_rows)
     for c, dom in injected_doms.items():
         if isinstance(dom, DistributedDomain):
             proj = encode_with_dictionary(proj, c, dom.dictionary,
                                           broadcast=False)
     pdf = proj.toPandas()
+    if id_cols:
+        # canonical row order (and the exact top-k cut) driver-side: the
+        # distributed-dictionary join above scrambles Spark-side order.
+        # Data columns break ties when ``id_cols`` is not a strict key
+        # (rows identical in key AND data are interchangeable — either
+        # order yields the same matrix).
+        pdf = (pdf.sort_values(["__h__", *idn, *columns],
+                               kind="mergesort", ignore_index=True)
+               .head(max_rows).drop(columns=["__h__", *idn])
+               .reset_index(drop=True))
     # domains insertion order must follow `columns` (training order)
     domains: dict[str, ColumnDomain] = {}
     codes_cols: list[np.ndarray] = []
@@ -205,6 +243,7 @@ def train_single_table(df: DataFrame, columns: list[str],
                        fact_threshold: int | None = None,
                        arch: str = "mlp",
                        dictionaries: dict[str, DataFrame] | None = None,
+                       id_cols: list[str] | None = None,
                        ) -> NarEstimator:
     """End-to-end: encode with Spark, train the NAR-MLP, return the
     progressive-sampling estimator.
@@ -218,7 +257,8 @@ def train_single_table(df: DataFrame, columns: list[str],
 
     cfg = cfg or TrainConfig()
     codes, domains = training_matrix(df, columns, max_rows, cfg.seed,
-                                     dictionaries=dictionaries)
+                                     dictionaries=dictionaries,
+                                     id_cols=id_cols)
 
     bins: list[tuple[str, int]] = []
     mat_cols: list[np.ndarray] = []

@@ -355,9 +355,12 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
 
     columns = list(data_columns) + markers + informative
     cont = frozenset(informative) if cont_fanout else frozenset()
+    # __sample_id__ is the sample's unique key: the id-hash cap makes
+    # the training matrix (hence the model) layout-independent
     codes, domains = training_matrix(samp, columns, max_rows, cfg.seed,
                                      dictionaries=dictionaries,
-                                     cont_log2=set(cont))
+                                     cont_log2=set(cont),
+                                     id_cols=["__sample_id__"])
     bins: list[tuple[str, int]] = []
     mat_cols: list[np.ndarray] = []
     groups: dict[str, ColumnGroup] = {}

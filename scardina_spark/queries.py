@@ -2253,7 +2253,8 @@ def q_nar_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
     cfg = TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
-    nar = train_single_table(li, cols, cfg, sample_size=1000)
+    nar = train_single_table(li, cols, cfg, sample_size=1000,
+                             id_cols=["l_orderkey", "l_linenumber"])
     exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
     return _qerror_check_df(spark, nar.estimate, exact,
                             NAR_BENCH_QUERIES, 3.0)
@@ -2334,7 +2335,8 @@ def q_trm_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
     cfg = TrmConfig(epochs=8, d_word=12, d_ff=48, batch_size=1024,
                     seed=42, n_blocks=1, n_heads=2)
-    nar = train_single_table(li, cols, cfg, sample_size=1000, arch="trm")
+    nar = train_single_table(li, cols, cfg, sample_size=1000, arch="trm",
+                             id_cols=["l_orderkey", "l_linenumber"])
     exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
     return _qerror_check_df(spark, nar.estimate, exact,
                             NAR_BENCH_QUERIES, 3.0)
@@ -2359,7 +2361,9 @@ def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity"]
     base = TrainConfig(epochs=4, batch_size=1024, seed=42)
     codes, domains = training_matrix(li, cols, max_rows=20_000,
-                                     seed=base.seed)
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
     bins = [(c, domains[c].dom_size) for c in cols]
     d_words, d_ffs = (8, 16), (32, 64)
     best_model, trials = grid_search(bins, codes, base,
@@ -2586,7 +2590,8 @@ def q_sampling_orderings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
     cfg = TrainConfig(epochs=10, d_word=12, d_ff=48, batch_size=1024,
                       seed=42)
-    nar = train_single_table(li, cols, cfg, sample_size=1000)
+    nar = train_single_table(li, cols, cfg, sample_size=1000,
+                             id_cols=["l_orderkey", "l_linenumber"])
     exact = ExactEstimator(build_tpch_schema(), {"lineitem": li})
     sql = NAR_BENCH_QUERIES["n3_conj"]
     t = exact.estimate(sql)

@@ -150,3 +150,23 @@ def test_huge_dictionary_never_collects_values(spark):
     m = valid_mask(dom, [Predicate("v", "=", 12345)])
     assert m.sum() == 1.0
     assert m[12345 + 2] == 1.0           # code = sorted position + 2
+
+
+def test_training_matrix_layout_independent_with_id_cols(tables):
+    """With id_cols, the capped training matrix must be IDENTICAL no
+    matter how the input is partitioned or ordered — the property that
+    makes every learned model reproducible across sessions."""
+    from scardina_spark.model.bridge import training_matrix
+
+    li = tables["lineitem"]
+    ids = ["l_orderkey", "l_linenumber"]
+    cols = ["l_returnflag", "l_quantity"]
+    a, _ = training_matrix(li, cols, max_rows=500, seed=7, id_cols=ids)
+    # adversarial layouts: round-robin repartition and a reversed sort
+    b, _ = training_matrix(li.repartition(7), cols, max_rows=500,
+                           seed=7, id_cols=ids)
+    c, _ = training_matrix(li.orderBy(F.desc("l_orderkey")), cols,
+                           max_rows=500, seed=7, id_cols=ids)
+    assert a.shape == (500, 2)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
