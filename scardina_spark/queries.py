@@ -3679,21 +3679,79 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01 and r02 each recorded exactly 50
-    # rows).  Round-3 order: the two r02 hash-fails (oracle casts now
-    # fixed) first, then the two new keys (e7/e8), then the 48 keys whose
-    # only green row is from round 1 so regressions can't hide behind the
-    # cap.  x19/x36 close that block (positions 51-52, may spill to next
-    # round): both exercise the same monotone-hash machinery as x18,
-    # which stays inside the cap.  Key names are stable across rounds.
+    # first ~50 entries in order (r01-r03 each recorded exactly 50 rows).
+    # Round-4 order: the 9 keys that have never received a driver row
+    # (capped out in round 3) go first, then keys whose only green row is
+    # from round 2 fill the remaining 41 in-cap slots so the oldest
+    # verifications are refreshed.  Everything green in round 3 spills
+    # past the cap (freshly verified; rotate back in later rounds).  Key
+    # names are stable across rounds.
     return {
-        # --- r02 hash-fail re-checks (oracle ::BIGINT casts fixed) ---
+        # --- never driver-checked (round-3 cap spillover): verify now ---
+        "s2_stage_sinks": q_stage_sinks,
+        "s3_benchmark_csv": q_benchmark_csv,
+        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
+        "o3_stitch_chain": q_stitch_chain,
+        "o4_sampling_orderings": q_sampling_orderings,
+        "x40_curate_corpus": q_curate_corpus,
+        "x41_kmeans_iter": q_kmeans_iter,
+        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
+        "st10_stream_curate": q_stream_curate,
+        # --- green only in round 2: re-verify ---
+        "x27_repetition": q_repetition_stats,
+        "j10_semi_anti": q_semi_anti_join,
+        "a9_cube": q_cube_agg,
+        "a10_window_funcs": q_window_funcs,
+        "o2_set_ops": q_set_ops,
+        "x10_media_meta": q_media_meta,
+        "x22_frame_sample": q_frame_sample,
+        "x23_resize_batch": q_resize_batch,
+        "a11_pricing_summary": q_pricing_summary,
+        "a12_region_revenue": q_region_revenue,
+        "a13_ship_priority": q_ship_priority,
+        "a14_promo_revenue": q_promo_revenue,
+        "a19_rollup": q_rollup_agg,
+        "a20_pivot": q_pivot_counts,
+        "a23_event_funnel": q_event_funnel,
+        "x29_quantile_sketch": q_quantile_sketch,
+        "x30_salted_agg": q_salted_agg,
+        "x31_bm25_topk": q_bm25_topk,
+        "x32_hybrid_search": q_hybrid_search,
+        "x34_latest_per_key": q_latest_per_key,
+        "x35_profile": q_profile_table,
+        "x11_near_dup": q_near_dup,
+        "x12_incremental_counts": q_incremental_counts,
+        "x13_dup_groups": q_dup_groups,
+        "x14_asof_join": q_asof_join,
+        "j4_join_sample": q_join_sample,
+        "e1_estimate_qerror": q_estimate_qerror,
+        "e2_nar_qerror": q_nar_qerror,
+        "e3_nar_ur_qerror": q_nar_ur_qerror,
+        "e4_nar_cin_qerror": q_nar_cin_qerror,
+        "e5_perror": q_perror,
+        "e6_jobm_qerror": q_jobm_qerror,
+        "x20_range_join": q_range_join,
+        "x26_heavy_hitters": q_heavy_hitters,
+        "x37_decontam": q_decontam,
+        "x38_pii_scrub": q_pii_scrub,
+        "a26_sole_late_supplier": q_sole_late_supplier,
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
+        "a28_nation_revenue_share": q_nation_revenue_share,
+        "x39_pack_sequences": q_pack_sequences,
+        "st9_stream_quantiles": q_stream_quantiles,
+        # --- beyond the ~50-row cap: r02-green spillover ---
+        "a15_priority_orders": q_priority_orders,
+        "a16_large_orders": q_large_orders,
+        "a17_brand_supplier_count": q_brand_supplier_count,
+        "a18_disjunctive_revenue": q_disjunctive_revenue,
+        "a21_cheapest_supplier": q_cheapest_supplier,
+        "a22_idle_rich_customers": q_idle_rich_customers,
+        "a24_returned_revenue": q_returned_revenue,
+        # --- freshly green in round 3 ---
         "a25_late_shipment_priority": q_late_shipment_priority,
         "x33_simsel_card": q_simsel_card,
-        # --- new this round ---
         "e7_trm_qerror": q_trm_qerror,
         "e8_search": q_grid_search,
-        # --- green only in round 1: re-verify ---
         "s1_scan_project": q_scan_project,
         "j1_fk_counts": q_fk_counts,
         "j2_fanout_attach": q_fanout_attach,
@@ -3742,65 +3800,6 @@ def queries() -> dict:
         "x25_bloom_semi": q_bloom_semi_join,
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
-        # --- new this round, beyond the 50-row cap (next rotation) ---
-        "s2_stage_sinks": q_stage_sinks,
-        "s3_benchmark_csv": q_benchmark_csv,
-        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
-        "o3_stitch_chain": q_stitch_chain,
-        "o4_sampling_orderings": q_sampling_orderings,
-        "x40_curate_corpus": q_curate_corpus,
-        "x41_kmeans_iter": q_kmeans_iter,
-        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
-        "st10_stream_curate": q_stream_curate,
-        # --- green in round 2 ---
-        "x27_repetition": q_repetition_stats,
-        "j10_semi_anti": q_semi_anti_join,
-        "a9_cube": q_cube_agg,
-        "a10_window_funcs": q_window_funcs,
-        "o2_set_ops": q_set_ops,
-        "x10_media_meta": q_media_meta,
-        "x22_frame_sample": q_frame_sample,
-        "x23_resize_batch": q_resize_batch,
-        "a11_pricing_summary": q_pricing_summary,
-        "a12_region_revenue": q_region_revenue,
-        "a13_ship_priority": q_ship_priority,
-        "a14_promo_revenue": q_promo_revenue,
-        "a15_priority_orders": q_priority_orders,
-        "a16_large_orders": q_large_orders,
-        "a17_brand_supplier_count": q_brand_supplier_count,
-        "a18_disjunctive_revenue": q_disjunctive_revenue,
-        "a19_rollup": q_rollup_agg,
-        "a20_pivot": q_pivot_counts,
-        "a21_cheapest_supplier": q_cheapest_supplier,
-        "a22_idle_rich_customers": q_idle_rich_customers,
-        "a23_event_funnel": q_event_funnel,
-        "a24_returned_revenue": q_returned_revenue,
-        "x29_quantile_sketch": q_quantile_sketch,
-        "x30_salted_agg": q_salted_agg,
-        "x31_bm25_topk": q_bm25_topk,
-        "x32_hybrid_search": q_hybrid_search,
-        "x34_latest_per_key": q_latest_per_key,
-        "x35_profile": q_profile_table,
-        "x11_near_dup": q_near_dup,
-        "x12_incremental_counts": q_incremental_counts,
-        "x13_dup_groups": q_dup_groups,
-        "x14_asof_join": q_asof_join,
-        "j4_join_sample": q_join_sample,
-        "e1_estimate_qerror": q_estimate_qerror,
-        "e2_nar_qerror": q_nar_qerror,
-        "e3_nar_ur_qerror": q_nar_ur_qerror,
-        "e4_nar_cin_qerror": q_nar_cin_qerror,
-        "e5_perror": q_perror,
-        "e6_jobm_qerror": q_jobm_qerror,
-        "x20_range_join": q_range_join,
-        "x26_heavy_hitters": q_heavy_hitters,
-        "x37_decontam": q_decontam,
-        "x38_pii_scrub": q_pii_scrub,
-        "a26_sole_late_supplier": q_sole_late_supplier,
-        "a27_top_revenue_supplier": q_top_revenue_supplier,
-        "a28_nation_revenue_share": q_nation_revenue_share,
-        "x39_pack_sequences": q_pack_sequences,
-        "st9_stream_quantiles": q_stream_quantiles,
     }
 
 
