@@ -331,11 +331,17 @@ def main() -> None:
     # the tail is NAR underestimation on deep supplier→nation→region
     # chains.  Two verified-by-sample steps close it: (a) geomean across
     # BOTH alternatives when both support (mid-tail, e.g. 1.23→1.07);
-    # (b) the hybrid clamp runs mode="arbiter" — the same sample
-    # cross-validation NarCinEstimator applies to chains — bounding the
-    # hybrid q-error at sqrt(q_model · q_ht) with jm HT max ~1.05.
+    # (b) the hybrid clamp runs mode="arbiter" — gated since round 4:
+    # within 2x agreement it geomeans (q <= q_ht*sqrt(2)); beyond 2x
+    # disagreement it falls back to the HT estimate (q <= q_ht), so the
+    # hybrid tail is bounded by ~q_ht*sqrt(2) REGARDLESS of model drift
+    # (round 3 measured raw 5.22 -> ungated hybrid 2.24, violating the
+    # then-documented <=2 claim; the gate closes that).  Protocol change
+    # is recorded in extras["jm_nar_hybrid_protocol"] so round-over-round
+    # comparisons of jm_nar_hybrid_qerror_max aren't conflated.
     jm_arb = HybridEstimator(None, jm_ht, name="jm-arbiter",
                              mode="arbiter")
+    extras["jm_nar_hybrid_protocol"] = "gated-arbiter-2x"
     jm_cicl = HybridEstimator(None, jm_ht, name="jm-ci", mode="ci")
     ju, juh, juc = [], [], []
     t0 = time.perf_counter()

@@ -206,10 +206,24 @@ class TreeSample:
     join_size: int
     n_sample: int
     local: "object | None" = None   # pandas DataFrame when localized
+    # sampler-internal persisted handles (root-table-sized) still live on
+    # the ``cache=False`` prep path; release() them once the sample has
+    # been materialized (an action ran) — the cache=True path releases
+    # them inside prepare_tree_sample already
+    cache_handles: "list | None" = None
 
     @property
     def tables(self) -> set[str]:
         return self.tree.tables
+
+    def release(self) -> "TreeSample":
+        """Unpersist the sampler's internal root-table persist.  Safe to
+        call any time after the sample DataFrame has been materialized
+        (cached, localized, or written); idempotent."""
+        for h in self.cache_handles or []:
+            h.unpersist()
+        self.cache_handles = None
+        return self
 
     def localize(self) -> "TreeSample":
         """Pull the (bounded, ≤n_max-row) sample to the driver for
@@ -219,6 +233,7 @@ class TreeSample:
         DataFrame stays available for distributed evaluation."""
         if self.local is None:
             self.local = self.sample.toPandas()
+            self.release()
         return self
 
 
@@ -272,7 +287,12 @@ def prepare_tree_sample(
         # only needed until the sample is materialized
         for h in handles:
             h.unpersist()
-    return TreeSample(tree, root, samp, join_size, n)
+        handles = []
+    # cache=False: the handles ride on the TreeSample so the caller (or
+    # localize()) can release() the root-table-sized persist once an
+    # action has materialized the sample
+    return TreeSample(tree, root, samp, join_size, n,
+                      cache_handles=handles or None)
 
 
 def _query_tables(pq: ParsedQuery) -> dict[str, str]:

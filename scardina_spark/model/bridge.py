@@ -116,9 +116,19 @@ def training_matrix(df: DataFrame, columns: list[str],
                            for c, a in zip(id_cols, idn)],
                          hcol.alias("__h__"))
         n = proj.count()
+        prefiltered = False
         if n > max_rows:
-            thr = int(min(1.0, max_rows / n * 1.05) * (1 << 32))
-            proj = proj.where(F.col("__h__") < thr)
+            # oversample by 6 binomial sigma, not a fixed 1.05: at small
+            # caps (e.g. max_rows=500) a fixed 5% margin undershoots the
+            # cap with ~1-in-7 probability per seed; 6 sigma makes that
+            # ~1e-9, and an explicit undershoot fallback below removes it
+            p = max_rows / n
+            frac = min(1.0, p + 6.0 * (p * (1.0 - p) / n) ** 0.5)
+            if frac < 1.0:
+                unfiltered = proj
+                thr = int(frac * (1 << 32))
+                proj = proj.where(F.col("__h__") < thr)
+                prefiltered = True
     else:
         idn = []
         proj = df.select(*sel)
@@ -126,11 +136,21 @@ def training_matrix(df: DataFrame, columns: list[str],
         if n > max_rows:
             proj = proj.sample(fraction=min(1.0, max_rows / n * 1.05),
                                seed=seed).limit(max_rows)
-    for c, dom in injected_doms.items():
-        if isinstance(dom, DistributedDomain):
-            proj = encode_with_dictionary(proj, c, dom.dictionary,
-                                          broadcast=False)
-    pdf = proj.toPandas()
+
+    def _localize(p):
+        for c, dom in injected_doms.items():
+            if isinstance(dom, DistributedDomain):
+                p = encode_with_dictionary(p, c, dom.dictionary,
+                                           broadcast=False)
+        return p.toPandas()
+
+    pdf = _localize(proj)
+    if id_cols and prefiltered and len(pdf) < max_rows:
+        # the 6-sigma prefilter undershot the cap (astronomically rare,
+        # but a silently smaller training matrix is worse than one full
+        # localization): redo without the prefilter — the driver-side
+        # top-k cut below is exact either way
+        pdf = _localize(unfiltered)
     if id_cols:
         # canonical row order (and the exact top-k cut) driver-side: the
         # distributed-dictionary join above scrambles Spark-side order.

@@ -151,6 +151,15 @@ class Bm25Index:
         self.term_df.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "term_df"))
         spark = self.postings.sparkSession
+        # A legacy driver-local meta.json at this path would shadow the
+        # meta/ dataset on load (bm25_load_index prefers it), so a
+        # rebuild over an old-format location must remove it or it
+        # silently serves stale n_docs/avgdl.
+        legacy = os.path.join(path, "meta.json")
+        try:
+            os.remove(legacy)
+        except OSError:
+            pass
         meta = spark.createDataFrame(
             [(int(self.n_docs), float(self.avgdl), self.id_col)],
             _META_SCHEMA)

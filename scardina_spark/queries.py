@@ -1498,8 +1498,22 @@ def _stream_state_dir(kind: str, sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"scardina_{kind}_{tag}_{os.getpid()}")
+    tmp = tempfile.gettempdir()
+    # atexit doesn't run on SIGKILL/crash, so dead-pid siblings would
+    # otherwise accumulate under tmp forever: sweep any sibling dir of
+    # this (kind, tag) whose pid is no longer alive before creating ours
+    import glob
+    for stale in glob.glob(os.path.join(tmp, f"scardina_{kind}_{tag}_*")):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            os.kill(pid, 0)   # raises if no such process
+        except ValueError:
+            continue          # not a pid-suffixed dir of ours
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass              # pid alive under another user: leave it
+    d = os.path.join(tmp, f"scardina_{kind}_{tag}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     _register_stream_state_cleanup(d)
     return d

@@ -191,11 +191,24 @@ def test_hybrid_arbiter_geomean(estimator, exact):
         def estimate(self, q):
             return self.v
 
+    # disagreement beyond the gate (default 2x): fall back to HT entirely
     arb = HybridEstimator(Fake(ht * 4), estimator, mode="arbiter")
     got = arb.estimate(sql)
-    assert got == pytest.approx(math.sqrt(ht * 4 * ht), rel=1e-9)
+    assert got == pytest.approx(ht, rel=1e-9)
     true = exact.estimate(sql)
-    assert max(got / true, true / got) < 2.1  # sqrt(4) * sample error
+    assert max(got / true, true / got) < 1.2  # pure sample error
+
+    # agreement within the gate: geometric mean of the two
+    agree = HybridEstimator(Fake(ht * 1.5), estimator, mode="arbiter")
+    got2 = agree.estimate(sql)
+    assert got2 == pytest.approx(math.sqrt(ht * 1.5 * ht), rel=1e-9)
+    assert max(got2 / true, true / got2) < 1.5  # sqrt(1.5) * sample error
+
+    # widened gate restores the old ungated geomean behaviour
+    wide = HybridEstimator(Fake(ht * 4), estimator, mode="arbiter",
+                           gate=10.0)
+    assert wide.estimate(sql) == pytest.approx(math.sqrt(ht * 4 * ht),
+                                               rel=1e-9)
 
     # zero short-circuit still applies in arbiter mode
     class ZeroChecker:
