@@ -184,6 +184,37 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_export_subqueries(args) -> int:
+    """Record exact per-subquery truths for the generated suites — the
+    reference's subquery-export protocol (run.py:980-990 +
+    benchmarks/imdb/job-light_subqueries.csv format; protocol, NOT
+    code).  DuckDB-only: no Spark session needed."""
+    from .benchmarks import (
+        duckdb_connection, job_light_suite, perror_suite)
+    from .estimators.subqueries import (
+        export_subqueries_csv, subqueries_csv_path)
+    from .jobm import job_m_suite, jobm_duckdb_connection
+
+    report = {}
+    if args.benchmark in ("job-light", "all"):
+        out = args.out or subqueries_csv_path(args.sf_dir, "job-light")
+        n = export_subqueries_csv(job_light_suite(),
+                                  duckdb_connection(args.sf_dir), out)
+        report["job-light"] = {"rows": n, "out": out}
+    if args.benchmark in ("job-light-ext", "all"):
+        out = args.out or subqueries_csv_path(args.sf_dir, "job-light-ext")
+        n = export_subqueries_csv(perror_suite(),
+                                  duckdb_connection(args.sf_dir), out)
+        report["job-light-ext"] = {"rows": n, "out": out}
+    if args.benchmark in ("job-m", "all"):
+        out = args.out or subqueries_csv_path(args.sf_dir, "job-m")
+        n = export_subqueries_csv(job_m_suite(),
+                                  jobm_duckdb_connection(args.sf_dir), out)
+        report["job-m"] = {"rows": n, "out": out}
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Run the composed curation pipeline (decontam → repetition gate →
     quality/lang/dedup/budget → packing) over the documents table and
@@ -432,6 +463,14 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=16)
     p.add_argument("--n-files", type=int, default=None)
     p.set_defaults(fn=cmd_layout)
+
+    p = sub.add_parser("export-subqueries")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--benchmark", default="all",
+                   choices=["job-light", "job-light-ext", "job-m", "all"])
+    p.add_argument("--out", default=None,
+                   help="output CSV (single-benchmark runs only)")
+    p.set_defaults(fn=cmd_export_subqueries)
 
     p = sub.add_parser("explain")
     p.add_argument("--sf-dir", required=True)

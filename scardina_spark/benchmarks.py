@@ -136,6 +136,50 @@ def job_light_suite(n_per_template: int = 6, seed: int = 2026
     return out
 
 
+EXT_TEMPLATES: list[tuple[str, ...]] = [
+    ("l", "o", "c", "s", "p"), ("l", "o", "s", "n", "r"),
+    ("l", "o", "c", "s", "n"), ("l", "o", "c", "s", "p", "n"),
+    ("l", "o", "s", "p", "n", "r"), ("l", "o", "c", "s", "p", "n", "r"),
+]
+
+
+def perror_suite(n_per_template: int = 6, seed: int = 416
+                 ) -> dict[str, str]:
+    """Deterministic suite of 5-7-table queries over the full join tree —
+    the plan-quality (p-error) benchmark.  The jl suite's <=5-table star
+    queries have a plan space too forgiving to discriminate (measured:
+    even the textbook System-R heuristic baseline never flips a plan on
+    them); at 6-7 tables the left-deep space is large enough that
+    mis-estimates change the chosen join order.  Same predicate pools as
+    job_light_suite, so the learned estimators' model columns cover
+    every query."""
+    rng = random.Random(seed)
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    for tpl in EXT_TEMPLATES:
+        joins = [sql for pair, sql in _JOIN.items()
+                 if pair[0] in tpl and pair[1] in tpl]
+        frm = ", ".join(f"{_TABLE[a]} {a}" for a in tpl)
+        for k in range(n_per_template):
+            n_preds = rng.randint(1, 4)
+            preds, used = [], set()
+            for _ in range(n_preds):
+                a = rng.choice(tpl)
+                p = _pool(a, rng)
+                col = p.split()[0]
+                if col in used:
+                    continue
+                used.add(col)
+                preds.append(p)
+            sql = (f"SELECT COUNT(*) FROM {frm} WHERE "
+                   + " AND ".join(joins + preds))
+            if sql in seen:
+                continue
+            seen.add(sql)
+            out[f"px_{len(tpl)}t_{'_'.join(tpl)}_{k}"] = sql
+    return out
+
+
 def or_suite(n_per_template: int = 4, seed: int = 922) -> dict[str, str]:
     """Deterministic suite of disjunctive COUNT(*) queries — the OR
     extension of the query language (beyond the reference's AND-only

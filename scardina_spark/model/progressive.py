@@ -52,6 +52,48 @@ class ColumnDomain:
 
 
 @dataclass
+class PackedMask:
+    """Sorted-set representation of a {0,1} valid mask over a code
+    domain: O(matched codes) memory instead of O(dom_size) floats.  This
+    removes the driver bound the dense path documents below (~0.8 GB of
+    mask per predicated 100M-distinct column): a selective predicate on
+    a huge dictionary now costs only its matching-code array, and range
+    predicates cost O(selectivity · distinct) int64s.
+
+    Quacks like the dense mask everywhere the sampler consumes one:
+    ``sum()`` (ordering heuristics), ``m[i]`` membership (tests/debug),
+    ``dense()`` (the non-factorized draw, whose conditional is
+    dom_size-wide anyway so densifying adds no new bound), and the
+    block-OR membership queries of ``_sub_masks_for_prefix`` via
+    ``block_any`` (two searchsorteds per sub-draw — the factorized path,
+    the one that matters for huge dictionaries, never densifies)."""
+
+    dom_size: int
+    codes: np.ndarray          # sorted unique int64 positions with mask=1
+
+    def sum(self) -> float:
+        return float(len(self.codes))
+
+    def __getitem__(self, i: int) -> float:
+        j = int(np.searchsorted(self.codes, i))
+        return 1.0 if j < len(self.codes) and self.codes[j] == i else 0.0
+
+    def dense(self) -> np.ndarray:
+        m = np.zeros(self.dom_size)
+        if len(self.codes):
+            m[self.codes] = 1.0
+        return m
+
+    def block_any(self, block_idx: np.ndarray, offset: int) -> np.ndarray:
+        """True where the code block ``[b << offset, (b+1) << offset)``
+        contains at least one set code — elementwise over ``block_idx``."""
+        lo = np.searchsorted(self.codes, block_idx << offset, side="left")
+        hi = np.searchsorted(self.codes,
+                             (block_idx + 1) << offset, side="left")
+        return hi > lo
+
+
+@dataclass
 class DistributedDomain(ColumnDomain):
     """Huge-dictionary column domain that NEVER collects its values.
 
@@ -63,14 +105,14 @@ class DistributedDomain(ColumnDomain):
     matching int codes come back via Arrow.
 
     What the driver still holds per predicated query: the matching-code
-    int64 array (O(selectivity · distinct)) and the float mask over the
-    code domain the progressive sampler consumes — the same
-    domain-length mask arrays the reference itself allocates
-    (scardina/estimators.py:673-793), i.e. numbers-scale, never
-    values-scale.  A 100M-distinct column costs ~0.8 GB of mask per
-    predicated column; columns at that scale should also be rare
-    predicate targets — the bound to remove next would be a packed/
-    interval mask representation threaded through the sampler.
+    int64 array, O(selectivity · distinct) — ``eval_mask`` returns it as
+    a :class:`PackedMask` (sorted set codes), NOT the domain-length
+    float array the reference allocates (scardina/estimators.py:673-793,
+    ~0.8 GB per predicated 100M-distinct column).  The factorized
+    sampling path consumes the packed form directly (searchsorted
+    block-ORs in ``_sub_masks_for_prefix``), so a selective predicate on
+    a huge factorized column never materializes a dom_size-length
+    anything driver-side.
 
     ``values`` is always None; encoding must go through the distributed
     join (`functions.dictionary.encode_with_dictionary`), which
@@ -85,7 +127,7 @@ class DistributedDomain(ColumnDomain):
     def dom_size(self) -> int:
         return self.n_values + 2
 
-    def eval_mask(self, preds: list[Predicate]) -> np.ndarray:
+    def eval_mask(self, preds: list[Predicate]) -> "PackedMask":
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         from ..functions.dictionary import CODE, VALUE  # noqa: PLC0415
@@ -97,10 +139,7 @@ class DistributedDomain(ColumnDomain):
         # not per-row JVM->Python Row objects
         matched = (d.where(predicates_to_column(preds)).select(CODE)
                    .toPandas()[CODE].to_numpy(dtype=np.int64))
-        m = np.zeros(self.dom_size)
-        if len(matched):
-            m[matched] = 1.0
-        m[MASK_SLOT] = 0.0
+        matched = matched[matched != MASK_SLOT]
         # NULL-slot tri-state, mirroring the numpy valid_mask exactly:
         # dictionaries hold no NULLs, so IS/IS NOT never reach the filter
         null_ok = None
@@ -113,8 +152,12 @@ class DistributedDomain(ColumnDomain):
             elif o == "OR" and null_ok is None and any(
                     b.o.upper() == "IS" for b in p.v):
                 null_ok = True
-        m[NULL_SLOT] = 1.0 if null_ok else 0.0
-        return m
+        if null_ok:
+            matched = np.append(matched, NULL_SLOT)
+        # packed (O(matched)) rather than a dom_size-length float array:
+        # the old dense return was the documented ~0.8 GB/predicated-
+        # column driver bound at 100M distinct
+        return PackedMask(self.dom_size, np.unique(matched))
 
 
 def _like_regex(pattern: str) -> re.Pattern:
@@ -140,13 +183,15 @@ def _coerce_literal(vals: np.ndarray, v):
     return v
 
 
-def valid_mask(dom: ColumnDomain, preds: list[Predicate]) -> np.ndarray:
-    """{0,1} float mask over the code domain [dom_size] combining all
+def valid_mask(dom: ColumnDomain, preds: list[Predicate]
+               ) -> "np.ndarray | PackedMask":
+    """{0,1} mask over the code domain [dom_size] combining all
     predicates on this column (AND).  MASK slot 0; NULL slot per IS/IS NOT.
 
     Distributed domains (huge dictionaries) evaluate Spark-side and ship
-    only matching codes back; the numpy path below runs over collected
-    values for driver-scale dictionaries."""
+    only matching codes back as a :class:`PackedMask` (O(matched)
+    memory); the numpy path below returns the dense float array for
+    driver-scale dictionaries."""
     if isinstance(dom, DistributedDomain):
         return dom.eval_mask(preds)
     vals = dom.values
@@ -246,12 +291,10 @@ def _sub_masks_for_prefix(full_mask: np.ndarray, spec, k: int,
     Returns [S, sub_dom] float mask (slot 0 = sub-MASK always 0).
     """
     sub = spec.sub_cols[k]
-    D = len(full_mask)
+    packed = isinstance(full_mask, PackedMask)
+    D = full_mask.dom_size if packed else len(full_mask)
     block = 1 << sub.offset
     n_blocks_total = (D + block - 1) // block
-    padded = np.zeros(n_blocks_total * block, dtype=bool)
-    padded[:D] = full_mask > 0
-    block_or = padded.reshape(n_blocks_total, block).any(axis=1)
 
     sub_dom = sub.dist_size
     S = len(prefix)
@@ -261,7 +304,15 @@ def _sub_masks_for_prefix(full_mask: np.ndarray, spec, k: int,
     idx = base[:, None] + (vals[None, :] - 1)        # [S, sub_dom-1]
     ok = (idx >= 0) & (idx < n_blocks_total)
     gathered = np.zeros_like(idx, dtype=bool)
-    gathered[ok] = block_or[idx[ok]]
+    if packed:
+        # membership by searchsorted over the sorted set codes — never
+        # materializes a dom-length array (the huge-dictionary path)
+        gathered[ok] = full_mask.block_any(idx[ok], sub.offset)
+    else:
+        padded = np.zeros(n_blocks_total * block, dtype=bool)
+        padded[:D] = full_mask > 0
+        block_or = padded.reshape(n_blocks_total, block).any(axis=1)
+        gathered[ok] = block_or[idx[ok]]
     out[:, 1:] = gathered.astype(float)
     return out
 
@@ -353,6 +404,10 @@ class NarEstimator:
         per-row prefix masks (P4/P6) and reconstruct the full code."""
         grp = self._group_for(c)
         if not grp.is_factorized:
+            if isinstance(full_mask, PackedMask):
+                # non-factorized draw multiplies a dom_size-wide
+                # conditional, so densifying adds no new memory bound
+                full_mask = full_mask.dense()
             j = grp.model_idx[0]
             p = self._conditional(codes, mask, j)
             pm = p * full_mask[None, :]
@@ -428,10 +483,12 @@ class NarEstimator:
         for c in order:
             grp = self._group_for(c)
             if not grp.is_factorized:
+                fm = masks[c].dense() \
+                    if isinstance(masks[c], PackedMask) else masks[c]
                 j = grp.model_idx[0]
                 p = self._conditional(codes, mask, j)
-                pm = p * masks[c][None, :]
-                mass, drawn = self._draw(pm, masks[c] > 0, rs)
+                pm = p * fm[None, :]
+                mass, drawn = self._draw(pm, fm > 0, rs)
                 prob *= mass
                 codes[:, j] = drawn
                 mask[:, j] = False

@@ -175,12 +175,25 @@ def pick_one_child_per_sample(
     joined = samples.join(c, cond, "left_outer")
 
     if weighted:
-        # A-Res score: rand^(1/w) — max per sample picks ∝ w
+        # A-Res score: u^(1/w) — max per sample picks ∝ w.  The uniform
+        # u is HASH-derived from (sample_id, full candidate row), not
+        # F.rand: rand() numbers rows by position within their partition,
+        # and a shuffle join replays rows in nondeterministic order, so
+        # seeded rand picks differed across sessions (measured: the jm
+        # suite's sample hash changed run to run, q-error tail 1.33-2.22
+        # at identical seed/code).  A hash of the row content is
+        # layout-independent by construction — same inputs, same pick, on
+        # any cluster.  Candidate rows within a sample are distinct in at
+        # least their own PK column (whole child rows join in), so each
+        # gets an independent race score.
+        u = (F.pmod(F.xxhash64(F.col(SAMPLE_ID), *[_q(cc) for cc in c.columns],
+                               F.lit(seed)),
+                    F.lit(1 << 53)).cast("double") + F.lit(0.5)) / (1 << 53)
         z = F.when(
             _q(f"__in__:{child_table}").isNull(), F.lit(-1.0)
         ).otherwise(
-            F.pow(F.rand(seed), F.lit(1.0) / F.greatest(_q(cweight).cast("double"),
-                                                        F.lit(1e-300)))
+            F.pow(u, F.lit(1.0) / F.greatest(_q(cweight).cast("double"),
+                                             F.lit(1e-300)))
         )
         joined = joined.withColumn("__z__", z)
         child_struct = F.struct(*[_q(cc).alias(cc) for cc in c.columns])
@@ -234,13 +247,23 @@ def join_sample(
         *[F.col(f"`{c}`").alias(f"{root}.{c}") for c in root_df.columns],
     ).withColumn(f"__in__:{root}", F.lit(True))
 
-    for i, (parent, child, rel) in enumerate(ss.join_tree(root)):
+    import hashlib
+    for parent, child, rel in ss.join_tree(root):
         parent_key = rel.pk_col if rel.pk_table == parent else rel.fk_col
         child_key = rel.fk_col if rel.fk_table == child else rel.pk_col
         many_to_one = rel.pk_table == child
+        # per-edge seed derived from the edge IDENTITY, not its position
+        # in the BFS enumeration: a positional seed re-randomized every
+        # edge whenever the enumeration order shifted (the pre-fix
+        # join_tree did, per process), changing every seeded pick at
+        # identical code+seed.  md5 (not hash()) so it is
+        # process-independent.
+        edge_id = f"{parent}.{parent_key}={child}.{child_key}"
+        e_seed = (seed + int(hashlib.md5(edge_id.encode())
+                             .hexdigest()[:8], 16)) % (2 ** 31)
         agg = pick_one_child_per_sample(
             agg, f"{parent}.{parent_key}", weighted_tables[child], child_key,
-            child, weighted=not many_to_one, seed=seed + 1000 + i)
+            child, weighted=not many_to_one, seed=e_seed)
 
     if drop_weights:
         agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])

@@ -16,6 +16,11 @@ Grammar accepted::
           | col IS [NOT] NULL | col [NOT] LIKE 'pat' | col = col (join)
           | ( conj OR conj [OR conj ...] )     -- beyond the reference
 
+    literal := bare | TIMESTAMP 'v' | DATE 'v' | 'v'::timestamp | 'v'::date
+               -- explicit datetime forms per the reference's grammar
+               -- (scardina/parse.py:120-124); bare date-looking strings
+               -- are also typed by value
+
 Parenthesized OR groups (no joins inside, no nesting) extend the
 reference's AND-only language; every estimator either supports them or
 rejects with UnsupportedQueryError (see each estimator's scope).
@@ -41,14 +46,15 @@ _TOKEN = re.compile(
       | -?\d+\.\d+ | -?\.\d+ | -?\d+   # no arithmetic in the grammar, so a
                                        # leading '-' is always a sign    # numbers
       | >= | <= | != | <> | = | > | <
-      | \( | \) | , | \*
+      | :: | \( | \) | , | \*
       | ;
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL", "LIKE",
-             "SELECT", "FROM", "WHERE", "AS", "COUNT"}
+             "SELECT", "FROM", "WHERE", "AS", "COUNT", "TIMESTAMP",
+             "DATE"}
 
 
 def _tokenize(s: str) -> list[str]:
@@ -138,6 +144,45 @@ def parse_query(sql: str) -> ParsedQuery:
         raise ValueError(f"truncated WHERE clause in: {sql!r}") from None
 
 
+_CAST_TYPES = {"TIMESTAMP", "DATE"}
+
+
+def _coerce_datetime(tok: str) -> Any:
+    from datetime import datetime
+    s = tok.strip().strip("'\"")
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            pass
+    raise ValueError(f"cannot parse datetime literal {tok!r}")
+
+
+def _literal_at(toks, i, n):
+    """Type the literal starting at ``toks[i]``, consuming explicit
+    datetime syntax around it; returns ``(value, next_i)``.  Two forms
+    beyond the bare literal, both from the reference's grammar
+    (scardina/parse.py:120-124: ``'...'::timestamp`` cast identifiers;
+    run.py:863-867: typed date values):
+
+    * ANSI prefix —  ``TIMESTAMP '2000-01-01 00:00:00'`` / ``DATE '...'``
+    * Postgres cast — ``'2000-01-01 00:00:00'::timestamp``
+    """
+    tok = toks[i]
+    if tok.upper() in _CAST_TYPES and i + 1 < n \
+            and toks[i + 1].startswith("'"):
+        return _coerce_datetime(toks[i + 1]), i + 2
+    v = literal_value(tok)
+    i += 1
+    if i < n and toks[i] == "::":
+        if i + 1 >= n or toks[i + 1].upper() not in _CAST_TYPES:
+            raise ValueError(
+                "only ::timestamp / ::date casts are supported")
+        v = v if hasattr(v, "year") else _coerce_datetime(tok)
+        i += 2
+    return v, i
+
+
 def _parse_conjunct(toks, i, n, qualify):
     """Parse one simple predicate or join condition starting at ``toks[i]``.
     Returns ``(kind, payload, i)`` where kind is ``"join"`` (payload =
@@ -151,10 +196,10 @@ def _parse_conjunct(toks, i, n, qualify):
     if op in (">", "<", ">=", "<=", "=", "!=", "<>"):
         i += 1
         rhs = toks[i]
-        i += 1
         if op == "=" and _is_column_ref(rhs) and "." in rhs and "." in col:
-            return "join", (qualify(col), qualify(rhs)), i
-        return "pred", Predicate(qualify(col), op, literal_value(rhs)), i
+            return "join", (qualify(col), qualify(rhs)), i + 1
+        v, i = _literal_at(toks, i, n)
+        return "pred", Predicate(qualify(col), op, v), i
     if op == "IN":
         i += 1
         if toks[i] != "(":
@@ -162,20 +207,20 @@ def _parse_conjunct(toks, i, n, qualify):
         i += 1
         vals = []
         while toks[i] != ")":
-            if toks[i] != ",":
-                vals.append(literal_value(toks[i]))
-            i += 1
+            if toks[i] == ",":
+                i += 1
+                continue
+            v, i = _literal_at(toks, i, n)
+            vals.append(v)
         i += 1
         return "pred", Predicate(qualify(col), "IN", tuple(vals)), i
     if op == "BETWEEN":
         i += 1
-        lo = literal_value(toks[i])
-        i += 1
+        lo, i = _literal_at(toks, i, n)
         if not _is_kw(toks[i], "AND"):
             raise ValueError("BETWEEN requires AND")
         i += 1
-        hi = literal_value(toks[i])
-        i += 1
+        hi, i = _literal_at(toks, i, n)
         return "pred", Predicate(qualify(col), "BETWEEN", (lo, hi)), i
     if op == "IS":
         i += 1

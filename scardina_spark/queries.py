@@ -272,6 +272,49 @@ where o_orderpriority like '%URGENT' and o_orderstatus is not null
 """
 
 
+def q_timestamp_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: explicit datetime literal syntax through the SQL front-end —
+    ANSI ``TIMESTAMP '...'`` / ``DATE '...'`` prefixes and the
+    reference's ``'...'::timestamp`` cast identifiers
+    (scardina/parse.py:120-124; run.py:863-867 — grammar, NOT code) —
+    evaluated over the events stream table's ``ts`` column."""
+    sg = build_tpch_schema()
+    ev = {"events": load_table(spark, sf_dir, "events")}
+    est = ExactEstimator(sg, ev)
+    n1 = est.estimate("SELECT COUNT(*) FROM events "
+                      "WHERE ts < TIMESTAMP '2024-01-15 00:00:00'")
+    n2 = est.estimate("SELECT COUNT(*) FROM events "
+                      "WHERE ts >= '2024-01-20 12:00:00'::timestamp")
+    n3 = est.estimate("SELECT COUNT(*) FROM events WHERE ts BETWEEN "
+                      "DATE '2024-01-05' AND '2024-01-25'::timestamp")
+    n4 = est.estimate("SELECT COUNT(*) FROM events WHERE ts IN "
+                      "(TIMESTAMP '2024-01-05 00:00:00')")
+    return spark.createDataFrame(
+        [("lt_ts", n1), ("ge_cast", n2), ("between_mixed", n3),
+         ("in_exact", n4)],
+        "q string, n long").orderBy("q")
+
+
+SQL_TIMESTAMP_PREDS = """
+select 'lt_ts' as q,
+       (select count(*) from events
+        where ts < timestamp '2024-01-15 00:00:00')::BIGINT as n
+union all
+select 'ge_cast',
+       (select count(*) from events
+        where ts >= '2024-01-20 12:00:00'::timestamp)::BIGINT
+union all
+select 'between_mixed',
+       (select count(*) from events where ts between date '2024-01-05'
+        and '2024-01-25'::timestamp)::BIGINT
+union all
+select 'in_exact',
+       (select count(*) from events
+        where ts in (timestamp '2024-01-05 00:00:00'))::BIGINT
+order by q
+"""
+
+
 def q_join_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: PK-FK equi-join + predicate, counted."""
     sg = build_tpch_schema()
@@ -2356,6 +2399,53 @@ def q_trm_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
                             NAR_BENCH_QUERIES, 3.0)
 
 
+def _subquery_slice(sf_dir: str) -> list[tuple[str, str, int]]:
+    """Deterministic representative slice of the recorded per-subquery
+    artifact (benchmarks/tpch/job-light-subqueries-<sf>.csv): the first
+    recorded row of each node size 1..5.  The SQL text is identical
+    across the per-sf artifacts (same seed-fixed suite, same to_sql), so
+    the oracle can rebuild the same slice from the sf0.01 file."""
+    from .estimators.subqueries import (
+        load_subqueries_csv, subqueries_csv_path)
+    picked: dict[int, dict] = {}
+    rows = load_subqueries_csv(subqueries_csv_path(sf_dir, "job-light"))
+    rows += load_subqueries_csv(
+        subqueries_csv_path(sf_dir, "job-light-ext"))
+    for r in rows:
+        k = len(r["node"].split())
+        if k not in picked:
+            picked[k] = r
+    return [(f"n{k}", picked[k]["sql"], picked[k]["card"])
+            for k in sorted(picked)]
+
+
+def q_subquery_truths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 (per-subquery benchmark artifact): the recorded truths of the
+    subquery exports (reference protocol run.py:980-990 +
+    benchmarks/imdb/job-light_subqueries.csv format — 420 connected
+    sub-joins of the 82-query jl suite plus 746 of the 35-query
+    6-7-table p-error suite, truths at all three SFs) re-execute through
+    the relational planner; each representative row (one per node size
+    1..7) asserts recorded == recomputed.  The jm artifact
+    (job-m-subqueries-<sf>.csv) is pinned by tests + the bench p-error
+    stage — its cyclic join graphs are out of the tree-planner's scope."""
+    sg = build_tpch_schema()
+    est = ExactEstimator(sg, load_tables(spark, sf_dir))
+    out = []
+    for label, sql, recorded in _subquery_slice(sf_dir):
+        t = est.estimate(sql)
+        out.append((label, int(t), int(t) == recorded))
+    return (spark.createDataFrame(out, "q string, truth long, ok boolean")
+            .orderBy("q"))
+
+
+def _sql_subquery_truths() -> str:
+    """Oracle: recompute the same slice's truths straight in DuckDB."""
+    parts = [f"select '{label}' as q, ({sql})::BIGINT as truth, true as ok"
+             for label, sql, _ in _subquery_slice("sf0.01")]
+    return "\nunion all\n".join(parts) + "\norder by q"
+
+
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: deterministic hyperparameter grid search (reference
     scardina/run.py:611-657 — Ray Tune/Optuna over {d_word, d_ff},
@@ -3711,6 +3801,9 @@ def queries() -> dict:
         "x41_kmeans_iter": q_kmeans_iter,
         "x42_ivf_indexed_topk": q_ivf_indexed_topk,
         "st10_stream_curate": q_stream_curate,
+        # --- new this round ---
+        "p10_timestamp_preds": q_timestamp_preds,
+        "e9_subquery_truths": q_subquery_truths,
         # --- green only in round 2: re-verify ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3751,9 +3844,9 @@ def queries() -> dict:
         "a26_sole_late_supplier": q_sole_late_supplier,
         "a27_top_revenue_supplier": q_top_revenue_supplier,
         "a28_nation_revenue_share": q_nation_revenue_share,
+        # --- beyond the ~50-row cap: r02-green spillover ---
         "x39_pack_sequences": q_pack_sequences,
         "st9_stream_quantiles": q_stream_quantiles,
-        # --- beyond the ~50-row cap: r02-green spillover ---
         "a15_priority_orders": q_priority_orders,
         "a16_large_orders": q_large_orders,
         "a17_brand_supplier_count": q_brand_supplier_count,
@@ -3930,4 +4023,6 @@ def oracle_sql() -> dict[str, str]:
         "x41_kmeans_iter": SQL_KMEANS_ITER,
         "x42_ivf_indexed_topk": SQL_IVF_TOPK,
         "st10_stream_curate": sql_stream_curate(),
+        "p10_timestamp_preds": SQL_TIMESTAMP_PREDS,
+        "e9_subquery_truths": _sql_subquery_truths(),
     }

@@ -189,10 +189,25 @@ class Subschema:
         und = g.to_undirected()
         if und.number_of_nodes() and not nx.is_tree(und):
             raise ValueError(f"join graph of {self.name} is not a tree")
+        # hand-rolled BFS with SORTED children: nx.bfs_successors yields
+        # neighbors in an order that reaches a Python set somewhere in
+        # the (multi)graph conversion, so it varies with the per-process
+        # hash seed — measured 4 distinct edge orders across 10 processes
+        # on the jm graph, which silently re-seeded every downstream
+        # per-edge draw.  Sorting children (and parallel-edge keys) makes
+        # the enumeration a pure function of the schema.
         order: list[tuple[str, str, Relationship]] = []
-        for parent, children in nx.bfs_successors(und, root):
-            for child in children:
-                datas = g.get_edge_data(parent, child) or g.get_edge_data(child, parent)
-                for d in datas.values():
-                    order.append((parent, child, d["rel"]))
+        seen = {root}
+        frontier = [root]
+        while frontier:
+            nxt: list[str] = []
+            for parent in frontier:
+                for child in sorted(set(und.neighbors(parent)) - seen):
+                    seen.add(child)
+                    nxt.append(child)
+                    datas = g.get_edge_data(parent, child) \
+                        or g.get_edge_data(child, parent)
+                    for k in sorted(datas):
+                        order.append((parent, child, datas[k]["rel"]))
+            frontier = nxt
         return order

@@ -38,6 +38,61 @@ def test_sub_mask_projection_range_pred():
         assert m0[0, v] == expect, (v, code)
 
 
+def test_packed_mask_matches_dense_sub_projection():
+    """PackedMask (the O(matched) huge-dictionary mask) must produce
+    bit-identical sub-mask projections to the dense path, for every
+    sub-column, on randomized masks/prefixes — the parity that lets the
+    factorized sampler consume it without a dom-length materialization."""
+    from scardina_spark.model.progressive import PackedMask
+
+    rng = np.random.RandomState(11)
+    for dom, thresh in ((300, 4), (1 << 14, 6), (1234567, 8)):
+        spec = factorization_spec("c", dom, thresh)
+        assert spec.is_factorized
+        dense = np.zeros(dom)
+        set_codes = np.unique(rng.randint(2, dom, size=200))
+        dense[set_codes] = 1.0
+        packed = PackedMask(dom, set_codes.astype(np.int64))
+        assert packed.sum() == dense.sum()
+        assert packed[int(set_codes[0])] == 1.0
+        assert packed[0] == 0.0
+        np.testing.assert_array_equal(packed.dense(), dense)
+        for k in range(len(spec.sub_cols)):
+            hi_bits = dom.bit_length() - spec.sub_cols[k].offset
+            prefix = (rng.randint(0, max(dom >> spec.sub_cols[k].offset, 1),
+                                  size=5).astype(np.int64)
+                      << spec.sub_cols[k].offset)
+            np.testing.assert_array_equal(
+                _sub_masks_for_prefix(packed, spec, k, prefix),
+                _sub_masks_for_prefix(dense, spec, k, prefix),
+                err_msg=f"dom={dom} k={k} hi_bits={hi_bits}")
+
+
+def test_distributed_domain_mask_is_packed(spark):
+    """A >1M-value dictionary's predicate mask stays O(matched codes)
+    driver-side: equality -> 1 code, a 25% range -> ~n/4 codes, never a
+    dom_size float array (the reference's 0.8 GB/column bound, removed)."""
+    from pyspark.sql import functions as F
+
+    from scardina_spark.functions.dictionary import build_dictionary
+    from scardina_spark.model.progressive import (
+        DistributedDomain, PackedMask, valid_mask)
+    from scardina_spark.plans.predicates import Predicate
+
+    n = 1_200_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    dom = DistributedDomain("t.v", None, build_dictionary(df, "v"), n)
+    m = valid_mask(dom, [Predicate("v", "=", 54321)])
+    assert isinstance(m, PackedMask)
+    assert m.sum() == 1.0 and len(m.codes) == 1
+    assert m[54321 + 2] == 1.0           # code = sorted position + 2
+    r = valid_mask(dom, [Predicate("v", ">=", n - n // 4)])
+    assert isinstance(r, PackedMask)
+    assert len(r.codes) == n // 4        # O(selectivity * distinct)
+    assert r.block_any(np.array([(n // 2 + 2) >> 8]), 8)[0] == \
+        ((n // 2) >= (n - n // 4))
+
+
 def test_sub_mask_all_valid_passes_everything():
     spec = factorization_spec("c", 1000, 4)
     full = np.ones(1000)

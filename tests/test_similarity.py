@@ -259,6 +259,31 @@ def test_derive_lsh_params_scales_with_corpus():
     assert recall >= 0.9
 
 
+def test_derive_ivf_params_probe_fraction_shrinks():
+    """k ≈ √N and nprobe ≈ √k: the probed fraction of the corpus (and,
+    with the partitioned index, of the files read) must strictly shrink
+    as the corpus grows — the property that makes IVF the 100 TB path."""
+    prev_frac = 1.0
+    for n in (10_000, 1_000_000, 100_000_000, 10_000_000_000):
+        k, nprobe = S.derive_ivf_params(n)
+        assert 1 <= nprobe <= k
+        frac = nprobe / k
+        assert frac < prev_frac
+        prev_frac = frac
+        # cells stay √N-sized: in-cell scan cost grows as √N, not N
+        assert n / k <= 2 * (n ** 0.5)
+    # large corpora land on the >64-cell Arrow matmul assign path
+    assert S.derive_ivf_params(1_000_000)[0] > 64
+    # k=None wiring: ivf_build_index derives from the corpus
+    assert S.derive_ivf_params(100)[0] == 10
+
+
+def test_ivf_build_index_derives_k(tables):
+    idx = S.ivf_build_index(tables["embeddings"], k=None, iters=0)
+    n = tables["embeddings"].count()
+    assert len(idx.centroids) == S.derive_ivf_params(n)[0]
+
+
 def test_ivf_index_roundtrip_matches_scan_path(spark, tables, tmp_path,
                                                query_vec):
     idx = S.ivf_build_index(tables["embeddings"], k=8, iters=1)
