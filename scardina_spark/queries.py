@@ -2446,6 +2446,50 @@ def _sql_subquery_truths() -> str:
     return "\nunion all\n".join(parts) + "\norder by q"
 
 
+_PPC_QUERY = "px_7t_l_o_c_s_p_n_r_0"
+
+
+def _ppc_rows(sf_dir: str) -> list[dict]:
+    from .estimators.subqueries import (
+        load_subqueries_csv, subqueries_csv_path)
+    rows = load_subqueries_csv(
+        subqueries_csv_path(sf_dir, "job-light-ext"))
+    return [r for r in rows if r["name"] == _PPC_QUERY]
+
+
+def q_ppc_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (plan-cost injection, the reference's PPC loop without
+    Postgres — run.py:980-1008 protocol): every connected subquery card
+    of a 7-table suite query writes into the bundled Derby database
+    through Spark's JDBC writer, reads back through the partitioned JDBC
+    source, and the C_out/C_smj planner consumes the injected cards.
+    Output: the round-tripped card per node (the oracle recomputes each
+    from the base tables — so a match certifies store+read preserved
+    exact truths end to end) plus the planner verdict rows (injecting
+    truths must choose a truth-optimal join order under both models)."""
+    from .benchmarks import perror_suite
+    from .estimators.ppc import inject_cards, plan_with_injected
+
+    rows = _ppc_rows(sf_dir)
+    cards = inject_cards(spark, rows)
+    truths = {r["node"]: r["card"] for r in rows}
+    pe = plan_with_injected(perror_suite()[_PPC_QUERY], cards, truths)
+    out = [(f"node:{r['node']}", int(cards[r["node"]])) for r in rows]
+    out.append(("pe_out_is_1", int(pe["pe_out"] == 1.0)))
+    out.append(("pe_smj_is_1", int(pe["pe_smj"] == 1.0)))
+    return (spark.createDataFrame(out, "q string, v long").orderBy("q"))
+
+
+def _sql_ppc_inject() -> str:
+    """Oracle: recompute every injected node card straight from the base
+    tables (the artifact SQL), plus the planner-verdict literals."""
+    parts = [f"select 'node:{r['node']}' as q, ({r['sql']})::BIGINT as v"
+             for r in _ppc_rows("sf0.01")]
+    parts.append("select 'pe_out_is_1', 1")
+    parts.append("select 'pe_smj_is_1', 1")
+    return "\nunion all\n".join(parts) + "\norder by q"
+
+
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: deterministic hyperparameter grid search (reference
     scardina/run.py:611-657 — Ray Tune/Optuna over {d_word, d_ff},
@@ -3804,6 +3848,7 @@ def queries() -> dict:
         # --- new this round ---
         "p10_timestamp_preds": q_timestamp_preds,
         "e9_subquery_truths": q_subquery_truths,
+        "e10_ppc_inject": q_ppc_inject,
         # --- green only in round 2: re-verify ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3843,8 +3888,8 @@ def queries() -> dict:
         "x38_pii_scrub": q_pii_scrub,
         "a26_sole_late_supplier": q_sole_late_supplier,
         "a27_top_revenue_supplier": q_top_revenue_supplier,
-        "a28_nation_revenue_share": q_nation_revenue_share,
         # --- beyond the ~50-row cap: r02-green spillover ---
+        "a28_nation_revenue_share": q_nation_revenue_share,
         "x39_pack_sequences": q_pack_sequences,
         "st9_stream_quantiles": q_stream_quantiles,
         "a15_priority_orders": q_priority_orders,
@@ -4025,4 +4070,5 @@ def oracle_sql() -> dict[str, str]:
         "st10_stream_curate": sql_stream_curate(),
         "p10_timestamp_preds": SQL_TIMESTAMP_PREDS,
         "e9_subquery_truths": _sql_subquery_truths(),
+        "e10_ppc_inject": _sql_ppc_inject(),
     }

