@@ -33,9 +33,9 @@ from .perror import connected_subsets, fragment, to_sql
 def subqueries_csv_path(sf_dir: str, bench: str = "job-light") -> str:
     """benchmarks/tpch/<bench>-subqueries-<sf>.csv next to the suite CSVs."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "..", "benchmarks", "tpch",
-        f"{bench}-subqueries-{tag}.csv")
+    return os.path.normpath(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "..", "benchmarks", "tpch", f"{bench}-subqueries-{tag}.csv"))
 
 
 def enumerate_subqueries(suite: dict[str, str]
