@@ -675,6 +675,69 @@ from s group by user_id, sid order by user_id, session_start
 # extension operators: dedup / text / similarity / multimodal
 # --------------------------------------------------------------------------
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 (substring-level dedup, ExactSubstr protocol — Lee et al.
+    ACL 2022): every maximal span whose 8-token windows occur at more
+    than one (doc, position) in the corpus, all occurrences flagged,
+    plus the corpus-level strip totals.  `operators/substring.py` —
+    positional k-gram digests in O(k·n) per doc (arrays_zip of shifted
+    slices), digest-keyed duplicate marking, per-doc gaps-and-islands
+    span merge (window partitioned by doc, never global)."""
+    from .operators.substring import duplicated_spans, strip_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (duplicated_spans(docs, k=8)
+             .select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("span_start").cast("long").alias("span_start"),
+                     F.col("span_end").cast("long").alias("span_end"),
+                     F.col("span_tokens").cast("long").alias("span_tokens")))
+    stripped = strip_duplicated_spans(docs, k=8)
+    totals = stripped.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(-1).cast("long").alias("span_start"),
+        F.sum("n_tokens").cast("long").alias("span_end"),
+        F.sum("n_removed").cast("long").alias("span_tokens"))
+    return spans.unionAll(totals).orderBy("doc_id", "span_start")
+
+
+SQL_SUBSTRING_SPANS = """
+with toks as (
+  select doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      ' ') as t
+  from documents),
+grams as (
+  select doc_id, i - 1 as pos, md5(array_to_string(t[i:i+7], ' ')) as h
+  from toks, unnest(generate_series(1, len(t) - 7)) as u(i)
+  where len(t) >= 8),
+dpos as (
+  select doc_id, pos from grams
+  where h in (select h from grams group by h having count(*) > 1)),
+brk as (
+  select doc_id, pos,
+         case when pos - lag(pos) over
+              (partition by doc_id order by pos) >= 8
+              then 1 else 0 end as b
+  from dpos),
+isl as (
+  select doc_id, pos,
+         sum(b) over (partition by doc_id order by pos
+                      rows unbounded preceding) as island
+  from brk),
+spans as (
+  select doc_id::BIGINT as doc_id, min(pos)::BIGINT as span_start,
+         (max(pos) + 8)::BIGINT as span_end,
+         (max(pos) + 8 - min(pos))::BIGINT as span_tokens
+  from isl group by doc_id, island)
+select * from spans
+union all
+select -1, -1,
+       (select sum(len(t)) from toks)::BIGINT,
+       (select coalesce(sum(span_tokens), 0) from spans)::BIGINT
+order by doc_id, span_start
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -3849,6 +3912,7 @@ def queries() -> dict:
         "p10_timestamp_preds": q_timestamp_preds,
         "e9_subquery_truths": q_subquery_truths,
         "e10_ppc_inject": q_ppc_inject,
+        "x43_substring_spans": q_substring_spans,
         # --- green only in round 2: re-verify ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3887,8 +3951,8 @@ def queries() -> dict:
         "x37_decontam": q_decontam,
         "x38_pii_scrub": q_pii_scrub,
         "a26_sole_late_supplier": q_sole_late_supplier,
-        "a27_top_revenue_supplier": q_top_revenue_supplier,
         # --- beyond the ~50-row cap: r02-green spillover ---
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
         "a28_nation_revenue_share": q_nation_revenue_share,
         "x39_pack_sequences": q_pack_sequences,
         "st9_stream_quantiles": q_stream_quantiles,
@@ -4071,4 +4135,5 @@ def oracle_sql() -> dict[str, str]:
         "p10_timestamp_preds": SQL_TIMESTAMP_PREDS,
         "e9_subquery_truths": _sql_subquery_truths(),
         "e10_ppc_inject": _sql_ppc_inject(),
+        "x43_substring_spans": SQL_SUBSTRING_SPANS,
     }
