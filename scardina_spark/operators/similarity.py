@@ -53,6 +53,24 @@ def topk_cosine(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def knn_votes(df: DataFrame, query_vec: list[float], k: int = 15,
+              label_col: str = "label", id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """k-NN classification votes: per-label counts among the ``k``
+    nearest neighbours by cosine (the classic downstream consumer of
+    similarity search), ordered votes-desc then label-asc — row 1 IS
+    the k-NN prediction, and the full vote vector doubles as a class
+    posterior.  The neighbour set is the exact ``topk_cosine`` relation
+    (swap in the IVF/LSH variants for the ANN path); vote counting is a
+    k-row aggregation, so the classify step adds nothing data-sized."""
+    top = topk_cosine(df, query_vec, k, id_col, vec_col)
+    labels = df.select(F.col(id_col), F.col(label_col))
+    return (top.join(labels, id_col)
+            .groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .orderBy(F.col("votes").desc(), F.col(label_col)))
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit-free; only the sign matters)."""
     rs = np.random.RandomState(seed)

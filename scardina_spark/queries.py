@@ -1024,6 +1024,36 @@ def _plane_lits() -> list[str]:
     return ["[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes]
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: k-NN classification over the embeddings table — per-label
+    votes among vec 0's 15 exact-cosine nearest neighbours (self
+    included, as in x8's top-k); row 1 is the prediction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    v = SIM.knn_votes(emb, qv, k=15)
+    return v.select(F.col("label").cast("long").alias("label"),
+                    F.col("votes").cast("long").alias("votes"))
+
+
+SQL_KNN_CLASSIFY = """
+with q as (select embedding::DOUBLE[] v from embeddings where vec_id = 0),
+top as (
+  select vec_id,
+         round(list_dot_product(embedding::DOUBLE[], q.v) /
+               greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.v, q.v)), 1e-12),
+               6) as cos_sim
+  from embeddings, q
+  order by cos_sim desc, vec_id limit 15)
+select e.label::BIGINT as label, count(*)::BIGINT as votes
+from top t join embeddings e using (vec_id)
+group by e.label
+order by votes desc, label
+"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the partition layout of the ANN scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3913,6 +3943,7 @@ def queries() -> dict:
         "e9_subquery_truths": q_subquery_truths,
         "e10_ppc_inject": q_ppc_inject,
         "x43_substring_spans": q_substring_spans,
+        "x44_knn_classify": q_knn_classify,
         # --- green only in round 2: re-verify ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -3950,8 +3981,8 @@ def queries() -> dict:
         "x26_heavy_hitters": q_heavy_hitters,
         "x37_decontam": q_decontam,
         "x38_pii_scrub": q_pii_scrub,
-        "a26_sole_late_supplier": q_sole_late_supplier,
         # --- beyond the ~50-row cap: r02-green spillover ---
+        "a26_sole_late_supplier": q_sole_late_supplier,
         "a27_top_revenue_supplier": q_top_revenue_supplier,
         "a28_nation_revenue_share": q_nation_revenue_share,
         "x39_pack_sequences": q_pack_sequences,
@@ -4136,4 +4167,5 @@ def oracle_sql() -> dict[str, str]:
         "e9_subquery_truths": _sql_subquery_truths(),
         "e10_ppc_inject": _sql_ppc_inject(),
         "x43_substring_spans": SQL_SUBSTRING_SPANS,
+        "x44_knn_classify": SQL_KNN_CLASSIFY,
     }

@@ -321,3 +321,20 @@ def test_ivf_index_probe_is_partition_pruned(spark, tables, tmp_path,
     plan = got._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "cell" in pf and "IN" in pf.upper()
+
+
+def test_knn_votes_prediction_and_posterior(tables, query_vec):
+    """Votes sum to k, ordering is (votes desc, label asc), and the
+    neighbour set is exactly the topk_cosine relation's ids."""
+    votes = S.knn_votes(tables["embeddings"], query_vec, k=15).collect()
+    assert sum(r["votes"] for r in votes) == 15
+    keys = [(-r["votes"], r["label"]) for r in votes]
+    assert keys == sorted(keys)
+    top_ids = {r["vec_id"] for r in
+               S.topk_cosine(tables["embeddings"], query_vec, 15).collect()}
+    labels = {r["vec_id"]: r["label"]
+              for r in tables["embeddings"].select("vec_id", "label")
+              .collect()}
+    from collections import Counter
+    expect = Counter(labels[i] for i in top_ids)
+    assert {r["label"]: r["votes"] for r in votes} == dict(expect)
