@@ -247,23 +247,29 @@ def main() -> None:
     # earned.  Truths come from the recorded artifact, not live DuckDB.
     from scardina_spark.benchmarks import perror_suite
     from scardina_spark.estimators.subqueries import (
-        HeuristicSystemREstimator, IndependenceEstimator,
+        HeuristicSystemREstimator, IndependenceEstimator, JoinKeyStats,
         load_subqueries_csv, recorded_truth_fn, subqueries_csv_path)
     ext_rows = load_subqueries_csv(
         subqueries_csv_path(sf_dir, "job-light-ext"))
     ext_true = recorded_truth_fn(ext_rows)
-    heur = HeuristicSystemREstimator(con)
-    indep = IndependenceEstimator(ext_rows, con)
+    jk_stats = JoinKeyStats(con)  # shared: one V(t.c) query per column
+    heur = HeuristicSystemREstimator(con, jk_stats)
+    indep = IndependenceEstimator(ext_rows, con, jk_stats)
     _ext_est_cache: dict[str, float] = {}
-    ext_unsupported = [0]
+    # failures memoized too, so one unsupported fragment counts once no
+    # matter how many (query, cost-model) pairs share it — keeps the
+    # count comparable to the cache-deduplicated jl_ext_subq_n
+    _ext_failed: dict[str, Exception] = {}
 
     def ext_nar_fn(frag):
         sql = to_sql(frag)
+        if sql in _ext_failed:
+            raise _ext_failed[sql]
         if sql not in _ext_est_cache:
             try:
                 _ext_est_cache[sql] = nar_hyb.estimate(frag)
-            except (UnsupportedQueryError, ValueError):
-                ext_unsupported[0] += 1
+            except (UnsupportedQueryError, ValueError) as e:
+                _ext_failed[sql] = e
                 raise
         return _ext_est_cache[sql]
 
@@ -284,7 +290,7 @@ def main() -> None:
     timings["joblight_ext_perror"] = round(time.perf_counter() - t0, 4)
     extras["jl_ext_n_queries"] = len(ext_suite)
     extras["jl_ext_subq_n"] = len(sq)
-    extras["jl_ext_nar_unsupported"] = ext_unsupported[0]
+    extras["jl_ext_nar_unsupported"] = len(_ext_failed)
     extras["jl_ext_nar_subq_qerror_p50"] = round(pct(sq, 0.5), 4)
     extras["jl_ext_nar_subq_qerror_p90"] = round(pct(sq, 0.9), 4)
     extras["jl_ext_nar_subq_qerror_max"] = round(max(sq), 4)

@@ -195,6 +195,10 @@ def cmd_export_subqueries(args) -> int:
         export_subqueries_csv, subqueries_csv_path)
     from .jobm import job_m_suite, jobm_duckdb_connection
 
+    if args.out and args.benchmark == "all":
+        print("--out requires a single --benchmark (the three suites "
+              "would overwrite each other at one path)", file=sys.stderr)
+        return 2
     report = {}
     if args.benchmark in ("job-light", "all"):
         out = args.out or subqueries_csv_path(args.sf_dir, "job-light")

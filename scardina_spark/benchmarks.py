@@ -100,23 +100,26 @@ def _pool(alias: str, rng: random.Random) -> str:
     return f"{a}.r_name = '{rng.choice(_REGIONS)}'"
 
 
-def job_light_suite(n_per_template: int = 6, seed: int = 2026
-                    ) -> dict[str, str]:
-    """Deterministic suite of ~70-84 COUNT(*) queries (job-light shape)."""
+def _gen_suite(templates: list[tuple[str, ...]], seed: int,
+               n_per_template: int, key_fn, pred_range_fn
+               ) -> dict[str, str]:
+    """Shared deterministic COUNT(*) suite generator.  ``key_fn(tpl, k)``
+    names each query; ``pred_range_fn(tpl)`` gives the (lo, hi) predicate
+    count range.  Duplicate-column predicate draws are dropped (not
+    redrawn) and duplicate whole queries skipped — both keep the RNG call
+    sequence, and therefore every generated suite, byte-stable."""
     rng = random.Random(seed)
     out: dict[str, str] = {}
     seen: set[str] = set()
-    for tpl in TEMPLATES:
+    for tpl in templates:
         joins = [sql for pair, sql in _JOIN.items()
                  if pair[0] in tpl and pair[1] in tpl]
         frm = ", ".join(f"{_TABLE[a]} {a}" for a in tpl)
         for k in range(n_per_template):
-            # 1-3 predicates for single tables; 0-3 for joins (a 0-predicate
-            # join query measures pure join-size estimation)
-            lo = 1 if len(tpl) == 1 else 0
-            n_preds = rng.randint(lo, 3)
-            preds = []
-            used = set()
+            lo, hi = pred_range_fn(tpl)
+            n_preds = rng.randint(lo, hi)
+            preds: list[str] = []
+            used: set[str] = set()
             for _ in range(n_preds):
                 a = rng.choice(tpl)
                 p = _pool(a, rng)
@@ -132,8 +135,20 @@ def job_light_suite(n_per_template: int = 6, seed: int = 2026
             if sql in seen:
                 continue
             seen.add(sql)
-            out[f"jl_{'_'.join(tpl)}_{k}"] = sql
+            out[key_fn(tpl, k)] = sql
     return out
+
+
+def job_light_suite(n_per_template: int = 6, seed: int = 2026
+                    ) -> dict[str, str]:
+    """Deterministic suite of ~70-84 COUNT(*) queries (job-light shape).
+
+    1-3 predicates for single tables; 0-3 for joins (a 0-predicate join
+    query measures pure join-size estimation)."""
+    return _gen_suite(
+        TEMPLATES, seed, n_per_template,
+        key_fn=lambda tpl, k: f"jl_{'_'.join(tpl)}_{k}",
+        pred_range_fn=lambda tpl: (1 if len(tpl) == 1 else 0, 3))
 
 
 EXT_TEMPLATES: list[tuple[str, ...]] = [
@@ -153,31 +168,10 @@ def perror_suite(n_per_template: int = 6, seed: int = 416
     mis-estimates change the chosen join order.  Same predicate pools as
     job_light_suite, so the learned estimators' model columns cover
     every query."""
-    rng = random.Random(seed)
-    out: dict[str, str] = {}
-    seen: set[str] = set()
-    for tpl in EXT_TEMPLATES:
-        joins = [sql for pair, sql in _JOIN.items()
-                 if pair[0] in tpl and pair[1] in tpl]
-        frm = ", ".join(f"{_TABLE[a]} {a}" for a in tpl)
-        for k in range(n_per_template):
-            n_preds = rng.randint(1, 4)
-            preds, used = [], set()
-            for _ in range(n_preds):
-                a = rng.choice(tpl)
-                p = _pool(a, rng)
-                col = p.split()[0]
-                if col in used:
-                    continue
-                used.add(col)
-                preds.append(p)
-            sql = (f"SELECT COUNT(*) FROM {frm} WHERE "
-                   + " AND ".join(joins + preds))
-            if sql in seen:
-                continue
-            seen.add(sql)
-            out[f"px_{len(tpl)}t_{'_'.join(tpl)}_{k}"] = sql
-    return out
+    return _gen_suite(
+        EXT_TEMPLATES, seed, n_per_template,
+        key_fn=lambda tpl, k: f"px_{len(tpl)}t_{'_'.join(tpl)}_{k}",
+        pred_range_fn=lambda tpl: (1, 4))
 
 
 def or_suite(n_per_template: int = 4, seed: int = 922) -> dict[str, str]:

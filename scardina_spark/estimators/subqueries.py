@@ -61,7 +61,9 @@ def export_subqueries_csv(suite: dict[str, str], con, out_path: str
     the fragment SQL — shared join prefixes across the suite repeat."""
     rows = enumerate_subqueries(suite)
     cache: dict[str, int] = {}
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    parent = os.path.dirname(out_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f, quoting=csv.QUOTE_NONNUMERIC)
         w.writerow(["true_cardinality", "sql", "name", "node"])
@@ -95,6 +97,25 @@ def recorded_truth_fn(rows: list[dict]):
     return fn
 
 
+class JoinKeyStats:
+    """Exact ``COUNT(DISTINCT col)`` per (table, column) through a DuckDB
+    connection, memoized.  Shared by both baseline estimators so the same
+    join-key distinct count is queried once per bench run, not once per
+    estimator."""
+
+    def __init__(self, con):
+        self._con = con
+        self._v: dict[tuple[str, str], float] = {}
+
+    def distinct(self, table: str, col: str) -> float:
+        key = (table, col)
+        if key not in self._v:
+            self._v[key] = float(self._con.sql(
+                f"SELECT COUNT(DISTINCT {col}) FROM {table}"
+            ).fetchone()[0])
+        return self._v[key]
+
+
 class HeuristicSystemREstimator:
     """The full textbook baseline: System-R magic-constant selectivities
     AND join uniformity (Selinger et al., "Access Path Selection in a
@@ -113,10 +134,10 @@ class HeuristicSystemREstimator:
     queries (p-error up to ~2.6), which is exactly what makes it the
     discriminating baseline the harness is validated against."""
 
-    def __init__(self, con):
+    def __init__(self, con, stats: JoinKeyStats | None = None):
         self._con = con
         self._cnt: dict[str, float] = {}
-        self._v: dict[tuple[str, str], float] = {}
+        self._stats = stats if stats is not None else JoinKeyStats(con)
 
     def _count(self, table: str) -> float:
         if table not in self._cnt:
@@ -125,12 +146,7 @@ class HeuristicSystemREstimator:
         return self._cnt[table]
 
     def _distinct(self, table: str, col: str) -> float:
-        key = (table, col)
-        if key not in self._v:
-            self._v[key] = float(self._con.sql(
-                f"SELECT COUNT(DISTINCT {col}) FROM {table}"
-            ).fetchone()[0])
-        return self._v[key]
+        return self._stats.distinct(table, col)
 
     def _sel(self, p, table: str) -> float:
         o = p.o.upper()
@@ -186,20 +202,14 @@ class IndependenceEstimator:
     protocol.  Distinct join-key counts V are exact, computed once per
     column through the DuckDB connection."""
 
-    def __init__(self, rows: list[dict], con):
+    def __init__(self, rows: list[dict], con, stats: JoinKeyStats | None = None):
         # size-1 nodes (no space in the alias set) are the base-table rows
         self._single = {r["sql"]: float(r["card"]) for r in rows
                         if " " not in r["node"]}
-        self._con = con
-        self._v: dict[tuple[str, str], float] = {}
+        self._stats = stats if stats is not None else JoinKeyStats(con)
 
     def _distinct(self, table: str, col: str) -> float:
-        key = (table, col)
-        if key not in self._v:
-            self._v[key] = float(self._con.sql(
-                f"SELECT COUNT(DISTINCT {col}) FROM {table}"
-            ).fetchone()[0])
-        return self._v[key]
+        return self._stats.distinct(table, col)
 
     def estimate(self, frag: ParsedQuery) -> float:
         est = 1.0

@@ -481,36 +481,7 @@ class NarEstimator:
         prob = np.ones(S)
 
         for c in order:
-            grp = self._group_for(c)
-            if not grp.is_factorized:
-                fm = masks[c].dense() \
-                    if isinstance(masks[c], PackedMask) else masks[c]
-                j = grp.model_idx[0]
-                p = self._conditional(codes, mask, j)
-                pm = p * fm[None, :]
-                mass, drawn = self._draw(pm, fm > 0, rs)
-                prob *= mass
-                codes[:, j] = drawn
-                mask[:, j] = False
-            else:
-                # sub-columns most-significant-first; full-code mask
-                # projected per row via hierarchical block-ORs
-                spec = grp.spec
-                prefix = np.zeros(S, dtype=np.int64)
-                for k in reversed(range(len(spec.sub_cols))):
-                    j = grp.model_idx[k]
-                    sub = spec.sub_cols[k]
-                    p = self._conditional(codes, mask, j)
-                    sm = _sub_masks_for_prefix(masks[c], spec, k, prefix)
-                    if p.shape[1] != sm.shape[1]:
-                        width = min(p.shape[1], sm.shape[1])
-                        p = p[:, :width]
-                        sm = sm[:, :width]
-                    pm = p * sm
-                    mass, drawn = self._draw(pm, sm > 0, rs)
-                    prob *= mass
-                    codes[:, j] = drawn
-                    mask[:, j] = False
-                    prefix = prefix + ((drawn - 1) << sub.offset)
+            mass, _ = self._sample_masked_col(c, masks[c], codes, mask, rs)
+            prob *= mass
 
         return float(self.n_rows) * float(prob.mean())

@@ -247,9 +247,10 @@ _IVF_META_SCHEMA = ("cell int, centroid array<double>, id_col string, "
 def derive_ivf_params(n_rows: int) -> tuple[int, int]:
     """Pick ``(k_cells, nprobe)`` from the corpus size: k ≈ √N cells
     (the standard IVF-Flat sizing — cell size ~√N balances the coarse
-    quantizer's k·d per query against the in-cell scan N/k·d; the same
-    rule the FAISS guidelines publish as k ∈ [4√N, 16√N] for re-ranked
-    indexes, taken at its exact-scan-friendly low end) and
+    quantizer's k·d per query against the in-cell scan N/k·d; note the
+    FAISS guidelines publish the larger k ∈ [4√N, 16√N] for re-ranked
+    ANN indexes — √N sits BELOW that range deliberately, giving bigger
+    cells whose contents are scanned exactly here, not re-ranked) and
     nprobe ≈ √k.  The probed fraction nprobe/k ≈ N^-1/4 therefore
     SHRINKS as the corpus grows — at 1e12 vectors a probe touches ~0.1%
     of the data, which with the partition-per-cell layout of

@@ -99,14 +99,17 @@ def duplicated_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
 
 
 def strip_duplicated_spans(df: DataFrame, k: int = 8,
-                           id_col: str = "doc_id", col: str = "text"
-                           ) -> DataFrame:
+                           id_col: str = "doc_id", col: str = "text",
+                           spans: DataFrame | None = None) -> DataFrame:
     """Remove every token inside a duplicated span from every document
     (the ExactSubstr cut); returns (id, text, n_tokens, n_removed)
     over the normalized token stream.  Documents with no duplicated
-    span pass through with n_removed = 0."""
-    spans = (duplicated_spans(df, k, id_col, col)
-             .groupBy(id_col)
+    span pass through with n_removed = 0.  Pass a precomputed
+    ``duplicated_spans`` result as ``spans`` to avoid re-running the
+    k-gram pipeline (the dominant cost) when the caller already has it."""
+    if spans is None:
+        spans = duplicated_spans(df, k, id_col, col)
+    spans = (spans.groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("__spans__")))
     d = df.select(F.col(id_col), _tokens(col).alias(TOKENS))

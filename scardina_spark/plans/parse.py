@@ -148,14 +148,11 @@ _CAST_TYPES = {"TIMESTAMP", "DATE"}
 
 
 def _coerce_datetime(tok: str) -> Any:
-    from datetime import datetime
-    s = tok.strip().strip("'\"")
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            return datetime.strptime(s, fmt)
-        except ValueError:
-            pass
-    raise ValueError(f"cannot parse datetime literal {tok!r}")
+    from .predicates import parse_datetime
+    dt = parse_datetime(tok.strip().strip("'\""))
+    if dt is None:
+        raise ValueError(f"cannot parse datetime literal {tok!r}")
+    return dt
 
 
 def _literal_at(toks, i, n):

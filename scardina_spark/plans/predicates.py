@@ -182,6 +182,19 @@ def predicates_to_column(preds: list[Predicate], qualify: bool = False) -> Colum
     return col
 
 
+def parse_datetime(s: str) -> datetime | None:
+    """``datetime`` from an ISO date(time) string, or ``None`` — the ONE
+    format list shared by bare literals and the explicit
+    ``TIMESTAMP '...'`` / ``::timestamp`` grammar in plans/parse.py, so
+    the two forms can never diverge on what parses."""
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            pass
+    return None
+
+
 def literal_value(tok: str) -> Any:
     """Type a SQL literal token: int, float, ISO date(time), NULL, or
     string.  Datetime literals follow the reference's convention of parsing
@@ -193,11 +206,9 @@ def literal_value(tok: str) -> Any:
     if (t.startswith("'") and t.endswith("'")) or (
             t.startswith('"') and t.endswith('"')):
         s = t[1:-1]
-        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-            try:
-                return datetime.strptime(s, fmt)
-            except ValueError:
-                pass
+        dt = parse_datetime(s)
+        if dt is not None:
+            return dt
         return s
     try:
         return int(t)

@@ -686,12 +686,17 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.substring import duplicated_spans, strip_duplicated_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = (duplicated_spans(docs, k=8)
+    # the k-gram pipeline (tokenize -> digest -> global dup groupBy ->
+    # islands) feeds BOTH outputs; without this eager checkpoint of the
+    # small spans relation Spark executes it twice (no ReusedExchange in
+    # the static plan — verified by explain)
+    spans_raw = duplicated_spans(docs, k=8).localCheckpoint(eager=True)
+    spans = (spans_raw
              .select(F.col("doc_id").cast("long").alias("doc_id"),
                      F.col("span_start").cast("long").alias("span_start"),
                      F.col("span_end").cast("long").alias("span_end"),
                      F.col("span_tokens").cast("long").alias("span_tokens")))
-    stripped = strip_duplicated_spans(docs, k=8)
+    stripped = strip_duplicated_spans(docs, k=8, spans=spans_raw)
     totals = stripped.agg(
         F.lit(-1).cast("long").alias("doc_id"),
         F.lit(-1).cast("long").alias("span_start"),

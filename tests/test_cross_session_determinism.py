@@ -17,12 +17,13 @@ import subprocess
 import sys
 
 _CHILD = r"""
-import hashlib
+import hashlib, os
 from scardina_spark.session import get_spark
 from scardina_spark.jobm import jm_sample_trees, load_jobm_tables
 from scardina_spark.estimators.sample import prepare_tree_sample
 spark = get_spark("xdet", shuffle_partitions=8)
-tables = load_jobm_tables(spark, "/root/testdata/sf0.001")
+tables = load_jobm_tables(spark, os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
 tree = jm_sample_trees()[0]
 print("EDGES:" + "|".join(f"{p}>{c}" for p, c, _ in
                           tree.join_tree("shipments")))
