@@ -323,7 +323,13 @@ def main() -> None:
             seed=42, localize=True)
 
     nar_cin = timed("joblight_cin_train", build_cin)
-    cin_hyb = HybridEstimator(nar_cin, est, name="cin-hybrid")
+    # gated arbiter since round 4 (same protocol as the jm NAR hybrid):
+    # the zero-only hybrid tracked the model's tail (sf0.01 measured
+    # hybrid 2.41 where sf0.1 sat at 1.65); the gate bounds it by
+    # q_ht * sqrt(2) regardless of model drift
+    cin_hyb = HybridEstimator(nar_cin, est, name="cin-hybrid",
+                              mode="arbiter")
+    extras["jl_cin_hybrid_protocol"] = "gated-arbiter-2x"
     cin_ci = HybridEstimator(nar_cin, est, name="cin-ci", mode="ci")
     cq, chq, ccq, cms = [], [], [], []
     t0 = time.perf_counter()
@@ -457,22 +463,28 @@ def main() -> None:
         return cin
     jm_cin = timed("jm_cin_train", build_jm_cin)
     jm_cin_ci = HybridEstimator(jm_cin, jm_ht, name="jm-cin-ci", mode="ci")
-    jc, jcc = [], []
+    jm_cin_arb = HybridEstimator(jm_cin, jm_ht, name="jm-cin-arbiter",
+                                 mode="arbiter")
+    jc, jcc, jch = [], [], []
     t0 = time.perf_counter()
     for name, sql in jm_suite.items():
         try:
             e = jm_cin.estimate(sql)
             ci = jm_cin_ci.clamp(sql, e)
+            h = jm_cin_arb.clamp(sql, e)
         except (UnsupportedQueryError, ValueError):
             continue
         jc.append(qerr(e, jm_truths[name]))
         jcc.append(qerr(ci, jm_truths[name]))
+        jch.append(qerr(h, jm_truths[name]))
     timings["jm_cin_est"] = round(time.perf_counter() - t0, 4)
     extras["jm_cin_n_supported"] = len(jc)
     extras["jm_cin_qerror_p50"] = round(pct(jc, 0.5), 4)
     extras["jm_cin_qerror_p90"] = round(pct(jc, 0.9), 4)
     extras["jm_cin_qerror_max"] = round(max(jc), 4)
     extras["jm_cin_ci_qerror_max"] = round(max(jcc), 4)
+    extras["jm_cin_hybrid_protocol"] = "gated-arbiter-2x"
+    extras["jm_cin_hybrid_qerror_max"] = round(max(jch), 4)
 
     # free the cluster-side sample caches: every remaining clamp reads
     # the localized (driver) copies, and holding ~3M cached rows through
