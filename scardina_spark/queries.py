@@ -743,6 +743,82 @@ order by doc_id, span_start
 """
 
 
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 (learned text classifier): distill the lang-ID marker
+    heuristic into a hashed-BoW multinomial logistic regression — the
+    fastText-style supervised pipeline (Joulin et al. EACL 2017) that
+    CCNet/GPT-3-style curation uses in place of rule stacks.
+    `operators/textclf.py` — hashing-trick features (dimension fixed
+    regardless of corpus vocab), MLlib LBFGS (one treeAggregate pass
+    per iteration), broadcast-coefficient scoring.  Output: one row per
+    heuristic label over the ``doc_id % 5 == 0`` holdout (exact count,
+    SQL-recomputable) plus an ``agree_ok`` assertion that holdout
+    agreement with the heuristic is >= 0.95 (measured 1.0 — the marker
+    heuristic is linearly separable in unigram space)."""
+    from .operators.textclf import distill_heuristic
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = distill_heuristic(docs, TS.lang_id("text"))
+    return (report.select(
+        "label", F.col("n_test").cast("long").alias("n_test"),
+        (F.col("n_agree") >= 0.95 * F.col("n_test")).alias("agree_ok"))
+        .orderBy("label"))
+
+
+def sql_text_classifier() -> str:
+    sel, gst, cases = _sql_lang_parts()
+    return f"""
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents where doc_id % 5 = 0),
+h as (select doc_id, {sel} from toks),
+lab as (select doc_id,
+               case when {gst} = 0 then 'und' {cases} end as label
+        from h)
+select label, count(*)::BIGINT as n_test, true as agree_ok
+from lab group by label order by label
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 (BPE tokenizer training, Sennrich et al. ACL 2016): the
+    iteration-0 adjacent-symbol pair statistics the first merge is
+    chosen from — top 20 under the trainer's deterministic
+    ``(count desc, left, right)`` total order.  `operators/bpe.py` —
+    ONE corpus-sized shuffle (word counts, map-side combined); every
+    merge iteration then runs over the vocabulary-sized distinct-word
+    relation, and encoding is a broadcast vocab join.  The learn loop
+    itself is pinned exactly against a pure-Python reference in
+    `tests/test_bpe.py` (argmax-iterative, so not SQL-expressible)."""
+    from .operators.bpe import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (bpe_pair_counts(docs)
+            .select("left_sym", "right_sym",
+                    F.col("pair_count").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(20))
+
+
+SQL_BPE_PAIRS = """
+with w as (
+  select unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) as word
+  from documents),
+wc as (select word, count(*)::BIGINT as cnt from w group by word),
+syms as (select cnt,
+                list_append(regexp_extract_all(word, '.'), '</w>') as s
+         from wc),
+pairs as (
+  select s[i] as left_sym, s[i + 1] as right_sym, cnt
+  from syms, unnest(generate_series(1, len(s) - 1)) as u(i))
+select left_sym, right_sym, sum(cnt)::BIGINT as pair_count
+from pairs group by 1, 2
+order by pair_count desc, left_sym, right_sym limit 20
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -3949,6 +4025,8 @@ def queries() -> dict:
         "e10_ppc_inject": q_ppc_inject,
         "x43_substring_spans": q_substring_spans,
         "x44_knn_classify": q_knn_classify,
+        "x45_text_classifier": q_text_classifier,
+        "x46_bpe_pairs": q_bpe_pairs,
         # --- green only in round 2: re-verify ---
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
@@ -4173,4 +4251,6 @@ def oracle_sql() -> dict[str, str]:
         "e10_ppc_inject": _sql_ppc_inject(),
         "x43_substring_spans": SQL_SUBSTRING_SPANS,
         "x44_knn_classify": SQL_KNN_CLASSIFY,
+        "x45_text_classifier": sql_text_classifier(),
+        "x46_bpe_pairs": SQL_BPE_PAIRS,
     }

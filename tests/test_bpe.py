@@ -1,0 +1,114 @@
+"""BPE trainer: merge semantics, parity with a pure-Python reference
+implementation of the Sennrich et al. (ACL 2016) algorithm, and the
+encode path's broadcast-lookup + OOV fallback."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.bpe import (
+    END, bpe_encode, bpe_learn, bpe_pair_counts, merge_pair, word_counts)
+
+
+def _ref_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (END,)
+
+
+def _ref_apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    # leftmost-greedy, same semantics as the Spark fold
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _ref_bpe(word_cnt: dict[str, int], n_merges: int, min_count: int = 2):
+    vocab = {w: _ref_symbols(w) for w in word_cnt}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += word_cnt[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        vocab = {w: _ref_apply(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_merge_pair_greedy_leftmost(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "b"],), (["x", "a", "a", "y"],)],
+        "s: array<string>")
+    got = [r[0] for r in
+           df.select(merge_pair(F.col("s"), "a", "a")).collect()]
+    # "a a a" -> [aa, a] (leftmost wins, merged symbol does not re-merge)
+    assert got == [["aa", "a"], ["a", "b", "b"], ["x", "aa", "y"]]
+
+
+def test_learn_matches_reference_bpe(spark, tables):
+    docs = tables["documents"]
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    ref_merges, ref_vocab = _ref_bpe(wc, n_merges=6)
+    merges, vocab = bpe_learn(docs, n_merges=6)
+    assert merges == ref_merges
+    got_vocab = {r["word"]: tuple(r["symbols"]) for r in vocab.collect()}
+    assert got_vocab == ref_vocab
+
+
+def test_pair_counts_match_reference(spark, tables):
+    docs = tables["documents"]
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    ref: Counter = Counter()
+    for w, cnt in wc.items():
+        syms = _ref_symbols(w)
+        for i in range(len(syms) - 1):
+            ref[(syms[i], syms[i + 1])] += cnt
+    got = {(r["left_sym"], r["right_sym"]): r["pair_count"]
+           for r in bpe_pair_counts(docs).collect()}
+    assert got == dict(ref)
+
+
+def test_encode_roundtrip_and_oov(spark, tables):
+    docs = tables["documents"]
+    merges, vocab = bpe_learn(docs, n_merges=4)
+    enc = bpe_encode(docs, vocab)
+    assert enc.count() == docs.count()
+    # concatenating subwords (stripping END) reconstructs the normalized text
+    row = (enc.join(docs.select("doc_id", "text"), "doc_id")
+           .orderBy("doc_id").first())
+    rebuilt = "".join(t for t in row["bpe_tokens"]).replace(END, " ").strip()
+    import re
+    norm = re.sub(r"\s+", " ", row["text"].strip().lower())
+    assert rebuilt == norm
+    # OOV word falls back to character symbols
+    oov = spark.createDataFrame([(1, "zzqx")], "doc_id: long, text: string")
+    toks = bpe_encode(oov, vocab).first()["bpe_tokens"]
+    assert toks == ["z", "z", "q", "x", END]
+
+
+def test_encode_uses_broadcast_join(spark, tables):
+    docs = tables["documents"]
+    _, vocab = bpe_learn(docs, n_merges=2)
+    plan = bpe_encode(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_learn_stops_below_min_count(spark):
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id: long, text: string")
+    merges, _ = bpe_learn(df, n_merges=10, min_count=2)
+    # only pairs with weight >= 2 survive: (a,b) and (b,</w>) at 2 each,
+    # then their merge chain; cd-pairs (count 1) never get merged
+    assert all(cnt >= 2 for _, _, cnt in merges)
+    assert ("c", "d", 1) not in merges
