@@ -547,6 +547,28 @@ def main() -> None:
          (SIM.topk_cosine(emb, qv, 20).withColumnRenamed("vec_id", "doc_id"),
           "cos_sim")], k=10).collect())
 
+    # 7. learned pipeline components (round-4 additions): heuristic
+    # distillation into a hashed-BoW LR, and BPE tokenizer training
+    from scardina_spark.operators import textstats as TS
+    from scardina_spark.operators.bpe import bpe_encode, bpe_learn
+    from scardina_spark.operators.textclf import distill_heuristic
+
+    def run_distill():
+        _, report = distill_heuristic(docs, TS.lang_id("text"))
+        rows = report.collect()
+        n = sum(r["n_test"] for r in rows)
+        extras["textclf_holdout_n"] = n
+        extras["textclf_agreement"] = round(
+            sum(r["n_agree"] for r in rows) / max(n, 1), 4)
+    timed("textclf_distill", run_distill)
+
+    def run_bpe():
+        merges, vocab = bpe_learn(docs, n_merges=8)
+        extras["bpe_n_merges"] = len(merges)
+        extras["bpe_total_subwords"] = int(
+            bpe_encode(docs, vocab).agg(F.sum("n_bpe")).first()[0])
+    timed("bpe_train_encode", run_bpe)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",
