@@ -77,6 +77,28 @@ def proportional_stratified(df: DataFrame, strata_cols: list[str],
     return bernoulli_sample(df, fraction, id_col, salt)
 
 
+def pareto_quality_sample(df: DataFrame, score_col: str, id_col: str,
+                          alpha: float = 9.0,
+                          salt: str = "quality") -> DataFrame:
+    """GPT-3-style quality-weighted document sampling (Brown et al.
+    2020, arXiv:2005.14165 Appendix A — published protocol): a document
+    with classifier score ``s`` in [0, 1] is kept when
+    ``pareto(alpha) > 1 - s``, i.e. with probability ``(2 - s)^-alpha``
+    — high-quality documents survive almost surely, low-quality ones
+    with a heavy-tailed trickle so the filtered corpus is not a hard
+    cutoff of the classifier.
+
+    Deterministic analog of the paper's np.random draw: the coin is the
+    id hash (same machinery as every sampler here), so membership is a
+    pure function of (salt, id, score) — reproducible across engines,
+    reruns, and cluster layouts, and monotone in the score.  One
+    projection + filter, no shuffle.
+    """
+    keep_p = F.pow(F.lit(2.0) - F.col(score_col), F.lit(-float(alpha)))
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return df.where(hash_fraction(key) < keep_p)
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    group_col: str, id_col: str,
                    default_rate: float = 0.0,
@@ -94,3 +116,44 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
         rate = F.when(F.col(group_col) == g, F.lit(float(r))) \
             .otherwise(rate)
     return df.where(hash_fraction(key) < rate)
+
+
+def token_budget_plan(df: DataFrame, weights: dict[str, float],
+                      budget_tokens: int, group_col: str = "source",
+                      token_col: str = "n_tokens") -> DataFrame:
+    """Training-mixture token budgeting — the "epochs per dataset"
+    table of the published LLM training recipes (GPT-3 Table 2.2,
+    arXiv:2005.14165; LLaMA Table 1, arXiv:2302.13971): given each
+    source's AVAILABLE tokens and a target mixture weight, compute the
+    source's token target under the total budget, the sampling rate
+    (target / available — above 1 means the source repeats), and the
+    epoch count (ceil of the rate).
+
+    Feed the ``rate`` column to :func:`mixture_sample` (rates <= 1) to
+    materialize the mix; rates above 1 are the signal to replicate.
+
+    Scale shape: one map-side-combinable groupBy on the source key (a
+    handful of groups), then per-group arithmetic — the relation that
+    reaches the driver is O(#sources).  Sources absent from ``weights``
+    get weight 0 (excluded from the plan's denominator and output).
+    """
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    share = F.lit(None).cast("double")
+    for g, w in sorted(weights.items()):
+        share = F.when(F.col(group_col) == g,
+                       F.lit(float(w) / wsum)).otherwise(share)
+    avail = (df.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col(token_col)).cast("long")
+                  .alias("avail_tokens"))
+             .withColumn("weight", F.round(share, 6))
+             .where(F.col("weight").isNotNull()))
+    target = F.round(F.col("weight") * F.lit(float(budget_tokens)))
+    rate = target / F.col("avail_tokens")
+    return (avail
+            .withColumn("target_tokens", target.cast("long"))
+            .withColumn("rate", F.round(rate, 6))
+            .withColumn("epochs", F.ceil(rate).cast("int"))
+            .orderBy(group_col))

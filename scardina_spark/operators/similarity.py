@@ -380,6 +380,66 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     )
 
 
+def semdedup_flags(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.35, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — published
+    protocol): semantic deduplication with the pairwise comparison
+    CONFINED to k-means cells.  A row is dropped when some lower-id
+    member of its own cell has cosine similarity >= ``threshold`` —
+    the paper's keep-one-per-near-dup-group rule made deterministic by
+    always keeping the lowest id (one pass, no iteration to a
+    transitive closure).
+
+    Returns ``df`` plus ``cell int`` and ``kept boolean``.
+
+    Scale shape (the reason SemDeDup beats all-pairs at 100 TB):
+
+    * assignment is :func:`ivf_assign` — a broadcast-by-construction
+      codegen projection (numpy matmul via ``mapInPandas`` above 64
+      cells), no shuffle;
+    * the only shuffle keys on ``cell``; with :func:`derive_ivf_params`
+      (k ~ sqrt(n)) expected cell size is sqrt(n), so total pair work is
+      k * (n/k)^2 = n^1.5 — bounded per-cell, never global n^2;
+    * unlike :func:`near_dup_pairs` (where only a candidate subset is
+      verified, so ids-then-fetch wins), EVERY within-cell pair needs
+      its cosine — the vectors ship through the one shuffle (O(n*d)),
+      with per-row norms precomputed so each pair pays a single dot
+      fold instead of three (the norm fold is bit-identical whether run
+      per row or per pair, so the 6-dp decision is unchanged);
+    * cosine is rounded to 6 dp before the threshold test so the
+      decision is engine-reproducible (float fold order).
+    """
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    left = assigned.select(F.col("cell"),
+                           F.col(id_col).alias("__id_a"),
+                           F.col(vec_col).alias("__va"),
+                           norm(F.col(vec_col)).alias("__na"))
+    right = assigned.select(F.col("cell"),
+                            F.col(id_col).alias("__id_b"),
+                            F.col(vec_col).alias("__vb"),
+                            norm(F.col(vec_col)).alias("__nb"))
+    cos = (dot(F.col("__va"), F.col("__vb"))
+           / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-12)))
+    dropped = (left.join(right, "cell")
+               .where(F.col("__id_a") < F.col("__id_b"))
+               .where(F.round(cos, 6) >= threshold)
+               .select(F.col("__id_b").alias(id_col))
+               .distinct()
+               .withColumn("__dropped__", F.lit(True)))
+    return (assigned.join(dropped, id_col, "left")
+            .withColumn("kept", F.col("__dropped__").isNull())
+            .drop("__dropped__"))
+
+
+def semdedup(df: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.35, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """The kept rows of :func:`semdedup_flags` with the original schema."""
+    return (semdedup_flags(df, centroids, threshold, id_col, vec_col)
+            .where("kept").drop("cell", "kept"))
+
+
 def similarity_selection_card(df: DataFrame, query_vec: list[float],
                               threshold: float, k: int = 512,
                               id_col: str = "vec_id",

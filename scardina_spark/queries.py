@@ -1511,6 +1511,116 @@ group by source order by source
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540; beyond reference):
+    semantic dedup confined to k-means cells — a row is dropped when a
+    lower-id member of its own cell has cosine >= 0.35 (6 dp).  The
+    quantizer is the deterministic seed (embeddings of vec_id < 8) so
+    the oracle can replicate the assignment; at scale the quantizer
+    comes from `ivf_train` / `derive_ivf_params` and the only shuffle
+    keys on the cell id (pair work n^1.5, never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_seed_centroids(emb)
+    return (SIM.semdedup_flags(emb, cents, threshold=0.35)
+            .select("vec_id", "cell", "kept")
+            .orderBy("vec_id"))
+
+
+SQL_SEMDEDUP = """
+with cents as (
+  select vec_id as cell, embedding::DOUBLE[] as cv
+  from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, e.embedding::DOUBLE[] as v, c.cell,
+         row_number() over (partition by e.vec_id
+             order by list_dot_product(e.embedding::DOUBLE[], c.cv) desc,
+                      c.cell) as rn
+  from embeddings e cross join cents c),
+a as (select vec_id, v, cell from best where rn = 1),
+dropped as (
+  select distinct y.vec_id
+  from a x join a y on x.cell = y.cell and x.vec_id < y.vec_id
+  where round(list_dot_product(x.v, y.v) /
+              greatest(sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v)), 1e-12), 6)
+        >= 0.35)
+select a.vec_id, a.cell::INT as cell,
+       a.vec_id not in (select vec_id from dropped) as kept
+from a order by a.vec_id
+"""
+
+
+def q_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 quality-weighted sampling (arXiv:2005.14165 Appendix A;
+    beyond reference): keep a document with probability
+    (2 - quality)^-9 — the paper's pareto(9) > 1 - score rule with the
+    id hash as the deterministic coin.  Kept-count and smallest kept id
+    per quality level."""
+    from .operators.sampling import pareto_quality_sample
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", TS.quality_score().alias("quality"))
+    kept = pareto_quality_sample(scored, "quality", "doc_id")
+    return (kept.groupBy("quality")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").cast("long").alias("min_id"))
+            .orderBy("quality"))
+
+
+def sql_pareto_sample(alpha: float = 9.0) -> str:
+    kh = _duck_kmv_poly("'quality' || doc_id::VARCHAR")
+    return f"""
+with toks as (
+  select doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents),
+scored as (select doc_id, {_sql_quality_expr()} as quality from toks)
+select quality, count(*) as n_kept, min(doc_id)::BIGINT as min_id
+from scored
+where {kh} / 4294967296.0 < pow(2.0 - quality, -{alpha})
+group by quality order by quality
+"""
+
+
+_BUDGET_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token budgeting (GPT-3 Table 2.2 / LLaMA Table 1
+    protocol; beyond reference): per-source available tokens vs a 1M
+    total-token budget under target weights — token target, sampling
+    rate, epoch count.  Sources outside the mixture are excluded."""
+    from .operators.sampling import token_budget_plan
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       TS.token_count().alias("n_tokens"))
+    return token_budget_plan(toks, _BUDGET_WEIGHTS, budget_tokens=1_000_000)
+
+
+def sql_token_budget(budget: int = 1_000_000) -> str:
+    wsum = sum(_BUDGET_WEIGHTS.values())
+    share = "null"
+    for g, w in sorted(_BUDGET_WEIGHTS.items()):
+        share = f"case when source = '{g}' then {w / wsum!r} else {share} end"
+    return f"""
+with toks as (
+  select source,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0)) as n_tokens
+  from documents),
+avail as (
+  select source, count(*) as n_docs, sum(n_tokens)::BIGINT as avail_tokens,
+         round(({share})::DOUBLE, 6) as weight
+  from toks group by source),
+plan as (
+  select *, round(weight * {float(budget)}) / avail_tokens as q
+  from avail where weight is not null)
+select source, n_docs, avail_tokens, weight,
+       round(weight * {float(budget)})::BIGINT as target_tokens,
+       round(q, 6) as rate, ceil(q)::INT as epochs
+from plan order by source
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (beyond reference): count lineitems whose
     l_shipdate falls inside each probe order's [orderdate, orderdate +
@@ -4130,6 +4240,10 @@ def queries() -> dict:
         "x25_bloom_semi": q_bloom_semi_join,
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
+        # --- added after the round-4 rotation: driver rows next round ---
+        "x47_semdedup": q_semdedup,
+        "x48_pareto_sample": q_pareto_sample,
+        "x49_token_budget": q_token_budget,
     }
 
 
@@ -4253,4 +4367,7 @@ def oracle_sql() -> dict[str, str]:
         "x44_knn_classify": SQL_KNN_CLASSIFY,
         "x45_text_classifier": sql_text_classifier(),
         "x46_bpe_pairs": SQL_BPE_PAIRS,
+        "x47_semdedup": SQL_SEMDEDUP,
+        "x48_pareto_sample": sql_pareto_sample(),
+        "x49_token_budget": sql_token_budget(),
     }

@@ -87,3 +87,42 @@ def test_mixture_sample_default_rate(tables):
                           default_rate=1.0)
     assert kept.where("source = 'src0'").count() == 0
     assert kept.count() == docs.where("source <> 'src0'").count()
+
+
+def test_pareto_quality_sample_matches_python(spark):
+    """The GPT-3 rule with the id-hash coin: keep iff
+    frac('quality'||id) < (2 - score)^-9."""
+    rows = [(i, [0.37, 0.55, 0.7, 0.85, 1.0][i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "score"])
+    got = {r["id"] for r in
+           SA.pareto_quality_sample(df, "score", "id").collect()}
+    want = {i for i, s in rows if _frac(f"quality{i}") < (2.0 - s) ** -9.0}
+    assert got == want
+    # perfect-score rows are always kept; the rest are a strict subset
+    assert {i for i, s in rows if s == 1.0} <= got
+    assert len(got) < 500
+
+
+def test_pareto_sample_monotone_in_score(spark):
+    """Raising every score keeps a superset (the coin is score-free)."""
+    lo = [(i, 0.5) for i in range(300)]
+    hi = [(i, 0.8) for i in range(300)]
+    keep = lambda rows: {
+        r["id"] for r in SA.pareto_quality_sample(
+            spark.createDataFrame(rows, ["id", "score"]),
+            "score", "id").collect()}
+    assert keep(lo) <= keep(hi)
+
+
+def test_token_budget_plan_arithmetic(spark):
+    rows = ([("a", 100)] * 10) + ([("b", 50)] * 4) + ([("c", 10)] * 2)
+    df = spark.createDataFrame(rows, ["source", "n_tokens"])
+    plan = {r["source"]: r for r in SA.token_budget_plan(
+        df, {"a": 0.5, "b": 0.5}, budget_tokens=3000).collect()}
+    assert set(plan) == {"a", "b"}  # 'c' outside the mixture
+    a, b = plan["a"], plan["b"]
+    assert (a["n_docs"], a["avail_tokens"]) == (10, 1000)
+    assert a["weight"] == 0.5 and a["target_tokens"] == 1500
+    assert a["rate"] == 1.5 and a["epochs"] == 2
+    assert (b["n_docs"], b["avail_tokens"]) == (4, 200)
+    assert b["target_tokens"] == 1500 and b["epochs"] == 8  # 7.5 -> 8

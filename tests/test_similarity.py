@@ -338,3 +338,44 @@ def test_knn_votes_prediction_and_posterior(tables, query_vec):
     from collections import Counter
     expect = Counter(labels[i] for i in top_ids)
     assert {r["label"]: r["votes"] for r in votes} == dict(expect)
+
+
+def test_semdedup_keeps_lowest_id_per_near_group(spark):
+    """Two well-separated cells; a planted near-identical pair inside
+    one cell keeps its lowest id and drops the partner; everything
+    dissimilar survives."""
+    c0 = [1.0] + [0.0] * 15
+    c1 = [0.0, 1.0] + [0.0] * 14
+    rows = [
+        (0, c0), (1, c1),                       # the centroids themselves
+        (10, [0.999, 0.01] + [0.0] * 14),       # ~ c0 (near-dup of 0)
+        (11, [0.01, 0.999] + [0.0] * 14),       # ~ c1 (near-dup of 1)
+        (12, [0.7, 0.0] + [0.1] * 14),          # c0 cell, dissimilar
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flags = {r["vec_id"]: (r["cell"], r["kept"])
+             for r in S.semdedup_flags(df, [c0, c1], threshold=0.95)
+             .collect()}
+    assert flags[0] == (0, True) and flags[10] == (0, False)
+    assert flags[1] == (1, True) and flags[11] == (1, False)
+    assert flags[12][1] is True
+    kept = {r["vec_id"] for r in
+            S.semdedup(df, [c0, c1], threshold=0.95).collect()}
+    assert kept == {0, 1, 12}
+
+
+def test_semdedup_comparison_confined_to_cells(spark):
+    """A near-dup pair straddling a cell boundary is NOT compared — the
+    documented recall trade of the SemDeDup protocol (pair work stays
+    per-cell, never all-pairs)."""
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.8, 0.6, 0.0, 0.0]
+    # cos(a, b) ~ 0.995 but a assigns to c0 (dot .995 vs .97) and b to
+    # c1 (dot .975 vs .9999): same near-dup group, different cells
+    a = [0.995, 0.1, 0.0, 0.0]
+    b = [0.9, 0.43, 0.0, 0.0]
+    df = spark.createDataFrame([(0, a), (1, b)], ["vec_id", "embedding"])
+    out = S.semdedup_flags(df, [c0, c1], threshold=0.95).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert cells[0] != cells[1], "fixture must straddle cells"
+    assert all(r["kept"] for r in out)
