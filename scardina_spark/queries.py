@@ -1621,6 +1621,44 @@ from plan order by source
 """
 
 
+def q_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity filtering (Wenzek et al., arXiv:1911.00359;
+    beyond reference): unigram-LM self-perplexity per document and the
+    head/middle/tail band under fixed thresholds (CCNet derives them
+    as per-language percentiles; 30.0/30.5 split this corpus at every
+    SF).  LM training is one word-count shuffle; scoring is a
+    token-keyed join — see operators/perplexity.py."""
+    from .operators import perplexity as PX
+    docs = load_table(spark, sf_dir, "documents")
+    lm = PX.train_unigram_lm(docs)
+    return (PX.perplexity_band(docs, lm, 30.0, 30.5)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_toks", "ppl", "ppl_band")
+            .orderBy("doc_id"))
+
+
+SQL_PERPLEXITY_BAND = """
+with toks as (
+  select doc_id, lower(t) as token
+  from documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> len(x) > 0)) as u(t)),
+counts as (select token, count(*) as n from toks group by token),
+tot as (select sum(n) as nt, count(*) as v from counts),
+lm as (select token, ln((n + 1.0) / (nt + 1.0 * (v + 1))) as logp
+       from counts, tot),
+scored as (
+  select doc_id, count(*)::BIGINT as n_toks,
+         round(exp(-sum(logp) / count(*)), 4) as ppl
+  from toks join lm using (token) group by doc_id)
+select doc_id::BIGINT as doc_id, n_toks, ppl,
+       case when ppl < 30.0 then 'head'
+            when ppl < 30.5 then 'middle'
+            else 'tail' end as ppl_band
+from scored order by doc_id
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (beyond reference): count lineitems whose
     l_shipdate falls inside each probe order's [orderdate, orderdate +
@@ -4244,6 +4282,7 @@ def queries() -> dict:
         "x47_semdedup": q_semdedup,
         "x48_pareto_sample": q_pareto_sample,
         "x49_token_budget": q_token_budget,
+        "x50_perplexity_band": q_perplexity_band,
     }
 
 
@@ -4370,4 +4409,5 @@ def oracle_sql() -> dict[str, str]:
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),
+        "x50_perplexity_band": SQL_PERPLEXITY_BAND,
     }

@@ -1,0 +1,77 @@
+"""CCNet-style unigram perplexity scoring vs a pure-Python reference."""
+
+import math
+
+import pytest
+
+from scardina_spark.operators import perplexity as P
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "zyx qqq zzz"),          # rare/OOV-ish relative to the rest
+    (3, "the the the the"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_lm(texts, k=1.0):
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w.lower()] = counts.get(w.lower(), 0) + 1
+    n_total = sum(counts.values())
+    vocab = len(counts)
+    denom = n_total + k * (vocab + 1)
+    logp = {w: math.log((n + k) / denom) for w, n in counts.items()}
+    return logp, math.log(k / denom)
+
+
+def test_unigram_lm_matches_python(spark, docs):
+    lm = {r["token"]: r["logp"]
+          for r in P.train_unigram_lm(docs).collect()}
+    want, _ = _py_lm([t for _, t in DOCS])
+    assert set(lm) == set(want)
+    for w, lp in want.items():
+        assert abs(lm[w] - lp) < 1e-12
+
+
+def test_doc_perplexity_matches_python(spark, docs):
+    lm = P.train_unigram_lm(docs)
+    got = {r["doc_id"]: (r["n_toks"], r["ppl"])
+           for r in P.doc_perplexity(docs, lm).collect()}
+    logp, _ = _py_lm([t for _, t in DOCS])
+    for i, t in DOCS:
+        toks = [w.lower() for w in t.split()]
+        ppl = math.exp(-sum(logp[w] for w in toks) / len(toks))
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - round(ppl, 4)) < 1e-9
+
+
+def test_oov_tokens_score_the_smoothed_floor(spark, docs):
+    # train only on docs 0-1; doc 2 is fully OOV and must score
+    # exp(-oov) exactly, worse than any in-vocabulary doc
+    train = docs.where("doc_id < 2")
+    lm = P.train_unigram_lm(train)
+    got = {r["doc_id"]: r["ppl"]
+           for r in P.doc_perplexity(docs, lm).collect()}
+    _, oov = _py_lm([t for _, t in DOCS[:2]])
+    assert got[2] == round(math.exp(-oov), 4)
+    assert got[2] > max(got[0], got[1], got[3])
+
+
+def test_band_filter_keeps_head_and_middle(spark, docs):
+    lm = P.train_unigram_lm(docs)
+    ppls = sorted(r["ppl"]
+                  for r in P.doc_perplexity(docs, lm).collect())
+    lo, hi = ppls[0] + 1e-6, ppls[3] - 1e-6   # 1 head, 2 middle, 1 tail
+    banded = {r["doc_id"]: r["ppl_band"]
+              for r in P.perplexity_band(docs, lm, lo, hi).collect()}
+    assert sorted(banded.values()) == ["head", "middle", "middle", "tail"]
+    kept = P.filter_by_perplexity(docs, lm, lo, hi)
+    assert kept.count() == 3
+    assert kept.columns == ["doc_id", "text"]
