@@ -169,8 +169,12 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_ur.estimate(sql)
             jn_ms.append((time.perf_counter() - tq0) * 1000)
-            h = nar_hyb.clamp(sql, e)
-            ci = nar_ci.clamp(sql, e)
+            try:
+                pair = est.estimate_with_stderr(sql)  # one sample pass
+            except (UnsupportedQueryError, ValueError):
+                pair = None
+            h = nar_hyb.clamp(sql, e, ht_se=pair)
+            ci = nar_ci.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):
             continue
         jn_q.append(qerr(e, truths[name]))
@@ -338,8 +342,12 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_cin.estimate(sql)
             cms.append((time.perf_counter() - tq0) * 1000)
-            h = cin_hyb.clamp(sql, e)
-            ci = cin_ci.clamp(sql, e)
+            try:
+                pair = est.estimate_with_stderr(sql)  # one sample pass
+            except (UnsupportedQueryError, ValueError):
+                pair = None
+            h = cin_hyb.clamp(sql, e, ht_se=pair)
+            ci = cin_ci.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):
             continue
         cq.append(qerr(e, truths[name]))
@@ -428,8 +436,12 @@ def main() -> None:
         e = math.exp(sum(math.log(max(x, 1e-12)) for x in ests)
                      / len(ests))
         ju.append(qerr(e, jm_truths[name]))
-        juh.append(qerr(jm_arb.clamp(sql, e), jm_truths[name]))
-        juc.append(qerr(jm_cicl.clamp(sql, e), jm_truths[name]))
+        try:
+            pair = jm_ht.estimate_with_stderr(sql)  # one sample pass
+        except (UnsupportedQueryError, ValueError):
+            pair = None
+        juh.append(qerr(jm_arb.clamp(sql, e, ht_se=pair), jm_truths[name]))
+        juc.append(qerr(jm_cicl.clamp(sql, e, ht_se=pair), jm_truths[name]))
     timings["jm_nar_est"] = round(time.perf_counter() - t0, 4)
     extras["jm_nar_n_supported"] = len(ju)
     extras["jm_nar_qerror_p50"] = round(pct(ju, 0.5), 4)
@@ -470,8 +482,12 @@ def main() -> None:
     for name, sql in jm_suite.items():
         try:
             e = jm_cin.estimate(sql)
-            ci = jm_cin_ci.clamp(sql, e)
-            h = jm_cin_arb.clamp(sql, e)
+            try:
+                pair = jm_ht.estimate_with_stderr(sql)  # one sample pass
+            except (UnsupportedQueryError, ValueError):
+                pair = None
+            ci = jm_cin_ci.clamp(sql, e, ht_se=pair)
+            h = jm_cin_arb.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):
             continue
         jc.append(qerr(e, jm_truths[name]))

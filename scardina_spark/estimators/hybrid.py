@@ -61,12 +61,21 @@ class HybridEstimator:
     def estimate(self, query) -> float:
         return self.clamp(query, self.learned.estimate(query))
 
-    def clamp(self, query, est: float) -> float:
+    def clamp(self, query, est: float,
+              ht_se: tuple[float, float | None] | None = None) -> float:
         """Apply the clamp to an already-computed learned estimate — lets
         callers that hold the estimate avoid re-running the progressive
-        sampler."""
+        sampler.  ``ht_se`` optionally carries a precomputed
+        ``checker.estimate_with_stderr`` pair so callers running several
+        clamps over the same query pay the sample pass once (the point
+        estimate is identical between ``estimate`` and
+        ``estimate_with_stderr`` — same contribution fold)."""
         try:
-            if self.mode == "ci":
+            if ht_se is not None:
+                ht, se = ht_se
+                if self.mode != "ci":
+                    se = None  # only the CI clamp consumes the band
+            elif self.mode == "ci":
                 ht, se = self.checker.estimate_with_stderr(query)
             else:
                 ht, se = self.checker.estimate(query), None

@@ -23,12 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import lower_words as _words
+
 END = "</w>"  # end-of-word marker (reference protocol, Sennrich §3.2)
-
-
-def _words(col: str) -> Column:
-    return F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
-                    lambda x: x != "")
 
 
 def word_counts(df: DataFrame, col: str = "text") -> DataFrame:

@@ -151,7 +151,11 @@ def token_budget_plan(df: DataFrame, weights: dict[str, float],
              .withColumn("weight", F.round(share, 6))
              .where(F.col("weight").isNotNull()))
     target = F.round(F.col("weight") * F.lit(float(budget_tokens)))
-    rate = target / F.col("avail_tokens")
+    # NULL rate/epochs when a weighted source has zero available
+    # tokens: its target is unmeetable at any repetition count (and
+    # target/0 would be an ANSI cast error, not a planning answer)
+    rate = F.when(F.col("avail_tokens") > 0,
+                  target / F.col("avail_tokens"))
     return (avail
             .withColumn("target_tokens", target.cast("long"))
             .withColumn("rate", F.round(rate, 6))

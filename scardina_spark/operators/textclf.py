@@ -26,13 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(col: str) -> Column:
-    """Whitespace tokens of the lower-cased text — the same
-    normalization every text operator in this repo uses
-    (textstats.words)."""
-    return F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
-                    lambda x: x != "")
+from .textstats import lower_words as _tokens
 
 
 @dataclass

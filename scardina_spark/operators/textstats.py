@@ -30,9 +30,18 @@ TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def words(col: str = "text") -> Column:
-    """Whitespace tokens, empties removed."""
+    """Whitespace tokens, empties removed (case-preserving)."""
     return F.filter(
         F.split(F.col(col), "\\s+"), lambda w: F.length(w) > 0)
+
+
+def lower_words(col: str = "text") -> Column:
+    """Whitespace tokens of the lower-cased, trimmed text — the shared
+    normalization of the learned-text operators (bpe, textclf).
+    Distinct from :func:`words`, which preserves case for the
+    stopword/marker heuristics that lowercase per comparison."""
+    return F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+                    lambda x: x != "")
 
 
 def token_count(col: str = "text") -> Column:

@@ -1612,7 +1612,7 @@ avail as (
          round(({share})::DOUBLE, 6) as weight
   from toks group by source),
 plan as (
-  select *, round(weight * {float(budget)}) / avail_tokens as q
+  select *, round(weight * {float(budget)}) / nullif(avail_tokens, 0) as q
   from avail where weight is not null)
 select source, n_docs, avail_tokens, weight,
        round(weight * {float(budget)})::BIGINT as target_tokens,
@@ -1650,12 +1650,18 @@ lm as (select token, ln((n + 1.0) / (nt + 1.0 * (v + 1))) as logp
 scored as (
   select doc_id, count(*)::BIGINT as n_toks,
          round(exp(-sum(logp) / count(*)), 4) as ppl
-  from toks join lm using (token) group by doc_id)
-select doc_id::BIGINT as doc_id, n_toks, ppl,
-       case when ppl < 30.0 then 'head'
-            when ppl < 30.5 then 'middle'
+  from toks join lm using (token) group by doc_id),
+oov as (select ln(1.0 / (nt + 1.0 * (v + 1))) as o from tot)
+select d.doc_id::BIGINT as doc_id,
+       coalesce(s.n_toks, 0)::BIGINT as n_toks,
+       coalesce(s.ppl, (select round(exp(-o), 4) from oov)) as ppl,
+       case when coalesce(s.ppl, (select round(exp(-o), 4) from oov))
+                 < 30.0 then 'head'
+            when coalesce(s.ppl, (select round(exp(-o), 4) from oov))
+                 < 30.5 then 'middle'
             else 'tail' end as ppl_band
-from scored order by doc_id
+from documents d left join scored s using (doc_id)
+order by d.doc_id
 """
 
 

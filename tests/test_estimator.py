@@ -219,6 +219,28 @@ def test_hybrid_arbiter_geomean(estimator, exact):
                            mode="arbiter").estimate(sql) == 0.0
 
 
+def test_hybrid_clamp_precomputed_pair_matches(estimator):
+    """clamp(..., ht_se=pair) equals the self-computed path in every
+    mode — the bench passes one estimate_with_stderr pair to several
+    clamps over the same query."""
+    from scardina_spark.estimators import HybridEstimator
+
+    sql = QUERIES[1]
+    pair = estimator.estimate_with_stderr(sql)
+
+    class Fake:
+        def __init__(self, v):
+            self.v = v
+        def estimate(self, q):
+            return self.v
+
+    est = pair[0] * 1.5
+    for mode in ("zero", "ci", "arbiter"):
+        hyb = HybridEstimator(Fake(est), estimator, mode=mode)
+        assert hyb.clamp(sql, est, ht_se=pair) == \
+            pytest.approx(hyb.clamp(sql, est), rel=1e-12), mode
+
+
 def test_parallel_edge_subschemas_route_queries(spark):
     """Two FKs from one table into the same parent (the reference's
     parallel-edge case, scardina/schema.py:117) expand into one

@@ -126,3 +126,16 @@ def test_token_budget_plan_arithmetic(spark):
     assert a["rate"] == 1.5 and a["epochs"] == 2
     assert (b["n_docs"], b["avail_tokens"]) == (4, 200)
     assert b["target_tokens"] == 1500 and b["epochs"] == 8  # 7.5 -> 8
+
+
+def test_token_budget_plan_zero_avail_source(spark):
+    """A weighted source with zero available tokens gets NULL
+    rate/epochs instead of an ANSI division/cast error."""
+    rows = [("a", 100), ("a", 100), ("b", 0)]
+    df = spark.createDataFrame(rows, ["source", "n_tokens"])
+    plan = {r["source"]: r for r in SA.token_budget_plan(
+        df, {"a": 0.5, "b": 0.5}, budget_tokens=400).collect()}
+    b = plan["b"]
+    assert b["avail_tokens"] == 0 and b["target_tokens"] == 200
+    assert b["rate"] is None and b["epochs"] is None
+    assert plan["a"]["epochs"] == 1
