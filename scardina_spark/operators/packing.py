@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .prefix import CUM, with_prefix_sum
-from .textstats import token_count
+from .textstats import token_count, words
 
 
 def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
@@ -83,3 +83,52 @@ def pack_stats(assignment: DataFrame, seq_len: int) -> DataFrame:
         .alias("n_packs"),
         F.sum((F.col("n_packs") > 1).cast("long")).alias("n_spanning_docs"),
         F.max(F.col("pack_id") + F.col("n_packs") - 1).alias("last_pack_id"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int,
+                    overlap_tokens: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the per-document complement of :func:`pack_sequences` (context-
+    window preparation for embedding/retrieval pipelines, where a
+    document must NOT bleed into its neighbor the way the packed
+    pre-training layout allows).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap_tokens``;
+    the last chunk may be short; a document shorter than one chunk
+    yields exactly one chunk.  Output: ``(id_col, chunk_id int,
+    chunk_text string, n_chunk_toks int)`` — one row per chunk, in
+    document order.
+
+    Scale shape: tokenize once per document, then a JVM-side
+    ``sequence -> transform -> slice`` builds every window from the one
+    token array and ``explode`` emits the rows — no shuffle at all
+    (chunking is embarrassingly row-parallel), no Python, and the
+    window count is data-derived so no driver-side per-document loop.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap_tokens
+    toks = words(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    # number of windows whose start < n: ceil((n - overlap) / stride)
+    # (== ceil((n - chunk)/stride) + 1 exactly); floored at 1 so a doc
+    # shorter than the overlap still yields its single short chunk
+    # (sequence(0, -1) would count DOWN, not empty)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_tokens)) / F.lit(stride)).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens))
+    out = (docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__ctoks__")))
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("__ctoks__", " ").alias("chunk_text"),
+        F.size("__ctoks__").alias("n_chunk_toks"))

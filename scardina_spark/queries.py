@@ -1665,6 +1665,39 @@ order by d.doc_id
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (beyond reference): 32-token windows with
+    8-token overlap — the context-window preparation of
+    embedding/retrieval pipelines (per-document, unlike the cross-doc
+    packed layout of x39).  Shuffle-free row-parallel JVM plan; see
+    operators/packing.chunk_documents."""
+    from .operators.packing import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return (chunk_documents(docs, 32, 8)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "chunk_id", "chunk_text", "n_chunk_toks")
+            .orderBy("doc_id", "chunk_id"))
+
+
+SQL_CHUNK_DOCS = """
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+  from documents),
+c as (
+  select doc_id, ws,
+         greatest(ceil((greatest(len(ws), 1) - 8) / 24)::INT, 1) as k
+  from toks),
+e as (select doc_id, ws, unnest(range(k)) as chunk_id from c)
+select doc_id::BIGINT as doc_id, chunk_id::INT as chunk_id,
+       array_to_string(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32),
+                       ' ') as chunk_text,
+       len(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32))::INT
+         as n_chunk_toks
+from e order by doc_id, chunk_id
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (beyond reference): count lineitems whose
     l_shipdate falls inside each probe order's [orderdate, orderdate +
@@ -4289,6 +4322,7 @@ def queries() -> dict:
         "x48_pareto_sample": q_pareto_sample,
         "x49_token_budget": q_token_budget,
         "x50_perplexity_band": q_perplexity_band,
+        "x51_chunk_docs": q_chunk_docs,
     }
 
 
@@ -4416,4 +4450,5 @@ def oracle_sql() -> dict[str, str]:
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),
         "x50_perplexity_band": SQL_PERPLEXITY_BAND,
+        "x51_chunk_docs": SQL_CHUNK_DOCS,
     }

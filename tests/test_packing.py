@@ -83,3 +83,60 @@ def test_pack_plan_no_single_partition_window(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_chunk_hand_fixture(spark):
+    from scardina_spark.operators.packing import chunk_documents
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # chunk 4, overlap 1 -> stride 3: starts 0, 3, 6 (6+4 covers all 10)
+    got = [(r["chunk_id"], r["chunk_text"], r["n_chunk_toks"])
+           for r in chunk_documents(df, 4, 1).orderBy("chunk_id").collect()]
+    assert got == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+
+
+def test_chunk_reconstructs_document_no_overlap(spark, tables):
+    from scardina_spark.operators.packing import chunk_documents
+    from scardina_spark.operators.textstats import token_count
+    docs = tables["documents"].limit(50)
+    chunks = chunk_documents(docs, 64, 0)
+    # zero overlap: concatenating a doc's chunks in order restores its
+    # whitespace-normalized token stream, and counts add up exactly
+    rejoined = (chunks.orderBy("doc_id", "chunk_id")
+                .groupBy("doc_id")
+                .agg(F.array_join(F.collect_list("chunk_text"), " ")
+                     .alias("re"),
+                     F.sum("n_chunk_toks").alias("n")))
+    norm = docs.select(
+        "doc_id",
+        F.array_join(F.filter(F.split("text", r"\s+"),
+                              lambda w: F.length(w) > 0), " ")
+        .alias("want"),
+        token_count().alias("want_n"))
+    joined = rejoined.join(norm, "doc_id").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r["re"] == r["want"] and r["n"] == r["want_n"]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    from scardina_spark.operators.packing import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "x")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["chunk_id"], r["n_chunk_toks"])
+           for r in chunk_documents(df, 8, 4).collect()}
+    assert got == {1: (0, 3), 2: (0, 0), 3: (0, 1)}
+
+
+def test_chunk_rejects_bad_params(spark):
+    from scardina_spark.operators.packing import chunk_documents
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, 4)
