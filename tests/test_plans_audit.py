@@ -287,3 +287,33 @@ def test_nation_revenue_share_scalar_broadcast(spark, sf_dir):
     plan = _plan(q_nation_revenue_share(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is row-parallel: zero Exchange, no Python eval."""
+    from scardina_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_documents(docs, 32, 8))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_semdedup_shuffles_only_on_cell_no_pathologies(spark, sf_dir):
+    """The pair stage's only join is a cell-keyed equi-join: no
+    cartesian/BNLJ anywhere, no Python eval (<=64 cells), and every
+    hashpartitioning key set is either the cell id (pair join) or the
+    row id (dropped-set dedup + attach-back)."""
+    import re
+
+    from scardina_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [[float(x) for x in r["embedding"]] for r in
+             emb.where("vec_id < 8").orderBy("vec_id").collect()]
+    plan = _plan(S.semdedup_flags(emb, cents, 0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    for keys in re.findall(r"hashpartitioning\((\w+)", plan):
+        assert keys in ("cell", "vec_id"), plan
