@@ -379,3 +379,28 @@ def test_semdedup_comparison_confined_to_cells(spark):
     cells = {r["vec_id"]: r["cell"] for r in out}
     assert cells[0] != cells[1], "fixture must straddle cells"
     assert all(r["kept"] for r in out)
+
+
+def test_semdedup_pair_work_scales_subquadratically(spark):
+    """The n^1.5 claim: with derive_ivf_params (k ~ sqrt(n)), growing
+    the corpus 4x grows within-cell pair work ~8x (sqrt(4)^3), far
+    below the 16x of all-pairs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def pair_work(n):
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(n, 16).astype(float)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            ["vec_id", "embedding"])
+        k, _ = S.derive_ivf_params(n)
+        cents = S.ivf_train(df, k=k, iters=1)
+        sizes = (S.ivf_assign(df, cents).groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+        return sum(r["c"] * (r["c"] - 1) // 2 for r in sizes)
+
+    small, big = pair_work(1000), pair_work(4000)
+    ratio = big / small
+    assert 3.0 < ratio < 13.0, ratio  # ~8 expected; 16 = all-pairs
