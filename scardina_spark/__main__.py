@@ -245,6 +245,46 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Split the documents table into overlapping token windows and
+    write the chunk relation as parquet."""
+    from .catalog import load_table
+    from .operators.packing import chunk_documents
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    out = chunk_documents(docs, args.chunk_tokens, args.overlap_tokens)
+    out.orderBy("doc_id", "chunk_id").write.mode("overwrite") \
+        .parquet(args.out)
+    back = spark.read.parquet(args.out)
+    print(json.dumps({
+        "out": args.out, "n_chunks": int(back.count()),
+        "n_docs": int(back.select("doc_id").distinct().count()),
+        "chunk_tokens": args.chunk_tokens,
+        "overlap_tokens": args.overlap_tokens}))
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup the embeddings table (k-means-cell-confined cosine
+    dedup) and write the kept rows as parquet."""
+    from .catalog import load_table
+    from .operators import similarity as SIM
+    spark = _spark()
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    n = emb.count()
+    k = args.cells or SIM.derive_ivf_params(n)[0]
+    cents = SIM.ivf_train(emb, k=k, iters=args.iters)
+    flags = SIM.semdedup_flags(emb, cents, threshold=args.threshold)
+    flags.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    kept = back.where("kept").count()
+    print(json.dumps({
+        "out": args.out, "n": int(n), "kept": int(kept),
+        "dropped": int(n - kept), "cells": int(k),
+        "threshold": args.threshold}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -437,6 +477,21 @@ def main(argv=None) -> int:
     p.add_argument("--langs", default="en")
     p.add_argument("--token-budget", type=float, default=None)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("chunk")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--chunk-tokens", type=int, default=256)
+    p.add_argument("--overlap-tokens", type=int, default=32)
+    p.set_defaults(fn=cmd_chunk)
+
+    p = sub.add_parser("semdedup")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--threshold", type=float, default=0.9)
+    p.add_argument("--cells", type=int, default=None)
+    p.add_argument("--iters", type=int, default=2)
+    p.set_defaults(fn=cmd_semdedup)
 
     p = sub.add_parser("bench")
     p.add_argument("--sf-dir", required=True)

@@ -103,3 +103,26 @@ def test_cli_layout(capsys, spark, sf_dir, tmp_path):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["mode"] == "sorted"
     assert rep["overlap_fraction"]["l_shipdate"] < 0.1
+
+
+def test_cli_chunk(capsys, spark, sf_dir, tmp_path):
+    out_path = str(tmp_path / "chunks")
+    rc = main(["chunk", "--sf-dir", sf_dir, "--out", out_path,
+               "--chunk-tokens", "64", "--overlap-tokens", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 500 and out["n_chunks"] >= out["n_docs"]
+    back = spark.read.parquet(out_path)
+    assert back.where("n_chunk_toks > 64").count() == 0
+
+
+def test_cli_semdedup(capsys, spark, sf_dir, tmp_path):
+    out_path = str(tmp_path / "semdedup")
+    rc = main(["semdedup", "--sf-dir", sf_dir, "--out", out_path,
+               "--threshold", "0.35"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kept"] + out["dropped"] == out["n"] == 500
+    assert 0 < out["dropped"] < out["n"]
+    back = spark.read.parquet(out_path)
+    assert set(back.columns) >= {"vec_id", "cell", "kept"}
