@@ -130,3 +130,32 @@ def filter_by_perplexity(df: DataFrame, lm: DataFrame, lo: float,
                              smoothing_k)
     return banded.where(F.col("ppl_band").isin(*keep)) \
         .drop("n_toks", "ppl", "ppl_band")
+
+
+def derive_ppl_thresholds(df: DataFrame, lm: DataFrame,
+                          qs: tuple[float, float] = (1 / 3, 2 / 3),
+                          lang_col: str | None = None,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          smoothing_k: float = 1.0) -> DataFrame:
+    """Derive the CCNet band thresholds as perplexity percentiles —
+    the paper computes them per language over a held-out sample and
+    keeps the head+middle (lowest two thirds).  Returns one row per
+    language (``(lang, lo, hi)``; a single ``('*', lo, hi)`` row when
+    ``lang_col`` is None) to feed :func:`perplexity_band`.
+
+    Exact ``percentile`` (not approx) so the cut is deterministic and
+    engine-reproducible; the aggregation input is one double per
+    document — percentile's sort cost is bounded by the document count,
+    not the token count, and at 100 TB the held-out sample this runs
+    on is bounded by construction (CCNet protocol)."""
+    ppl = doc_perplexity(df, lm, id_col, text_col, smoothing_k)
+    if lang_col is not None:
+        ppl = ppl.join(df.select(id_col, lang_col), id_col)
+        grouped = ppl.groupBy(F.col(lang_col).alias("lang"))
+    else:
+        grouped = ppl.groupBy(F.lit("*").alias("lang"))
+    return (grouped.agg(
+        F.percentile("ppl", F.lit(float(qs[0]))).alias("lo"),
+        F.percentile("ppl", F.lit(float(qs[1]))).alias("hi"))
+        .orderBy("lang"))

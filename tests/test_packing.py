@@ -140,3 +140,36 @@ def test_chunk_rejects_bad_params(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError):
         chunk_documents(df, 4, 4)
+
+
+def test_chunk_overlap_invariants_across_lengths(spark):
+    """Vectorized invariants over documents of every length 0..40 with
+    odd params (chunk 7, overlap 3): chunk sizes <= 7, every chunk but
+    the last is full, consecutive chunks share exactly the 3-token
+    overlap, and the union of windows covers the whole token stream."""
+    from scardina_spark.operators.packing import chunk_documents
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in range(41)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(df, 7, 3).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = 4
+    for n, text in rows:
+        got = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        toks = text.split()
+        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        for r in got:
+            start = r["chunk_id"] * stride
+            want = toks[start:start + 7]
+            assert r["chunk_text"].split() == want if want else \
+                r["chunk_text"] == ""
+            assert r["n_chunk_toks"] == len(want)
+        # coverage: last window reaches the end; no extra empty windows
+        if n > 0:
+            last = got[-1]
+            assert last["chunk_id"] * stride + last["n_chunk_toks"] == n
+            assert last["n_chunk_toks"] > 0 or n == 0
+        else:
+            assert len(got) == 1 and got[0]["n_chunk_toks"] == 0

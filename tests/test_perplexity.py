@@ -75,3 +75,25 @@ def test_band_filter_keeps_head_and_middle(spark, docs):
     kept = P.filter_by_perplexity(docs, lm, lo, hi)
     assert kept.count() == 3
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_derive_ppl_thresholds_percentiles(spark, tables):
+    docs = tables["documents"].limit(100)
+    lm = P.train_unigram_lm(docs)
+    row = P.derive_ppl_thresholds(docs, lm).collect()
+    assert len(row) == 1 and row[0]["lang"] == "*"
+    lo, hi = row[0]["lo"], row[0]["hi"]
+    assert lo < hi
+    # the derived cut actually thirds the corpus: band sizes ~33/33/33
+    banded = P.perplexity_band(docs, lm, lo, hi)
+    from pyspark.sql import functions as F
+    sizes = {r["ppl_band"]: r["n"] for r in
+             banded.groupBy("ppl_band")
+             .agg(F.count("*").alias("n")).collect()}
+    assert all(20 <= sizes.get(b, 0) <= 47 for b in
+               ("head", "middle", "tail")), sizes
+    # per-language variant: one row per language, each internally sorted
+    per_lang = P.derive_ppl_thresholds(docs, lm, lang_col="lang").collect()
+    assert len(per_lang) == docs.select("lang").distinct().count()
+    for r in per_lang:
+        assert r["lo"] <= r["hi"]
