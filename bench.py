@@ -52,6 +52,17 @@ def qerr(e: float, t: float) -> float:
     return q_error(math.ceil(e), t)
 
 
+def ht_pair(checker, sql):
+    """One estimate_with_stderr pass shared by every clamp over the
+    same query; None when the checker can't answer (clamp then falls
+    back to its own path, which returns the learned estimate)."""
+    from scardina_spark.estimators.sample import UnsupportedQueryError
+    try:
+        return checker.estimate_with_stderr(sql)
+    except (UnsupportedQueryError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -169,10 +180,7 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_ur.estimate(sql)
             jn_ms.append((time.perf_counter() - tq0) * 1000)
-            try:
-                pair = est.estimate_with_stderr(sql)  # one sample pass
-            except (UnsupportedQueryError, ValueError):
-                pair = None
+            pair = ht_pair(est, sql)
             h = nar_hyb.clamp(sql, e, ht_se=pair)
             ci = nar_ci.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):
@@ -342,10 +350,7 @@ def main() -> None:
             tq0 = time.perf_counter()
             e = nar_cin.estimate(sql)
             cms.append((time.perf_counter() - tq0) * 1000)
-            try:
-                pair = est.estimate_with_stderr(sql)  # one sample pass
-            except (UnsupportedQueryError, ValueError):
-                pair = None
+            pair = ht_pair(est, sql)
             h = cin_hyb.clamp(sql, e, ht_se=pair)
             ci = cin_ci.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):
@@ -436,10 +441,7 @@ def main() -> None:
         e = math.exp(sum(math.log(max(x, 1e-12)) for x in ests)
                      / len(ests))
         ju.append(qerr(e, jm_truths[name]))
-        try:
-            pair = jm_ht.estimate_with_stderr(sql)  # one sample pass
-        except (UnsupportedQueryError, ValueError):
-            pair = None
+        pair = ht_pair(jm_ht, sql)
         juh.append(qerr(jm_arb.clamp(sql, e, ht_se=pair), jm_truths[name]))
         juc.append(qerr(jm_cicl.clamp(sql, e, ht_se=pair), jm_truths[name]))
     timings["jm_nar_est"] = round(time.perf_counter() - t0, 4)
@@ -482,10 +484,7 @@ def main() -> None:
     for name, sql in jm_suite.items():
         try:
             e = jm_cin.estimate(sql)
-            try:
-                pair = jm_ht.estimate_with_stderr(sql)  # one sample pass
-            except (UnsupportedQueryError, ValueError):
-                pair = None
+            pair = ht_pair(jm_ht, sql)
             ci = jm_cin_ci.clamp(sql, e, ht_se=pair)
             h = jm_cin_arb.clamp(sql, e, ht_se=pair)
         except (UnsupportedQueryError, ValueError):

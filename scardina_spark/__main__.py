@@ -255,10 +255,13 @@ def cmd_chunk(args) -> int:
     out = chunk_documents(docs, args.chunk_tokens, args.overlap_tokens)
     out.orderBy("doc_id", "chunk_id").write.mode("overwrite") \
         .parquet(args.out)
-    back = spark.read.parquet(args.out)
+    from pyspark.sql import functions as F
+    stats = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs")).first()
     print(json.dumps({
-        "out": args.out, "n_chunks": int(back.count()),
-        "n_docs": int(back.select("doc_id").distinct().count()),
+        "out": args.out, "n_chunks": int(stats["n_chunks"]),
+        "n_docs": int(stats["n_docs"]),
         "chunk_tokens": args.chunk_tokens,
         "overlap_tokens": args.overlap_tokens}))
     return 0

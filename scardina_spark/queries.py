@@ -1651,17 +1651,19 @@ scored as (
   select doc_id, count(*)::BIGINT as n_toks,
          round(exp(-sum(logp) / count(*)), 4) as ppl
   from toks join lm using (token) group by doc_id),
-oov as (select ln(1.0 / (nt + 1.0 * (v + 1))) as o from tot)
-select d.doc_id::BIGINT as doc_id,
-       coalesce(s.n_toks, 0)::BIGINT as n_toks,
-       coalesce(s.ppl, (select round(exp(-o), 4) from oov)) as ppl,
-       case when coalesce(s.ppl, (select round(exp(-o), 4) from oov))
-                 < 30.0 then 'head'
-            when coalesce(s.ppl, (select round(exp(-o), 4) from oov))
-                 < 30.5 then 'middle'
+oov as (select ln(1.0 / (nt + 1.0 * (v + 1))) as o from tot),
+-- zero-token docs fall out of the inner join; score them at the OOV
+-- floor (mirrors doc_perplexity's explode_outer path), computing ppl
+-- exactly once so the band always reads the same value
+full_scored as (
+  select d.doc_id, coalesce(s.n_toks, 0)::BIGINT as n_toks,
+         coalesce(s.ppl, (select round(exp(-o), 4) from oov)) as ppl
+  from documents d left join scored s using (doc_id))
+select doc_id::BIGINT as doc_id, n_toks, ppl,
+       case when ppl < 30.0 then 'head'
+            when ppl < 30.5 then 'middle'
             else 'tail' end as ppl_band
-from documents d left join scored s using (doc_id)
-order by d.doc_id
+from full_scored order by doc_id
 """
 
 
@@ -1690,8 +1692,11 @@ c as (
   from toks),
 e as (select doc_id, ws, unnest(range(k)) as chunk_id from c)
 select doc_id::BIGINT as doc_id, chunk_id::INT as chunk_id,
-       array_to_string(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32),
-                       ' ') as chunk_text,
+       -- coalesce: an empty slice stringifies to NULL in DuckDB but to
+       -- '' in Spark's array_join (zero-token documents)
+       coalesce(array_to_string(
+           list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32), ' '), '')
+         as chunk_text,
        len(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32))::INT
          as n_chunk_toks
 from e order by doc_id, chunk_id
