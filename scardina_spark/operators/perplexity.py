@@ -33,6 +33,8 @@ as `textstats.quality_score` and `sampling.pareto_quality_sample`).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from .textstats import words
@@ -159,3 +161,99 @@ def derive_ppl_thresholds(df: DataFrame, lm: DataFrame,
         F.percentile("ppl", F.lit(float(qs[0]))).alias("lo"),
         F.percentile("ppl", F.lit(float(qs[1]))).alias("hi"))
         .orderBy("lang"))
+
+
+BOS = "<s>"  # sentence-start context for each document's first token
+
+
+@dataclass
+class BigramLM:
+    """Self-contained bigram model: ``bigrams (prev, token, logp)``,
+    ``contexts (prev, floor_logp)`` — the smoothed floor for a SEEN
+    context with an unseen continuation — and ``default_floor`` for
+    unseen contexts (= ln(1/(V+1)), the uniform-over-vocab fallback)."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    default_floor: float
+
+
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, token) rows — the predecessor comes from shifting the
+    token ARRAY (prepend BOS, drop the last element), so pairing is a
+    pure projection: no window, no shuffle."""
+    toks = F.transform(words(text_col), lambda w: F.lower(w))
+    prevs = F.concat(F.array(F.lit(BOS)),
+                     F.slice(toks, 1, F.greatest(F.size(toks) - 1,
+                                                 F.lit(0))))
+    return (df.select(F.col(id_col),
+                      F.explode_outer(F.arrays_zip(
+                          prevs.alias("prev"), toks.alias("token")))
+                      .alias("pair"))
+            .select(id_col, F.col("pair.prev").alias("prev"),
+                    F.col("pair.token").alias("token")))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    smoothing_k: float = 1.0) -> BigramLM:
+    """Add-k-smoothed bigram LM — one step closer to CCNet's n-gram
+    KenLM than :func:`train_unigram_lm`: ``p(token | prev) =
+    (c(prev, token) + k) / (c(prev) + k*(V+1))``, with a per-context
+    floor for unseen continuations and a uniform fallback for unseen
+    contexts.
+
+    Scale shape: ONE map-side-combinable groupBy on the (prev, token)
+    pair (the corpus-sized shuffle), then a vocabulary-sized rollup for
+    the context totals — both relations are Zipf-bounded like the
+    unigram table."""
+    k = float(smoothing_k)
+    pairs = _bigram_pairs(
+        df.select(F.monotonically_increasing_id().alias("__rid__"),
+                  F.col(text_col)), "__rid__", text_col) \
+        .where(F.col("token").isNotNull())
+    bi = pairs.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("n"))
+    ctx = bi.groupBy("prev").agg(F.sum("n").alias("cn"))
+    vocab = bi.select("token").distinct().count()
+    denom_k = k * (vocab + 1)
+    bigrams = (bi.join(ctx, "prev")
+               .select("prev", "token",
+                       F.log((F.col("n") + F.lit(k)) /
+                             (F.col("cn") + F.lit(denom_k)))
+                       .alias("logp")))
+    contexts = ctx.select(
+        "prev",
+        F.log(F.lit(k) / (F.col("cn") + F.lit(denom_k)))
+        .alias("floor_logp"))
+    import math
+    return BigramLM(bigrams, contexts,
+                    math.log(1.0 / (vocab + 1)))
+
+
+def doc_perplexity_bigram(df: DataFrame, lm: BigramLM,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-document bigram perplexity ``exp(mean token NLL)`` (4 dp),
+    with the three-level fallback: seen bigram -> seen context floor ->
+    uniform 1/(V+1).  Empty documents score the uniform floor.  Two
+    token-keyed joins, nothing leaves the cluster."""
+    pairs = _bigram_pairs(df, id_col, text_col)
+    scored = (pairs
+              .join(lm.bigrams, ["prev", "token"], "left")
+              .join(lm.contexts, "prev", "left")
+              .select(id_col,
+                      F.coalesce("logp", "floor_logp",
+                                 F.lit(lm.default_floor)).alias("lp"),
+                      F.col("token").isNotNull().cast("long")
+                      .alias("one")))
+    import math
+    empty_ppl = round(math.exp(-lm.default_floor), 4)
+    return (scored.groupBy(id_col)
+            .agg(F.sum("one").alias("n_toks"),
+                 F.round(F.exp(-F.sum(F.when(F.col("one") == 1, F.col("lp"))
+                                      .otherwise(F.lit(0.0)))
+                               / F.greatest(F.sum("one"), F.lit(1))), 4)
+                 .alias("ppl"))
+            .withColumn("ppl",
+                        F.when(F.col("n_toks") == 0, F.lit(empty_ppl))
+                        .otherwise(F.col("ppl"))))

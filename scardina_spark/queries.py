@@ -1667,6 +1667,67 @@ from full_scored order by doc_id
 """
 
 
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-perplexity (beyond reference; CCNet n-gram
+    fidelity step over the x50 unigram): add-k-smoothed p(token|prev)
+    with per-context floors and a uniform unseen-context fallback —
+    see operators/perplexity.train_bigram_lm.  Predecessors come from
+    shifting the token array (no window, no shuffle)."""
+    from .operators import perplexity as PX
+    docs = load_table(spark, sf_dir, "documents")
+    lm = PX.train_bigram_lm(docs)
+    return (PX.doc_perplexity_bigram(docs, lm)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_toks", "ppl")
+            .orderBy("doc_id"))
+
+
+SQL_BIGRAM_PPL = """
+with toks as (
+  select doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> len(x) > 0),
+                        x -> lower(x)) as ws
+  from documents),
+pairs as (
+  select doc_id, u2[1] as prev, u2[2] as token
+  from toks,
+       unnest(list_zip(list_prepend('<s>',
+                                    list_slice(ws, 1,
+                                               greatest(len(ws)-1, 0))),
+                       ws)) as z(u2)),
+bi as (select prev, token, count(*) as n from pairs group by 1, 2),
+ctx as (select prev, sum(n) as cn from bi group by 1),
+v as (select count(distinct token) as vocab from bi),
+lm as (
+  select prev, token,
+         ln((n + 1.0) / (cn + 1.0 * (vocab + 1))) as logp
+  from bi join ctx using (prev), v),
+fl as (
+  select prev, ln(1.0 / (cn + 1.0 * (vocab + 1))) as floor_logp
+  from ctx, v),
+scored as (
+  select p.doc_id, count(*)::BIGINT as n_toks,
+         round(exp(-sum(coalesce(lm.logp, fl.floor_logp,
+                                 (select ln(1.0 / (vocab + 1)) from v)))
+                   / count(*)), 4) as ppl
+  from pairs p
+  left join lm on lm.prev = p.prev and lm.token = p.token
+  left join fl on fl.prev = p.prev
+  group by p.doc_id),
+-- zero-token docs have no pairs: uniform 1/(V+1) floor, mirrors
+-- doc_perplexity_bigram
+full_scored as (
+  select d.doc_id, coalesce(s.n_toks, 0)::BIGINT as n_toks,
+         coalesce(s.ppl,
+                  (select round(exp(-ln(1.0 / (vocab + 1))), 4) from v))
+           as ppl
+  from documents d left join scored s using (doc_id))
+select doc_id::BIGINT as doc_id, n_toks, ppl
+from full_scored order by doc_id
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (beyond reference): 32-token windows with
     8-token overlap — the context-window preparation of
@@ -4328,6 +4389,7 @@ def queries() -> dict:
         "x49_token_budget": q_token_budget,
         "x50_perplexity_band": q_perplexity_band,
         "x51_chunk_docs": q_chunk_docs,
+        "x52_bigram_ppl": q_bigram_ppl,
     }
 
 
@@ -4456,4 +4518,5 @@ def oracle_sql() -> dict[str, str]:
         "x49_token_budget": sql_token_budget(),
         "x50_perplexity_band": SQL_PERPLEXITY_BAND,
         "x51_chunk_docs": SQL_CHUNK_DOCS,
+        "x52_bigram_ppl": SQL_BIGRAM_PPL,
     }

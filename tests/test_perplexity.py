@@ -97,3 +97,65 @@ def test_derive_ppl_thresholds_percentiles(spark, tables):
     assert len(per_lang) == docs.select("lang").distinct().count()
     for r in per_lang:
         assert r["lo"] <= r["hi"]
+
+
+def _py_bigram(texts, k=1.0):
+    bi, ctx = {}, {}
+    for t in texts:
+        ws = [w.lower() for w in t.split()]
+        prevs = ["<s>"] + ws[:-1]
+        for p, w in zip(prevs, ws):
+            bi[(p, w)] = bi.get((p, w), 0) + 1
+            ctx[p] = ctx.get(p, 0) + 1
+    vocab = len({w for _, w in bi})
+    denom_k = k * (vocab + 1)
+    logp = {pw: math.log((n + k) / (ctx[pw[0]] + denom_k))
+            for pw, n in bi.items()}
+    floor = {p: math.log(k / (c + denom_k)) for p, c in ctx.items()}
+    return logp, floor, math.log(1.0 / (vocab + 1))
+
+
+def test_bigram_lm_matches_python(spark, docs):
+    lm = P.train_bigram_lm(docs)
+    got = {(r["prev"], r["token"]): r["logp"]
+           for r in lm.bigrams.collect()}
+    want, floors, default = _py_bigram([t for _, t in DOCS])
+    assert set(got) == set(want)
+    for pw, lp in want.items():
+        assert abs(got[pw] - lp) < 1e-12
+    got_floors = {r["prev"]: r["floor_logp"]
+                  for r in lm.contexts.collect()}
+    for p, fl in floors.items():
+        assert abs(got_floors[p] - fl) < 1e-12
+    assert abs(lm.default_floor - default) < 1e-12
+
+
+def test_bigram_perplexity_matches_python_with_fallbacks(spark, docs):
+    # train on docs 0-1 only: doc 2 exercises the unseen-context
+    # fallback, doc 3 the seen-context/unseen-continuation floor
+    train = docs.where("doc_id < 2")
+    lm = P.train_bigram_lm(train)
+    got = {r["doc_id"]: (r["n_toks"], r["ppl"])
+           for r in P.doc_perplexity_bigram(docs, lm).collect()}
+    logp, floors, default = _py_bigram([t for _, t in DOCS[:2]])
+    for i, t in DOCS:
+        ws = [w.lower() for w in t.split()]
+        prevs = ["<s>"] + ws[:-1]
+        lps = [logp.get((p, w), floors.get(p, default))
+               for p, w in zip(prevs, ws)]
+        ppl = round(math.exp(-sum(lps) / len(lps)), 4)
+        assert got[i] == (len(ws), ppl), (i, got[i], ppl)
+    # the bigram model sharpens in-domain docs vs the unigram one
+    uni = P.train_unigram_lm(train)
+    uni_ppl = {r["doc_id"]: r["ppl"]
+               for r in P.doc_perplexity(docs, uni).collect()}
+    assert got[0][1] < uni_ppl[0]
+
+
+def test_bigram_empty_doc_scores_uniform_floor(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "")], ["doc_id", "text"])
+    lm = P.train_bigram_lm(docs.where("doc_id = 0"))
+    got = {r["doc_id"]: (r["n_toks"], r["ppl"])
+           for r in P.doc_perplexity_bigram(docs, lm).collect()}
+    assert got[1] == (0, round(math.exp(-lm.default_floor), 4))
