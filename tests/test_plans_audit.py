@@ -317,3 +317,14 @@ def test_semdedup_shuffles_only_on_cell_no_pathologies(spark, sf_dir):
     assert "Python" not in plan
     for keys in re.findall(r"hashpartitioning\((\w+)", plan):
         assert keys in ("cell", "vec_id"), plan
+
+
+def test_bigram_pairs_no_window_no_shuffle(spark, sf_dir):
+    """Predecessor pairing shifts the token array: the pair-extraction
+    plan has no Exchange and no Window."""
+    from scardina_spark.operators.perplexity import _bigram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(_bigram_pairs(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
