@@ -211,10 +211,16 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
         df.select(F.monotonically_increasing_id().alias("__rid__"),
                   F.col(text_col)), "__rid__", text_col) \
         .where(F.col("token").isNotNull())
+    # cache the vocabulary-sized pair counts: the vocab probe below is
+    # an action, and without the cache it would pay the corpus-scale
+    # tokenize+shuffle once for the count and AGAIN when the returned
+    # bigrams/contexts relations evaluate
     bi = pairs.groupBy("prev", "token").agg(
-        F.count(F.lit(1)).alias("n"))
+        F.count(F.lit(1)).alias("n")).cache()
     ctx = bi.groupBy("prev").agg(F.sum("n").alias("cn"))
     vocab = bi.select("token").distinct().count()
+    if vocab == 0:
+        raise ValueError("empty language model")  # match _oov_logp
     denom_k = k * (vocab + 1)
     bigrams = (bi.join(ctx, "prev")
                .select("prev", "token",

@@ -1695,7 +1695,11 @@ pairs as (
        unnest(list_zip(list_prepend('<s>',
                                     list_slice(ws, 1,
                                                greatest(len(ws)-1, 0))),
-                       ws)) as z(u2)),
+                       ws)) as z(u2)
+  -- list_zip pads the shorter list with NULL, so an empty document
+  -- yields a ('<s>', NULL) row: drop it (the engine filters
+  -- token-not-null before training and excludes it from n_toks)
+  where u2[2] is not null),
 bi as (select prev, token, count(*) as n from pairs group by 1, 2),
 ctx as (select prev, sum(n) as cn from bi group by 1),
 v as (select count(distinct token) as vocab from bi),

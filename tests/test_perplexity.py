@@ -159,3 +159,39 @@ def test_bigram_empty_doc_scores_uniform_floor(spark):
     got = {r["doc_id"]: (r["n_toks"], r["ppl"])
            for r in P.doc_perplexity_bigram(docs, lm).collect()}
     assert got[1] == (0, round(math.exp(-lm.default_floor), 4))
+
+
+def test_bigram_oracle_parity_with_empty_docs(spark, tmp_path):
+    """The latent class that bit x50/x51/x52 in review: run the x52
+    oracle SQL and the Spark engine over a synthetic corpus CONTAINING
+    empty, whitespace-only, and NULL texts and require exact parity
+    (fixtures today have no empty docs, so the contract gate alone
+    cannot pin this)."""
+    import duckdb
+
+    from scardina_spark.queries import SQL_BIGRAM_PPL
+
+    rows = [(0, "the cat sat"), (1, ""), (2, "   "), (3, None),
+            (4, "the cat ran home"), (5, "cat")]
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    import glob
+    import shutil
+    shutil.copy(glob.glob(str(tmp_path / "d" / "*.parquet"))[0], pq)
+
+    docs = spark.read.parquet(pq)
+    lm = P.train_bigram_lm(docs)
+    got = {(r["doc_id"], r["n_toks"], r["ppl"]) for r in
+           P.doc_perplexity_bigram(docs, lm).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{pq}'")
+    want = {(r[0], r[1], r[2]) for r in
+            con.execute(SQL_BIGRAM_PPL).fetchall()}
+    assert got == want
+    # empty/ws/NULL docs all score the uniform floor with n_toks 0
+    floors = {r for r in got if r[0] in (1, 2, 3)}
+    assert all(n == 0 for _, n, _ in floors)
+    assert len({p for _, _, p in floors}) == 1
