@@ -112,7 +112,10 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int,
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap_tokens
-    toks = words(text_col)
+    # NULL text == empty document (otherwise slice/array_join propagate
+    # NULL and the chunk row comes out part-NULL)
+    toks = F.coalesce(words(text_col),
+                      F.array().cast("array<string>"))
     n = F.greatest(F.size(toks), F.lit(1))
     # number of windows whose start < n: ceil((n - overlap) / stride)
     # (== ceil((n - chunk)/stride) + 1 exactly); floored at 1 so a doc

@@ -1749,7 +1749,9 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CHUNK_DOCS = """
 with toks as (
   select doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
+         coalesce(list_filter(string_split_regex(text, '\\s+'),
+                              x -> len(x) > 0),
+                  []) as ws
   from documents),
 c as (
   select doc_id, ws,

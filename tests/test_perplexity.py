@@ -195,3 +195,34 @@ def test_bigram_oracle_parity_with_empty_docs(spark, tmp_path):
     floors = {r for r in got if r[0] in (1, 2, 3)}
     assert all(n == 0 for _, n, _ in floors)
     assert len({p for _, _, p in floors}) == 1
+
+
+def test_unigram_and_chunk_oracle_parity_with_empty_docs(spark, tmp_path):
+    """Same empty-doc pin for the x50 (unigram band) and x51 (chunk)
+    oracles — their earlier review fixes are otherwise exercised by no
+    fixture."""
+    import glob
+    import shutil
+
+    import duckdb
+
+    from scardina_spark.queries import (
+        SQL_CHUNK_DOCS, SQL_PERPLEXITY_BAND, q_chunk_docs,
+        q_perplexity_band)
+
+    rows = [(0, "the cat sat on the mat"), (1, ""), (2, "   "),
+            (3, None), (4, "dog " * 40)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    pq = str(tmp_path / "documents.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "d" / "*.parquet"))[0], pq)
+
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{pq}'")
+
+    sf_dir = str(tmp_path)  # load_table reads <sf_dir>/documents.parquet
+    for q_fn, sql in ((q_perplexity_band, SQL_PERPLEXITY_BAND),
+                      (q_chunk_docs, SQL_CHUNK_DOCS)):
+        got = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+        assert got == want, (q_fn.__name__, got ^ want)
