@@ -4,13 +4,20 @@ ACL 2016) — learn a subword merge table from the corpus, the way LLM
 data pipelines train their tokenizers before token-count accounting.
 
 Scale story (100 TB): the ONLY corpus-sized operation is the word-count
-aggregation (one hash shuffle on the word, map-side combined).  Every
-merge iteration then runs over the DISTINCT-word relation — bounded by
-vocabulary size (millions of rows at web scale, ~KBs here), not corpus
-size — exactly the word-frequency factorization every production BPE
-trainer uses (the HuggingFace tokenizers pre-count protocol).  Encoding
-afterwards is a broadcast vocabulary join: no per-document merge
-computation at all.
+aggregation (one hash shuffle on the word, map-side combined).  The
+distinct-word relation is Zipf-bounded (millions of rows at web scale,
+~KBs here), so after that one shuffle the merge loop runs DRIVER-SIDE
+over the localized word counts — exactly the word-frequency
+factorization every production BPE trainer uses (the HuggingFace
+tokenizers pre-count protocol), with incremental pair-count updates so
+each merge touches only the words containing the merged pair.  Total
+Spark-job count per training is O(1) (the word-count localization),
+not O(n_merges); a realistic 32k-merge tokenizer is therefore one
+corpus shuffle plus an in-memory loop, never ~64k sequential cluster
+jobs.  Vocabularies above ``driver_cap`` (mirroring the
+``model/bridge.collect_domain`` cap pattern) fall back to the fully
+distributed per-iteration loop.  Encoding afterwards is a broadcast
+vocabulary join: no per-document merge computation at all.
 
 Determinism: the best pair each iteration is chosen by
 ``(count desc, left, right)`` — a total order, so ties never depend on
@@ -76,7 +83,10 @@ def merge_pair(symbols: Column, left: str, right: str) -> Column:
     la, lb = F.lit(left), F.lit(right)
 
     def step(acc: Column, x: Column) -> Column:
-        last = F.element_at(acc, -1)
+        # F.get is NULL-safe on the empty accumulator (element_at(-1)
+        # would throw INVALID_ARRAY_INDEX under spark.sql.ansi.enabled);
+        # NULL == la is NULL, which CaseWhen treats as false.
+        last = F.get(acc, F.size(acc) - 1)
         merged = F.concat(F.slice(acc, 1, F.size(acc) - 1),
                           F.array(F.concat(last, x)))
         return F.when((F.size(acc) > 0) & (last == la) & (x == lb),
@@ -85,20 +95,82 @@ def merge_pair(symbols: Column, left: str, right: str) -> Column:
     return F.aggregate(symbols, F.array().cast("array<string>"), step)
 
 
-def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
-              min_count: int = 2
-              ) -> tuple[list[tuple[str, str, int]], DataFrame]:
-    """Learn ``n_merges`` merges; returns ``(merges, vocab)`` where
-    ``merges`` is ``[(left, right, pair_count), ...]`` in learned order
-    and ``vocab`` the final ``(word, cnt, symbols)`` relation (the
-    encode-time lookup table).  Stops early when no pair reaches
-    ``min_count``.
+# Largest distinct-word vocabulary whose counts are localized for the
+# driver-side merge loop.  Above this the trainer falls back to the
+# fully distributed per-iteration loop (same cap philosophy as
+# model/bridge.DICT_DRIVER_CAP: driver memory stays bounded; the
+# distinct-word relation is Zipf-bounded so real corpora fit).
+VOCAB_DRIVER_CAP = 1_000_000
 
-    Each iteration eagerly checkpoints the vocabulary relation: it is
-    vocabulary-sized (small), and the checkpoint both truncates the
-    n-deep fold-expression lineage and makes every later iteration read
+
+def _apply_merge(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Leftmost-greedy application of one merge to a symbol tuple —
+    driver-side twin of :func:`merge_pair` (parity pinned in
+    tests/test_bpe.py)."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _learn_local(word_cnt: list[tuple[str, int]], n_merges: int,
+                 min_count: int) -> tuple[list[tuple[str, str, int]],
+                                          list[tuple[str, int, list]]]:
+    """In-memory merge loop over localized word counts with incremental
+    pair-count maintenance: each merge re-counts ONLY the words that
+    contain the merged pair (tracked by a pair -> word-index inverted
+    map), the standard Sennrich/HF fast-trainer bookkeeping.  O(affected
+    symbols) per merge, zero Spark jobs."""
+    syms: list[tuple[str, ...]] = [tuple(w) + (END,) for w, _ in word_cnt]
+    cnts = [c for _, c in word_cnt]
+    pc: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, s in enumerate(syms):
+        c = cnts[i]
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pc[p] = pc.get(p, 0) + c
+            where.setdefault(p, set()).add(i)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not pc:
+            break
+        # total order (count desc, left, right): ties never depend on
+        # dict iteration order — bit-identical to the distributed orderBy
+        best, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((best[0], best[1], cnt))
+        for i in sorted(where.get(best, ())):
+            old, c = syms[i], cnts[i]
+            new = _apply_merge(old, *best)
+            syms[i] = new
+            for j in range(len(old) - 1):
+                p = (old[j], old[j + 1])
+                pc[p] -= c
+                if pc[p] <= 0:
+                    del pc[p]
+                if p in where:
+                    where[p].discard(i)
+            for j in range(len(new) - 1):
+                p = (new[j], new[j + 1])
+                pc[p] = pc.get(p, 0) + c
+                where.setdefault(p, set()).add(i)
+    vocab_rows = [(w, c, list(s))
+                  for (w, _), c, s in zip(word_cnt, cnts, syms)]
+    return merges, vocab_rows
+
+
+def _learn_distributed(wc: DataFrame, n_merges: int, min_count: int
+                       ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Per-iteration distributed loop — the above-cap fallback.  Each
+    iteration eagerly checkpoints the vocabulary relation: it is
+    vocabulary-sized, and the checkpoint both truncates the n-deep
+    fold-expression lineage and makes every later iteration read
     materialized symbols instead of recomputing all previous merges."""
-    wc = word_counts(df, col)
     vocab = (wc.select("word", "cnt",
                        _char_symbols(F.col("word")).alias("symbols"))
              .localCheckpoint(eager=True))
@@ -116,6 +188,39 @@ def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
         vocab = (vocab.withColumn(
             "symbols", merge_pair(F.col("symbols"), left, right))
             .localCheckpoint(eager=True))
+    return merges, vocab
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
+              min_count: int = 2,
+              driver_cap: int = VOCAB_DRIVER_CAP
+              ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` merges; returns ``(merges, vocab)`` where
+    ``merges`` is ``[(left, right, pair_count), ...]`` in learned order
+    and ``vocab`` the final ``(word, cnt, symbols)`` relation (the
+    encode-time lookup table).  Stops early when no pair reaches
+    ``min_count``.
+
+    One corpus-sized shuffle (the word count), then — when the distinct
+    vocabulary fits ``driver_cap`` — a single localization job and an
+    in-memory merge loop (see :func:`_learn_local`): total Spark jobs
+    O(1), independent of ``n_merges``.  The ``limit(cap + 1)`` probe
+    both detects oversize AND yields the rows when small (the
+    ``collect_domain`` pattern); oversize vocabularies run the
+    distributed per-iteration loop instead."""
+    wc = word_counts(df, col)
+    probe = wc.limit(driver_cap + 1).toPandas()
+    if len(probe) > driver_cap:
+        return _learn_distributed(wc, n_merges, min_count)
+    # deterministic input order for the loop (output is order-free, but
+    # keep the localized relation layout-independent anyway)
+    pairs = sorted(zip(probe["word"].tolist(),
+                       (int(c) for c in probe["cnt"].tolist())))
+    merges, vocab_rows = _learn_local(pairs, n_merges, min_count)
+    import pandas as pd
+    vocab = df.sparkSession.createDataFrame(
+        pd.DataFrame(vocab_rows, columns=["word", "cnt", "symbols"]),
+        schema="word string, cnt long, symbols array<string>")
     return merges, vocab
 
 

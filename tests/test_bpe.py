@@ -112,3 +112,50 @@ def test_learn_stops_below_min_count(spark):
     # then their merge chain; cd-pairs (count 1) never get merged
     assert all(cnt >= 2 for _, _, cnt in merges)
     assert ("c", "d", 1) not in merges
+
+
+def test_local_and_distributed_loops_agree(spark, tables):
+    docs = tables["documents"].limit(40)
+    # driver_cap=0 forces the distributed per-iteration fallback
+    m_dist, v_dist = bpe_learn(docs, n_merges=5, driver_cap=0)
+    m_loc, v_loc = bpe_learn(docs, n_merges=5)
+    assert m_loc == m_dist
+    got_d = {r["word"]: (r["cnt"], tuple(r["symbols"]))
+             for r in v_dist.collect()}
+    got_l = {r["word"]: (r["cnt"], tuple(r["symbols"]))
+             for r in v_loc.collect()}
+    assert got_l == got_d
+
+
+def test_local_loop_job_count_independent_of_merges(spark, tables):
+    """The scale contract: Spark-job count per training is O(1), not
+    O(n_merges) — 1k merges must run in seconds with a handful of jobs
+    (the word-count localization), never ~2k sequential cluster jobs."""
+    import time
+
+    docs = tables["documents"]
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-local-learn", "bpe_learn driver-side loop")
+    t0 = time.monotonic()
+    merges, _ = bpe_learn(docs, n_merges=1000, min_count=1)
+    elapsed = time.monotonic() - t0
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-local-learn")
+    sc.setJobGroup("", "")
+    assert len(merges) > 100  # the corpus really supports a deep merge table
+    assert len(jobs) <= 4, f"expected O(1) Spark jobs, saw {len(jobs)}"
+    assert elapsed < 60, f"1k merges took {elapsed:.1f}s"
+
+
+def test_merge_pair_is_ansi_safe(spark):
+    """element_at(acc, -1) on the empty fold accumulator throws under
+    spark.sql.ansi.enabled; the F.get guard must keep merge_pair
+    working in both modes (ADVICE r04)."""
+    df = spark.createDataFrame([(["a", "b"],), ([],)], "s: array<string>")
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = [r[0] for r in
+               df.select(merge_pair(F.col("s"), "a", "b")).collect()]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert got == [["ab"], []]
