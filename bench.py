@@ -373,8 +373,9 @@ def main() -> None:
     # distinguishing shapes (multi-fact chains + parallel-edge subschema
     # expansion, scardina/schema.py:117, benchmarks/imdb/job-m.csv).
     from scardina_spark.jobm import (
-        JM_CIN_SH_COLUMNS, JM_UR_MODEL_COLUMNS, build_jobm_schema,
-        jm_sample_trees, job_m_suite, jobm_duckdb_truths, load_jobm_tables)
+        JM_CIN_SH_COLUMNS, JM_HT_N_MAX, JM_UR_MODEL_COLUMNS,
+        build_jobm_schema, jm_sample_trees, job_m_suite,
+        jobm_duckdb_truths, load_jobm_tables)
     jm_tables = timed("jm_derive_shipments",
                       lambda: load_jobm_tables(spark, sf_dir))
     jm_sg = build_jobm_schema()
@@ -389,7 +390,7 @@ def main() -> None:
         se = SampleEstimator(name="jm-ht")
         for t in jm_sample_trees():
             se.add(prepare_tree_sample(t, jm_tables, "shipments",
-                                       n_max=100_000, seed=42).localize())
+                                       n_max=JM_HT_N_MAX, seed=42).localize())
         return se
     jm_ht = timed("jm_prep_samples", prep_jm)
     rep_jm = timed("jm_est_ht", lambda: run_benchmark(

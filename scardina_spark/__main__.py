@@ -76,10 +76,10 @@ def cmd_estimate(args) -> int:
         cls = SampleEstimator if args.estimator == "sample" else StitchedEstimator
         est = cls()
         if jobm:
-            from .jobm import jm_sample_trees
+            from .jobm import JM_HT_N_MAX, jm_sample_trees
             for t in jm_sample_trees():
                 est.add(prepare_tree_sample(t, tables, "shipments",
-                                            n_max=100_000,
+                                            n_max=JM_HT_N_MAX,
                                             seed=args.seed).localize())
         else:
             est.add(prepare_tree_sample(spanning_tree(sg, args.root), tables,
@@ -313,11 +313,11 @@ def cmd_bench(args) -> int:
             from .model.join_bridge import load_join_estimator
             est = load_join_estimator(args.model, sg=sg)
     elif getattr(args, "schema", "tpch") == "jobm":
-        from .jobm import jm_sample_trees
+        from .jobm import JM_HT_N_MAX, jm_sample_trees
         est = SampleEstimator(name="jm-ht")
         for t in jm_sample_trees():
             est.add(prepare_tree_sample(t, tables, "shipments",
-                                        n_max=100_000,
+                                        n_max=JM_HT_N_MAX,
                                         seed=args.seed).localize())
     else:
         est = SampleEstimator()

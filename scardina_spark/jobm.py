@@ -40,6 +40,15 @@ SHIPMENTS_RELATIONSHIPS = [
 
 _MODES = ["AIR", "RAIL", "SHIP", "TRUCK", "PIPELINE"]
 
+# jm HT sample clamp.  The jm suite has small-truth chain queries
+# (multi-fact l-o-h-u shapes, truths in the hundreds at sf0.1) whose HT
+# tail is pure small-count variance: at 100k the r04 bench recorded
+# max q-error 1.30 on jm_l_o_h_u_1; doubling the clamp brought the
+# measured sf0.1 tail to <=1.06 (error ~ 1/sqrt(n)) at +3ms/q estimate
+# latency.  Still constant-size wrt data scale (the sample, not the
+# data, bounds estimator memory).
+JM_HT_N_MAX = 200_000
+
 
 def variant_schema(drop_fk_cols: str | list[str],
                    sizes: dict[str, int] | None = None,
