@@ -111,15 +111,63 @@ def distill_heuristic(df: DataFrame, label_expr: Column,
     label over the holdout split (``split_col % holdout_mod == 0`` — a
     plain modulo so the split is recomputable in ANSI SQL):
     ``(label, n_test, n_agree)``.  The holdout rows never reach the
-    optimizer."""
+    optimizer.  The report covers only labels PRESENT IN THE TRAINING
+    SPLIT: a label occurring solely in the holdout can never be
+    predicted (the model has no such class index), so including it
+    would make agreement assertions data-dependent in a way no learner
+    can satisfy — callers wanting those rows can anti-join the holdout
+    against ``classifier.labels`` themselves."""
     labeled = df.withColumn("__hlabel__", label_expr)
     is_test = F.col(split_col) % holdout_mod == 0
     clf = train_text_classifier(labeled.filter(~is_test), "__hlabel__",
                                 text_col=text_col, **train_kw)
-    scored = clf.score(labeled.filter(is_test))
+    scored = clf.score(
+        labeled.filter(is_test)
+        .filter(F.col("__hlabel__").isin(clf.labels)))
     report = (scored.groupBy(F.col("__hlabel__").alias("label"))
               .agg(F.count("*").alias("n_test"),
                    F.sum((F.col("pred_label") == F.col("__hlabel__"))
                          .cast("long")).alias("n_agree"))
               .orderBy("label"))
     return clf, report
+
+
+# --- synthetic topic corpus (the non-degenerate validation task) ----------
+
+# 3 topic classes over ONE shared 6-word vocabulary: class c favors the
+# pair {TOPIC_VOCAB[2c], TOPIC_VOCAB[2c+1]} but every class emits every
+# word, so the task has genuine Bayes error — a learner must actually
+# separate the distributions (a majority-class baseline scores ~1/3),
+# yet cannot reach 1.0.  This is the validation-task shape the fastText
+# paper's supervised benchmarks have, reduced to a deterministic
+# generator both engines can account for.
+TOPIC_VOCAB = ["ember", "flame", "tide", "wave", "stone", "cliff"]
+TOPIC_LABELS = ["alpha", "beta", "gamma"]
+
+
+def topic_corpus(ids: DataFrame, id_col: str = "doc_id",
+                 n_tokens: int = 4, favored_pct: int = 50,
+                 tag: str = "x45") -> DataFrame:
+    """Deterministic 3-class mixture corpus keyed by ``id_col``:
+    ``(id, label, text)`` where label = id % 3 and each of ``n_tokens``
+    token slots draws from the class's favored word pair with
+    probability ``favored_pct``/100, else uniformly from the shared
+    vocabulary.  All randomness is xxhash64 of (id, slot, purpose) —
+    content-derived, layout-independent, identical across sessions."""
+    vocab = F.array(*[F.lit(w) for w in TOPIC_VOCAB])
+    cls = F.pmod(F.col(id_col), F.lit(3))
+
+    def h(j: int, purpose: str) -> Column:
+        return F.xxhash64(F.col(id_col), F.lit(j), F.lit(f"{tag}-{purpose}"))
+
+    words = []
+    for j in range(n_tokens):
+        u = F.pmod(h(j, "mix"), F.lit(100))
+        favored = cls * 2 + F.pmod(h(j, "pair"), F.lit(2))
+        uniform = F.pmod(h(j, "any"), F.lit(len(TOPIC_VOCAB)))
+        idx = F.when(u < favored_pct, favored).otherwise(uniform)
+        words.append(F.element_at(vocab, idx.cast("int") + 1))
+    label = F.element_at(F.array(*[F.lit(s) for s in TOPIC_LABELS]),
+                         cls.cast("int") + 1)
+    return ids.select(F.col(id_col), label.alias("label"),
+                      F.concat_ws(" ", *words).alias("text"))

@@ -744,40 +744,48 @@ order by doc_id, span_start
 
 
 def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X45 (learned text classifier): distill the lang-ID marker
-    heuristic into a hashed-BoW multinomial logistic regression — the
-    fastText-style supervised pipeline (Joulin et al. EACL 2017) that
-    CCNet/GPT-3-style curation uses in place of rule stacks.
-    `operators/textclf.py` — hashing-trick features (dimension fixed
-    regardless of corpus vocab), MLlib LBFGS (one treeAggregate pass
-    per iteration), broadcast-coefficient scoring.  Output: one row per
-    heuristic label over the ``doc_id % 5 == 0`` holdout (exact count,
-    SQL-recomputable) plus an ``agree_ok`` assertion that holdout
-    agreement with the heuristic is >= 0.95 (measured 1.0 — the marker
-    heuristic is linearly separable in unigram space)."""
-    from .operators.textclf import distill_heuristic
+    """X45 (learned text classifier): hashed-BoW multinomial logistic
+    regression — the fastText-style supervised pipeline (Joulin et al.
+    EACL 2017) that CCNet/GPT-3-style curation uses in place of rule
+    stacks.  `operators/textclf.py` — hashing-trick features (dimension
+    fixed regardless of corpus vocab), MLlib LBFGS (one treeAggregate
+    pass per iteration), broadcast-coefficient scoring.
+
+    Validated on a NON-DEGENERATE task (the r04 verdict's ask): a
+    deterministic 3-class topic-mixture corpus over one shared
+    vocabulary (`textclf.topic_corpus`, labels keyed ``doc_id % 3``)
+    where every class emits every word — genuine Bayes error, so the
+    learner must separate real signal and cannot memorize.  Output: one
+    row per label over the ``doc_id % 5 == 0`` holdout with the exact
+    SQL-recomputable test count and an ``agree_ok`` band assertion
+    0.55 <= agreement <= 0.98: the lower bound fails a majority-class
+    baseline (~1/3), the upper bound fails a degenerate (perfectly
+    separable) task.  Measured per-label agreement 0.70-0.94 across
+    sf0.001/0.01/0.1."""
+    from .operators.textclf import distill_heuristic, topic_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    _, report = distill_heuristic(docs, TS.lang_id("text"))
+    corpus = topic_corpus(docs.select("doc_id"))
+    _, report = distill_heuristic(corpus, F.col("label"))
     return (report.select(
         "label", F.col("n_test").cast("long").alias("n_test"),
-        (F.col("n_agree") >= 0.95 * F.col("n_test")).alias("agree_ok"))
+        ((F.col("n_agree") >= 0.55 * F.col("n_test"))
+         & (F.col("n_agree") <= 0.98 * F.col("n_test"))).alias("agree_ok"))
         .orderBy("label"))
 
 
 def sql_text_classifier() -> str:
-    sel, gst, cases = _sql_lang_parts()
-    return f"""
-with toks as (
-  select doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) as ws
-  from documents where doc_id % 5 = 0),
-h as (select doc_id, {sel} from toks),
-lab as (select doc_id,
-               case when {gst} = 0 then 'und' {cases} end as label
-        from h)
-select label, count(*)::BIGINT as n_test, true as agree_ok
-from lab group by label order by label
+    # label = doc_id % 3 (alpha/beta/gamma), holdout = doc_id % 5 = 0 —
+    # both plain modulos, so the oracle recomputes the per-label holdout
+    # counts exactly; agree_ok is the engine-side band assertion
+    # (learned-model property, constant-true when the model actually
+    # separates the mixture without memorizing it).
+    return """
+select case doc_id % 3 when 0 then 'alpha' when 1 then 'beta'
+       else 'gamma' end as label,
+       count(*)::BIGINT as n_test, true as agree_ok
+from documents where doc_id % 5 = 0
+group by 1 order by 1
 """
 
 
@@ -4276,6 +4284,9 @@ def queries() -> dict:
         "x50_perplexity_band": q_perplexity_band,
         "x51_chunk_docs": q_chunk_docs,
         "x52_bigram_ppl": q_bigram_ppl,
+        # x45's validation task changed this round (degenerate lang-ID
+        # distillation -> synthetic 3-class mixture): fresh row needed
+        "x45_text_classifier": q_text_classifier,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4360,7 +4371,6 @@ def queries() -> dict:
         "e10_ppc_inject": q_ppc_inject,
         "x43_substring_spans": q_substring_spans,
         "x44_knn_classify": q_knn_classify,
-        "x45_text_classifier": q_text_classifier,
         "x46_bpe_pairs": q_bpe_pairs,
         "x27_repetition": q_repetition_stats,
         "j10_semi_anti": q_semi_anti_join,
