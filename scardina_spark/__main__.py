@@ -96,7 +96,8 @@ def cmd_estimate(args) -> int:
                                  args.root, seed=args.seed)
         est = train_join_estimator(
             ts, UR_MODEL_COLUMNS,
-            TrainConfig(epochs=args.epochs, seed=args.seed),
+            TrainConfig(epochs=args.epochs, seed=args.seed,
+                        smaller_emb=getattr(args, "smaller_emb", "")),
             fact_threshold=8, arch=args.arch)
     elif args.estimator == "nar-cin":
         from .benchmarks import CIN_MODEL_COLUMNS
@@ -104,12 +105,18 @@ def cmd_estimate(args) -> int:
         from .model import TrainConfig
         est = build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
-            lambda center: TrainConfig(epochs=args.epochs, seed=args.seed),
+            lambda center: TrainConfig(
+                epochs=args.epochs, seed=args.seed,
+                smaller_emb=getattr(args, "smaller_emb", "")),
             max_rows=32_000, fact_threshold=8, seed=args.seed,
             arch=args.arch)
     else:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
+    if getattr(args, "eval_disable_skip_high_card_cols", False):
+        for m in ([est] if hasattr(est, "ts") else
+                  getattr(est, "models", [])):
+            m.skip_high_card_cols = False
     if getattr(args, "hybrid", None) and not args.estimator.startswith("nar"):
         print("--hybrid applies to the learned estimators (nar-*)",
               file=sys.stderr)
@@ -416,7 +423,8 @@ def cmd_train_join(args) -> int:
     ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
                              args.root, seed=args.seed)
     est = train_join_estimator(
-        ts, cols, TrainConfig(epochs=args.epochs, seed=args.seed),
+        ts, cols, TrainConfig(epochs=args.epochs, seed=args.seed,
+                              smaller_emb=getattr(args, "smaller_emb", "")),
         fact_threshold=args.fact_threshold, arch=args.arch)
     save_join_estimator(est, args.out)
     print(json.dumps({"root": args.root, "columns": cols,
@@ -453,6 +461,15 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="lineitem")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--smaller-emb", default="",
+                   help="embedding-size heuristics: '', 'bound', "
+                        "'continuous', or 'bound+continuous' "
+                        "(reference scardina/models.py:24-60)")
+    p.add_argument("--eval-disable-skip-high-card-cols",
+                   action="store_true",
+                   help="sample ALL common columns for chained "
+                        "inheritance, even near-key ones (reference "
+                        "run.py:164)")
     p.add_argument("--model", default=None,
                    help="serve from a train-join checkpoint directory")
     p.set_defaults(fn=cmd_estimate)
@@ -467,6 +484,9 @@ def main(argv=None) -> int:
     p.add_argument("--fact-threshold", type=int, default=8)
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--smaller-emb", default="",
+                   help="embedding-size heuristics: '', 'bound', "
+                        "'continuous', or 'bound+continuous'")
     p.set_defaults(fn=cmd_train_join)
 
     p = sub.add_parser("curate")

@@ -99,6 +99,12 @@ class NarJoinEstimator(NarEstimator):
     constant_one_fanouts: frozenset = frozenset()
     continuous: frozenset = frozenset()  # cont-fanout columns (log2-regressed)
     name: str = "nar-ur"
+    # eval-time skip of near-key common columns when sampling values for
+    # chained inheritance (the reference's skip-high-cardinality
+    # heuristic, scardina/estimators.py:206-209; disable flag
+    # run.py:164 ``--eval-disable-skip-high-card-cols``).  False samples
+    # EVERY ahead-table data column regardless of dictionary size.
+    skip_high_card_cols: bool = True
 
     # -- fragment preparation ---------------------------------------------
 
@@ -146,14 +152,19 @@ class NarJoinEstimator(NarEstimator):
         """Predicate-free data columns of ``ahead_tables`` worth sampling so
         a later chained model can condition on their values (reference:
         common columns sampled for inheritance, scardina/estimators.py:
-        1380-1393), skipping near-key columns (dictionary > half the sample
-        — the reference's skip-high-cardinality heuristic, estimators.py:
-        206-209)."""
-        cap = max(64, self.ts.n_sample // 2)
+        1380-1393).  With ``skip_high_card_cols`` (default, the
+        reference's eval heuristic, estimators.py:206-209), near-key
+        columns — dictionary larger than half the sample, the sample
+        playing the reference's table-size role since dictionaries are
+        sample-built here — are skipped: conditioning on an almost-unique
+        inherited value adds variance without tightening the chain."""
+        cap = (max(64, self.ts.n_sample // 2)
+               if self.skip_high_card_cols else None)
         return sorted(
             c for c, dom in self.domains.items()
             if c not in sampled and _is_data_col(c)
-            and _col_table(c) in ahead_tables and dom.dom_size <= cap)
+            and _col_table(c) in ahead_tables
+            and (cap is None or dom.dom_size <= cap))
 
     # -- progressive core --------------------------------------------------
 

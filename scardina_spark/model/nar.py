@@ -30,6 +30,14 @@ class TrainConfig:
     batch_size: int = 1024
     lr: float = 5e-3
     seed: int = 42
+    # the reference's ``smaller_emb`` embedding-size heuristics
+    # (scardina/models.py:24-60): a mode string combining "bound" (cap
+    # each column's embedding width at its domain size — tiny domains
+    # like flags/markers stop wasting d_word-wide rows) and
+    # "continuous" (1-wide embeddings for fanout-like columns, which
+    # carry a single ordinal signal).  "" keeps uniform d_word widths
+    # (bit-identical to the pre-flag models).
+    smaller_emb: str = ""
 
 
 def _softmax(z: np.ndarray) -> np.ndarray:
@@ -54,29 +62,55 @@ class NarMLP:
     cfg: TrainConfig = field(default_factory=TrainConfig)
     continuous: frozenset = frozenset()
 
+    def _emb_dim(self, col: str, dom: int) -> int:
+        """Per-column embedding width under ``cfg.smaller_emb``
+        (reference scardina/models.py:35-60): "bound" caps the width at
+        the domain size, "continuous" gives fanout-like columns
+        (regressed fanouts, ``__adj_fanout__`` dictionary fanouts,
+        ``*_year``) a 1-wide embedding; both combine.  Default "": a
+        uniform d_word, the pre-flag layout."""
+        mode = self.cfg.smaller_emb
+        d = self.cfg.d_word
+        cont_like = (col in self.continuous or "__adj_fanout__:" in col
+                     or col.endswith("_year"))
+        if "bound" in mode and "continuous" in mode:
+            return min(1 if cont_like else d, max(dom, 1))
+        if "bound" in mode:
+            return min(d, max(dom, 1))
+        if "continuous" in mode and cont_like:
+            return 1
+        return d
+
     def __post_init__(self):
         rs = np.random.RandomState(self.cfg.seed)
-        d, h = self.cfg.d_word, self.cfg.d_ff
+        h = self.cfg.d_ff
         self.cols = [c for c, _ in self.input_bins]
         self.doms = [n for _, n in self.input_bins]
         self.C = len(self.cols)
         self.is_cont = np.array([c in self.continuous for c in self.cols])
+        # per-column embedding widths (uniform d_word unless smaller_emb
+        # shrinks them) and their offsets into the concatenated input
+        self.dims = [self._emb_dim(c, n)
+                     for c, n in zip(self.cols, self.doms)]
+        self.offs = np.concatenate([[0], np.cumsum(self.dims)]).astype(int)
+        D = int(self.offs[-1])
         # per-column embedding (row 0 = MASK); tied decode.  Continuous
-        # columns: emb = the [2, d] (flag, value) input projection and
+        # columns: emb = the [2, dj] (flag, value) input projection and
         # P = the [h, 1] regression head.
         f32 = np.float32  # training is BLAS-bandwidth-bound; fp32
         # halves it with no measurable q-error cost
-        self.emb = [(rs.randn(2, d) * 0.1).astype(f32) if self.is_cont[j]
-                    else (rs.randn(n, d) * 0.1).astype(f32)
+        self.emb = [(rs.randn(2, self.dims[j]) * 0.1).astype(f32)
+                    if self.is_cont[j]
+                    else (rs.randn(n, self.dims[j]) * 0.1).astype(f32)
                     for j, n in enumerate(self.doms)]
-        self.W1 = (rs.randn(self.C * d, h) * np.sqrt(2.0 / (self.C * d))).astype(f32)
+        self.W1 = (rs.randn(D, h) * np.sqrt(2.0 / D)).astype(f32)
         self.b1 = np.zeros(h, dtype=f32)
         self.W2 = (rs.randn(h, h) * np.sqrt(2.0 / h)).astype(f32)
         self.b2 = np.zeros(h, dtype=f32)
         # per-column projection back to embedding space
         self.P = [(rs.randn(h, 1) * np.sqrt(2.0 / h)).astype(f32)
                   if self.is_cont[j]
-                  else (rs.randn(h, d) * np.sqrt(2.0 / h)).astype(f32)
+                  else (rs.randn(h, self.dims[j]) * np.sqrt(2.0 / h)).astype(f32)
                   for j in range(self.C)]
         self._adam_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._adam_t = 0
@@ -88,17 +122,16 @@ class NarMLP:
         exist — categorical entries are cast); mask [B, C] bool (True =
         masked → MASK emb / zero pair)."""
         B = codes.shape[0]
-        d = self.cfg.d_word
-        x = np.empty((B, self.C * d), dtype=self.W1.dtype)
+        x = np.empty((B, int(self.offs[-1])), dtype=self.W1.dtype)
         eff = np.where(mask, 0, codes)
         for j in range(self.C):
+            sl = slice(self.offs[j], self.offs[j + 1])
             if self.is_cont[j]:
                 flag = (~mask[:, j]).astype(np.float32)
                 val = np.where(mask[:, j], 0.0, codes[:, j].astype(np.float32))
-                x[:, j * d:(j + 1) * d] = \
-                    np.stack([flag, val], axis=1) @ self.emb[j]
+                x[:, sl] = np.stack([flag, val], axis=1) @ self.emb[j]
             else:
-                x[:, j * d:(j + 1) * d] = self.emb[j][eff[:, j].astype(np.int64)]
+                x[:, sl] = self.emb[j][eff[:, j].astype(np.int64)]
         return x
 
     def _trunk(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -144,7 +177,6 @@ class NarMLP:
     def train_step(self, codes: np.ndarray, rs: np.random.RandomState) -> float:
         """One masked-AE step on a batch of dictionary codes [B, C]."""
         B = codes.shape[0]
-        d = self.cfg.d_word
         # mask a random non-empty strict subset of columns per row
         # (vectorized uniform-subset draw: the n_mask smallest of C iid
         # uniforms per row are a uniform n_mask-subset)
@@ -171,8 +203,8 @@ class NarMLP:
         d_all = 0
         slices = {}
         for j in cat:
-            slices[j] = slice(d_all, d_all + d)
-            d_all += d
+            slices[j] = slice(d_all, d_all + self.dims[j])
+            d_all += self.dims[j]
         P_cat = (np.concatenate([self.P[j] for j in cat], axis=1)
                  if cat else np.zeros((h.shape[1], 0)))
         proj_all = h @ P_cat                            # [B, Σd]
@@ -240,7 +272,7 @@ class NarMLP:
         self._adam(pid, self.b2, gb2); pid += 1
         for j in range(self.C):
             gE = np.zeros_like(self.emb[j])
-            dxj = dx[:, j * d:(j + 1) * d]
+            dxj = dx[:, self.offs[j]:self.offs[j + 1]]
             if self.is_cont[j]:
                 # input was [flag, value] @ emb over unmasked rows
                 u = ~mask[:, j]
@@ -294,14 +326,17 @@ class NarMLP:
         np.savez_compressed(path, cols="|".join(self.cols),
                             doms=np.array(self.doms),
                             cont=self.is_cont.astype(np.int8),
-                            d_word=self.cfg.d_word, d_ff=self.cfg.d_ff, **arrs)
+                            d_word=self.cfg.d_word, d_ff=self.cfg.d_ff,
+                            smaller_emb=self.cfg.smaller_emb, **arrs)
 
     @classmethod
     def load(cls, path: str) -> "NarMLP":
         z = np.load(path, allow_pickle=False)
         cols = str(z["cols"]).split("|")
         doms = [int(x) for x in z["doms"]]
-        cfg = TrainConfig(d_word=int(z["d_word"]), d_ff=int(z["d_ff"]))
+        cfg = TrainConfig(d_word=int(z["d_word"]), d_ff=int(z["d_ff"]),
+                          smaller_emb=(str(z["smaller_emb"])
+                                       if "smaller_emb" in z else ""))
         cont = frozenset(c for c, f in zip(cols, z["cont"])
                          if f) if "cont" in z else frozenset()
         m = cls(list(zip(cols, doms)), cfg, continuous=cont)

@@ -186,3 +186,28 @@ def test_hybrid_clamps_sample_verified_zeros(tables, exact):
     assert hyb.estimate(zero_sql) == 0.0
     live_sql = "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30"
     assert hyb.estimate(live_sql) == nar.estimate(live_sql) > 0
+
+
+def test_skip_high_card_cols_flag(tables):
+    """The reference's eval-time skip of near-key common columns
+    (scardina/estimators.py:206-209, disable flag run.py:164): with the
+    flag on (default), a dictionary larger than half the sample is not
+    sampled for chained inheritance; disabling it widens the
+    common-column set."""
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=2000, n_max=2000, seed=7)
+    est = train_join_estimator(
+        ts, ["lineitem.l_extendedprice", "lineitem.l_returnflag"],
+        TrainConfig(epochs=1, d_word=4, d_ff=16, seed=7), sample_size=64)
+    cap = max(64, est.ts.n_sample // 2)
+    # prices are near-unique: their sample dictionary exceeds half the
+    # sample rows (the >tbl_size/2 shape the reference heuristic targets)
+    assert est.domains["lineitem.l_extendedprice"].dom_size > cap
+    on = est._extra_cols({"lineitem"}, set())
+    est.skip_high_card_cols = False
+    off = est._extra_cols({"lineitem"}, set())
+    assert "lineitem.l_extendedprice" not in on
+    assert "lineitem.l_extendedprice" in off
+    assert "lineitem.l_returnflag" in on
+    assert set(on) <= set(off)

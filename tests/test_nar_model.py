@@ -170,3 +170,46 @@ def test_training_matrix_layout_independent_with_id_cols(tables):
     assert a.shape == (500, 2)
     assert np.array_equal(a, b)
     assert np.array_equal(a, c)
+
+
+def test_smaller_emb_dims():
+    """The reference's smaller_emb embedding-size heuristics
+    (scardina/models.py:24-60): 'bound' caps widths at domain size,
+    'continuous' gives fanout-like columns 1-wide embeddings, both
+    combine; '' keeps a uniform d_word."""
+    bins = [("t.flag", 3), ("t.big", 100),
+            ("t.__adj_fanout__:k=o.k2", 40), ("t.c_year", 30)]
+    dflt = NarMLP(bins, TrainConfig(d_word=16, d_ff=32, seed=1))
+    assert dflt.dims == [16, 16, 16, 16]
+    bound = NarMLP(bins, TrainConfig(d_word=16, d_ff=32, seed=1,
+                                     smaller_emb="bound"))
+    assert bound.dims == [3, 16, 16, 16]
+    cont = NarMLP(bins, TrainConfig(d_word=16, d_ff=32, seed=1,
+                                    smaller_emb="continuous"))
+    assert cont.dims == [16, 16, 1, 1]
+    both = NarMLP(bins, TrainConfig(d_word=16, d_ff=32, seed=1,
+                                    smaller_emb="bound+continuous"))
+    assert both.dims == [3, 16, 1, 1]
+    # shapes follow the dims: emb rows x width, trunk input = sum(dims)
+    assert bound.emb[0].shape == (3, 3)
+    assert both.W1.shape[0] == 3 + 16 + 1 + 1
+
+
+def test_smaller_emb_trains_and_roundtrips(tmp_path):
+    rs = np.random.RandomState(0)
+    x = rs.randint(2, 12, size=4000)
+    y = np.where(rs.rand(4000) < 0.9, x, rs.randint(2, 12, size=4000))
+    codes = np.stack([x, y], axis=1)
+    m = NarMLP([("x", 12), ("y", 12)],
+               TrainConfig(epochs=8, d_word=8, d_ff=32, seed=1,
+                           smaller_emb="bound"))
+    losses = m.fit(codes)
+    assert losses[-1] < losses[0] * 0.8
+    p = str(tmp_path / "m.npz")
+    m.save(p)
+    m2 = NarMLP.load(p)
+    assert m2.cfg.smaller_emb == "bound"
+    assert m2.dims == m.dims
+    lg1 = m.logits_for(codes[:5], np.zeros((5, 2), bool), 1)
+    lg2 = m2.logits_for(codes[:5], np.zeros((5, 2), bool), 1)
+    assert np.allclose(lg1, lg2)
