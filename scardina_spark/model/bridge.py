@@ -145,12 +145,16 @@ def training_matrix(df: DataFrame, columns: list[str],
         return p.toPandas()
 
     pdf = _localize(proj)
-    if id_cols and prefiltered and len(pdf) < max_rows:
+    while id_cols and prefiltered and len(pdf) < max_rows and frac < 1.0:
         # the 6-sigma prefilter undershot the cap (astronomically rare,
-        # but a silently smaller training matrix is worse than one full
-        # localization): redo without the prefilter — the driver-side
-        # top-k cut below is exact either way
-        pdf = _localize(unfiltered)
+        # but a silently smaller training matrix is worse): WIDEN the
+        # hash threshold geometrically instead of dropping the filter —
+        # each retry localizes ~2x the previous expected rows, so driver
+        # memory stays O(max_rows), never O(n) (the unfiltered
+        # projection could be far larger than the cap)
+        frac = min(1.0, frac * 2.0)
+        pdf = _localize(
+            unfiltered.where(F.col("__h__") < int(frac * (1 << 32))))
     if id_cols:
         # canonical row order (and the exact top-k cut) driver-side: the
         # distributed-dictionary join above scrambles Spark-side order.

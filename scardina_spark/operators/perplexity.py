@@ -176,6 +176,28 @@ class BigramLM:
     bigrams: DataFrame
     contexts: DataFrame
     default_floor: float
+    # trainer-internal cached pair-count relation (bigrams/contexts
+    # both derive from it); release() when the LM is no longer needed —
+    # same discipline as TreeSample.release (sample.py)
+    cache_handle: "DataFrame | None" = None
+
+    def release(self) -> "BigramLM":
+        """Unpersist the trainer's internal pair-count cache.  Safe any
+        time — scoring plans re-compute from lineage if re-used after
+        release; idempotent."""
+        if self.cache_handle is not None:
+            self.cache_handle.unpersist()
+            self.cache_handle = None
+        return self
+
+    def materialize(self) -> "BigramLM":
+        """Eagerly checkpoint the (vocabulary-sized) LM relations and
+        drop the pair-count cache: long-lived sessions scoring many
+        corpora then hold only the two small LM tables instead of an
+        unreleasable storage-memory chain."""
+        self.bigrams = self.bigrams.localCheckpoint(eager=True)
+        self.contexts = self.contexts.localCheckpoint(eager=True)
+        return self.release()
 
 
 def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -233,7 +255,7 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
         .alias("floor_logp"))
     import math
     return BigramLM(bigrams, contexts,
-                    math.log(1.0 / (vocab + 1)))
+                    math.log(1.0 / (vocab + 1)), cache_handle=bi)
 
 
 def doc_perplexity_bigram(df: DataFrame, lm: BigramLM,

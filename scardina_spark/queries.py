@@ -429,7 +429,8 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
-    j = counts.crossJoin(total)
+    j = counts.crossJoin(F.broadcast(total))  # 1-row side: pin the
+    # broadcast (plan stability; AQE would save it anyway)
     ent = j.agg(
         F.round(-F.sum((F.col("c") / F.col("t"))
                        * F.log(F.col("c") / F.col("t"))), 6).alias("entropy"))
@@ -1683,7 +1684,9 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifting the token array (no window, no shuffle)."""
     from .operators import perplexity as PX
     docs = load_table(spark, sf_dir, "documents")
-    lm = PX.train_bigram_lm(docs)
+    # materialize(): keep only the two vocab-sized LM relations; the
+    # trainer's pair-count cache would otherwise live for the session
+    lm = PX.train_bigram_lm(docs).materialize()
     return (PX.doc_perplexity_bigram(docs, lm)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     "n_toks", "ppl")
