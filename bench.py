@@ -313,6 +313,46 @@ def main() -> None:
         1 for x in pe_heur if x > 1.0001)
     extras["jl_ext_indep_perror_max"] = round(max(pe_indep), 4)
 
+    # 2a''+pg. live-Postgres plan cost, when the environment ships PG
+    # binaries (estimators/pg.py — the reference's PPC back end,
+    # run.py:992-1008): the SAME learned hybrid cards drive the join
+    # order through the DP planner, and a real embedded Postgres 15
+    # prices both the chosen and the truth-optimal order under
+    # join_collapse_limit=1 forcing.  pe_pg can dip below 1.0 when
+    # Postgres's cost model disagrees with C_out about which order is
+    # best — reported raw, not clamped.
+    from scardina_spark.estimators import pg as PGH
+    if PGH.pg_available():
+        from scardina_spark.estimators.perror import (
+            connected_subsets, fragment)
+        t0 = time.perf_counter()
+        pg_srv = PGH.ensure_server()
+        pg_db = PGH.load_sf_tables(pg_srv, sf_dir)
+        timings["pg_load"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        pes_pg, pg_forced_ok = [], 0
+        for name, sql in ext_suite.items():
+            pq = _parse(sql)
+            est_cards, true_cards = {}, {}
+            for s in connected_subsets(pq):
+                if len(s) < 2:
+                    continue
+                frag = fragment(pq, s)
+                true_cards[s] = float(ext_true(frag))
+                try:
+                    est_cards[s] = float(ext_nar_fn(frag))
+                except (UnsupportedQueryError, ValueError):
+                    est_cards[s] = true_cards[s]
+            r = PGH.pg_plan_error(pg_srv, pg_db, pq, est_cards, true_cards)
+            pes_pg.append(r["pe_pg"])
+            pg_forced_ok += int(r["order_respected"])
+        timings["pg_perror"] = round(time.perf_counter() - t0, 4)
+        extras["pg_perror_n"] = len(pes_pg)
+        extras["pg_forced_plans_ok"] = pg_forced_ok
+        extras["pg_nar_perror_p50"] = round(pct(pes_pg, 0.5), 4)
+        extras["pg_nar_perror_p90"] = round(pct(pes_pg, 0.9), 4)
+        extras["pg_nar_perror_max"] = round(max(pes_pg), 4)
+
     # 2a'''. CIN mode over the same suite: one NAR model per
     # closed-in-neighborhood subschema (the reference's headline
     # decomposition, scardina/schema.py:85-183), chained at query time via
@@ -565,12 +605,16 @@ def main() -> None:
 
     # 7. learned pipeline components (round-4 additions): heuristic
     # distillation into a hashed-BoW LR, and BPE tokenizer training
-    from scardina_spark.operators import textstats as TS
     from scardina_spark.operators.bpe import bpe_encode, bpe_learn
-    from scardina_spark.operators.textclf import distill_heuristic
+    from scardina_spark.operators.textclf import (
+        distill_heuristic, topic_corpus)
 
     def run_distill():
-        _, report = distill_heuristic(docs, TS.lang_id("text"))
+        # the non-degenerate validation task (x45): 3-class topic
+        # mixture with genuine Bayes error — agreement must land well
+        # above 1/3 and below 1.0
+        corpus = topic_corpus(docs.select("doc_id"))
+        _, report = distill_heuristic(corpus, F.col("label"))
         rows = report.collect()
         n = sum(r["n_test"] for r in rows)
         extras["textclf_holdout_n"] = n

@@ -2934,6 +2934,52 @@ def _sql_ppc_inject() -> str:
     return "\nunion all\n".join(parts) + "\norder by q"
 
 
+def q_pg_plan_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 (live-Postgres plan cost — the reference's PPC back end,
+    run.py:992-1008 + eval_ppc 1011-1127): per-subquery cards of the
+    7-table suite query store into a REAL embedded PostgreSQL 15
+    (COPY-loaded from the sf parquet, unix socket, vanilla binaries)
+    and read back before planning; the DP planner picks the join order
+    the cards imply and the LIVE Postgres planner costs it under
+    ``join_collapse_limit = 1`` forcing (`estimators/pg.py`).  Output:
+    the round-tripped card per node (oracle recomputes each from the
+    base tables — a match certifies the store+read loop) plus three
+    live-planner verdicts: truth-card p-error is exactly 1, the forced
+    join TREE matches the requested order (association pinned;
+    build/probe sides stay free, as in the reference harness), and the
+    free planner never beats its own forced-order cost."""
+    from .benchmarks import perror_suite
+    from .estimators import pg as PG
+
+    rows = _ppc_rows(sf_dir)
+    srv = PG.ensure_server()
+    db = PG.load_sf_tables(srv, sf_dir)
+    cards = PG.store_cards(srv, db, rows)
+    truths = {r["node"]: r["card"] for r in rows}
+
+    def as_sets(d: dict) -> dict:
+        return {frozenset(k.split()): float(v) for k, v in d.items()}
+
+    res = PG.pg_plan_error(srv, db, perror_suite()[_PPC_QUERY],
+                           as_sets(cards), as_sets(truths))
+    out = [(f"node:{n}", int(c)) for n, c in cards.items()]
+    out.append(("pe_truth_is_1", int(res["pe_pg"] == 1.0)))
+    out.append(("order_respected", int(res["order_respected"])))
+    out.append(("native_le_forced", int(res["native_le_forced"])))
+    return spark.createDataFrame(out, "q string, v long").orderBy("q")
+
+
+def _sql_pg_plan_cost() -> str:
+    """Oracle: recompute every stored node card straight from the base
+    tables, plus the live-planner verdict literals."""
+    parts = [f"select 'node:{r['node']}' as q, ({r['sql']})::BIGINT as v"
+             for r in _ppc_rows("sf0.01")]
+    parts.append("select 'pe_truth_is_1', 1")
+    parts.append("select 'order_respected', 1")
+    parts.append("select 'native_le_forced', 1")
+    return "\nunion all\n".join(parts) + "\norder by q"
+
+
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: deterministic hyperparameter grid search (reference
     scardina/run.py:611-657 — Ray Tune/Optuna over {d_word, d_ff},
@@ -4290,6 +4336,8 @@ def queries() -> dict:
         # x45's validation task changed this round (degenerate lang-ID
         # distillation -> synthetic 3-class mixture): fresh row needed
         "x45_text_classifier": q_text_classifier,
+        # new this round: live-Postgres plan-cost loop
+        "e11_pg_plan_cost": q_pg_plan_cost,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4532,6 +4580,7 @@ def oracle_sql() -> dict[str, str]:
         "x44_knn_classify": SQL_KNN_CLASSIFY,
         "x45_text_classifier": sql_text_classifier(),
         "x46_bpe_pairs": SQL_BPE_PAIRS,
+        "e11_pg_plan_cost": _sql_pg_plan_cost(),
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

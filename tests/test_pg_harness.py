@@ -1,0 +1,116 @@
+"""Live-Postgres plan-cost harness: embedded server lifecycle, COPY
+load fidelity, card store roundtrip, join-order forcing, and the PPC
+ratio's sign on a deliberately distorted card set.  All tests skip when
+the environment ships no PostgreSQL binaries."""
+
+from __future__ import annotations
+
+import pytest
+
+from scardina_spark.estimators import pg as PG
+
+pytestmark = pytest.mark.skipif(not PG.pg_available(),
+                                reason="no PostgreSQL binaries")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server():
+    return PG.ensure_server()
+
+
+@pytest.fixture(scope="module")
+def db(server):
+    return PG.load_sf_tables(server, SF_DIR)
+
+
+def test_load_matches_parquet_counts(server, db):
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region", "nation", "orders", "lineitem"):
+        want = con.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/{t}.parquet'").fetchone()[0]
+        got = int(server.psql(f"SELECT count(*) FROM {t}", db).strip())
+        assert got == want, t
+
+
+def test_query_results_match_duckdb(server, db):
+    import duckdb
+    con = duckdb.connect()
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o WHERE "
+           "l.l_orderkey = o.o_orderkey AND l.l_quantity > 30 "
+           "AND o.o_orderstatus = 'F'")
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{SF_DIR}/lineitem.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{SF_DIR}/orders.parquet'")
+    want = con.sql(sql).fetchone()[0]
+    got = int(server.psql(sql, db).strip())
+    assert got == want
+
+
+def test_card_store_roundtrip(server, db):
+    rows = [{"node": "a b c", "card": 7}, {"node": "x 'y'", "card": 0}]
+    back = PG.store_cards(server, db, rows, table="t_cards_test")
+    assert back == {"a b c": 7, "x 'y'": 0}
+
+
+def test_forced_order_is_respected_and_costed(server, db):
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, customer c WHERE "
+           "l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey")
+    pq = parse_query(sql)
+    for order in (("l", "o", "c"), ("c", "o", "l")):
+        forced = PG.forced_join_sql(pq, order)
+        cost, join_sets = PG.explain_cost(server, db, forced,
+                                          force_order=True)
+        assert cost > 0
+        assert PG.order_respected(order, join_sets), (order, join_sets)
+    # forcing changes the plan tree: the two orders differ structurally
+    _, js1 = PG.explain_cost(
+        server, db, PG.forced_join_sql(pq, ("l", "o", "c")),
+        force_order=True)
+    _, js2 = PG.explain_cost(
+        server, db, PG.forced_join_sql(pq, ("c", "o", "l")),
+        force_order=True)
+    assert set(js1) != set(js2)
+
+
+def test_forced_count_matches_flat_count(server, db):
+    """The rewritten JOIN nesting is semantics-preserving: same count
+    as the flat comma-join form."""
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o WHERE "
+           "l.l_orderkey = o.o_orderkey AND l.l_quantity > 45")
+    pq = parse_query(sql)
+    flat = int(server.psql(sql, db).strip())
+    forced = int(server.psql(
+        PG.forced_join_sql(pq, ("o", "l")), db).strip())
+    assert forced == flat
+
+
+def test_pg_plan_error_truth_is_one_and_distortion_moves_it(server, db):
+    from scardina_spark.benchmarks import perror_suite
+    from scardina_spark.queries import _PPC_QUERY, _ppc_rows
+    rows = _ppc_rows(SF_DIR)
+    truths = {r["node"]: float(r["card"]) for r in rows}
+
+    def as_sets(d):
+        return {frozenset(k.split()): v for k, v in d.items()}
+
+    sql = perror_suite()[_PPC_QUERY]
+    res = PG.pg_plan_error(server, db, sql, as_sets(truths),
+                           as_sets(truths))
+    assert res["pe_pg"] == 1.0
+    assert res["order_respected"]
+    assert res["native_le_forced"]
+    # distort one mid-size node by 1000x: the DP must flip the order
+    # and the live planner must price the flip (ratio != 1)
+    bad = dict(truths)
+    k0 = sorted(bad)[len(bad) // 2]
+    bad[k0] = max(1.0, bad[k0] * 1000)
+    res2 = PG.pg_plan_error(server, db, sql, as_sets(bad), as_sets(truths))
+    assert res2["order_est"] != res2["order_true"]
+    assert res2["order_respected"]
+    assert res2["pe_pg"] != 1.0
