@@ -629,6 +629,26 @@ def main() -> None:
             bpe_encode(docs, vocab).agg(F.sum("n_bpe")).first()[0])
     timed("bpe_train_encode", run_bpe)
 
+    # round-5 additions: Gopher rule gate + DSIR selection
+    from scardina_spark.operators.dsir import dsir_select
+    from scardina_spark.operators.gopher import with_gopher_flags
+
+    def run_gopher():
+        agg = [F.sum(F.col(c).cast("long")).alias(c)
+               for c in ("g_word_count", "g_stop_words", "gopher_keep")]
+        row = with_gopher_flags(docs).agg(
+            F.count(F.lit(1)).alias("n"), *agg).first()
+        extras["gopher_n_docs"] = int(row["n"])
+        extras["gopher_keep_n"] = int(row["gopher_keep"])
+    timed("gopher_rules", run_gopher)
+
+    def run_dsir():
+        target = docs.where(F.col("source") == "src0")
+        top = dsir_select(docs, target, 100).collect()
+        extras["dsir_top100_min_log_iw"] = round(
+            min(r["log_iw"] for r in top), 4)
+    timed("dsir_select", run_dsir)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",

@@ -30,8 +30,11 @@ def _lines(col: str) -> Column:
 
 
 def gopher_flags(col: str = "text") -> dict[str, Column]:
-    """One boolean column per Gopher rule (True = passes)."""
-    ws = words(col)
+    """One boolean column per Gopher rule (True = passes).  NULL text
+    normalizes to the empty document (the curation-wide convention), so
+    every flag is a real boolean, never NULL."""
+    txt0 = F.coalesce(F.col(col), F.lit(""))
+    ws = F.filter(F.split(txt0, "\\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(ws)
     lines = _lines(col)
     n_lines = F.greatest(F.size(lines), F.lit(1))

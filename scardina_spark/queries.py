@@ -4296,6 +4296,134 @@ from f order by rrf desc, doc_id limit 10
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 (Gopher quality-filter rule battery, Rae et al. 2021 App.
+    A1.1): the seven doc-level heuristic gates — word-count bounds,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    ratios, alphabetic-word fraction, stop-word presence — as pure JVM
+    column expressions over one tokenization (`operators/gopher.py`;
+    shuffle-free, row-parallel).  Output: per document the word count,
+    every rule verdict, and the conjunctive keep flag."""
+    from .operators.gopher import with_gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = with_gopher_flags(docs)
+    return (g.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                                r"\s+"),
+                        lambda w: F.length(w) > 0))
+        .cast("long").alias("n_words"),
+        "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+        "g_stop_words", "gopher_keep")
+        .orderBy("doc_id"))
+
+
+SQL_GOPHER_RULES = """
+with d as (select doc_id, coalesce(text, '') as t from documents),
+w as (select doc_id, t,
+             list_filter(string_split_regex(t, '\\s+'),
+                         x -> len(x) > 0) as ws
+      from d),
+ls as (select doc_id,
+              list_filter(list_transform(string_split(t, chr(10)),
+                                          x -> trim(x)),
+                          x -> len(x) > 0) as lns
+       from d),
+calc as (
+  select w.doc_id, len(ws) as nw,
+         case when len(ws) = 0 then 0.0
+              else list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+                   / len(ws) end as mwl,
+         (len(t) - len(replace(t, '#', ''))) as nhash,
+         (len(t) - len(replace(t, '...', ''))) / 3
+           + (len(t) - len(replace(t, '…', ''))) as nell,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+           as nalpha,
+         len(list_intersect(
+             list_distinct(list_transform(ws, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) as nstop,
+         greatest(len(lns), 1) as nl,
+         len(list_filter(lns, x -> substr(x, 1, 1) in
+             ('•','‣','▪','-','*'))) as nbull,
+         len(list_filter(lns, x -> x like '%...'
+             or x like '%…')) as nellend
+  from w join ls using (doc_id)),
+flags as (
+  select doc_id, nw,
+         (nw >= 50 and nw <= 100000) as g_word_count,
+         (mwl >= 3.0 and mwl <= 10.0) as g_mean_word_len,
+         ((nhash + nell)::DOUBLE / greatest(nw, 1)) <= 0.1
+           as g_symbol_ratio,
+         (nbull::DOUBLE / nl) <= 0.10 as g_bullet_lines,
+         (nellend::DOUBLE / nl) <= 0.30 as g_ellipsis_lines,
+         (nalpha::DOUBLE / greatest(nw, 1)) >= 0.80 as g_alpha_words,
+         (nstop >= 2) as g_stop_words
+  from calc)
+select doc_id::BIGINT as doc_id, nw::BIGINT as n_words,
+       g_word_count, g_mean_word_len, g_symbol_ratio, g_bullet_lines,
+       g_ellipsis_lines, g_alpha_words, g_stop_words,
+       (g_word_count and g_mean_word_len and g_symbol_ratio
+        and g_bullet_lines and g_ellipsis_lines and g_alpha_words
+        and g_stop_words) as gopher_keep
+from flags order by doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 (DSIR data selection, Xie et al. NeurIPS 2023): score every
+    document by the log importance weight between an add-1 unigram LM
+    trained on the TARGET slice (source = 'src0') and one trained on
+    the full raw corpus, and keep the top 20 (`operators/dsir.py`).
+    Both LMs are one map-side-combinable count shuffle with
+    vocabulary-sized output; scoring is the perplexity join pattern
+    (token-keyed joins against broadcast-sized LM relations); selection
+    is a TakeOrdered top-k.  Deterministic rank (log_iw desc, doc_id);
+    the Gumbel-resampling variant is test-pinned
+    (content-hash noise)."""
+    from .operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return (dsir_select(docs, target, 20)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_toks", "log_iw"))
+
+
+SQL_DSIR_SELECT = """
+with tok as (
+  select doc_id,
+         lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0))) as token
+  from documents),
+tgt_c as (
+  select token, count(*) as n from tok
+  join documents using (doc_id) where source = 'src0' group by token),
+raw_c as (select token, count(*) as n from tok group by token),
+tgt_tot as (select sum(n) as nt, count(*) as v from tgt_c),
+raw_tot as (select sum(n) as nt, count(*) as v from raw_c),
+sc as (
+  select t.doc_id,
+         ln((coalesce(tc.n, 0) + 1.0) / (tt.nt + 1.0 * (tt.v + 1)))
+           - ln((coalesce(rc.n, 0) + 1.0) / (rt.nt + 1.0 * (rt.v + 1)))
+           as dlw
+  from tok t
+  left join tgt_c tc using (token)
+  left join raw_c rc using (token)
+  cross join tgt_tot tt cross join raw_tot rt),
+agg as (select doc_id, count(*) as n_toks, round(sum(dlw), 4) as log_iw
+        from sc group by doc_id),
+alldocs as (
+  select d.doc_id, coalesce(a.n_toks, 0) as n_toks,
+         coalesce(a.log_iw, 0.0) as log_iw
+  from documents d left join agg a using (doc_id))
+select doc_id::BIGINT as doc_id, n_toks::BIGINT as n_toks, log_iw
+from alldocs
+order by log_iw desc, doc_id limit 20
+"""
+
+
 BENCH_QUERIES = {
     "b1_filter": "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
     "b2_filter2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' "
@@ -4336,8 +4464,11 @@ def queries() -> dict:
         # x45's validation task changed this round (degenerate lang-ID
         # distillation -> synthetic 3-class mixture): fresh row needed
         "x45_text_classifier": q_text_classifier,
-        # new this round: live-Postgres plan-cost loop
+        # new this round: live-Postgres plan-cost loop, DSIR selection,
+        # Gopher rule battery
         "e11_pg_plan_cost": q_pg_plan_cost,
+        "x53_dsir_select": q_dsir_select,
+        "x54_gopher_rules": q_gopher_rules,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4581,6 +4712,8 @@ def oracle_sql() -> dict[str, str]:
         "x45_text_classifier": sql_text_classifier(),
         "x46_bpe_pairs": SQL_BPE_PAIRS,
         "e11_pg_plan_cost": _sql_pg_plan_cost(),
+        "x53_dsir_select": SQL_DSIR_SELECT,
+        "x54_gopher_rules": SQL_GOPHER_RULES,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),
