@@ -4511,11 +4511,12 @@ def queries() -> dict:
         "e7_trm_qerror": q_trm_qerror,
         "e8_search": q_grid_search,
         "a25_late_shipment_priority": q_late_shipment_priority,
+        # --- past the ~50 cap (pushed out by this round's 4 new/changed
+        # keys): r03-green spill, scheduled for the r06 refresh ---
         "x33_simsel_card": q_simsel_card,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
-        # --- past the cap: r03-green spill (scheduled for the r06 refresh) ---
         "st4_stream_sessions": q_stream_sessions,
         "st5_stream_first_seen": q_stream_first_seen,
         "st6_stream_join": q_stream_join,
