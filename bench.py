@@ -353,6 +353,32 @@ def main() -> None:
         extras["pg_nar_perror_p90"] = round(pct(pes_pg, 0.9), 4)
         extras["pg_nar_perror_max"] = round(max(pes_pg), 4)
 
+        # PostgreSQL's NATIVE estimator as the DBMS baseline (Leis et
+        # al. VLDB'15): its planner's Plan Rows on every artifact
+        # subquery, scored against the recorded truths and through the
+        # same DP plan-choice p-error as the learned cards.  Batched
+        # EXPLAINs — the whole 746-row artifact is ~15 psql round trips.
+        t0 = time.perf_counter()
+        pg_ests = PGH.row_estimates(pg_srv, pg_db,
+                                    [r["sql"] for r in ext_rows])
+        pg_card = {r["sql"]: e for r, e in zip(ext_rows, pg_ests)}
+        sq_pg = [qerr(e, r["card"]) for e, r in zip(pg_ests, ext_rows)]
+
+        def pg_native_fn(frag):
+            return pg_card[to_sql(frag)]
+
+        pe_pgnat = [max(p_error(_parse(sql), pg_native_fn, ext_true),
+                        p_error(_parse(sql), pg_native_fn, ext_true,
+                                cost_model="smj"))
+                    for sql in ext_suite.values()]
+        timings["pg_native_baseline"] = round(time.perf_counter() - t0, 4)
+        extras["pg_native_subq_qerror_p50"] = round(pct(sq_pg, 0.5), 4)
+        extras["pg_native_subq_qerror_p90"] = round(pct(sq_pg, 0.9), 4)
+        extras["pg_native_subq_qerror_max"] = round(max(sq_pg), 4)
+        extras["pg_native_perror_max"] = round(max(pe_pgnat), 4)
+        extras["pg_native_perror_flips"] = sum(
+            1 for x in pe_pgnat if x > 1.0001)
+
     # 2a'''. CIN mode over the same suite: one NAR model per
     # closed-in-neighborhood subschema (the reference's headline
     # decomposition, scardina/schema.py:85-183), chained at query time via

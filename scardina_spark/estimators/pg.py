@@ -301,6 +301,36 @@ def order_respected(order: tuple[str, ...],
     return set(join_sets) == want
 
 
+def row_estimates(server: PgServer, db: str, sqls: list[str],
+                  batch: int = 50) -> list[float]:
+    """Postgres's OWN cardinality estimate for each ``COUNT(*)`` query:
+    the planner's ``Plan Rows`` on the join node feeding the final
+    aggregate — the "PostgreSQL as estimator" baseline of Leis et al.
+    (VLDB 2015) against which learned estimators are judged.  Batched
+    (``batch`` EXPLAINs per psql round-trip, sentinel-separated), so
+    the whole 746-subquery artifact costs ~15 round trips."""
+    out: list[float] = []
+    for i in range(0, len(sqls), batch):
+        chunk = sqls[i:i + batch]
+        script = "\nSELECT '--SPLIT--';\n".join(
+            f"EXPLAIN (FORMAT JSON) {s};" for s in chunk)
+        raw = server.psql(script, db)
+        parts = [p for p in raw.split("--SPLIT--") if p.strip()]
+        if len(parts) != len(chunk):
+            raise RuntimeError(
+                f"expected {len(chunk)} plans, got {len(parts)}")
+        for p in parts:
+            plan = json.loads(p[p.index("["):])[0]["Plan"]
+            # descend through the aggregate/gather scaffolding to the
+            # node that produces the joined rows
+            while (plan.get("Plans")
+                   and ("Aggregate" in plan["Node Type"]
+                        or plan["Node Type"] == "Gather")):
+                plan = plan["Plans"][0]
+            out.append(float(plan["Plan Rows"]))
+    return out
+
+
 def pg_plan_error(server: PgServer, db: str, query: ParsedQuery | str,
                   est_cards: dict[frozenset, float],
                   true_cards: dict[frozenset, float]) -> dict:

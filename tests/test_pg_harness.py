@@ -90,6 +90,25 @@ def test_forced_count_matches_flat_count(server, db):
     assert forced == flat
 
 
+def test_row_estimates_batched_and_sane(server, db):
+    """Native planner estimates: batching preserves order/count, the
+    aggregate scaffolding is unwrapped (join rows, not the COUNT's 1),
+    and an unfiltered single-table estimate is near-exact (ANALYZE has
+    full visibility there)."""
+    sqls = ["SELECT COUNT(*) FROM region",
+            "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30",
+            ("SELECT COUNT(*) FROM lineitem l, orders o WHERE "
+             "l.l_orderkey = o.o_orderkey")]
+    ests = PG.row_estimates(server, db, sqls, batch=2)  # forces 2 batches
+    assert len(ests) == 3
+    n_region = int(server.psql("SELECT count(*) FROM region", db).strip())
+    assert ests[0] == n_region  # exact on a stats-covered base table
+    assert all(e >= 1.0 for e in ests)
+    n_li = int(server.psql("SELECT count(*) FROM lineitem", db).strip())
+    assert 1.0 <= ests[1] <= n_li  # a filter estimate, not the COUNT's 1
+    assert ests[2] > 1.0
+
+
 def test_pg_plan_error_truth_is_one_and_distortion_moves_it(server, db):
     from scardina_spark.benchmarks import perror_suite
     from scardina_spark.queries import _PPC_QUERY, _ppc_rows
