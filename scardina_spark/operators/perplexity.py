@@ -163,6 +163,38 @@ def derive_ppl_thresholds(df: DataFrame, lm: DataFrame,
         .orderBy("lang"))
 
 
+def perplexity_band_derived(df: DataFrame, lm: DataFrame,
+                            qs: tuple[float, float] = (1 / 3, 2 / 3),
+                            lang_col: str | None = None,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            smoothing_k: float = 1.0) -> DataFrame:
+    """The full CCNet protocol in one plan: score, derive the band
+    thresholds as per-language perplexity percentiles, and band every
+    document against ITS language's cuts (Wenzek et al. §4.3 — the
+    paper's head/middle/tail are per-language terciles).  Returns
+    ``(id, lang, n_toks, ppl, lo, hi, ppl_band)``.
+
+    One scoring pass feeds both the percentile aggregation and the
+    banding; the thresholds relation is #languages-sized and broadcast.
+    ``lo``/``hi`` are rounded to 4 dp (like ``ppl``) so band
+    comparisons are engine-reproducible."""
+    ppl = doc_perplexity(df, lm, id_col, text_col, smoothing_k)
+    if lang_col is not None:
+        ppl = ppl.join(df.select(id_col, F.col(lang_col).alias("lang")),
+                       id_col)
+    else:
+        ppl = ppl.withColumn("lang", F.lit("*"))
+    thr = (ppl.groupBy("lang").agg(
+        F.round(F.percentile("ppl", F.lit(float(qs[0]))), 4).alias("lo"),
+        F.round(F.percentile("ppl", F.lit(float(qs[1]))), 4).alias("hi")))
+    band = (F.when(F.col("ppl") < F.col("lo"), F.lit("head"))
+            .when(F.col("ppl") < F.col("hi"), F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    return (ppl.join(F.broadcast(thr), "lang")
+            .withColumn("ppl_band", band))
+
+
 BOS = "<s>"  # sentence-start context for each document's first token
 
 

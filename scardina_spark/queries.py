@@ -1676,6 +1676,60 @@ from full_scored order by doc_id
 """
 
 
+def q_ccnet_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 (CCNet per-language derived banding, Wenzek et al. §4.3;
+    beyond reference): the full protocol in one plan — unigram-LM
+    scoring, PER-LANGUAGE tercile thresholds via exact percentile, and
+    banding each document against its own language's cuts
+    (`perplexity.perplexity_band_derived`).  Output: docs + derived
+    (lo, hi) per (lang, band).  One scoring pass; the thresholds
+    relation is #languages-sized and broadcast."""
+    from .operators import perplexity as PX
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = PX.train_unigram_lm(docs)
+    banded = PX.perplexity_band_derived(docs, lm, lang_col="lang")
+    return (banded.groupBy("lang", "ppl_band", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang", "ppl_band", F.col("n_docs").cast("long")
+                    .alias("n_docs"), "lo", "hi")
+            .orderBy("lang", "ppl_band"))
+
+
+SQL_CCNET_BANDS = """
+with toks as (
+  select doc_id, lower(t) as token
+  from documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> len(x) > 0)) as u(t)),
+counts as (select token, count(*) as n from toks group by token),
+tot as (select sum(n) as nt, count(*) as v from counts),
+lm as (select token, ln((n + 1.0) / (nt + 1.0 * (v + 1))) as logp
+       from counts, tot),
+scored as (
+  select doc_id, round(exp(-sum(logp) / count(*)), 4) as ppl
+  from toks join lm using (token) group by doc_id),
+oov as (select ln(1.0 / (nt + 1.0 * (v + 1))) as o from tot),
+full_scored as (
+  select d.doc_id, d.lang,
+         coalesce(s.ppl, (select round(exp(-o), 4) from oov)) as ppl
+  from documents d left join scored s using (doc_id)),
+thr as (
+  select lang, round(quantile_cont(ppl, 1.0/3), 4) as lo,
+         round(quantile_cont(ppl, 2.0/3), 4) as hi
+  from full_scored group by lang),
+banded as (
+  select f.lang,
+         case when ppl < lo then 'head'
+              when ppl < hi then 'middle'
+              else 'tail' end as ppl_band, lo, hi
+  from full_scored f join thr using (lang))
+select lang, ppl_band, count(*)::BIGINT as n_docs, lo, hi
+from banded group by lang, ppl_band, lo, hi
+order by lang, ppl_band
+"""
+
+
 def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM self-perplexity (beyond reference; CCNet n-gram
     fidelity step over the x50 unigram): add-k-smoothed p(token|prev)
@@ -4469,6 +4523,7 @@ def queries() -> dict:
         "e11_pg_plan_cost": q_pg_plan_cost,
         "x53_dsir_select": q_dsir_select,
         "x54_gopher_rules": q_gopher_rules,
+        "x55_ccnet_bands": q_ccnet_bands,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4715,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "e11_pg_plan_cost": _sql_pg_plan_cost(),
         "x53_dsir_select": SQL_DSIR_SELECT,
         "x54_gopher_rules": SQL_GOPHER_RULES,
+        "x55_ccnet_bands": SQL_CCNET_BANDS,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -226,3 +226,34 @@ def test_unigram_and_chunk_oracle_parity_with_empty_docs(spark, tmp_path):
         got = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
         want = {tuple(r) for r in con.execute(sql).fetchall()}
         assert got == want, (q_fn.__name__, got ^ want)
+
+
+def test_band_derived_per_language_terciles(spark):
+    """CCNet §4.3: thresholds are PER-LANGUAGE terciles — each language
+    bands against its own cuts, so a document pair with identical ppl
+    can band differently across languages."""
+    rows = []
+    # each doc mixes a common and a less-common token in a different
+    # ratio, so per-lang ppls are distinct (terciles populate); lang b
+    # adds a rare token so its distribution (hence cuts) differs
+    for i in range(1, 10):
+        rows.append((i, "a", "x " * i + "y " * (10 - i)))
+        rows.append((100 + i, "b", "x " * i + "rare " + "y " * (9 - i)))
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    lm = P.train_unigram_lm(df)
+    out = P.perplexity_band_derived(df, lm, lang_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        bands = sorted(r["ppl_band"] for r in rs)
+        # terciles of 9 docs: head/middle/tail all populated
+        assert set(bands) == {"head", "middle", "tail"}, (lang, bands)
+        for r in rs:
+            assert r["lo"] <= r["hi"]
+            if r["ppl_band"] == "head":
+                assert r["ppl"] < r["lo"]
+            elif r["ppl_band"] == "tail":
+                assert r["ppl"] >= r["hi"]
+    # the two languages derived different cuts
+    assert by_lang["a"][0]["lo"] != by_lang["b"][0]["lo"]
