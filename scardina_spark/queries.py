@@ -4565,9 +4565,9 @@ def queries() -> dict:
         "o1_topk": q_topk,
         "e7_trm_qerror": q_trm_qerror,
         "e8_search": q_grid_search,
+        # --- around the ~50 cap (this round's 5 new/changed keys push
+        # the tail out): r03-green spill, scheduled for the r06 refresh ---
         "a25_late_shipment_priority": q_late_shipment_priority,
-        # --- past the ~50 cap (pushed out by this round's 4 new/changed
-        # keys): r03-green spill, scheduled for the r06 refresh ---
         "x33_simsel_card": q_simsel_card,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
