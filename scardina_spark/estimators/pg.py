@@ -97,19 +97,27 @@ class PgServer:
             check=check)
 
     def start(self) -> "PgServer":
-        if not os.path.exists(os.path.join(self.data_dir, "PG_VERSION")):
-            os.makedirs(self.base_dir, exist_ok=True)
-            if os.geteuid() == 0:
-                shutil.chown(self.base_dir, "nobody", "nogroup")
-            self._server("initdb", "-D", self.data_dir, "-E", "UTF8",
-                         "--no-locale", "-A", "trust")
-        if self._server("pg_ctl", "-D", self.data_dir, "status",
-                        check=False).returncode != 0:
-            self._server(
-                "pg_ctl", "-D", self.data_dir, "-w",
-                "-l", os.path.join(self.base_dir, "log"),
-                "-o", f"-k {self.base_dir} -c listen_addresses=''",
-                "start")
+        """Idempotent init + start, serialized by an flock so two
+        sessions (bench + tests, or two driver entries) racing the
+        first initdb cannot corrupt the data dir."""
+        import fcntl
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        if os.geteuid() == 0:
+            shutil.chown(self.base_dir, "nobody", "nogroup")
+        with open(os.path.join(self.base_dir, ".lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(os.path.join(self.data_dir,
+                                               "PG_VERSION")):
+                self._server("initdb", "-D", self.data_dir, "-E", "UTF8",
+                             "--no-locale", "-A", "trust")
+            if self._server("pg_ctl", "-D", self.data_dir, "status",
+                            check=False).returncode != 0:
+                self._server(
+                    "pg_ctl", "-D", self.data_dir, "-w",
+                    "-l", os.path.join(self.base_dir, "log"),
+                    "-o", f"-k {self.base_dir} -c listen_addresses=''",
+                    "start")
         return self
 
     def stop(self) -> None:
