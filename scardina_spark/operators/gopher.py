@@ -88,3 +88,138 @@ def gopher_filter(df: DataFrame, col: str = "text") -> DataFrame:
     flagged = with_gopher_flags(df, col)
     return flagged.where("gopher_keep").drop(
         *gopher_flags(col).keys(), "gopher_keep")
+
+
+# --- repetition battery (Rae et al. 2021, Appendix A1.2) -------------------
+
+# drop thresholds: fraction of characters covered by the single most
+# frequent n-gram (n = 2..4) ...
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+# ... and by ALL n-grams occurring more than once (n = 5..10)
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+DUP_LINE_MAX = 0.30       # duplicate line / paragraph fraction
+DUP_PARA_MAX = 0.30
+DUP_LINE_CHAR_MAX = 0.20  # characters in duplicate lines / paragraphs
+DUP_PARA_CHAR_MAX = 0.20
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All n-token grams as space-joined strings — n SHIFTED slices
+    zipped (each zip argument is evaluated once; a
+    transform(sequence(...)) lambda would re-evaluate the token split
+    per element, the measured O(len^2) trap)."""
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, width).alias(f"t{i}")
+                       for i in range(n)])
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+
+
+def repetition_signals(df: DataFrame, col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher repetition battery: duplicate line /
+    paragraph fractions (count and character), the top-{2,3,4}-gram
+    character fractions, and the duplicate-{5..10}-gram character
+    fractions, plus ``rep_keep`` (all thresholds respected).
+
+    Formulas (documented because implementations vary): unit counts
+    come from ONE exploded (id, kind, unit) relation serving every
+    signal together — the only corpus-token-scale shuffle is that
+    count groupBy (map-side combinable); the downstream regroupings
+    shrink to distinct units and then 13 rows per document.  For lines /
+    paragraphs: dup fraction = (occurrences − distinct) / occurrences;
+    char fraction = characters of occurrences beyond the first of each
+    distinct unit / total characters of the kind.  For n-grams: top
+    fraction = (count × chars of the most frequent gram) / document
+    characters; dup fraction = Σ over grams with count ≥ 2 of
+    (count × chars) / document characters, capped at 1 (overlapping
+    occurrences can over-count).  Documents shorter than n tokens (or
+    with zero characters) score 0 everywhere.
+
+    Scale: the exploded relation is ~Σn ≈ 9× the corpus token count —
+    the x43 digest-relation shape; everything after the single groupBy
+    is per-document-sized."""
+    txt = F.coalesce(F.col(col), F.lit(""))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.transform(F.split(txt, "\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    paras = F.filter(F.transform(F.split(txt, "\n\n+"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    kinds = [F.struct(F.lit("line").alias("kind"), lines.alias("units"))]
+    kinds.append(F.struct(F.lit("para").alias("kind"),
+                          paras.alias("units")))
+    for n in (*TOP_NGRAM_MAX, *DUP_NGRAM_MAX):
+        kinds.append(F.struct(F.lit(f"{n}gram").alias("kind"),
+                              _ngrams(toks, n).alias("units")))
+    base = df.select(F.col(id_col), F.length(txt).alias("doc_chars"),
+                     F.explode(F.array(*kinds)).alias("k"))
+    exploded = base.select(
+        id_col, "doc_chars", F.col("k.kind").alias("kind"),
+        F.explode("k.units").alias("unit"))
+    per_unit = (exploded.groupBy(id_col, "doc_chars", "kind", "unit")
+                .agg(F.count(F.lit(1)).alias("c")))
+    per_kind = (per_unit.groupBy(id_col, "doc_chars", "kind").agg(
+        F.sum("c").alias("occ"),
+        F.count(F.lit(1)).alias("distinct_u"),
+        F.sum(F.col("c") * F.length("unit")).alias("occ_chars"),
+        F.sum((F.col("c") - 1) * F.length("unit")).alias("extra_chars"),
+        F.max(F.col("c") * F.length("unit")).alias("top_cover"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("unit"))
+              .otherwise(F.lit(0))).alias("dup_cover")))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num / F.greatest(den, F.lit(1)), 4)
+
+    sig = per_kind.select(
+        id_col, "kind",
+        frac(F.col("occ") - F.col("distinct_u"), F.col("occ"))
+        .alias("dup_frac"),
+        frac(F.col("extra_chars"), F.col("occ_chars"))
+        .alias("dup_char_frac"),
+        # overlapping occurrences can over-count chars: cap at 1
+        F.least(frac(F.col("top_cover"), F.col("doc_chars")),
+                F.lit(1.0)).alias("top_frac"),
+        F.least(frac(F.col("dup_cover"), F.col("doc_chars")),
+                F.lit(1.0)).alias("dup_cover_frac"))
+    wide = sig.groupBy(id_col).pivot(
+        "kind", ["line", "para"]
+        + [f"{n}gram" for n in (*TOP_NGRAM_MAX, *DUP_NGRAM_MAX)]).agg(
+        F.first("dup_frac").alias("dup_frac"),
+        F.first("dup_char_frac").alias("dup_char_frac"),
+        F.first("top_frac").alias("top_frac"),
+        F.first("dup_cover_frac").alias("dup_cover_frac"))
+    exprs: dict[str, Column] = {
+        "dup_line_frac": F.coalesce("line_dup_frac", F.lit(0.0)),
+        "dup_line_char_frac": F.coalesce("line_dup_char_frac",
+                                         F.lit(0.0)),
+        "dup_para_frac": F.coalesce("para_dup_frac", F.lit(0.0)),
+        "dup_para_char_frac": F.coalesce("para_dup_char_frac",
+                                         F.lit(0.0)),
+    }
+    limits = {"dup_line_frac": DUP_LINE_MAX,
+              "dup_line_char_frac": DUP_LINE_CHAR_MAX,
+              "dup_para_frac": DUP_PARA_MAX,
+              "dup_para_char_frac": DUP_PARA_CHAR_MAX}
+    for n, thr in TOP_NGRAM_MAX.items():
+        name = f"top_{n}gram_char_frac"
+        exprs[name] = F.coalesce(f"{n}gram_top_frac", F.lit(0.0))
+        limits[name] = thr
+    for n, thr in DUP_NGRAM_MAX.items():
+        name = f"dup_{n}gram_char_frac"
+        exprs[name] = F.coalesce(f"{n}gram_dup_cover_frac", F.lit(0.0))
+        limits[name] = thr
+    keep = None
+    for name, e in exprs.items():
+        cond = e <= limits[name]
+        keep = cond if keep is None else keep & cond
+    signals = wide.select(
+        id_col, *[e.alias(name) for name, e in exprs.items()],
+        keep.alias("rep_keep"))
+    # docs whose text produced NO units at all (empty) never reach the
+    # exploded relation: restore them with all-zero signals
+    restored = df.select(id_col).join(signals, id_col, "left")
+    return (restored
+            .fillna({name: 0.0 for name in exprs})
+            .fillna({"rep_keep": True}))

@@ -4425,6 +4425,125 @@ from flags order by doc_id
 """
 
 
+def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 (Gopher repetition battery, Rae et al. 2021 App. A1.2;
+    completes x27's two signals): duplicate line/paragraph fractions
+    (count + character), top-{2,3,4}-gram character fractions, and
+    duplicate-{5..10}-gram character fractions, plus the conjunctive
+    ``rep_keep`` under the paper's thresholds
+    (`operators/gopher.repetition_signals`).  One exploded
+    (id, kind, unit) relation (~9x token count, the x43 digest-relation
+    shape) serves all 13 signals; only its count groupBy is
+    corpus-token-scale (map-side combinable) — downstream regroupings
+    shrink to distinct units, then 13 rows/doc."""
+    from .operators.gopher import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_signals(docs)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       *[c for c in out.columns if c != "doc_id"])
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION_BATTERY = """
+with d as (
+  select doc_id, coalesce(text, '') as t,
+         len(coalesce(text, '')) as doc_chars
+  from documents),
+toks as (
+  select doc_id, doc_chars, t,
+         list_filter(string_split_regex(t, '\\s+'),
+                     x -> len(x) > 0) as ws
+  from d),
+units as (
+  select doc_id, doc_chars, 'line' as kind, u as unit
+  from (select doc_id, doc_chars,
+               list_filter(list_transform(string_split(t, chr(10)),
+                                           x -> trim(x)),
+                           x -> len(x) > 0) as ls
+        from d), unnest(ls) as un(u)
+  union all
+  select doc_id, doc_chars, 'para' as kind, u as unit
+  from (select doc_id, doc_chars,
+               list_filter(list_transform(
+                   string_split_regex(t, '\\n\\n+'), x -> trim(x)),
+                           x -> len(x) > 0) as ps
+        from d), unnest(ps) as un(u)
+  union all
+  select doc_id, doc_chars, n::VARCHAR || 'gram' as kind,
+         array_to_string(ws[i:i+n-1], ' ') as unit
+  from toks, range(2, 11) as r(n),
+       unnest(generate_series(1, len(ws) - n + 1)) as u(i)
+  where len(ws) >= n),
+per_unit as (
+  select doc_id, doc_chars, kind, unit, count(*) as c
+  from units group by all),
+per_kind as (
+  select doc_id, doc_chars, kind,
+         sum(c) as occ, count(*) as distinct_u,
+         sum(c * len(unit)) as occ_chars,
+         sum((c - 1) * len(unit)) as extra_chars,
+         max(c * len(unit)) as top_cover,
+         sum(case when c >= 2 then c * len(unit) else 0 end) as dup_cover
+  from per_unit group by all),
+sig as (
+  select doc_id, kind,
+         round((occ - distinct_u)::DOUBLE / greatest(occ, 1), 4)
+           as dup_frac,
+         round(extra_chars::DOUBLE / greatest(occ_chars, 1), 4)
+           as dup_char_frac,
+         least(round(top_cover::DOUBLE / greatest(doc_chars, 1), 4),
+               1.0) as top_frac,
+         least(round(dup_cover::DOUBLE / greatest(doc_chars, 1), 4),
+               1.0) as dup_cover_frac
+  from per_kind),
+wide as (
+  select d.doc_id,
+    coalesce(max(case when kind = 'line' then dup_frac end), 0.0)
+      as dup_line_frac,
+    coalesce(max(case when kind = 'line' then dup_char_frac end), 0.0)
+      as dup_line_char_frac,
+    coalesce(max(case when kind = 'para' then dup_frac end), 0.0)
+      as dup_para_frac,
+    coalesce(max(case when kind = 'para' then dup_char_frac end), 0.0)
+      as dup_para_char_frac,
+    coalesce(max(case when kind = '2gram' then top_frac end), 0.0)
+      as top_2gram_char_frac,
+    coalesce(max(case when kind = '3gram' then top_frac end), 0.0)
+      as top_3gram_char_frac,
+    coalesce(max(case when kind = '4gram' then top_frac end), 0.0)
+      as top_4gram_char_frac,
+    coalesce(max(case when kind = '5gram' then dup_cover_frac end), 0.0)
+      as dup_5gram_char_frac,
+    coalesce(max(case when kind = '6gram' then dup_cover_frac end), 0.0)
+      as dup_6gram_char_frac,
+    coalesce(max(case when kind = '7gram' then dup_cover_frac end), 0.0)
+      as dup_7gram_char_frac,
+    coalesce(max(case when kind = '8gram' then dup_cover_frac end), 0.0)
+      as dup_8gram_char_frac,
+    coalesce(max(case when kind = '9gram' then dup_cover_frac end), 0.0)
+      as dup_9gram_char_frac,
+    coalesce(max(case when kind = '10gram' then dup_cover_frac end), 0.0)
+      as dup_10gram_char_frac
+  from d left join sig using (doc_id)
+  group by d.doc_id)
+select doc_id::BIGINT as doc_id,
+       dup_line_frac, dup_line_char_frac, dup_para_frac,
+       dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+       top_4gram_char_frac, dup_5gram_char_frac, dup_6gram_char_frac,
+       dup_7gram_char_frac, dup_8gram_char_frac, dup_9gram_char_frac,
+       dup_10gram_char_frac,
+       (dup_line_frac <= 0.30 and dup_line_char_frac <= 0.20
+        and dup_para_frac <= 0.30 and dup_para_char_frac <= 0.20
+        and top_2gram_char_frac <= 0.20 and top_3gram_char_frac <= 0.18
+        and top_4gram_char_frac <= 0.16 and dup_5gram_char_frac <= 0.15
+        and dup_6gram_char_frac <= 0.14 and dup_7gram_char_frac <= 0.13
+        and dup_8gram_char_frac <= 0.12 and dup_9gram_char_frac <= 0.11
+        and dup_10gram_char_frac <= 0.10) as rep_keep
+from wide order by doc_id
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 (DSIR data selection, Xie et al. NeurIPS 2023): score every
     document by the log importance weight between an add-1 unigram LM
@@ -4524,6 +4643,7 @@ def queries() -> dict:
         "x53_dsir_select": q_dsir_select,
         "x54_gopher_rules": q_gopher_rules,
         "x55_ccnet_bands": q_ccnet_bands,
+        "x56_repetition_battery": q_repetition_battery,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4771,6 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         "x53_dsir_select": SQL_DSIR_SELECT,
         "x54_gopher_rules": SQL_GOPHER_RULES,
         "x55_ccnet_bands": SQL_CCNET_BANDS,
+        "x56_repetition_battery": SQL_REPETITION_BATTERY,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -75,3 +75,69 @@ def test_filter_restores_schema_and_is_shuffle_free(spark, tables):
     plan = (with_gopher_flags(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_repetition_battery_crafted_docs(spark):
+    from scardina_spark.operators.gopher import repetition_signals
+    df = spark.createDataFrame([
+        (0, " ".join(f"w{i}" for i in range(60))),   # 60 unique tokens
+        (1, "spam ham " * 30),                        # total repetition
+        (2, "l1\nl2\nl1\nl1"),                        # duplicated lines
+        (3, ""), (4, None),                           # no units at all
+    ], "doc_id: long, text: string")
+    r = {x["doc_id"]: x.asDict() for x in repetition_signals(df).collect()}
+    # clean doc: no duplicate grams/lines; top-n coverage is one gram's
+    # chars over the doc (small at 60 tokens)
+    assert r[0]["dup_5gram_char_frac"] == 0.0
+    assert r[0]["dup_line_frac"] == 0.0
+    assert r[0]["top_2gram_char_frac"] < 0.05
+    assert r[0]["rep_keep"] is True
+    # degenerate doc: every signal saturates (capped at 1.0)
+    assert r[1]["top_2gram_char_frac"] <= 1.0
+    assert r[1]["dup_5gram_char_frac"] == 1.0
+    assert r[1]["dup_10gram_char_frac"] == 1.0
+    assert r[1]["rep_keep"] is False
+    # duplicate lines: 4 occurrences of 2 distinct -> 0.5; para = whole
+    # text (single blank-line-free block) -> no para dup
+    assert r[2]["dup_line_frac"] == 0.5
+    assert r[2]["dup_line_char_frac"] == 0.5
+    assert r[2]["dup_para_frac"] == 0.0
+    assert r[2]["rep_keep"] is False
+    # empty / NULL docs restore with all-zero signals and keep=True
+    for i in (3, 4):
+        assert r[i]["rep_keep"] is True
+        assert all(v == 0.0 for k, v in r[i].items()
+                   if k not in ("doc_id", "rep_keep"))
+
+
+def test_repetition_battery_matches_bruteforce(spark, tables):
+    """Cross-check the Spark battery against a direct Python
+    recomputation of the documented formulas on a corpus slice."""
+    from collections import Counter
+    from scardina_spark.operators.gopher import repetition_signals
+    docs = tables["documents"].limit(30)
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(docs).collect()}
+    for row in docs.collect():
+        text = row["text"] or ""
+        ws = [w for w in __import__("re").split(r"\s+", text) if w]
+        doc_chars = max(len(text), 1)
+        for n in (2, 5):
+            grams = [" ".join(ws[i:i + n])
+                     for i in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            top = max((k * len(g) for g, k in c.items()), default=0)
+            dup = sum(k * len(g) for g, k in c.items() if k >= 2)
+
+            def r4(x):  # Spark rounds half-up; python round() half-even
+                from decimal import Decimal, ROUND_HALF_UP
+                return float(Decimal(repr(x)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+            want_top = min(r4(top / doc_chars), 1.0)
+            want_dup = min(r4(dup / doc_chars), 1.0)
+            d = got[row["doc_id"]]
+            if n == 2:
+                assert d["top_2gram_char_frac"] == want_top, row["doc_id"]
+            else:
+                assert d["dup_5gram_char_frac"] == want_dup, row["doc_id"]
