@@ -240,7 +240,9 @@ def cmd_curate(args) -> int:
         ngram=args.ngram, max_contamination=args.max_contamination,
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")),
-        token_budget=args.token_budget)
+        token_budget=args.token_budget,
+        gopher_rules=args.gopher_rules,
+        repetition_battery=args.repetition_battery)
     out.orderBy("doc_id").write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     n_docs = back.count()
@@ -499,6 +501,10 @@ def main(argv=None) -> int:
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--langs", default="en")
     p.add_argument("--token-budget", type=float, default=None)
+    p.add_argument("--gopher-rules", action="store_true",
+                   help="insert the Rae et al. 2021 A1.1 rule gate")
+    p.add_argument("--repetition-battery", action="store_true",
+                   help="insert the Rae et al. 2021 A1.2 repetition gate")
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("chunk")

@@ -39,6 +39,8 @@ def curate_corpus(docs: DataFrame, seq_len: int = 128,
                   min_quality: float = 0.7,
                   langs: tuple[str, ...] = ("en",),
                   token_budget: float | None = None,
+                  gopher_rules: bool = False,
+                  repetition_battery: bool = False,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The curated, packed training corpus: one row per surviving
@@ -48,11 +50,24 @@ def curate_corpus(docs: DataFrame, seq_len: int = 128,
     ``bench_source`` names the held-out benchmark slice (rows with
     ``source == bench_source`` contribute contamination grams and are
     themselves excluded from the corpus).
-    """
+
+    ``gopher_rules`` / ``repetition_battery`` insert the Rae et al.
+    2021 gates (App. A1.1 rule battery / A1.2 repetition thresholds —
+    `operators/gopher.py`) after decontamination.  Both default OFF so
+    the oracled x40 composition is unchanged; each is individually
+    oracled (x54/x56) and composes as a pure filter."""
     bench = docs.where(F.col("source") == bench_source)
     train = docs.where(F.col("source") != bench_source)
     clean = decontaminate(train, bench, id_col=id_col, text_col=text_col,
                           n=ngram, max_contamination=max_contamination)
+    if gopher_rules:
+        from .gopher import gopher_filter
+        clean = gopher_filter(clean, col=text_col)
+    if repetition_battery:
+        from .gopher import repetition_signals
+        rep_ok = (repetition_signals(clean, col=text_col, id_col=id_col)
+                  .where("rep_keep").select(id_col))
+        clean = clean.join(rep_ok, id_col, "left_semi")
     kept = filter_repetitive(clean, max_dup_token_fraction,
                              max_top_bigram_fraction, col=text_col)
     sel = select_training_corpus(kept, min_quality=min_quality,

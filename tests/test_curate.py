@@ -112,3 +112,25 @@ def test_stream_curate_revises_and_suppresses(spark, tmp_path):
     # was suppressed — exactly two updates for the duplicated content
     assert by_fp[good_fp] == [5, 3]
     assert sum(len(v) for v in by_fp.values()) == 3
+
+
+def test_optional_gopher_gates_compose(spark, tables):
+    """The opt-in Gopher gates subset the default selection exactly as
+    the standalone operators would; default-off keeps x40 unchanged."""
+    from scardina_spark.operators.curate import curate_corpus
+    from scardina_spark.operators.gopher import repetition_signals
+
+    docs = tables["documents"]
+    base = curate_corpus(docs)
+    ids_base = {r["doc_id"] for r in base.select("doc_id").collect()}
+    rep = curate_corpus(docs, repetition_battery=True)
+    ids_rep = {r["doc_id"] for r in rep.select("doc_id").collect()}
+    assert ids_rep <= ids_base
+    # the gate's own verdict reproduces the subset
+    keep = {r["doc_id"] for r in repetition_signals(docs)
+            .where("rep_keep").select("doc_id").collect()}
+    assert ids_rep == ids_base & keep
+    # gopher_rules on this corpus rejects everything (no 2 distinct
+    # stop words) -> empty but well-formed result
+    gop = curate_corpus(docs, gopher_rules=True)
+    assert gop.count() == 0
