@@ -226,6 +226,65 @@ def cmd_export_subqueries(args) -> int:
     return 0
 
 
+def cmd_pg_perror(args) -> int:
+    """Score PostgreSQL's native estimator (and the live planner's own
+    cost model) against the recorded per-subquery truth artifact — the
+    reference's PPC evaluation against a REAL server (run.py:992-1008
+    protocol; estimators/pg.py for the vanilla-Postgres split).  Pure
+    psql traffic: no Spark session needed."""
+    from .benchmarks import perror_suite
+    from .estimators.perror import p_error, to_sql
+    from .estimators.pg import (ensure_server, load_sf_tables,
+                                pg_plan_error, row_estimates)
+    from .estimators.subqueries import (load_subqueries_csv,
+                                        recorded_truth_fn,
+                                        subqueries_csv_path)
+    from .plans.parse import parse_query
+
+    srv = ensure_server()
+    db = load_sf_tables(srv, args.sf_dir)
+    rows = load_subqueries_csv(
+        subqueries_csv_path(args.sf_dir, "job-light-ext"))
+    true_fn = recorded_truth_fn(rows)
+    ests = row_estimates(srv, db, [r["sql"] for r in rows])
+    card = {r["sql"]: e for r, e in zip(rows, ests)}
+    qs = sorted(max(max(e, 1.0) / max(r["card"], 1.0),
+                    max(r["card"], 1.0) / max(e, 1.0))
+                for e, r in zip(ests, rows))
+
+    def est_fn(frag):
+        return card[to_sql(frag)]
+
+    pes, pes_live, forced_ok = [], [], 0
+    from .estimators.perror import connected_subsets, fragment
+    for name, sql in perror_suite().items():
+        pq = parse_query(sql)
+        pes.append(max(p_error(pq, est_fn, true_fn),
+                       p_error(pq, est_fn, true_fn, cost_model="smj")))
+        est_cards, true_cards = {}, {}
+        for s in connected_subsets(pq):
+            if len(s) < 2:
+                continue
+            frag = fragment(pq, s)
+            true_cards[s] = float(true_fn(frag))
+            est_cards[s] = float(est_fn(frag))
+        r = pg_plan_error(srv, db, pq, est_cards, true_cards)
+        pes_live.append(r["pe_pg"])
+        forced_ok += int(r["order_respected"])
+    n = len(qs)
+    print(json.dumps({
+        "sf_dir": args.sf_dir, "n_subqueries": n,
+        "pg_native_subq_qerror_p50": round(qs[n // 2], 4),
+        "pg_native_subq_qerror_p90": round(qs[int(n * 0.9)], 4),
+        "pg_native_subq_qerror_max": round(qs[-1], 4),
+        "pg_native_perror_max": round(max(pes), 4),
+        "pg_native_perror_flips": sum(1 for x in pes if x > 1.0001),
+        "pg_native_live_pe_max": round(max(pes_live), 4),
+        "forced_plans_ok": forced_ok, "n_queries": len(pes),
+    }))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Run the composed curation pipeline (decontam → repetition gate →
     quality/lang/dedup/budget → packing) over the documents table and
@@ -506,6 +565,10 @@ def main(argv=None) -> int:
     p.add_argument("--repetition-battery", action="store_true",
                    help="insert the Rae et al. 2021 A1.2 repetition gate")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("pg-perror")
+    p.add_argument("--sf-dir", required=True)
+    p.set_defaults(fn=cmd_pg_perror)
 
     p = sub.add_parser("chunk")
     p.add_argument("--sf-dir", required=True)

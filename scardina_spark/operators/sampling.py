@@ -161,3 +161,31 @@ def token_budget_plan(df: DataFrame, weights: dict[str, float],
             .withColumn("rate", F.round(rate, 6))
             .withColumn("epochs", F.ceil(rate).cast("int"))
             .orderBy(group_col))
+
+
+def temperature_weights(df: DataFrame, alpha: float = 0.5,
+                        group_col: str = "source",
+                        token_col: str = "n_tokens") -> DataFrame:
+    """Temperature-based mixture weights — the multilingual/UNIMAX
+    rescaling (XLM, Conneau & Lample 2019 §3.1; mT5 uses alpha = 0.3):
+    a source with n_s available tokens gets weight
+    ``n_s^alpha / sum_t n_t^alpha``, flattening the natural (alpha = 1)
+    distribution toward uniform (alpha = 0) so low-resource sources are
+    up-sampled without hand-tuned tables.
+
+    Returns ``(group, n_docs, avail_tokens, weight)`` — O(#sources)
+    rows off one map-side-combinable groupBy; feed the weights to
+    :func:`token_budget_plan` for the epochs table, then
+    :func:`mixture_sample` to materialize."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    per = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(token_col)).cast("long")
+                .alias("avail_tokens")))
+    pw = F.pow(F.col("avail_tokens").cast("double"), F.lit(float(alpha)))
+    tot = per.agg(F.sum(pw).alias("z"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(group_col, "n_docs", "avail_tokens",
+                    F.round(pw / F.col("z"), 6).alias("weight"))
+            .orderBy(group_col))

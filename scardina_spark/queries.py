@@ -4544,6 +4544,40 @@ from wide order by doc_id
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 (temperature mixture weights, XLM §3.1 / mT5 / UNIMAX
+    lineage): per-source weights ``n_s^alpha / sum n_t^alpha`` over
+    available token counts — the standard flattening that up-samples
+    low-resource sources without hand-tuned tables
+    (`sampling.temperature_weights`; alpha = 0.5 here).  One
+    map-side-combinable groupBy, O(#sources) output; composes with
+    x49's epochs table and x36's mixture sampler."""
+    from .operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.greatest(F.size(F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda w: F.length(w) > 0)), F.lit(0)))
+    return (temperature_weights(docs, alpha=0.5)
+            .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                    "avail_tokens", "weight"))
+
+
+SQL_TEMPERATURE_MIX = """
+with per as (
+  select source, count(*)::BIGINT as n_docs,
+         sum(len(list_filter(string_split_regex(coalesce(text, ''),
+                                                '\\s+'),
+                             x -> len(x) > 0)))::BIGINT as avail_tokens
+  from documents group by source),
+tot as (select sum(pow(avail_tokens, 0.5)) as z from per)
+select source, n_docs, avail_tokens,
+       round(pow(avail_tokens, 0.5) / z, 6) as weight
+from per, tot order by source
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 (DSIR data selection, Xie et al. NeurIPS 2023): score every
     document by the log importance weight between an add-1 unigram LM
@@ -4644,6 +4678,7 @@ def queries() -> dict:
         "x54_gopher_rules": q_gopher_rules,
         "x55_ccnet_bands": q_ccnet_bands,
         "x56_repetition_battery": q_repetition_battery,
+        "x57_temperature_mix": q_temperature_mix,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4892,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "x54_gopher_rules": SQL_GOPHER_RULES,
         "x55_ccnet_bands": SQL_CCNET_BANDS,
         "x56_repetition_battery": SQL_REPETITION_BATTERY,
+        "x57_temperature_mix": SQL_TEMPERATURE_MIX,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -139,3 +139,24 @@ def test_token_budget_plan_zero_avail_source(spark):
     assert b["avail_tokens"] == 0 and b["target_tokens"] == 200
     assert b["rate"] is None and b["epochs"] is None
     assert plan["a"]["epochs"] == 1
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    from scardina_spark.operators.sampling import (
+        temperature_weights, token_budget_plan)
+    rows = ([(i, "big", 100) for i in range(90)]
+            + [(1000 + i, "small", 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_tokens: long")
+    nat = {r["source"]: r["weight"]
+           for r in temperature_weights(df, alpha=1.0).collect()}
+    half = {r["source"]: r["weight"]
+            for r in temperature_weights(df, alpha=0.5).collect()}
+    uni = {r["source"]: r["weight"]
+           for r in temperature_weights(df, alpha=0.0).collect()}
+    assert nat["big"] == 0.9 and nat["small"] == 0.1  # alpha=1: natural
+    assert uni["big"] == uni["small"] == 0.5          # alpha=0: uniform
+    assert nat["small"] < half["small"] < uni["small"]  # monotone flatten
+    assert abs(sum(half.values()) - 1.0) < 1e-5
+    # composes with the epochs table
+    plan = token_budget_plan(df, half, budget_tokens=5000)
+    assert {r["source"] for r in plan.collect()} == {"big", "small"}
