@@ -82,3 +82,36 @@ def dedup_by_groups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .where(F.col("member_id") != F.col("keep_id"))
             .select(F.col("member_id")))
     return df.join(drop, df[id_col] == drop["member_id"], "left_anti")
+
+
+def canonical_groups(df: DataFrame, pairs: DataFrame, score_col: str,
+                     id_col: str = "doc_id", col_a: str = "id_a",
+                     col_b: str = "id_b", max_iter: int = 25
+                     ) -> DataFrame:
+    """(member_id, keep_id) with the keeper chosen by QUALITY, not id:
+    the best-``score_col`` member of each duplicate component, lowest
+    id on ties — the canonical-document selection curation stacks
+    apply when collapsing near-dup clusters (keep the best copy, drop
+    the rest).  A struct-max aggregation per component (map-side
+    combinable), no window."""
+    cc = connected_components(pairs, col_a, col_b, max_iter)
+    scored = cc.join(
+        df.select(F.col(id_col).alias(NODE), score_col), NODE)
+    best = (scored.groupBy(COMP)
+            .agg(F.max(F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(NODE)).cast("long").alias("nid"))).alias("m"))
+            .select(COMP, (-F.col("m.nid")).alias("keep_id")))
+    return (scored.join(best, COMP)
+            .select(F.col(NODE).alias("member_id"), "keep_id")
+            .orderBy("member_id"))
+
+
+def dedup_canonical(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id", col_a: str = "id_a",
+                    col_b: str = "id_b") -> DataFrame:
+    """Collapse every duplicate group to its best-quality member."""
+    drop = (canonical_groups(df, pairs, score_col, id_col, col_a, col_b)
+            .where(F.col("member_id") != F.col("keep_id"))
+            .select("member_id"))
+    return df.join(drop, df[id_col] == drop["member_id"], "left_anti")

@@ -2573,6 +2573,56 @@ from reach group by n order by member_id
 """
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 (quality-aware canonical dedup; beyond reference): collapse
+    each near-dup component to its BEST member — keeper = argmax
+    n_chars, lowest id on ties (`components.canonical_groups`, a
+    struct-max per component, no window) — the canonical-document rule
+    curation stacks apply instead of keep-lowest-id.  Same
+    deterministic pair graph as x13, so the two entries differ exactly
+    where quality disagrees with id order."""
+    from .operators.components import canonical_groups
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "n_chars"])
+    ids = d.select("doc_id")
+    d2 = ids.withColumnRenamed("doc_id", "doc_id2")
+    p1 = ids.join(d2, F.col("doc_id2") == F.col("doc_id") + 2) \
+        .where(F.col("doc_id") % 7 == 0)
+    p2 = ids.join(d2, F.col("doc_id2") == F.col("doc_id") + 4) \
+        .where(F.col("doc_id") % 14 == 0)
+    pairs = (p1.unionByName(p2)
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id2").alias("id_b")).distinct())
+    g = canonical_groups(d, pairs, "n_chars")
+    return g.select(F.col("member_id").cast("long").alias("member_id"),
+                    F.col("keep_id").cast("long").alias("keep_id")) \
+        .orderBy("member_id")
+
+
+SQL_CANONICAL_DEDUP = f"""
+with recursive und as (
+  select id_a a, id_b b from ({_PAIRS_SQL})
+  union select id_b, id_a from ({_PAIRS_SQL})),
+reach(n, m) as (
+  select a, a from und
+  union
+  select r.n, u.b from reach r join und u on r.m = u.a),
+comp as (select n as member_id, min(m) as root from reach group by n),
+scored as (
+  select c.member_id, c.root, d.n_chars
+  from comp c join documents d on d.doc_id = c.member_id),
+keepers as (
+  select root, member_id as keep_id from (
+    select root, member_id,
+           row_number() over (partition by root
+                              order by n_chars desc, member_id) as rn
+    from scored) where rn = 1)
+select s.member_id::BIGINT as member_id, k.keep_id::BIGINT as keep_id
+from scored s join keepers k using (root)
+order by member_id
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond reference): each purchase event joined to the
     user's latest signup at or before it."""
@@ -4679,6 +4729,7 @@ def queries() -> dict:
         "x55_ccnet_bands": q_ccnet_bands,
         "x56_repetition_battery": q_repetition_battery,
         "x57_temperature_mix": q_temperature_mix,
+        "x58_canonical_dedup": q_canonical_dedup,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4928,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
         "x55_ccnet_bands": SQL_CCNET_BANDS,
         "x56_repetition_battery": SQL_REPETITION_BATTERY,
         "x57_temperature_mix": SQL_TEMPERATURE_MIX,
+        "x58_canonical_dedup": SQL_CANONICAL_DEDUP,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -91,3 +91,25 @@ def test_asof_tolerance_voids_stale_matches(spark):
     assert hit["snap"] == 9.9
     miss = asof_join(left, right, on="k", tolerance_seconds=50).collect()[0]
     assert miss["snap"] is None
+
+
+def test_canonical_groups_keep_best_quality(spark):
+    from scardina_spark.operators.components import (
+        canonical_groups, dedup_canonical)
+    # component {1,2,3} (chain), component {10,11}; quality favors the
+    # HIGHEST id in the first and ties in the second (lowest id wins)
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 9.0), (10, 4.0), (11, 4.0), (99, 1.0)],
+        "doc_id: long, q: double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    g = {r["member_id"]: r["keep_id"]
+         for r in canonical_groups(docs, pairs, "q").collect()}
+    assert g == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10}
+    kept = sorted(r["doc_id"]
+                  for r in dedup_canonical(docs, pairs, "q").collect())
+    assert kept == [3, 10, 99]  # untouched rows survive
+    # no window in the keeper choice (struct-max aggregation)
+    plan = (canonical_groups(docs, pairs, "q")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
