@@ -28,19 +28,16 @@ from .perplexity import _oov_logp, train_unigram_lm
 from .textstats import words
 
 
-def dsir_scores(raw: DataFrame, target: DataFrame,
-                id_col: str = "doc_id", text_col: str = "text",
-                smoothing_k: float = 1.0) -> DataFrame:
-    """``(id, n_toks, log_iw)`` per raw document: the summed per-token
-    log-probability ratio between the target-trained and raw-trained
-    add-k unigram LMs (OOV tokens score each model's smoothed floor).
-    Empty/NULL documents carry zero evidence: ``log_iw = 0``.  Rounded
-    to 4 dp so float fold order never splits engines."""
-    lm_t = train_unigram_lm(target, text_col, smoothing_k)
-    lm_r = train_unigram_lm(raw, text_col, smoothing_k)
-    oov_t = _oov_logp(lm_t, smoothing_k)
-    oov_r = _oov_logp(lm_r, smoothing_k)
-    toks = raw.select(
+def score_against_lms(docs: DataFrame, lm_t: DataFrame, lm_r: DataFrame,
+                      oov_t: float, oov_r: float,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> DataFrame:
+    """``(id, n_toks, log_iw)`` for documents against PRE-TRAINED
+    target/raw LMs — the scoring core shared by the batch path and the
+    streaming twin (``streaming/dsir.py``): a token explode (pure
+    projection), two token-keyed joins against the vocabulary-sized LM
+    relations, one groupBy(doc)."""
+    toks = docs.select(
         F.col(id_col),
         F.explode_outer(words(text_col)).alias("tok")).select(
         id_col, F.lower("tok").alias("token"))
@@ -59,6 +56,22 @@ def dsir_scores(raw: DataFrame, target: DataFrame,
     return (scored.groupBy(id_col)
             .agg(F.sum("one").alias("n_toks"),
                  F.round(F.sum("dlw"), 4).alias("log_iw")))
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                smoothing_k: float = 1.0) -> DataFrame:
+    """``(id, n_toks, log_iw)`` per raw document: the summed per-token
+    log-probability ratio between the target-trained and raw-trained
+    add-k unigram LMs (OOV tokens score each model's smoothed floor).
+    Empty/NULL documents carry zero evidence: ``log_iw = 0``.  Rounded
+    to 4 dp so float fold order never splits engines."""
+    lm_t = train_unigram_lm(target, text_col, smoothing_k)
+    lm_r = train_unigram_lm(raw, text_col, smoothing_k)
+    return score_against_lms(raw, lm_t, lm_r,
+                             _oov_logp(lm_t, smoothing_k),
+                             _oov_logp(lm_r, smoothing_k),
+                             id_col, text_col)
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,

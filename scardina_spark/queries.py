@@ -1730,6 +1730,65 @@ order by lang, ppl_band
 """
 
 
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 (streaming DSIR scoring; beyond reference): documents
+    stream through the token explode (pure projection), two
+    STREAM-STATIC joins against batch-trained target/raw LMs, and an
+    update-mode per-document aggregation (`streaming/dsir.py`) —
+    ingestion-time importance tagging.  Drained with availableNow; a
+    multi-batch source can emit partial revisions per key, so the final
+    per-doc row (max n_toks, i.e. the complete aggregate) is the
+    score; must equal the batch scorer row for row."""
+    from .streaming.curate import read_documents_stream
+    from .streaming.dsir import dsir_score_stream, train_reference_lms
+    from .streaming.events import run_to_memory_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm_t, lm_r, oov_t, oov_r = train_reference_lms(
+        docs, docs.where(F.col("source") == "src0"))
+    st = read_documents_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        dsir_score_stream(st, lm_t, lm_r, oov_t, oov_r),
+        "q_stream_dsir", output_mode="update")
+    final = (out.groupBy("doc_id")
+             .agg(F.max(F.struct("n_toks", "log_iw")).alias("m")))
+    return (final.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("m.n_toks").alias("n_toks"),
+                         F.col("m.log_iw").alias("log_iw"))
+            .orderBy("doc_id"))
+
+
+SQL_STREAM_DSIR = """
+with tok as (
+  select doc_id,
+         lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0))) as token
+  from documents),
+tgt_c as (
+  select token, count(*) as n from tok
+  join documents using (doc_id) where source = 'src0' group by token),
+raw_c as (select token, count(*) as n from tok group by token),
+tgt_tot as (select sum(n) as nt, count(*) as v from tgt_c),
+raw_tot as (select sum(n) as nt, count(*) as v from raw_c),
+sc as (
+  select t.doc_id,
+         ln((coalesce(tc.n, 0) + 1.0) / (tt.nt + 1.0 * (tt.v + 1)))
+           - ln((coalesce(rc.n, 0) + 1.0) / (rt.nt + 1.0 * (rt.v + 1)))
+           as dlw
+  from tok t
+  left join tgt_c tc using (token)
+  left join raw_c rc using (token)
+  cross join tgt_tot tt cross join raw_tot rt),
+agg as (select doc_id, count(*) as n_toks, round(sum(dlw), 4) as log_iw
+        from sc group by doc_id)
+select d.doc_id::BIGINT as doc_id,
+       coalesce(a.n_toks, 0)::BIGINT as n_toks,
+       coalesce(a.log_iw, 0.0) as log_iw
+from documents d left join agg a using (doc_id)
+order by doc_id
+"""
+
+
 def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM self-perplexity (beyond reference; CCNet n-gram
     fidelity step over the x50 unigram): add-k-smoothed p(token|prev)
@@ -4730,6 +4789,7 @@ def queries() -> dict:
         "x56_repetition_battery": q_repetition_battery,
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
+        "st11_stream_dsir": q_stream_dsir,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -4980,6 +5040,7 @@ def oracle_sql() -> dict[str, str]:
         "x56_repetition_battery": SQL_REPETITION_BATTERY,
         "x57_temperature_mix": SQL_TEMPERATURE_MIX,
         "x58_canonical_dedup": SQL_CANONICAL_DEDUP,
+        "st11_stream_dsir": SQL_STREAM_DSIR,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -73,3 +73,29 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream):
     want = sorted((r["user_id"], r["click_id"], r["purchase_id"])
                   for r in q_clicks_to_purchases(spark, sf_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_dsir_matches_batch_scorer(spark, tables, sf_dir):
+    from scardina_spark.operators.dsir import score_against_lms
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.dsir import (dsir_score_stream,
+                                               train_reference_lms)
+    from scardina_spark.streaming.events import run_to_memory_sink
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    lm_t, lm_r, oov_t, oov_r = train_reference_lms(
+        docs, docs.where(F.col("source") == "src0"))
+    st = read_documents_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        dsir_score_stream(st, lm_t, lm_r, oov_t, oov_r),
+        "t_stream_dsir", output_mode="update")
+    final = (out.groupBy("doc_id")
+             .agg(F.max(F.struct("n_toks", "log_iw")).alias("m"))
+             .select("doc_id", "m.n_toks", "m.log_iw"))
+    got = {r["doc_id"]: (r["n_toks"], r["log_iw"])
+           for r in final.collect()}
+    want = {r["doc_id"]: (r["n_toks"], r["log_iw"])
+            for r in score_against_lms(docs, lm_t, lm_r,
+                                       oov_t, oov_r).collect()}
+    assert got == want
