@@ -285,3 +285,50 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("n_docs") > 1)
         .orderBy("keep_id")
     )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               col: str = "text", max_occurrences: int = 1,
+               min_line_chars: int = 1) -> DataFrame:
+    """Corpus-wide LINE-level dedup — CCNet's first preprocessing step
+    (Wenzek et al. §3.1: "we deduplicate at the paragraph level" by
+    hashing each line/paragraph across shards and dropping repeats):
+    remove every line whose trimmed text occurs more than
+    ``max_occurrences`` times in the WHOLE corpus (boilerplate —
+    navigation, cookie banners, licenses — concentrates exactly there),
+    then reassemble each document's surviving lines in their original
+    order.  ``(id, text, n_lines, n_kept)``; empty/NULL text normalizes
+    to the empty document (curation convention).
+
+    Scale shape: posexplode lines (projection) -> ONE
+    map-side-combinable count shuffle on the trimmed-line key (the
+    CCNet shard-hash step; at 100 TB hash the line to 8 bytes first —
+    the count relation is then O(distinct lines) x 16 bytes) -> a
+    line-keyed semi-style join back, and one per-document
+    reassembly groupBy keyed by the id.  No windows, no driver data.
+    """
+    lines = (df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.coalesce(F.col(col), F.lit("")),
+                                   "\n")).alias("pos", "line"))
+        .withColumn("key", F.trim(F.col("line")))
+        .where(F.length("key") >= min_line_chars))
+    counts = (lines.groupBy("key")
+              .agg(F.count(F.lit(1)).alias("c")))
+    kept = (lines.join(counts, "key")
+            .withColumn("keep", F.col("c") <= max_occurrences))
+    assembled = (kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"),
+                           F.struct("pos", F.col("line").alias("ln"))))),
+                lambda s: s["ln"]),
+            "\n").alias("text")))
+    # documents whose every line was dropped (or that had no lines)
+    # survive as empty documents
+    return (df.select(id_col).join(assembled, id_col, "left")
+            .fillna({"n_lines": 0, "n_kept": 0, "text": ""})
+            .select(id_col, "text", "n_lines", "n_kept"))

@@ -2632,6 +2632,50 @@ from reach group by n order by member_id
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 (corpus-wide line dedup — CCNet §3.1's first preprocessing
+    step): drop every line whose trimmed text repeats anywhere in the
+    corpus (boilerplate lives exactly there), reassemble surviving
+    lines in document order (`dedup.line_dedup`).  posexplode
+    projection -> ONE map-side-combinable count shuffle on the line
+    key -> line-keyed join back -> per-doc reassembly; no windows.  On
+    this corpus (single-line docs) the dropped lines are exactly the
+    exact-duplicate texts, so the entry is non-vacuous and
+    discriminating."""
+    from .operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = line_dedup(docs)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "text", "n_lines", "n_kept")
+            .orderBy("doc_id"))
+
+
+SQL_LINE_DEDUP = """
+with d as (
+  select doc_id, string_split(coalesce(text, ''), chr(10)) as ls
+  from documents),
+lines as (
+  select doc_id, i as pos, ls[i] as line, trim(ls[i]) as key
+  from d, unnest(generate_series(1, len(ls))) as u(i)
+  where len(trim(ls[i])) >= 1),
+counts as (select key, count(*) as c from lines group by key),
+kept as (
+  select l.doc_id, l.pos, l.line, (c <= 1) as keep
+  from lines l join counts using (key)),
+asm as (
+  select doc_id, count(*)::BIGINT as n_lines,
+         sum(case when keep then 1 else 0 end)::BIGINT as n_kept,
+         coalesce(string_agg(case when keep then line end,
+                             chr(10) order by pos), '') as text
+  from kept group by doc_id)
+select d2.doc_id::BIGINT as doc_id, coalesce(a.text, '') as text,
+       coalesce(a.n_lines, 0) as n_lines, coalesce(a.n_kept, 0) as n_kept
+from documents d2 left join asm a using (doc_id)
+order by doc_id
+"""
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58 (quality-aware canonical dedup; beyond reference): collapse
     each near-dup component to its BEST member — keeper = argmax
@@ -4790,6 +4834,7 @@ def queries() -> dict:
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
         "st11_stream_dsir": q_stream_dsir,
+        "x59_line_dedup": q_line_dedup,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -5041,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "x57_temperature_mix": SQL_TEMPERATURE_MIX,
         "x58_canonical_dedup": SQL_CANONICAL_DEDUP,
         "st11_stream_dsir": SQL_STREAM_DSIR,
+        "x59_line_dedup": SQL_LINE_DEDUP,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

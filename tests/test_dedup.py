@@ -180,3 +180,30 @@ def test_keep_latest_rejects_map_columns_and_handles_dotted_keys(spark):
                                    ["user.id", "v", "p"])
     got = keep_latest(dotted, ["user.id"], ["v"]).collect()
     assert len(got) == 1 and got[0]["v"] == 3 and got[0]["p"] == "y"
+
+
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    from scardina_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame([
+        (0, "unique intro\nCOOKIE BANNER\nreal content zero"),
+        (1, "COOKIE BANNER\nreal content one"),
+        (2, "COOKIE BANNER\nreal content two\n  COOKIE BANNER  "),
+        (3, ""), (4, None),
+    ], "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(df).collect()}
+    # the banner occurs 4x corpus-wide (trim-keyed): dropped everywhere,
+    # surviving lines keep their original text and order
+    assert got[0]["text"] == "unique intro\nreal content zero"
+    assert got[1]["text"] == "real content one"
+    assert got[2]["text"] == "real content two"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+    # empty / NULL normalize to the empty document
+    for i in (3, 4):
+        assert got[i] == {"doc_id": i, "text": "", "n_lines": 0,
+                          "n_kept": 0}
+    # max_occurrences=4 keeps everything
+    all_kept = line_dedup(df, max_occurrences=4)
+    assert all_kept.where("n_kept != n_lines").count() == 0
+    # no window in the plan (reassembly is an aggregation)
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
