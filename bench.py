@@ -675,6 +675,24 @@ def main() -> None:
             min(r["log_iw"] for r in top), 4)
     timed("dsir_select", run_dsir)
 
+    from scardina_spark.operators.dedup import line_dedup
+    from scardina_spark.operators.gopher import repetition_signals
+
+    def run_rep_battery():
+        row = repetition_signals(docs).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rep_keep").cast("long")).alias("kept")).first()
+        extras["rep_battery_kept"] = int(row["kept"])
+    timed("repetition_battery", run_rep_battery)
+
+    def run_line_dedup():
+        row = line_dedup(docs).agg(
+            F.sum("n_lines").alias("nl"),
+            F.sum("n_kept").alias("nk")).first()
+        extras["line_dedup_lines"] = int(row["nl"])
+        extras["line_dedup_kept"] = int(row["nk"])
+    timed("line_dedup", run_line_dedup)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",

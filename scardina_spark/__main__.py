@@ -114,8 +114,13 @@ def cmd_estimate(args) -> int:
         print(f"unknown estimator: {args.estimator}", file=sys.stderr)
         return 2
     if getattr(args, "eval_disable_skip_high_card_cols", False):
-        for m in ([est] if hasattr(est, "ts") else
-                  getattr(est, "models", [])):
+        learned = ([est] if hasattr(est, "ts") else
+                   getattr(est, "models", []))
+        if not learned:
+            print("--eval-disable-skip-high-card-cols applies to the "
+                  "learned estimators (nar-*)", file=sys.stderr)
+            return 2
+        for m in learned:
             m.skip_high_card_cols = False
     if getattr(args, "hybrid", None) and not args.estimator.startswith("nar"):
         print("--hybrid applies to the learned estimators (nar-*)",

@@ -224,6 +224,8 @@ def store_cards(server: PgServer, db: str, rows: list[dict],
     """Write per-node cards into Postgres and read them back — the
     reference's store-then-consume step (run.py:992-1008) against a live
     server.  Returns node -> card as the planner will see them."""
+    if not rows:
+        raise ValueError("no cards to store (empty artifact?)")
     vals = ",\n".join(
         "({}, '{}', {})".format(i, r["node"].replace("'", "''"),
                                 int(r["card"]))

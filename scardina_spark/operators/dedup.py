@@ -298,28 +298,36 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     navigation, cookie banners, licenses — concentrates exactly there),
     then reassemble each document's surviving lines in their original
     order.  ``(id, text, n_lines, n_kept)``; empty/NULL text normalizes
-    to the empty document (curation convention).
+    to the empty document (curation convention).  Lines shorter than
+    ``min_line_chars`` after trimming (blank lines, stray whitespace)
+    never enter the count — they are STRUCTURE, kept unconditionally,
+    so paragraph boundaries survive the pass untouched; ``n_lines`` /
+    ``n_kept`` count only the dedup-eligible lines.
 
     Scale shape: posexplode lines (projection) -> ONE
     map-side-combinable count shuffle on the trimmed-line key (the
     CCNet shard-hash step; at 100 TB hash the line to 8 bytes first —
     the count relation is then O(distinct lines) x 16 bytes) -> a
-    line-keyed semi-style join back, and one per-document
-    reassembly groupBy keyed by the id.  No windows, no driver data.
+    line-keyed join back, and one per-document reassembly groupBy
+    keyed by the id.  No windows, no driver data.
     """
     lines = (df.select(
         F.col(id_col),
         F.posexplode_outer(F.split(F.coalesce(F.col(col), F.lit("")),
                                    "\n")).alias("pos", "line"))
         .withColumn("key", F.trim(F.col("line")))
-        .where(F.length("key") >= min_line_chars))
-    counts = (lines.groupBy("key")
+        .withColumn("countable",
+                    F.length("key") >= min_line_chars))
+    counts = (lines.where("countable").groupBy("key")
               .agg(F.count(F.lit(1)).alias("c")))
-    kept = (lines.join(counts, "key")
-            .withColumn("keep", F.col("c") <= max_occurrences))
+    kept = (lines.join(counts, "key", "left")
+            .withColumn("keep", ~F.col("countable")
+                        | (F.col("c") <= max_occurrences)))
     assembled = (kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.col("countable").cast("long")).cast("long")
+        .alias("n_lines"),
+        F.sum((F.col("countable") & F.col("keep")).cast("long"))
+        .cast("long").alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(

@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import words
-
 # Gopher's "stop words": a document must contain at least 2
 STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -62,7 +60,9 @@ def gopher_flags(col: str = "text") -> dict[str, Column]:
         "g_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
         "g_symbol_ratio": ((n_hash + n_ell)
                            / F.greatest(n_words, F.lit(1))) <= 0.1,
-        "g_bullet_lines": (bullet_starts / n_lines) <= 0.10,
+        # the paper drops docs with MORE than 90% bullet lines
+        # (list-bearing pages are normal; near-total bullets are not)
+        "g_bullet_lines": (bullet_starts / n_lines) <= 0.90,
         "g_ellipsis_lines": (ell_ends / n_lines) <= 0.30,
         "g_alpha_words": (alpha_words
                           / F.greatest(n_words, F.lit(1))) >= 0.80,
@@ -165,7 +165,13 @@ def repetition_signals(df: DataFrame, col: str = "text",
         F.count(F.lit(1)).alias("distinct_u"),
         F.sum(F.col("c") * F.length("unit")).alias("occ_chars"),
         F.sum((F.col("c") - 1) * F.length("unit")).alias("extra_chars"),
-        F.max(F.col("c") * F.length("unit")).alias("top_cover"),
+        # coverage of the MOST FREQUENT gram (the paper's rule), not
+        # the max-coverage gram — a long once-occurring gram must not
+        # trip the repetition filter; ties broken deterministically by
+        # (count, chars, gram text)
+        F.max_by(F.col("c") * F.length("unit"),
+                 F.struct(F.col("c"), F.length("unit"), F.col("unit")))
+        .alias("top_cover"),
         F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("unit"))
               .otherwise(F.lit(0))).alias("dup_cover")))
 

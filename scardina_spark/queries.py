@@ -2656,16 +2656,20 @@ with d as (
   select doc_id, string_split(coalesce(text, ''), chr(10)) as ls
   from documents),
 lines as (
-  select doc_id, i as pos, ls[i] as line, trim(ls[i]) as key
-  from d, unnest(generate_series(1, len(ls))) as u(i)
-  where len(trim(ls[i])) >= 1),
-counts as (select key, count(*) as c from lines group by key),
+  select doc_id, i as pos, ls[i] as line, trim(ls[i]) as key,
+         len(trim(ls[i])) >= 1 as countable
+  from d, unnest(generate_series(1, len(ls))) as u(i)),
+counts as (select key, count(*) as c from lines
+           where countable group by key),
 kept as (
-  select l.doc_id, l.pos, l.line, (c <= 1) as keep
-  from lines l join counts using (key)),
+  select l.doc_id, l.pos, l.line, l.countable,
+         ((not l.countable) or c <= 1) as keep
+  from lines l left join counts using (key)),
 asm as (
-  select doc_id, count(*)::BIGINT as n_lines,
-         sum(case when keep then 1 else 0 end)::BIGINT as n_kept,
+  select doc_id,
+         sum(case when countable then 1 else 0 end)::BIGINT as n_lines,
+         sum(case when countable and keep then 1 else 0 end)::BIGINT
+           as n_kept,
          coalesce(string_agg(case when keep then line end,
                              chr(10) order by pos), '') as text
   from kept group by doc_id)
@@ -4563,7 +4567,7 @@ flags as (
          (mwl >= 3.0 and mwl <= 10.0) as g_mean_word_len,
          ((nhash + nell)::DOUBLE / greatest(nw, 1)) <= 0.1
            as g_symbol_ratio,
-         (nbull::DOUBLE / nl) <= 0.10 as g_bullet_lines,
+         (nbull::DOUBLE / nl) <= 0.90 as g_bullet_lines,
          (nellend::DOUBLE / nl) <= 0.30 as g_ellipsis_lines,
          (nalpha::DOUBLE / greatest(nw, 1)) >= 0.80 as g_alpha_words,
          (nstop >= 2) as g_stop_words
@@ -4631,14 +4635,25 @@ units as (
 per_unit as (
   select doc_id, doc_chars, kind, unit, count(*) as c
   from units group by all),
+top_pick as (
+  -- coverage of the MOST FREQUENT gram, ties by (chars, gram text) —
+  -- the same total order as the engine's max_by struct
+  select doc_id, kind, c * len(unit) as top_cover
+  from (select doc_id, kind, unit, c,
+               row_number() over (partition by doc_id, kind
+                                  order by c desc, len(unit) desc,
+                                           unit desc) as rn
+        from per_unit) where rn = 1),
 per_kind as (
   select doc_id, doc_chars, kind,
          sum(c) as occ, count(*) as distinct_u,
          sum(c * len(unit)) as occ_chars,
          sum((c - 1) * len(unit)) as extra_chars,
-         max(c * len(unit)) as top_cover,
          sum(case when c >= 2 then c * len(unit) else 0 end) as dup_cover
   from per_unit group by all),
+per_kind_t as (
+  select k.*, t.top_cover
+  from per_kind k join top_pick t using (doc_id, kind)),
 sig as (
   select doc_id, kind,
          round((occ - distinct_u)::DOUBLE / greatest(occ, 1), 4)
@@ -4649,7 +4664,7 @@ sig as (
                1.0) as top_frac,
          least(round(dup_cover::DOUBLE / greatest(doc_chars, 1), 4),
                1.0) as dup_cover_frac
-  from per_kind),
+  from per_kind_t),
 wide as (
   select d.doc_id,
     coalesce(max(case when kind = 'line' then dup_frac end), 0.0)

@@ -201,9 +201,22 @@ def test_line_dedup_drops_corpus_boilerplate(spark):
     for i in (3, 4):
         assert got[i] == {"doc_id": i, "text": "", "n_lines": 0,
                           "n_kept": 0}
-    # max_occurrences=4 keeps everything
-    all_kept = line_dedup(df, max_occurrences=4)
-    assert all_kept.where("n_kept != n_lines").count() == 0
+    # max_occurrences=4 keeps everything AND round-trips the exact text
+    all_kept = {r["doc_id"]: r["text"]
+                for r in line_dedup(df, max_occurrences=4).collect()}
+    originals = {r["doc_id"]: r["text"] for r in df.collect()}
+    for i in range(3):
+        assert all_kept[i] == originals[i]
+    assert line_dedup(df, max_occurrences=4) \
+        .where("n_kept != n_lines").count() == 0
+    # blank lines are STRUCTURE, not dedup candidates: paragraph
+    # boundaries survive even though every blank line 'repeats'
+    paras = spark.createDataFrame(
+        [(0, "para one\n\npara two"), (1, "para three\n\npara four")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(paras).collect()}
+    assert out[0] == "para one\n\npara two"
+    assert out[1] == "para three\n\npara four"
     # no window in the plan (reassembly is an aggregation)
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan

@@ -43,10 +43,15 @@ def test_symbol_ratio(spark):
 
 def test_bullet_and_ellipsis_lines(spark):
     bullets = "\n".join("• item" for _ in range(10))
-    assert not _flags(spark, bullets)["g_bullet_lines"]
+    assert not _flags(spark, bullets)["g_bullet_lines"]  # 100% > 0.90
     ells = "\n".join("trailing line..." for _ in range(10))
     assert not _flags(spark, ells)["g_ellipsis_lines"]
     assert _flags(spark, "one line\nsecond line")["g_bullet_lines"]
+    # the paper's threshold is >90% bullet LINES, not >10%: a normal
+    # list-bearing page (half its lines bulleted) must pass
+    half = "\n".join("- item" if i % 2 else "prose line"
+                     for i in range(10))
+    assert _flags(spark, half)["g_bullet_lines"]
 
 
 def test_alpha_words_and_stop_words(spark):
@@ -92,6 +97,19 @@ def test_repetition_battery_crafted_docs(spark):
     assert r[0]["dup_line_frac"] == 0.0
     assert r[0]["top_2gram_char_frac"] < 0.05
     assert r[0]["rep_keep"] is True
+    # the top-n-gram rule reads the MOST FREQUENT gram's coverage, not
+    # the longest gram's: one giant unique bigram must not trip it
+    # when a short bigram repeats more often
+    long_doc = ("xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx "
+                "yyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyy "
+                + "a b " * 10)
+    from scardina_spark.operators.gopher import repetition_signals as RS
+    df2 = spark.createDataFrame([(0, long_doc)],
+                                "doc_id: long, text: string")
+    row = RS(df2).first()
+    # most frequent 2-gram is 'a b' / 'b a' (count ~10, 3 chars), not
+    # the 81-char unique gram
+    assert row["top_2gram_char_frac"] < 0.35
     # degenerate doc: every signal saturates (capped at 1.0)
     assert r[1]["top_2gram_char_frac"] <= 1.0
     assert r[1]["dup_5gram_char_frac"] == 1.0
@@ -126,7 +144,11 @@ def test_repetition_battery_matches_bruteforce(spark, tables):
             grams = [" ".join(ws[i:i + n])
                      for i in range(len(ws) - n + 1)]
             c = Counter(grams)
-            top = max((k * len(g) for g, k in c.items()), default=0)
+            # most-frequent gram, ties by (chars, gram text) — the
+            # engine's max_by struct order
+            top = (max(((k, len(g), g) for g, k in c.items()),
+                       default=None))
+            top = top[0] * top[1] if top else 0
             dup = sum(k * len(g) for g, k in c.items() if k >= 2)
 
             def r4(x):  # Spark rounds half-up; python round() half-even
