@@ -159,19 +159,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     Bands come from ONE explode over the signature table (not a per-band
     union, which would re-run the upstream signature computation per band
     and again per self-join side)."""
-    rows_per_band = n_hashes // n_bands
-    band_structs = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{i}")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh")))
-    exploded = (
-        sigs.select(F.col(id_col).alias("__id__"),
-                    F.explode(F.array(*band_structs)).alias("__b__"))
-        .select("__id__", F.col("__b__.band").alias("__band__"),
-                F.col("__b__.bh").alias("__bh__"))
-    )
+    exploded = _band_table(sigs, id_col, "__id__", n_hashes, n_bands)
     a = exploded.select(F.col("__band__"), F.col("__bh__"),
                         F.col("__id__").alias("id_a"))
     b_ = exploded.select(F.col("__band__"), F.col("__bh__"),
@@ -232,6 +220,84 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     finally:
         cands.unpersist()
         sigs.unpersist()
+
+
+def _band_table(sigs: DataFrame, id_col: str, out_id: str,
+                n_hashes: int, n_bands: int) -> DataFrame:
+    """(out_id, band, band_hash) — one explode over a signature table
+    (shared by the self-join pipeline and the asymmetric probe)."""
+    rows_per_band = n_hashes // n_bands
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bh")))
+    return (sigs.select(F.col(id_col).alias(out_id),
+                        F.explode(F.array(*band_structs)).alias("__b__"))
+            .select(out_id, F.col("__b__.band").alias("__band__"),
+                    F.col("__b__.bh").alias("__bh__")))
+
+
+def lsh_probe_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
+                    id_col: str = "doc_id", n_hashes: int = 8,
+                    n_bands: int = 4) -> DataFrame:
+    """Asymmetric LSH probe: NEW documents' signatures banded against an
+    EXISTING index's — ``(new_id, index_id)`` candidates without any
+    self-join over the standing corpus.  The ingest-time shape: the
+    index table is precomputed (in practice a materialized parquet,
+    like `IvfIndex`/`Bm25Index`), so a shard arrival costs only the
+    shard's shingles plus a band-keyed join whose left side is
+    shard-sized."""
+    a = _band_table(new_sigs, id_col, "new_id", n_hashes, n_bands)
+    b = _band_table(index_sigs, id_col, "index_id", n_hashes, n_bands)
+    return (a.join(b, ["__band__", "__bh__"])
+            .select("new_id", "index_id").distinct())
+
+
+def incremental_near_dup(new_docs: DataFrame, index_docs: DataFrame,
+                         index_sigs: DataFrame | None = None,
+                         id_col: str = "doc_id", col: str = "text",
+                         k_shingle: int = 3, n_hashes: int = 8,
+                         n_bands: int = 4, threshold: float = 0.8,
+                         hash_fn: str = "md5") -> DataFrame:
+    """Near-dup pairs of an ARRIVING shard against the standing corpus:
+    sign the shard, band-probe the (optionally precomputed) index
+    signatures, verify exact Jaccard only for candidates —
+    ``(new_id, index_id, jaccard)`` at or above ``threshold``.  Only
+    the shard is shingled+signed when ``index_sigs`` is supplied; the
+    index side contributes a band join and per-candidate shingle
+    lookups (semi-join pushdown, candidate-sized)."""
+    new_sigs = minhash_signatures(new_docs, id_col, col, k_shingle,
+                                  n_hashes, hash_fn=hash_fn)
+    if index_sigs is None:
+        index_sigs = minhash_signatures(index_docs, id_col, col,
+                                        k_shingle, n_hashes,
+                                        hash_fn=hash_fn)
+    cands = lsh_probe_pairs(new_sigs, index_sigs, id_col, n_hashes,
+                            n_bands).cache()
+    try:
+        def side(docs: DataFrame, pair_col: str, out: str) -> DataFrame:
+            ids = cands.select(F.col(pair_col).alias("__id__")).distinct()
+            return (docs.join(ids, F.col(id_col) == F.col("__id__"),
+                              "left_semi")
+                    .select(F.col(id_col).alias(pair_col),
+                            word_shingles(col, k_shingle).alias(out)))
+
+        j = (cands
+             .join(side(new_docs, "new_id", "sh_a"), "new_id")
+             .join(side(index_docs, "index_id", "sh_b"), "index_id"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        out = (j.select("new_id", "index_id",
+                        F.round(inter / F.greatest(union, F.lit(1)), 4)
+                        .alias("jaccard"))
+               .where(F.col("jaccard") >= threshold)
+               .orderBy("new_id", "index_id").localCheckpoint())
+        return out
+    finally:
+        cands.unpersist()
 
 
 # --- SimHash ----------------------------------------------------------------

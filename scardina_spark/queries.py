@@ -864,6 +864,76 @@ from sh group by doc_id order by doc_id
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 (incremental near-dup probe; beyond reference): an arriving
+    shard (``doc_id % 5 == 0``) checked against the STANDING corpus —
+    the shard's MinHash signatures band-probe the index's (asymmetric
+    join, no self-join over the old corpus; `dedup.lsh_probe_pairs` /
+    `incremental_near_dup`), exact Jaccard verifies only the
+    candidates.  The snapshot-ingest pattern: with a materialized index
+    signature table, a shard arrival costs the shard's shingles plus a
+    band-keyed join whose probe side is shard-sized.  Parity with the
+    union-corpus self-join restricted to straddling pairs is
+    test-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    out = DD.incremental_near_dup(new, idx, threshold=0.8)
+    return out.select(F.col("new_id").cast("long").alias("new_id"),
+                      F.col("index_id").cast("long").alias("index_id"),
+                      "jaccard").orderBy("new_id", "index_id")
+
+
+SQL_INCREMENTAL_NEARDUP = """
+with norm as (
+  select doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                     'g'), ' ') as toks
+  from documents),
+shl as (
+  select doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 1) + 1)
+  ]) as shingles from norm),
+sh as (select doc_id, unnest(shingles) as s from shl),
+sig as (
+  select doc_id,
+         min(substring(md5('salt0:' || s), 1, 8)) as sig_0,
+         min(substring(md5('salt0:' || s), 9, 8)) as sig_1,
+         min(substring(md5('salt0:' || s), 17, 8)) as sig_2,
+         min(substring(md5('salt0:' || s), 25, 8)) as sig_3,
+         min(substring(md5('salt1:' || s), 1, 8)) as sig_4,
+         min(substring(md5('salt1:' || s), 9, 8)) as sig_5,
+         min(substring(md5('salt1:' || s), 17, 8)) as sig_6,
+         min(substring(md5('salt1:' || s), 25, 8)) as sig_7
+  from sh group by doc_id),
+bands as (
+  select doc_id, 0 as band, md5(sig_0 || '|' || sig_1) as bh from sig
+  union all
+  select doc_id, 1, md5(sig_2 || '|' || sig_3) from sig
+  union all
+  select doc_id, 2, md5(sig_4 || '|' || sig_5) from sig
+  union all
+  select doc_id, 3, md5(sig_6 || '|' || sig_7) from sig),
+cand as (
+  select distinct a.doc_id as new_id, b.doc_id as index_id
+  from bands a join bands b using (band, bh)
+  where a.doc_id % 5 = 0 and b.doc_id % 5 != 0),
+jac as (
+  select c.new_id, c.index_id,
+         round(len(list_intersect(s1.shingles, s2.shingles))::DOUBLE
+               / greatest(len(list_distinct(
+                     list_concat(s1.shingles, s2.shingles))), 1), 4)
+           as jaccard
+  from cand c
+  join shl s1 on s1.doc_id = c.new_id
+  join shl s2 on s2.doc_id = c.index_id)
+select new_id::BIGINT as new_id, index_id::BIGINT as index_id, jaccard
+from jac where jaccard >= 0.8
+order by new_id, index_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (adjacent
     doc ids)."""
@@ -4850,6 +4920,7 @@ def queries() -> dict:
         "x58_canonical_dedup": q_canonical_dedup,
         "st11_stream_dsir": q_stream_dsir,
         "x59_line_dedup": q_line_dedup,
+        "x60_incremental_neardup": q_incremental_neardup,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -5102,6 +5173,7 @@ def oracle_sql() -> dict[str, str]:
         "x58_canonical_dedup": SQL_CANONICAL_DEDUP,
         "st11_stream_dsir": SQL_STREAM_DSIR,
         "x59_line_dedup": SQL_LINE_DEDUP,
+        "x60_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -220,3 +220,33 @@ def test_line_dedup_drops_corpus_boilerplate(spark):
     # no window in the plan (reassembly is an aggregation)
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_incremental_probe_matches_selfjoin_straddlers(spark, tables):
+    """The asymmetric shard-vs-index probe must find EXACTLY the
+    near-dup pairs the union-corpus self-join finds between the two
+    sides (no candidates lost by the split, none invented)."""
+    from scardina_spark.operators.dedup import (incremental_near_dup,
+                                                minhash_dedup,
+                                                minhash_signatures)
+    from pyspark.sql import functions as F
+    docs = tables["documents"]
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    got = {(r["new_id"], r["index_id"], r["jaccard"])
+           for r in incremental_near_dup(new, idx, threshold=0.8).collect()}
+    assert got, "fixture must be non-vacuous"
+    full = minhash_dedup(docs, threshold=0.8)
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 5 == 0) != (b % 5 == 0):
+            n, i = (a, b) if a % 5 == 0 else (b, a)
+            want.add((n, i, r["jaccard"]))
+    assert got == want
+    # precomputed index signatures short-circuit the index-side pass
+    idx_sigs = minhash_signatures(idx)
+    got2 = {(r["new_id"], r["index_id"], r["jaccard"])
+            for r in incremental_near_dup(new, idx, index_sigs=idx_sigs,
+                                          threshold=0.8).collect()}
+    assert got2 == got
