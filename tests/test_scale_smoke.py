@@ -189,3 +189,66 @@ def test_curate_pipeline_scales_linearly(spark):
     assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
     print(f"curate 20x: {n_docs} -> {n_docs * 20} docs, "
           f"{base_n} -> {big_n} survivors, {base_s:.1f}s -> {big_s:.1f}s")
+
+
+def test_repetition_battery_scales_linearly(spark):
+    """10x the documents corpus: the battery's one corpus-token-scale
+    shuffle should cost roughly linearly in input (SCALE.md claim),
+    and per-doc signals are replication-invariant for the n-gram
+    columns (within-doc statistics)."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.gopher import repetition_signals
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_docs)
+           .drop("__rep__"))
+
+    t0 = time.perf_counter()
+    base = repetition_signals(docs)
+    base_kept = base.where("rep_keep").count()
+    base_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bigsig = repetition_signals(big)
+    big_kept = bigsig.where("rep_keep").count()
+    big_s = time.perf_counter() - t0
+
+    # per-doc signals are pure within-doc statistics: every replica
+    # scores identically, so keeps scale exactly 10x
+    assert big_kept == 10 * base_kept
+    assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
+
+
+def test_line_dedup_scales_and_saturates(spark):
+    """10x replication makes EVERY line a corpus-level duplicate: the
+    pass must drop everything (n_kept = 0) while costing roughly
+    linearly — the count-shuffle scale shape, plus the semantics under
+    total duplication."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_docs)
+           .drop("__rep__"))
+
+    t0 = time.perf_counter()
+    base_row = line_dedup(docs).agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")).first()
+    base_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big_row = line_dedup(big).agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")).first()
+    big_s = time.perf_counter() - t0
+
+    assert big_row["nl"] == 10 * base_row["nl"]
+    assert big_row["nk"] == 0  # every line now repeats corpus-wide
+    assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
