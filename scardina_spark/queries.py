@@ -4413,6 +4413,85 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("value").desc(), "n_name"))
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (beyond reference): revenue shipped between
+    distinct nation pairs (keys < 5, both directions) by year — the two-role nation self-join (supplier
+    nation x customer nation) the estimator suite's single-alias
+    grammar cannot express, handled by the analytics engine directly.
+    Both nation sides broadcast."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    rev = _d6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .where((F.col("s_nk") < 5) & (F.col("c_nk") < 5)
+                & (F.col("s_nk") != F.col("c_nk"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+SQL_VOLUME_SHIPPING = """
+select n1.n_name as supp_nation, n2.n_name as cust_nation,
+       year(l_shipdate) as l_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+             ::DOUBLE, 4) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join nation n1 on s_nationkey = n1.n_nationkey
+join nation n2 on c_nationkey = n2.n_nationkey
+where n1.n_nationkey < 5 and n2.n_nationkey < 5
+  and n1.n_nationkey != n2.n_nationkey
+group by 1, 2, 3 order by 1, 2, 3
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (beyond reference): per-(nation, year) profit over
+    a part-name filter — the testdata has no partsupp table, so supply
+    cost is the documented substitute ``0.5 * p_retailprice`` (the
+    SHAPE under test is the 4-join aggregate over a LIKE-filtered
+    dimension, not the cost constant)."""
+    t = load_tables(spark, sf_dir)
+    amount = _d6(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 - F.lit(0.5) * F.col("p_retailprice")
+                 * F.col("l_quantity"))
+    j = (t["lineitem"]
+         .join(t["part"].where(F.col("p_name").like("%a%")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("l_shipdate").alias("o_year"))
+            .agg(F.round(F.sum(amount).cast("double"), 4)
+                 .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+SQL_PRODUCT_PROFIT = """
+select n_name as nation, year(l_shipdate) as o_year,
+       round(sum((l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity)
+                 ::DECIMAL(18,6))::DOUBLE, 4) as sum_profit
+from lineitem
+join part on l_partkey = p_partkey and p_name like '%a%'
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+group by 1, 2 order by 1, 2 desc
+"""
+
+
 SQL_NATION_REVENUE_SHARE = """
 with per_nation as (
   select n_name,
@@ -4921,6 +5000,8 @@ def queries() -> dict:
         "st11_stream_dsir": q_stream_dsir,
         "x59_line_dedup": q_line_dedup,
         "x60_incremental_neardup": q_incremental_neardup,
+        "a29_volume_shipping": q_volume_shipping,
+        "a30_product_profit": q_product_profit,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -5174,6 +5255,8 @@ def oracle_sql() -> dict[str, str]:
         "st11_stream_dsir": SQL_STREAM_DSIR,
         "x59_line_dedup": SQL_LINE_DEDUP,
         "x60_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+        "a29_volume_shipping": SQL_VOLUME_SHIPPING,
+        "a30_product_profit": SQL_PRODUCT_PROFIT,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),
