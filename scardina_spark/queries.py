@@ -4492,6 +4492,175 @@ group by 1, 2 order by 1, 2 desc
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (beyond reference): NATION_3's share of ASIA-market
+    revenue by order year over MEDIUM-type parts — conditional-fraction
+    aggregation over a 7-table join.  Nation/region dimensions broadcast;
+    numerator and denominator are exact decimal sums so the final double
+    division is engine-reproducible."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_regionkey").alias("c_rk"))
+    vol = _d6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (t["lineitem"]
+         .join(t["part"].where(F.col("p_type") == "MEDIUM"),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+               F.col("c_rk") == F.col("r_regionkey")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                .otherwise(F.lit(0).cast("decimal(18,6)")))
+    den = F.sum(vol)
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(num.cast("double") / den.cast("double"), 6)
+                 .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+SQL_MARKET_SHARE = """
+select year(o_orderdate) as o_year,
+       round(sum(case when n1.n_name = 'NATION_3'
+                      then (l_extendedprice * (1 - l_discount))
+                           ::DECIMAL(18,6)
+                      else 0::DECIMAL(18,6) end)::DOUBLE
+             / sum((l_extendedprice * (1 - l_discount))
+                   ::DECIMAL(18,6))::DOUBLE, 6) as mkt_share
+from lineitem
+join part on l_partkey = p_partkey and p_type = 'MEDIUM'
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join nation n1 on s_nationkey = n1.n_nationkey
+join nation n2 on c_nationkey = n2.n_nationkey
+join region on n2.n_regionkey = r_regionkey
+where r_name = 'ASIA'
+group by 1 order by 1
+"""
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (beyond reference): distribution of per-customer
+    order counts through a FILTERED left outer join — customers with zero
+    qualifying orders must survive as c_count=0 (the filter lives in the
+    join condition, not a post-filter).  Two cascaded aggregations; the
+    second runs over a distinct-count-sized relation."""
+    t = load_tables(spark, sf_dir)
+    ords = (t["orders"]
+            .where(F.col("o_orderpriority") != "1-URGENT")
+            .select("o_custkey", "o_orderkey"))
+    per_cust = (t["customer"].select("c_custkey")
+                .join(ords, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+SQL_ORDER_COUNT_DIST = """
+select c_count, count(*) as custdist
+from (select c_custkey, count(o_orderkey) as c_count
+      from customer
+      left join orders on c_custkey = o_custkey
+           and o_orderpriority <> '1-URGENT'
+      group by c_custkey) t
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (beyond reference): average yearly revenue lost if
+    small-quantity orders stopped — the correlated per-part AVG subquery
+    lowered to a broadcast agg-join (per-part thresholds are a
+    part-dimension-sized relation, never a window over lineitem).
+    Thresholds use an exact decimal sum / count before the double
+    multiply, so the cut value is engine-reproducible."""
+    t = load_tables(spark, sf_dir)
+    parts = (t["part"]
+             .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+             .select("p_partkey"))
+    li = t["lineitem"].join(F.broadcast(parts),
+                            F.col("l_partkey") == F.col("p_partkey"))
+    cuts = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+            .agg(((F.sum(_d6(F.col("l_quantity"))).cast("double")
+                   / F.count(F.lit(1))) * F.lit(0.2)).alias("qty_cut")))
+    small = (li.join(F.broadcast(cuts),
+                     F.col("l_partkey") == F.col("t_partkey"))
+             .where(F.col("l_quantity") < F.col("qty_cut")))
+    return small.agg(
+        F.round(F.sum(_d6(F.col("l_extendedprice"))).cast("double")
+                / F.lit(7.0), 4).alias("avg_yearly"))
+
+
+SQL_SMALL_QTY_REVENUE = """
+with li as (
+  select l_partkey, l_quantity, l_extendedprice
+  from lineitem join part on l_partkey = p_partkey
+  where p_brand = 'Brand#1' and p_size < 15),
+cuts as (
+  select l_partkey as t_partkey,
+         (sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*)) * 0.2
+           as qty_cut
+  from li group by 1)
+select round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 4)
+       as avg_yearly
+from li join cuts on l_partkey = t_partkey
+where l_quantity < qty_cut
+"""
+
+
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (beyond reference): suppliers whose shipped volume
+    of a LIKE-filtered part family exceeds 1.05x the per-supplier average
+    — a nested aggregate-of-aggregate scalar (broadcast one-row cross
+    join) feeding a LEFT SEMI join into the supplier dimension.  The
+    scalar cut is an exact decimal sum / count, double math after."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["part"].where(F.col("p_name").like("%b%")).select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"))
+    shipped = (li.groupBy("l_suppkey")
+               .agg(F.sum(_d6(F.col("l_quantity"))).alias("qty")))
+    cut = shipped.agg(
+        ((F.sum("qty").cast("double") / F.count(F.lit(1)))
+         * F.lit(1.05)).alias("cut"))
+    heavy = (shipped.crossJoin(F.broadcast(cut))
+             .where(F.col("qty").cast("double") > F.col("cut"))
+             .select("l_suppkey"))
+    return (t["supplier"]
+            .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+SQL_EXCESS_SHIPPERS = """
+with shipped as (
+  select l_suppkey, sum(l_quantity::DECIMAL(18,6)) as qty
+  from lineitem join part on l_partkey = p_partkey
+  where p_name like '%b%'
+  group by 1),
+cut as (
+  select (sum(qty)::DOUBLE / count(*)) * 1.05 as cut from shipped)
+select s_name, n_name
+from supplier
+join nation on s_nationkey = n_nationkey
+where s_suppkey in (
+  select l_suppkey from shipped, cut where qty::DOUBLE > cut)
+order by s_name
+"""
+
+
 SQL_NATION_REVENUE_SHARE = """
 with per_nation as (
   select n_name,
@@ -5002,6 +5171,10 @@ def queries() -> dict:
         "x60_incremental_neardup": q_incremental_neardup,
         "a29_volume_shipping": q_volume_shipping,
         "a30_product_profit": q_product_profit,
+        "a31_market_share": q_market_share,
+        "a32_order_count_dist": q_order_count_dist,
+        "a33_small_qty_revenue": q_small_qty_revenue,
+        "a34_excess_shippers": q_excess_shippers,
         # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
         "x19_holdout_split": q_holdout_split,
         "x36_mixture_sample": q_mixture_sample,
@@ -5257,6 +5430,10 @@ def oracle_sql() -> dict[str, str]:
         "x60_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
         "a29_volume_shipping": SQL_VOLUME_SHIPPING,
         "a30_product_profit": SQL_PRODUCT_PROFIT,
+        "a31_market_share": SQL_MARKET_SHARE,
+        "a32_order_count_dist": SQL_ORDER_COUNT_DIST,
+        "a33_small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "a34_excess_shippers": SQL_EXCESS_SHIPPERS,
         "x47_semdedup": SQL_SEMDEDUP,
         "x48_pareto_sample": sql_pareto_sample(),
         "x49_token_budget": sql_token_budget(),

@@ -328,3 +328,43 @@ def test_bigram_pairs_no_window_no_shuffle(spark, sf_dir):
     plan = _plan(_bigram_pairs(docs, "doc_id", "text"))
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_market_share_broadcast_dims_no_cartesian(spark, sf_dir):
+    """Q8 shape: nation/region dimensions broadcast; the conditional
+    fraction is one aggregation pass (no second lineitem scan)."""
+    from scardina_spark.queries import q_market_share
+    plan = _plan(q_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1  # one fact scan, one pass
+    assert "HashAggregate" in plan
+
+
+def test_small_qty_revenue_no_window(spark, sf_dir):
+    """Q17 shape: the correlated per-part AVG lowers to a broadcast
+    agg-join, never a Window over lineitem."""
+    from scardina_spark.queries import q_small_qty_revenue
+    plan = _plan(q_small_qty_revenue(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_excess_shippers_semi_join_scalar_broadcast(spark, sf_dir):
+    """Q20 shape: the scalar cut is a 1-row broadcast (the one legitimate
+    BNLJ) and the supplier restriction is a real left-semi join."""
+    from scardina_spark.queries import q_excess_shippers
+    plan = _plan(q_excess_shippers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_order_count_dist_filter_inside_outer_join(spark, sf_dir):
+    """Q13 shape: the priority filter must push to the orders scan (it
+    lives in the join condition of a LEFT OUTER join), and customers
+    survive the join (left outer, not inner)."""
+    from scardina_spark.queries import q_order_count_dist
+    plan = _plan(q_order_count_dist(spark, sf_dir))
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "1-URGENT" in plan  # filter reached the scan side, not post-agg
