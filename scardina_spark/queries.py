@@ -5138,88 +5138,22 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r04 each recorded exactly 50 rows).
-    # Round-5 order: the 6 keys that have never received a driver row go
-    # first, then keys are sorted stalest-first (r01-green, r02-green,
-    # then enough r03-green keys to fill the window).  Everything green in
-    # round 4 spills past the cap; the remaining r03 block is scheduled
-    # for round 6 so no key goes more than ~2 rounds without a driver row.
-    # Key names are stable across rounds.
+    # first ~50 entries in order (r01-r05 each recorded exactly 50 rows).
+    # Round-6 order: keys changed this round first, then the 39 r03-green
+    # keys the r05 ledger scheduled for refresh, then enough stale
+    # r04-green keys to fill the window.  Everything green in round 5
+    # spills past the cap; the remaining r04 block is the r07 schedule so
+    # no key goes more than ~2 rounds without a driver row.  Key names are
+    # stable across rounds.
     return {
-        # --- round-5 rotation: never driver-checked keys lead (added after
-        # the r04 gate window); new round-5 keys slot in right below them ---
-        "x47_semdedup": q_semdedup,
-        "x48_pareto_sample": q_pareto_sample,
-        "x49_token_budget": q_token_budget,
-        "x50_perplexity_band": q_perplexity_band,
-        "x51_chunk_docs": q_chunk_docs,
-        "x52_bigram_ppl": q_bigram_ppl,
-        # x45's validation task changed this round (degenerate lang-ID
-        # distillation -> synthetic 3-class mixture): fresh row needed
-        "x45_text_classifier": q_text_classifier,
-        # new this round: live-Postgres plan-cost loop, DSIR selection,
-        # Gopher rule battery
-        "e11_pg_plan_cost": q_pg_plan_cost,
-        "x53_dsir_select": q_dsir_select,
+        # --- round-6 rotation: keys whose behavior/oracle changed this
+        # round lead (new st12 slots in above these when registered) ---
         "x54_gopher_rules": q_gopher_rules,
-        "x55_ccnet_bands": q_ccnet_bands,
         "x56_repetition_battery": q_repetition_battery,
-        "x57_temperature_mix": q_temperature_mix,
-        "x58_canonical_dedup": q_canonical_dedup,
-        "st11_stream_dsir": q_stream_dsir,
-        "x59_line_dedup": q_line_dedup,
-        "x60_incremental_neardup": q_incremental_neardup,
-        "a29_volume_shipping": q_volume_shipping,
-        "a30_product_profit": q_product_profit,
-        "a31_market_share": q_market_share,
-        "a32_order_count_dist": q_order_count_dist,
-        "a33_small_qty_revenue": q_small_qty_revenue,
-        "a34_excess_shippers": q_excess_shippers,
-        # --- stalest driver rows next: r01-green (2), then r02-green (14) ---
-        "x19_holdout_split": q_holdout_split,
-        "x36_mixture_sample": q_mixture_sample,
-        "a15_priority_orders": q_priority_orders,
-        "a16_large_orders": q_large_orders,
-        "a17_brand_supplier_count": q_brand_supplier_count,
-        "a18_disjunctive_revenue": q_disjunctive_revenue,
-        "a21_cheapest_supplier": q_cheapest_supplier,
-        "a22_idle_rich_customers": q_idle_rich_customers,
-        "a24_returned_revenue": q_returned_revenue,
-        "a26_sole_late_supplier": q_sole_late_supplier,
-        "a27_top_revenue_supplier": q_top_revenue_supplier,
-        "a28_nation_revenue_share": q_nation_revenue_share,
-        "st9_stream_quantiles": q_stream_quantiles,
-        "x37_decontam": q_decontam,
-        "x38_pii_scrub": q_pii_scrub,
-        "x39_pack_sequences": q_pack_sequences,
-        # --- r03-green refresh fills the ~50-row gate window ---
-        "s1_scan_project": q_scan_project,
-        "j1_fk_counts": q_fk_counts,
-        "j2_fanout_attach": q_fanout_attach,
-        "j3_weights": q_weights,
-        "j5_join_two": q_join_two,
-        "j6_join_tree": q_join_tree,
-        "j6_join_translated": q_join_translated,
-        "j9_join_size": q_join_size,
-        "a2_group_agg": q_group_agg,
-        "a3_dictionary": q_dictionary,
-        "a4_join_group_topk": q_join_group_topk,
-        "a5_quantiles": q_quantiles,
-        "a7_entropy": q_entropy,
-        "m1_encode": q_encode,
-        "m2_factorize": q_factorize,
-        "p1_filter_ops": q_filter_ops,
-        "p2_filter_like": q_filter_like,
-        "p9_or_filters": q_or_filters,
-        "f1_scalar_funcs": q_scalar_funcs,
-        "f2_json_extract": q_json_extract,
-        "o1_topk": q_topk,
-        "e7_trm_qerror": q_trm_qerror,
-        "e8_search": q_grid_search,
-        # --- around the ~50 cap (this round's 5 new/changed keys push
-        # the tail out): r03-green spill, scheduled for the r06 refresh ---
-        "a25_late_shipment_priority": q_late_shipment_priority,
-        "x33_simsel_card": q_simsel_card,
+        "e5_perror": q_perror,
+        "e11_pg_plan_cost": q_pg_plan_cost,
+        # --- the 39 r03-stale keys scheduled by the r05 ledger: every one
+        # gets an r06 driver row, restoring the <=2-round staleness cap ---
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5235,23 +5169,39 @@ def queries() -> dict:
         "x5_text_stats": q_text_stats,
         "x6_lang_id": q_lang_id,
         "x7_fingerprint": q_fingerprint,
-        "x24_training_corpus": q_training_corpus,
         "x8_sim_topk": q_sim_topk,
         "x9_lsh_buckets": q_lsh_buckets,
         "x15_ivf_cells": q_ivf_cells,
         "x16_ivf_topk": q_ivf_topk,
         "x17_kmv_distinct": q_kmv_distinct,
-        "x28_kmv_setops": q_kmv_setops,
         "x18_stratified_sample": q_stratified_sample,
         "x21_time_rollup": q_time_rollup,
+        "x24_training_corpus": q_training_corpus,
         "x25_bloom_semi": q_bloom_semi_join,
-        # --- past the cap: freshly green in round 4 ---
+        "x28_kmv_setops": q_kmv_setops,
+        "x33_simsel_card": q_simsel_card,
+        "a5_quantiles": q_quantiles,
+        "a7_entropy": q_entropy,
+        "a25_late_shipment_priority": q_late_shipment_priority,
+        "e7_trm_qerror": q_trm_qerror,
+        "e8_search": q_grid_search,
+        "f1_scalar_funcs": q_scalar_funcs,
+        "f2_json_extract": q_json_extract,
+        "m1_encode": q_encode,
+        "m2_factorize": q_factorize,
+        "o1_topk": q_topk,
+        "p1_filter_ops": q_filter_ops,
+        "p2_filter_like": q_filter_like,
+        "p9_or_filters": q_or_filters,
+        # --- fill the ~50-row gate window with the stalest r04-green keys ---
         "s2_stage_sinks": q_stage_sinks,
         "s3_benchmark_csv": q_benchmark_csv,
         "s5_jdbc_roundtrip": q_jdbc_roundtrip,
         "o3_stitch_chain": q_stitch_chain,
         "o4_sampling_orderings": q_sampling_orderings,
         "x40_curate_corpus": q_curate_corpus,
+        # --- past the cap: remaining r04-green keys (stalest-first; these
+        # plus any spill above are the r07 refresh block) ---
         "x41_kmeans_iter": q_kmeans_iter,
         "x42_ivf_indexed_topk": q_ivf_indexed_topk,
         "st10_stream_curate": q_stream_curate,
@@ -5291,10 +5241,57 @@ def queries() -> dict:
         "e2_nar_qerror": q_nar_qerror,
         "e3_nar_ur_qerror": q_nar_ur_qerror,
         "e4_nar_cin_qerror": q_nar_cin_qerror,
-        "e5_perror": q_perror,
         "e6_jobm_qerror": q_jobm_qerror,
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
+        # --- freshest: r05-green keys ---
+        "x47_semdedup": q_semdedup,
+        "x48_pareto_sample": q_pareto_sample,
+        "x49_token_budget": q_token_budget,
+        "x50_perplexity_band": q_perplexity_band,
+        "x51_chunk_docs": q_chunk_docs,
+        "x52_bigram_ppl": q_bigram_ppl,
+        "x45_text_classifier": q_text_classifier,
+        "x53_dsir_select": q_dsir_select,
+        "x55_ccnet_bands": q_ccnet_bands,
+        "x57_temperature_mix": q_temperature_mix,
+        "x58_canonical_dedup": q_canonical_dedup,
+        "st11_stream_dsir": q_stream_dsir,
+        "x59_line_dedup": q_line_dedup,
+        "x60_incremental_neardup": q_incremental_neardup,
+        "a29_volume_shipping": q_volume_shipping,
+        "a30_product_profit": q_product_profit,
+        "a31_market_share": q_market_share,
+        "a32_order_count_dist": q_order_count_dist,
+        "a33_small_qty_revenue": q_small_qty_revenue,
+        "a34_excess_shippers": q_excess_shippers,
+        "x19_holdout_split": q_holdout_split,
+        "x36_mixture_sample": q_mixture_sample,
+        "a15_priority_orders": q_priority_orders,
+        "a16_large_orders": q_large_orders,
+        "a17_brand_supplier_count": q_brand_supplier_count,
+        "a18_disjunctive_revenue": q_disjunctive_revenue,
+        "a21_cheapest_supplier": q_cheapest_supplier,
+        "a22_idle_rich_customers": q_idle_rich_customers,
+        "a24_returned_revenue": q_returned_revenue,
+        "a26_sole_late_supplier": q_sole_late_supplier,
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
+        "a28_nation_revenue_share": q_nation_revenue_share,
+        "st9_stream_quantiles": q_stream_quantiles,
+        "x37_decontam": q_decontam,
+        "x38_pii_scrub": q_pii_scrub,
+        "x39_pack_sequences": q_pack_sequences,
+        "s1_scan_project": q_scan_project,
+        "j1_fk_counts": q_fk_counts,
+        "j2_fanout_attach": q_fanout_attach,
+        "j3_weights": q_weights,
+        "j5_join_two": q_join_two,
+        "j6_join_tree": q_join_tree,
+        "j6_join_translated": q_join_translated,
+        "j9_join_size": q_join_size,
+        "a2_group_agg": q_group_agg,
+        "a3_dictionary": q_dictionary,
+        "a4_join_group_topk": q_join_group_topk,
     }
 
 

@@ -366,5 +366,5 @@ def test_order_count_dist_filter_inside_outer_join(spark, sf_dir):
     survive the join (left outer, not inner)."""
     from scardina_spark.queries import q_order_count_dist
     plan = _plan(q_order_count_dist(spark, sf_dir))
-    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
     assert "1-URGENT" in plan  # filter reached the scan side, not post-agg
