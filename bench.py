@@ -662,7 +662,9 @@ def main() -> None:
     def run_gopher():
         agg = [F.sum(F.col(c).cast("long")).alias(c)
                for c in ("g_word_count", "g_stop_words", "gopher_keep")]
-        row = with_gopher_flags(docs).agg(
+        # corpus-appropriate stop set (the synthetic vocabulary's only
+        # function words) so the composed keep flag discriminates
+        row = with_gopher_flags(docs, stop_words=("the", "a")).agg(
             F.count(F.lit(1)).alias("n"), *agg).first()
         extras["gopher_n_docs"] = int(row["n"])
         extras["gopher_keep_n"] = int(row["gopher_keep"])

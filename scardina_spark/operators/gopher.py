@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Gopher's "stop words": a document must contain at least 2
+# Gopher's "stop words": a document must contain at least 2.  The
+# paper's set is the default; callers curating a corpus whose function
+# words differ (another language, synthetic vocabularies) pass their
+# own via the ``stop_words`` parameter — the rule is "contains >=2
+# distinct function words of ITS language", not these 8 literals.
 STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 BULLETS = ("•", "‣", "▪", "-", "*")
@@ -27,7 +31,9 @@ def _lines(col: str) -> Column:
                     lambda x: F.trim(x) != "")
 
 
-def gopher_flags(col: str = "text") -> dict[str, Column]:
+def gopher_flags(col: str = "text",
+                 stop_words: tuple[str, ...] = STOP_WORDS
+                 ) -> dict[str, Column]:
     """One boolean column per Gopher rule (True = passes).  NULL text
     normalizes to the empty document (the curation-wide convention), so
     every flag is a real boolean, never NULL."""
@@ -54,7 +60,7 @@ def gopher_flags(col: str = "text") -> dict[str, Column]:
     alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
     lw = F.transform(ws, lambda w: F.lower(w))
     n_stop = F.size(F.array_intersect(
-        F.array_distinct(lw), F.array(*[F.lit(s) for s in STOP_WORDS])))
+        F.array_distinct(lw), F.array(*[F.lit(s) for s in stop_words])))
     return {
         "g_word_count": (n_words >= 50) & (n_words <= 100_000),
         "g_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
@@ -70,10 +76,12 @@ def gopher_flags(col: str = "text") -> dict[str, Column]:
     }
 
 
-def with_gopher_flags(df: DataFrame, col: str = "text") -> DataFrame:
+def with_gopher_flags(df: DataFrame, col: str = "text",
+                      stop_words: tuple[str, ...] = STOP_WORDS
+                      ) -> DataFrame:
     """Input rows + the seven rule booleans + ``gopher_keep`` (AND of
     all rules — the paper applies them conjunctively)."""
-    flags = gopher_flags(col)
+    flags = gopher_flags(col, stop_words)
     out = df
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
@@ -83,9 +91,10 @@ def with_gopher_flags(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("gopher_keep", keep)
 
 
-def gopher_filter(df: DataFrame, col: str = "text") -> DataFrame:
+def gopher_filter(df: DataFrame, col: str = "text",
+                  stop_words: tuple[str, ...] = STOP_WORDS) -> DataFrame:
     """Keep only documents passing every rule; input schema restored."""
-    flagged = with_gopher_flags(df, col)
+    flagged = with_gopher_flags(df, col, stop_words)
     return flagged.where("gopher_keep").drop(
         *gopher_flags(col).keys(), "gopher_keep")
 
@@ -155,24 +164,39 @@ def repetition_signals(df: DataFrame, col: str = "text",
                               _ngrams(toks, n).alias("units")))
     base = df.select(F.col(id_col), F.length(txt).alias("doc_chars"),
                      F.explode(F.array(*kinds)).alias("k"))
+    # Hash each unit to 64 bits + its length BEFORE the count shuffle:
+    # every downstream formula consumes only (count, length), so the
+    # raw gram string never crosses the wire — shuffle rows are
+    # fixed-width (~40 B) instead of carrying long grams.  A count
+    # merge would need an xxhash64 collision AT EQUAL LENGTH within one
+    # (doc, kind) group — ~n²/2⁶⁴ per document, negligible.
     exploded = base.select(
         id_col, "doc_chars", F.col("k.kind").alias("kind"),
-        F.explode("k.units").alias("unit"))
-    per_unit = (exploded.groupBy(id_col, "doc_chars", "kind", "unit")
+        F.explode("k.units").alias("unit")
+    ).select(
+        id_col, "doc_chars", "kind",
+        F.xxhash64("unit").alias("uhash"),
+        F.length("unit").alias("ulen"))
+    per_unit = (exploded
+                .groupBy(id_col, "doc_chars", "kind", "uhash", "ulen")
                 .agg(F.count(F.lit(1)).alias("c")))
     per_kind = (per_unit.groupBy(id_col, "doc_chars", "kind").agg(
         F.sum("c").alias("occ"),
         F.count(F.lit(1)).alias("distinct_u"),
-        F.sum(F.col("c") * F.length("unit")).alias("occ_chars"),
-        F.sum((F.col("c") - 1) * F.length("unit")).alias("extra_chars"),
+        F.sum(F.col("c") * F.col("ulen")).alias("occ_chars"),
+        F.sum((F.col("c") - 1) * F.col("ulen")).alias("extra_chars"),
         # coverage of the MOST FREQUENT gram (the paper's rule), not
         # the max-coverage gram — a long once-occurring gram must not
-        # trip the repetition filter; ties broken deterministically by
-        # (count, chars, gram text)
-        F.max_by(F.col("c") * F.length("unit"),
-                 F.struct(F.col("c"), F.length("unit"), F.col("unit")))
+        # trip the repetition filter.  Ties broken deterministically by
+        # (count, chars, hash); any candidates still tied on
+        # (count, chars) have the SAME c*len product, so the winner's
+        # top_cover — the only value consumed — is order-independent
+        # and bit-identical to the former (count, chars, gram text)
+        # tie-break.
+        F.max_by(F.col("c") * F.col("ulen"),
+                 F.struct(F.col("c"), F.col("ulen"), F.col("uhash")))
         .alias("top_cover"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("unit"))
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("ulen"))
               .otherwise(F.lit(0))).alias("dup_cover")))
 
     def frac(num: Column, den: Column) -> Column:

@@ -4832,11 +4832,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, alphabetic-word fraction, stop-word presence — as pure JVM
     column expressions over one tokenization (`operators/gopher.py`;
     shuffle-free, row-parallel).  Output: per document the word count,
-    every rule verdict, and the conjunctive keep flag."""
+    every rule verdict, and the conjunctive keep flag.
+
+    The stop-word rule runs with the synthetic corpus's own function
+    words ("the", "a" — the only ones its vocabulary contains) so the
+    composed ``gopher_keep`` has BOTH outcomes at every SF (~half the
+    docs pass); with the paper's English set the rule is degenerate
+    here (0 keeps).  The operator default remains the paper's set."""
     from .operators.gopher import with_gopher_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    g = with_gopher_flags(docs)
+    g = with_gopher_flags(docs, stop_words=("the", "a"))
     return (g.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
@@ -4872,7 +4878,7 @@ calc as (
            as nalpha,
          len(list_intersect(
              list_distinct(list_transform(ws, x -> lower(x))),
-             ['the','be','to','of','and','that','have','with'])) as nstop,
+             ['the','a'])) as nstop,
          greatest(len(lns), 1) as nl,
          len(list_filter(lns, x -> substr(x, 1, 1) in
              ('•','‣','▪','-','*'))) as nbull,
