@@ -658,13 +658,14 @@ def main() -> None:
     # round-5 additions: Gopher rule gate + DSIR selection
     from scardina_spark.operators.dsir import dsir_select
     from scardina_spark.operators.gopher import with_gopher_flags
+    from scardina_spark.queries import SYNTH_STOP_WORDS
 
     def run_gopher():
         agg = [F.sum(F.col(c).cast("long")).alias(c)
                for c in ("g_word_count", "g_stop_words", "gopher_keep")]
         # corpus-appropriate stop set (the synthetic vocabulary's only
         # function words) so the composed keep flag discriminates
-        row = with_gopher_flags(docs, stop_words=("the", "a")).agg(
+        row = with_gopher_flags(docs, stop_words=SYNTH_STOP_WORDS).agg(
             F.count(F.lit(1)).alias("n"), *agg).first()
         extras["gopher_n_docs"] = int(row["n"])
         extras["gopher_keep_n"] = int(row["gopher_keep"])

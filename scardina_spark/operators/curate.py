@@ -40,6 +40,7 @@ def curate_corpus(docs: DataFrame, seq_len: int = 128,
                   langs: tuple[str, ...] = ("en",),
                   token_budget: float | None = None,
                   gopher_rules: bool = False,
+                  gopher_stop_words: tuple[str, ...] | None = None,
                   repetition_battery: bool = False,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
@@ -55,14 +56,19 @@ def curate_corpus(docs: DataFrame, seq_len: int = 128,
     2021 gates (App. A1.1 rule battery / A1.2 repetition thresholds —
     `operators/gopher.py`) after decontamination.  Both default OFF so
     the oracled x40 composition is unchanged; each is individually
-    oracled (x54/x56) and composes as a pure filter."""
+    oracled (x54/x56) and composes as a pure filter.
+    ``gopher_stop_words`` overrides the rule battery's function-word
+    set (default: the paper's English set) — the knob a corpus whose
+    vocabulary lacks those literals needs for the gate to
+    discriminate."""
     bench = docs.where(F.col("source") == bench_source)
     train = docs.where(F.col("source") != bench_source)
     clean = decontaminate(train, bench, id_col=id_col, text_col=text_col,
                           n=ngram, max_contamination=max_contamination)
     if gopher_rules:
-        from .gopher import gopher_filter
-        clean = gopher_filter(clean, col=text_col)
+        from .gopher import STOP_WORDS, gopher_filter
+        clean = gopher_filter(clean, col=text_col,
+                              stop_words=gopher_stop_words or STOP_WORDS)
     if repetition_battery:
         from .gopher import repetition_signals
         rep_ok = (repetition_signals(clean, col=text_col, id_col=id_col)

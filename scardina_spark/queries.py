@@ -4825,6 +4825,14 @@ from f order by rrf desc, doc_id limit 10
 """
 
 
+# The synthetic corpus's own function words ("the", "a" are the only
+# ones its vocabulary contains): ONE constant shared by the x54 Spark
+# query, its DuckDB oracle (interpolated below), and bench.py, so the
+# three sites cannot silently desynchronize.
+SYNTH_STOP_WORDS = ("the", "a")
+_SYNTH_STOP_SQL = "[" + ",".join(f"'{w}'" for w in SYNTH_STOP_WORDS) + "]"
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X54 (Gopher quality-filter rule battery, Rae et al. 2021 App.
     A1.1): the seven doc-level heuristic gates — word-count bounds,
@@ -4842,7 +4850,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.gopher import with_gopher_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    g = with_gopher_flags(docs, stop_words=("the", "a"))
+    g = with_gopher_flags(docs, stop_words=SYNTH_STOP_WORDS)
     return (g.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
@@ -4878,7 +4886,7 @@ calc as (
            as nalpha,
          len(list_intersect(
              list_distinct(list_transform(ws, x -> lower(x))),
-             ['the','a'])) as nstop,
+             {stops})) as nstop,
          greatest(len(lns), 1) as nl,
          len(list_filter(lns, x -> substr(x, 1, 1) in
              ('•','‣','▪','-','*'))) as nbull,
@@ -4903,7 +4911,7 @@ select doc_id::BIGINT as doc_id, nw::BIGINT as n_words,
         and g_bullet_lines and g_ellipsis_lines and g_alpha_words
         and g_stop_words) as gopher_keep
 from flags order by doc_id
-"""
+""".format(stops=_SYNTH_STOP_SQL)
 
 
 def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:

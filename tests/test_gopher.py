@@ -64,6 +64,35 @@ def test_alpha_words_and_stop_words(spark):
     assert not _flags(spark, "the the " + "word " * 48)["g_stop_words"]
 
 
+def test_custom_stop_words_plumb_through(spark):
+    """A custom function-word set must flip g_stop_words through every
+    layer — gopher_flags / with_gopher_flags / gopher_filter — so a
+    positional-arg drift in the plumbing can't silently revert the rule
+    to the English default."""
+    text = "zz qq " + "word " * 48  # 50 words, no English stop words
+    df = spark.createDataFrame([(0, text)], "doc_id: long, text: string")
+    assert not with_gopher_flags(df).first()["g_stop_words"]
+    assert with_gopher_flags(
+        df, stop_words=("zz", "qq")).first()["g_stop_words"]
+    assert gopher_filter(df).count() == 0
+    assert gopher_filter(df, stop_words=("zz", "qq")).count() == 1
+
+
+def test_curate_corpus_forwards_gopher_stop_words(tables):
+    """The composed pipeline's gopher gate must honor the corpus's own
+    stop set (ADVICE r6: the knob was unreachable through
+    curate_corpus, leaving the composed gate degenerate)."""
+    from scardina_spark.operators.curate import curate_corpus
+    docs = tables["documents"]
+    n_default = curate_corpus(docs, gopher_rules=True).count()
+    n_custom = curate_corpus(
+        docs, gopher_rules=True,
+        gopher_stop_words=("the", "a")).count()
+    # English set is degenerate on the synthetic corpus; the corpus's
+    # own function words let documents through
+    assert n_custom > n_default
+
+
 def test_null_and_empty_normalize(spark):
     df = spark.createDataFrame([(0, None), (1, ""), (2, "   ")],
                                "doc_id: long, text: string")
