@@ -202,8 +202,9 @@ def main() -> None:
     extras["jl_nar_ci_qerror_max"] = round(max(jn_cq), 4)
 
     # plan-quality: p-error of the learned cards under the C_out cost
-    # model over left-deep join orders (the reference's CEB/Postgres
-    # protocol, self-contained — estimators/perror.py).  Truth per
+    # model over the FULL BUSHY plan space (the reference's CEB/Postgres
+    # protocol scores the planner's whole freedom, not a left-deep
+    # slice — estimators/perror.py, DPccp-style enumeration).  Truth per
     # sub-query from the DuckDB oracle; only multi-join queries have a
     # plan choice.
     from scardina_spark.benchmarks import duckdb_connection
@@ -288,8 +289,14 @@ def main() -> None:
     t0 = time.perf_counter()
     ext_suite = perror_suite()
     pe_nar, pe_heur, pe_indep = [], [], []
+    n_bushy, n_ldeep = [], []
+    from scardina_spark.estimators.perror import plan_space_size
     for name, sql in ext_suite.items():
         pq = _parse(sql)
+        # plan-space accounting: the bushy space the p-errors below are
+        # scored over, vs the left-deep slice rounds 1-6 used
+        n_bushy.append(plan_space_size(pq))
+        n_ldeep.append(plan_space_size(pq, "left_deep"))
         for est_fn_, acc in ((ext_nar_fn, pe_nar), (heur.estimate, pe_heur),
                              (indep.estimate, pe_indep)):
             acc.append(max(
@@ -301,6 +308,9 @@ def main() -> None:
           if r["sql"] in _ext_est_cache]
     timings["joblight_ext_perror"] = round(time.perf_counter() - t0, 4)
     extras["jl_ext_n_queries"] = len(ext_suite)
+    extras["jl_ext_plan_space_bushy"] = sum(n_bushy)
+    extras["jl_ext_plan_space_bushy_max"] = max(n_bushy)
+    extras["jl_ext_plan_space_leftdeep"] = sum(n_ldeep)
     extras["jl_ext_subq_n"] = len(sq)
     extras["jl_ext_nar_unsupported"] = len(_ext_failed)
     extras["jl_ext_nar_subq_qerror_p50"] = round(pct(sq, 0.5), 4)

@@ -46,7 +46,8 @@ import tempfile
 from dataclasses import dataclass
 
 from ..plans.parse import ParsedQuery, parse_query
-from .perror import left_deep_plans, plan_cost, _pred_sql
+from .perror import (bushy_best_plan, plan_space_size, tree_join_sets,
+                     _pred_sql)
 from ..plans.predicates import pred_tables
 
 _PG_BINDIRS = ["/usr/lib/postgresql/15/bin", "/usr/local/bin"]
@@ -251,22 +252,38 @@ def forced_join_sql(pq: ParsedQuery, order: tuple[str, ...]) -> str:
     so the planner costs exactly this order (scan/join METHODS stay
     free — the forcing pins the order, which is what the injected cards
     decide)."""
+    tree = order[0]
+    for a in order[1:]:
+        tree = (tree, a)
+    return forced_join_sql_tree(pq, tree)
+
+
+def forced_join_sql_tree(pq: ParsedQuery, tree) -> str:
+    """COUNT(*) SQL whose JOIN nesting mirrors an arbitrary BUSHY plan
+    tree (str leaf | (left, right) node): under ``join_collapse_limit
+    = 1`` Postgres keeps the written association, so the planner costs
+    exactly this tree's shape — left-deep, zig-zag, or bushy — while
+    scan/join methods and build/probe sides stay free."""
     used: set[tuple[str, str]] = set()
-    first = order[0]
-    sql = f"{pq.tables[first]} {first}"
-    for k in range(1, len(order)):
-        a_new = order[k]
+
+    def emit(node) -> tuple[str, frozenset]:
+        if isinstance(node, str):
+            return f"{pq.tables[node]} {node}", frozenset([node])
+        lsql, lset = emit(node[0])
+        rsql, rset = emit(node[1])
         conds = []
-        prefix = set(order[:k])
         for a, b in pq.joins:
             aa, bb = a.split(".", 1)[0], b.split(".", 1)[0]
             if (aa, bb) in used or (bb, aa) in used:
                 continue
-            if {aa, bb} <= prefix | {a_new} and a_new in (aa, bb):
+            if ((aa in lset and bb in rset)
+                    or (aa in rset and bb in lset)):
                 conds.append(f"{a} = {b}")
                 used.add((aa, bb))
         on = " AND ".join(conds) if conds else "TRUE"
-        sql = f"({sql} JOIN {pq.tables[a_new]} {a_new} ON {on})"
+        return f"({lsql} JOIN {rsql} ON {on})", lset | rset
+
+    sql, _ = emit(tree)
     filters = [_pred_sql(p) for p in pq.filters]
     where = f" WHERE {' AND '.join(filters)}" if filters else ""
     return f"SELECT COUNT(*) FROM {sql}{where}"
@@ -311,6 +328,15 @@ def order_respected(order: tuple[str, ...],
     return set(join_sets) == want
 
 
+def tree_respected(tree, join_sets: list[frozenset]) -> bool:
+    """True when the live plan's join nodes are exactly the forced
+    tree's internal-node alias sets — the STRUCTURAL check that
+    ``join_collapse_limit = 1`` really pinned a bushy association, not
+    just some order (a left-deep force shows prefix sets; a bushy force
+    shows two disjoint multi-alias subtrees)."""
+    return set(join_sets) == set(tree_join_sets(tree))
+
+
 def row_estimates(server: PgServer, db: str, sqls: list[str],
                   batch: int = 50) -> list[float]:
     """Postgres's OWN cardinality estimate for each ``COUNT(*)`` query:
@@ -345,28 +371,31 @@ def pg_plan_error(server: PgServer, db: str, query: ParsedQuery | str,
                   est_cards: dict[frozenset, float],
                   true_cards: dict[frozenset, float]) -> dict:
     """The PPC ratio with a live costing back end: DP-choose the join
-    order under estimated vs true cards (C_out — the decision step the
-    reference injects cards into), force BOTH orders in Postgres, and
-    return ``pe_pg`` = forced-cost(est order) / forced-cost(true order)
-    plus the orders and whether the forcing was respected."""
+    TREE over the full bushy plan space under estimated vs true cards
+    (C_out — the decision step the reference injects cards into), force
+    BOTH trees in Postgres via explicit JOIN nesting, and return
+    ``pe_pg`` = forced-cost(est tree) / forced-cost(true tree) plus the
+    trees, the plan-space size, and whether the forcing was
+    structurally respected (EXPLAIN join nodes == the tree's internal
+    alias sets)."""
     pq = parse_query(query) if isinstance(query, str) else query
-    plans = left_deep_plans(pq)
-    order_est = min(plans, key=lambda p: plan_cost(p, est_cards))
-    order_true = min(plans, key=lambda p: plan_cost(p, true_cards))
+    tree_est, _ = bushy_best_plan(pq, est_cards)
+    tree_true, _ = bushy_best_plan(pq, true_cards)
     cost_est, js_est = explain_cost(
-        server, db, forced_join_sql(pq, order_est), force_order=True)
+        server, db, forced_join_sql_tree(pq, tree_est), force_order=True)
     cost_true, js_true = explain_cost(
-        server, db, forced_join_sql(pq, order_true), force_order=True)
+        server, db, forced_join_sql_tree(pq, tree_true), force_order=True)
     native_cost, _ = explain_cost(
-        server, db, forced_join_sql(pq, order_true), force_order=False)
+        server, db, forced_join_sql_tree(pq, tree_true), force_order=False)
     return {
         "pe_pg": cost_est / max(cost_true, 1e-12),
-        "order_est": order_est,
-        "order_true": order_true,
-        "order_respected": (order_respected(order_est, js_est)
-                            and order_respected(order_true, js_true)),
+        "order_est": tree_est,
+        "order_true": tree_true,
+        "order_respected": (tree_respected(tree_est, js_est)
+                            and tree_respected(tree_true, js_true)),
         "cost_est": cost_est,
         "cost_true": cost_true,
+        "n_plans": plan_space_size(pq),
         # the free planner saw the forced order too: its pick can only
         # be cheaper under its own model
         "native_le_forced": native_cost <= cost_true * (1 + 1e-9),

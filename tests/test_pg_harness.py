@@ -109,6 +109,76 @@ def test_row_estimates_batched_and_sane(server, db):
     assert ests[2] > 1.0
 
 
+def test_bushy_force_respected_structurally(server, db):
+    """join_collapse_limit=1 must pin a genuinely BUSHY association:
+    the EXPLAIN join nodes of a forced ((l,o),(s,n)) tree are the
+    tree's internal alias sets — two disjoint multi-alias subtrees, a
+    shape NO left-deep order produces — and the nesting rewrite is
+    semantics-preserving (same count as the flat comma-join form)."""
+    from scardina_spark.estimators.perror import tree_join_sets
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, supplier s, "
+           "nation n WHERE l.l_orderkey = o.o_orderkey AND "
+           "l.l_suppkey = s.s_suppkey AND "
+           "s.s_nationkey = n.n_nationkey AND l.l_quantity > 45")
+    pq = parse_query(sql)
+    tree = (("l", "o"), ("s", "n"))
+    forced = PG.forced_join_sql_tree(pq, tree)
+    cost, join_sets = PG.explain_cost(server, db, forced,
+                                      force_order=True)
+    assert cost > 0
+    assert PG.tree_respected(tree, join_sets), join_sets
+    # the bushy shape is NOT any left-deep prefix chain
+    internal = set(tree_join_sets(tree))
+    assert frozenset({"l", "o"}) in internal
+    assert frozenset({"s", "n"}) in internal
+    prefix_chains = {frozenset(p[:k]) for p in [("l", "o", "s", "n")]
+                     for k in range(2, 5)}
+    assert internal != prefix_chains
+    flat = int(server.psql(sql, db).strip())
+    got = int(server.psql(forced, db).strip())
+    assert got == flat
+    # a left-deep force over the same query yields DIFFERENT join
+    # nodes: the structural check discriminates shapes
+    ld_tree = ((("l", "o"), "s"), "n")
+    _, js_ld = PG.explain_cost(
+        server, db, PG.forced_join_sql_tree(pq, ld_tree),
+        force_order=True)
+    assert PG.tree_respected(ld_tree, js_ld)
+    assert not PG.tree_respected(tree, js_ld)
+    assert not PG.tree_respected(ld_tree, join_sets)
+
+
+def test_bushy_space_contains_and_beats_left_deep():
+    """The DP's space strictly contains the left-deep slice: a card
+    set engineered so both intermediates are tiny but every left-deep
+    prefix is huge makes the bushy optimum strictly cheaper."""
+    from scardina_spark.estimators.perror import (
+        bushy_best_plan, left_deep_plans, plan_cost, plan_space_size,
+        tree_join_sets)
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, supplier s, "
+           "nation n WHERE l.l_orderkey = o.o_orderkey AND "
+           "l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey")
+    pq = parse_query(sql)
+    assert plan_space_size(pq) > 0
+    cards = {
+        frozenset({"l"}): 1e6, frozenset({"o"}): 1e5,
+        frozenset({"s"}): 1e4, frozenset({"n"}): 25.0,
+        frozenset({"l", "o"}): 10.0, frozenset({"s", "n"}): 1e4,
+        frozenset({"l", "s"}): 1e6, frozenset({"l", "o", "s"}): 1e6,
+        frozenset({"l", "s", "n"}): 1e6,
+        frozenset({"l", "o", "s", "n"}): 5.0,
+    }
+    tree, c_bushy = bushy_best_plan(pq, cards)
+    c_ld = min(plan_cost(p, cards) for p in left_deep_plans(pq))
+    assert c_bushy < c_ld
+    # and the winner is the bushy shape, not a disguised chain
+    internal = tree_join_sets(tree)
+    assert frozenset({"l", "o"}) in internal
+    assert frozenset({"s", "n"}) in internal
+
+
 def test_pg_plan_error_truth_is_one_and_distortion_moves_it(server, db):
     from scardina_spark.benchmarks import perror_suite
     from scardina_spark.queries import _PPC_QUERY, _ppc_rows

@@ -1,5 +1,7 @@
 """Property-based tests (hypothesis) for the driver-side kernels."""
 
+import math
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -122,6 +124,48 @@ def test_perror_at_least_one_and_perfect_is_one(n, seed):
     assert plans, "a tree query always has at least one left-deep order"
     best = min(plan_cost(p, true) for p in plans)
     assert all(plan_cost(p, true) >= best for p in plans)
+
+
+@given(n=st.integers(3, 6), seed=st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_bushy_dp_matches_bruteforce_and_contains_left_deep(n, seed):
+    """The bushy DP optimum equals an explicit brute-force enumeration
+    of every connected tree, never exceeds the left-deep optimum (the
+    space contains it), and perfect estimates score exactly 1 under the
+    bushy default — over random tree shapes, cardinalities, and both
+    cost models."""
+    from scardina_spark.estimators.perror import (
+        bushy_best_plan, connected_splits, connected_subsets,
+        left_deep_plans, p_error, plan_cost, plan_space_size,
+        tree_cost, _join_graph)
+    rs = np.random.RandomState(seed)
+    pq = _random_tree_query(rs, n)
+    adj = _join_graph(pq)
+    subs = connected_subsets(pq)
+    cards = {s: float(rs.randint(1, 10_000)) for s in subs}
+
+    def all_trees(s):
+        if len(s) == 1:
+            return [next(iter(s))]
+        return [(t1, t2) for s1, s2 in connected_splits(s, adj)
+                for t1 in all_trees(s1) for t2 in all_trees(s2)]
+
+    trees = all_trees(frozenset(pq.tables))
+    assert len(trees) == plan_space_size(pq)
+    for cm in ("out", "smj"):
+        t_dp, c_dp = bushy_best_plan(pq, cards, cm)
+        c_bf = min(tree_cost(t, cards, cm) for t in trees)
+        assert math.isclose(c_dp, c_bf, rel_tol=1e-9)
+        assert math.isclose(tree_cost(t_dp, cards, cm), c_dp,
+                            rel_tol=1e-9)
+        c_ld = min(plan_cost(p, cards, cm) for p in left_deep_plans(pq))
+        assert c_dp <= c_ld * (1 + 1e-12)
+    est = {s: float(rs.randint(1, 10_000)) for s in subs}
+    tfn = lambda frag: cards[frozenset(frag.tables)]  # noqa: E731
+    efn = lambda frag: est[frozenset(frag.tables)]    # noqa: E731
+    for cm in ("out", "smj"):
+        assert p_error(pq, tfn, tfn, cost_model=cm) == 1.0
+        assert p_error(pq, efn, tfn, cost_model=cm) >= 1.0
 
 
 @given(n=st.integers(2, 6), seed=st.integers(0, 10_000))
