@@ -151,6 +151,72 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_rowwise(df: DataFrame, id_col: str = "doc_id",
+                               col: str = "text", k_shingle: int = 3,
+                               n_hashes: int = 8, hash_fn: str = "md5",
+                               keep_shingles: bool = False) -> DataFrame:
+    """Per-ROW MinHash signatures: same bits as ``minhash_signatures``
+    (min over the same salted hash of the same distinct shingles — the
+    equality is test-pinned) computed as a PURE PROJECTION via
+    ``array_min`` over the document's own shingle array, no explode /
+    groupBy.
+
+    Two uses: (a) STRUCTURED STREAMING — a projection is stateless, so
+    an arriving micro-batch signs itself with no streaming aggregation
+    (the explode+groupBy form would force an agg before the index
+    probe, which Spark's stream-static join pipeline disallows);
+    (b) batch corpora whose documents are small enough that per-row
+    evaluation beats the explode's shuffle.  The explode form remains
+    the right call for batch corpora with long documents — it spreads
+    ONE document's shingle hashing across tasks; row-wise evaluation
+    keeps it on one core.
+
+    ``keep_shingles=True`` appends the shingle array as ``__sh__`` so a
+    downstream candidate verification can compute exact Jaccard without
+    re-tokenizing (the streaming probe's shape)."""
+    out = df.select(F.col(id_col),
+                    word_shingles(col, k_shingle).alias("__sh__"))
+
+    # factory helpers: F.transform treats a TWO-parameter lambda as
+    # (element, index), so the usual ``lambda s, g=g:`` capture idiom
+    # would silently receive the array index — close over the loop
+    # variable with a factory instead
+    def _salted(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"salt{g}:"), s))
+
+    def _slice(i: int):
+        return lambda h: F.substring(h, (i % 4) * 8 + 1, 8)
+
+    def _seeded(g: int):
+        return lambda s: F.xxhash64(F.lit(g), s)
+
+    if hash_fn == "md5":
+        for g in range((n_hashes + 3) // 4):
+            out = out.withColumn(
+                f"__h{g}__", F.transform("__sh__", _salted(g)))
+        sigs = [
+            F.array_min(F.transform(F.col(f"__h{i // 4}__"), _slice(i)))
+            .alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        for g in range((n_hashes + 1) // 2):
+            out = out.withColumn(
+                f"__h{g}__", F.transform("__sh__", _seeded(g)))
+        sigs = [
+            F.array_min(F.transform(
+                F.col(f"__h{i // 2}__"),
+                (lambda h: F.shiftright(h, 32)) if i % 2 == 0
+                else (lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF)))))
+            .alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    extra = [F.col("__sh__")] if keep_shingles else []
+    return out.select(F.col(id_col), *sigs, *extra)
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 8, n_bands: int = 4) -> DataFrame:
     """Docs sharing any band of the signature → candidate pairs (a < b).

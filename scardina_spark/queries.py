@@ -934,6 +934,39 @@ order by new_id, index_id
 """
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12 (streaming near-dup probe; beyond reference): the x60
+    shard split run as a STREAM — arriving documents (``doc_id % 5 ==
+    0``) sign themselves row-wise (pure projection, no streaming agg),
+    LSH-band-probe the standing corpus's materialized signature index
+    via stream-static joins, verify exact Jaccard only on colliding
+    candidates, and report each pair ONCE through a stateful
+    suppression keyed by (new_id, index_id)
+    (`streaming/neardup.py`).  Drained with availableNow; the batch
+    probe over the same shards is the exact oracle (same pairs, same
+    jaccard, pair-level dedup across micro-batches)."""
+    from .streaming.curate import read_documents_stream
+    from .streaming.events import run_to_memory_sink
+    from .streaming.neardup import build_neardup_index, near_dup_probe_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    bands, shingles = build_neardup_index(idx)
+    st = (read_documents_stream(spark, sf_dir)
+          .where(F.col("doc_id") % 5 == 0))
+    out = run_to_memory_sink(
+        near_dup_probe_stream(st, bands, shingles, threshold=0.8),
+        "q_stream_neardup", output_mode="update")
+    # suppression emits once per pair; the groupBy is belt-and-braces
+    # against a sink-level replay (mirrors the st10/st11 final view)
+    return (out.groupBy("new_id", "index_id")
+            .agg(F.max("jaccard").alias("jaccard"))
+            .select(F.col("new_id").cast("long").alias("new_id"),
+                    F.col("index_id").cast("long").alias("index_id"),
+                    "jaccard")
+            .orderBy("new_id", "index_id"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (adjacent
     doc ids)."""
@@ -5166,8 +5199,9 @@ def queries() -> dict:
     # no key goes more than ~2 rounds without a driver row.  Key names are
     # stable across rounds.
     return {
-        # --- round-6 rotation: keys whose behavior/oracle changed this
-        # round lead (new st12 slots in above these when registered) ---
+        # --- round-7 rotation: keys whose behavior/oracle changed this
+        # round lead ---
+        "st12_stream_neardup": q_stream_neardup,
         "x54_gopher_rules": q_gopher_rules,
         "x56_repetition_battery": q_repetition_battery,
         "e5_perror": q_perror,
@@ -5445,6 +5479,9 @@ def oracle_sql() -> dict[str, str]:
         "st11_stream_dsir": SQL_STREAM_DSIR,
         "x59_line_dedup": SQL_LINE_DEDUP,
         "x60_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+        # st12 streams the same shard split, so the x60 recomputation
+        # is its exact oracle too
+        "st12_stream_neardup": SQL_INCREMENTAL_NEARDUP,
         "a29_volume_shipping": SQL_VOLUME_SHIPPING,
         "a30_product_profit": SQL_PRODUCT_PROFIT,
         "a31_market_share": SQL_MARKET_SHARE,
