@@ -124,8 +124,37 @@ def _ngrams(toks: Column, n: int) -> Column:
         z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
 
 
+def unit_relation(df: DataFrame, col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The battery's exploded ``(id, doc_chars, kind, unit)`` relation —
+    one row per line / paragraph / {2..10}-gram occurrence, the single
+    corpus-token-scale intermediate every repetition signal is computed
+    from.  Exposed so the scale smoke can price the RAW-gram shuffle
+    against the fixed-width hashed one `repetition_signals` ships."""
+    txt = F.coalesce(F.col(col), F.lit(""))
+    toks = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.transform(F.split(txt, "\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    paras = F.filter(F.transform(F.split(txt, "\n\n+"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    kinds = [F.struct(F.lit("line").alias("kind"), lines.alias("units"))]
+    kinds.append(F.struct(F.lit("para").alias("kind"),
+                          paras.alias("units")))
+    for n in (*TOP_NGRAM_MAX, *DUP_NGRAM_MAX):
+        kinds.append(F.struct(F.lit(f"{n}gram").alias("kind"),
+                              _ngrams(toks, n).alias("units")))
+    base = df.select(F.col(id_col), F.length(txt).alias("doc_chars"),
+                     F.explode(F.array(*kinds)).alias("k"))
+    return base.select(id_col, "doc_chars",
+                       F.col("k.kind").alias("kind"),
+                       F.explode("k.units").alias("unit"))
+
+
 def repetition_signals(df: DataFrame, col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       _hash_units: bool = True) -> DataFrame:
     """Per-document Gopher repetition battery: duplicate line /
     paragraph fractions (count and character), the top-{2,3,4}-gram
     character fractions, and the duplicate-{5..10}-gram character
@@ -148,34 +177,22 @@ def repetition_signals(df: DataFrame, col: str = "text",
     Scale: the exploded relation is ~Σn ≈ 9× the corpus token count —
     the x43 digest-relation shape; everything after the single groupBy
     is per-document-sized."""
-    txt = F.coalesce(F.col(col), F.lit(""))
-    toks = F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
-    lines = F.filter(F.transform(F.split(txt, "\n"),
-                                 lambda x: F.trim(x)),
-                     lambda x: F.length(x) > 0)
-    paras = F.filter(F.transform(F.split(txt, "\n\n+"),
-                                 lambda x: F.trim(x)),
-                     lambda x: F.length(x) > 0)
-    kinds = [F.struct(F.lit("line").alias("kind"), lines.alias("units"))]
-    kinds.append(F.struct(F.lit("para").alias("kind"),
-                          paras.alias("units")))
-    for n in (*TOP_NGRAM_MAX, *DUP_NGRAM_MAX):
-        kinds.append(F.struct(F.lit(f"{n}gram").alias("kind"),
-                              _ngrams(toks, n).alias("units")))
-    base = df.select(F.col(id_col), F.length(txt).alias("doc_chars"),
-                     F.explode(F.array(*kinds)).alias("k"))
-    # Hash each unit to 64 bits + its length BEFORE the count shuffle:
-    # every downstream formula consumes only (count, length), so the
-    # raw gram string never crosses the wire — shuffle rows are
-    # fixed-width (~40 B) instead of carrying long grams.  A count
-    # merge would need an xxhash64 collision AT EQUAL LENGTH within one
-    # (doc, kind) group — ~n²/2⁶⁴ per document, negligible.
-    exploded = base.select(
-        id_col, "doc_chars", F.col("k.kind").alias("kind"),
-        F.explode("k.units").alias("unit")
-    ).select(
-        id_col, "doc_chars", "kind",
-        F.xxhash64("unit").alias("uhash"),
+    # Hash each unit to 64 bits + its length BEFORE the count shuffle
+    # (_unit_relation): every downstream formula consumes only
+    # (count, length), so the raw gram string never crosses the wire —
+    # shuffle rows are fixed-width (~40 B) instead of carrying long
+    # grams.  A count merge would need an xxhash64 collision AT EQUAL
+    # LENGTH within one (doc, kind) group — ~n²/2⁶⁴ per document,
+    # negligible.  The shuffle-byte win over raw grams is asserted by
+    # the opt-in scale smoke (tests/test_scale_smoke.py).
+    # ``_hash_units=False`` keeps the RAW unit string as the grouping/
+    # tie-break key (the pre-round-6 representation) through the SAME
+    # formulas — test-only, so the hashed path's value-invariance is
+    # pinned against it property-style (tests/test_gopher.py).
+    unit_key = (F.xxhash64("unit") if _hash_units
+                else F.col("unit")).alias("uhash")
+    exploded = unit_relation(df, col, id_col).select(
+        id_col, "doc_chars", "kind", unit_key,
         F.length("unit").alias("ulen"))
     per_unit = (exploded
                 .groupBy(id_col, "doc_chars", "kind", "uhash", "ulen")

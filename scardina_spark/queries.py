@@ -5191,72 +5191,23 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r05 each recorded exactly 50 rows).
-    # Round-6 order: keys changed this round first, then the 39 r03-green
-    # keys the r05 ledger scheduled for refresh, then enough stale
-    # r04-green keys to fill the window.  Everything green in round 5
-    # spills past the cap; the remaining r04 block is the r07 schedule so
-    # no key goes more than ~2 rounds without a driver row.  Key names are
-    # stable across rounds.
+    # first ~50 entries in order (r01-r06 each recorded exactly 50 rows).
+    # Round-7 order: keys new or changed this round first (st12; the
+    # bushy-plan-space e5/e11; the x56/x54 internals refactors), then
+    # the 41 r04-green keys the r06 ledger scheduled for refresh, then
+    # four r05 keys adjacent to this round's code changes to fill the
+    # window.  Everything after the cap is the r08 schedule,
+    # stalest-first (remaining r05 keys, then the r06 block), so no
+    # key goes more than ~2 rounds without a driver row.  Key names
+    # are stable across rounds.
     return {
-        # --- round-7 rotation: keys whose behavior/oracle changed this
-        # round lead ---
+        # --- new / changed this round ---
         "st12_stream_neardup": q_stream_neardup,
-        "x54_gopher_rules": q_gopher_rules,
-        "x56_repetition_battery": q_repetition_battery,
         "e5_perror": q_perror,
         "e11_pg_plan_cost": q_pg_plan_cost,
-        # --- the 39 r03-stale keys scheduled by the r05 ledger: every one
-        # gets an r06 driver row, restoring the <=2-round staleness cap ---
-        "st1_window_hourly": q_window_hourly,
-        "st2_sessionize": q_sessionize,
-        "st3_stream_window": q_stream_window,
-        "st4_stream_sessions": q_stream_sessions,
-        "st5_stream_first_seen": q_stream_first_seen,
-        "st6_stream_join": q_stream_join,
-        "st7_stream_fk_counts": q_stream_fk_counts,
-        "st8_stream_kmv": q_stream_kmv,
-        "x1_dedup_exact": q_dedup_exact,
-        "x2_minhash_sigs": q_minhash_sigs,
-        "x3_ngram_jaccard": q_ngram_jaccard,
-        "x4_simhash": q_simhash,
-        "x5_text_stats": q_text_stats,
-        "x6_lang_id": q_lang_id,
-        "x7_fingerprint": q_fingerprint,
-        "x8_sim_topk": q_sim_topk,
-        "x9_lsh_buckets": q_lsh_buckets,
-        "x15_ivf_cells": q_ivf_cells,
-        "x16_ivf_topk": q_ivf_topk,
-        "x17_kmv_distinct": q_kmv_distinct,
-        "x18_stratified_sample": q_stratified_sample,
-        "x21_time_rollup": q_time_rollup,
-        "x24_training_corpus": q_training_corpus,
-        "x25_bloom_semi": q_bloom_semi_join,
-        "x28_kmv_setops": q_kmv_setops,
-        "x33_simsel_card": q_simsel_card,
-        "a5_quantiles": q_quantiles,
-        "a7_entropy": q_entropy,
-        "a25_late_shipment_priority": q_late_shipment_priority,
-        "e7_trm_qerror": q_trm_qerror,
-        "e8_search": q_grid_search,
-        "f1_scalar_funcs": q_scalar_funcs,
-        "f2_json_extract": q_json_extract,
-        "m1_encode": q_encode,
-        "m2_factorize": q_factorize,
-        "o1_topk": q_topk,
-        "p1_filter_ops": q_filter_ops,
-        "p2_filter_like": q_filter_like,
-        "p9_or_filters": q_or_filters,
-        # --- fill the ~50-row gate window with the stalest r04-green keys ---
-        "s2_stage_sinks": q_stage_sinks,
-        "s3_benchmark_csv": q_benchmark_csv,
-        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
-        "o3_stitch_chain": q_stitch_chain,
-        "o4_sampling_orderings": q_sampling_orderings,
-        "x40_curate_corpus": q_curate_corpus,
-        # --- past the cap: remaining r04-green keys (stalest-first; these
-        # plus any spill above are the r07 refresh block) ---
-        "x41_kmeans_iter": q_kmeans_iter,
+        "x56_repetition_battery": q_repetition_battery,
+        "x54_gopher_rules": q_gopher_rules,
+        # --- the 41 r04-green keys scheduled for the r07 window ---
         "x42_ivf_indexed_topk": q_ivf_indexed_topk,
         "st10_stream_curate": q_stream_curate,
         "p10_timestamp_preds": q_timestamp_preds,
@@ -5298,8 +5249,15 @@ def queries() -> dict:
         "e6_jobm_qerror": q_jobm_qerror,
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
-        # --- freshest: r05-green keys ---
+        # --- window fill: r05 keys sharing code with this round's
+        # changes (LSH banding / probe, semdedup, line dedup,
+        # streaming twin) ---
+        "x60_incremental_neardup": q_incremental_neardup,
         "x47_semdedup": q_semdedup,
+        "x59_line_dedup": q_line_dedup,
+        "st11_stream_dsir": q_stream_dsir,
+        # --- past the cap: remaining r05-green keys (the r08
+        # refresh block, stalest-first) ---
         "x48_pareto_sample": q_pareto_sample,
         "x49_token_budget": q_token_budget,
         "x50_perplexity_band": q_perplexity_band,
@@ -5310,9 +5268,6 @@ def queries() -> dict:
         "x55_ccnet_bands": q_ccnet_bands,
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
-        "st11_stream_dsir": q_stream_dsir,
-        "x59_line_dedup": q_line_dedup,
-        "x60_incremental_neardup": q_incremental_neardup,
         "a29_volume_shipping": q_volume_shipping,
         "a30_product_profit": q_product_profit,
         "a31_market_share": q_market_share,
@@ -5346,6 +5301,53 @@ def queries() -> dict:
         "a2_group_agg": q_group_agg,
         "a3_dictionary": q_dictionary,
         "a4_join_group_topk": q_join_group_topk,
+        # --- freshest: r06-green keys ---
+        "st1_window_hourly": q_window_hourly,
+        "st2_sessionize": q_sessionize,
+        "st3_stream_window": q_stream_window,
+        "st4_stream_sessions": q_stream_sessions,
+        "st5_stream_first_seen": q_stream_first_seen,
+        "st6_stream_join": q_stream_join,
+        "st7_stream_fk_counts": q_stream_fk_counts,
+        "st8_stream_kmv": q_stream_kmv,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_minhash_sigs": q_minhash_sigs,
+        "x3_ngram_jaccard": q_ngram_jaccard,
+        "x4_simhash": q_simhash,
+        "x5_text_stats": q_text_stats,
+        "x6_lang_id": q_lang_id,
+        "x7_fingerprint": q_fingerprint,
+        "x8_sim_topk": q_sim_topk,
+        "x9_lsh_buckets": q_lsh_buckets,
+        "x15_ivf_cells": q_ivf_cells,
+        "x16_ivf_topk": q_ivf_topk,
+        "x17_kmv_distinct": q_kmv_distinct,
+        "x18_stratified_sample": q_stratified_sample,
+        "x21_time_rollup": q_time_rollup,
+        "x24_training_corpus": q_training_corpus,
+        "x25_bloom_semi": q_bloom_semi_join,
+        "x28_kmv_setops": q_kmv_setops,
+        "x33_simsel_card": q_simsel_card,
+        "a5_quantiles": q_quantiles,
+        "a7_entropy": q_entropy,
+        "a25_late_shipment_priority": q_late_shipment_priority,
+        "e7_trm_qerror": q_trm_qerror,
+        "e8_search": q_grid_search,
+        "f1_scalar_funcs": q_scalar_funcs,
+        "f2_json_extract": q_json_extract,
+        "m1_encode": q_encode,
+        "m2_factorize": q_factorize,
+        "o1_topk": q_topk,
+        "p1_filter_ops": q_filter_ops,
+        "p2_filter_like": q_filter_like,
+        "p9_or_filters": q_or_filters,
+        "s2_stage_sinks": q_stage_sinks,
+        "s3_benchmark_csv": q_benchmark_csv,
+        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
+        "o3_stitch_chain": q_stitch_chain,
+        "o4_sampling_orderings": q_sampling_orderings,
+        "x40_curate_corpus": q_curate_corpus,
+        "x41_kmeans_iter": q_kmeans_iter,
     }
 
 

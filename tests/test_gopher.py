@@ -157,6 +157,48 @@ def test_repetition_battery_crafted_docs(spark):
                    if k not in ("doc_id", "rep_keep"))
 
 
+def test_repetition_tiebreak_hash_vs_raw_invariant(spark):
+    """Property-pin the round-6 tie-break argument: replacing the raw
+    gram string with (xxhash64, len) in the count shuffle and the
+    max_by tie-break must leave EVERY battery output bit-identical —
+    over random corpora built from a tiny equal-length vocabulary, so
+    (count, chars) ties (the only case where the tie-break key order
+    differs between hash and raw) occur constantly."""
+    from hypothesis import given, settings, strategies as st
+    from scardina_spark.operators.gopher import repetition_signals
+
+    vocab = ["aa", "bb", "cc", "dd"]  # equal lengths -> forced ties
+
+    @st.composite
+    def corpus(draw):
+        n_docs = draw(st.integers(2, 8))
+        docs = []
+        for i in range(n_docs):
+            n_words = draw(st.integers(0, 60))
+            words = [vocab[draw(st.integers(0, 3))]
+                     for _ in range(n_words)]
+            # sprinkle line breaks so line/para kinds participate
+            text = ""
+            for j, w in enumerate(words):
+                sep = "\n" if j and draw(st.booleans()) else " "
+                text += (sep if j else "") + w
+            docs.append((i, text))
+        return docs
+
+    @given(docs=corpus())
+    @settings(max_examples=8, deadline=None)
+    def check(docs):
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        hashed = [r.asDict() for r in
+                  repetition_signals(df).orderBy("doc_id").collect()]
+        raw = [r.asDict() for r in
+               repetition_signals(df, _hash_units=False)
+               .orderBy("doc_id").collect()]
+        assert hashed == raw
+
+    check()
+
+
 def test_repetition_battery_matches_bruteforce(spark, tables):
     """Cross-check the Spark battery against a direct Python
     recomputation of the documented formulas on a corpus slice."""
