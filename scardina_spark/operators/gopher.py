@@ -183,8 +183,10 @@ def repetition_signals(df: DataFrame, col: str = "text",
     # shuffle rows are fixed-width (~40 B) instead of carrying long
     # grams.  A count merge would need an xxhash64 collision AT EQUAL
     # LENGTH within one (doc, kind) group — ~n²/2⁶⁴ per document,
-    # negligible.  The shuffle-byte win over raw grams is asserted by
-    # the opt-in scale smoke (tests/test_scale_smoke.py).
+    # negligible.  The shuffle-byte win over raw grams is MEASURED by
+    # the opt-in scale smoke (tests/test_scale_smoke.py): ~1.5x on the
+    # short-gram synthetic sf corpus, >=2x (measured 4.3x uncompressed)
+    # once units are long — the web-text shape the hashing targets.
     # ``_hash_units=False`` keeps the RAW unit string as the grouping/
     # tie-break key (the pre-round-6 representation) through the SAME
     # formulas — test-only, so the hashed path's value-invariance is

@@ -223,6 +223,228 @@ def test_repetition_battery_scales_linearly(spark):
     assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
 
 
+def _shuffle_metrics(df) -> dict:
+    """Execute ``df`` (reduced to a driver-sized count so nothing big
+    collects) and sum shuffleBytesWritten (compressed wire bytes) and
+    dataSize (uncompressed row bytes) over every ShuffleExchange in the
+    executed plan (AQE query stages descended) — per-plan SQL metrics,
+    immune to other queries on the session.  The reduction must be
+    built ON df and collect()ed so the inspected QueryExecution is the
+    one that ran (``df.count()`` plans a SEPARATE execution and would
+    leave df's own metrics empty)."""
+    probe = df.groupBy().count()
+    probe.collect()
+    ep = probe._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in ep.getClass().getSimpleName():
+        ep = ep.executedPlan()
+    out = {"shuffleBytesWritten": 0, "dataSize": 0}
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                k = str(kv._1())
+                if k in out:
+                    out[k] += int(kv._2().value())
+        if "QueryStage" in name:
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(ep)
+    return out
+
+
+def _battery_shuffles(units):
+    hashed = (units.select(
+        "doc_id", "doc_chars", "kind",
+        F.xxhash64("unit").alias("uhash"),
+        F.length("unit").alias("ulen"))
+        .groupBy("doc_id", "doc_chars", "kind", "uhash", "ulen")
+        .agg(F.count(F.lit(1)).alias("c")))
+    raw = (units
+           .groupBy("doc_id", "doc_chars", "kind", "unit")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return _shuffle_metrics(hashed), _shuffle_metrics(raw)
+
+
+def test_repetition_hashed_shuffle_beats_raw_grams(spark):
+    """MEASURE the round-6 hashing change (r6 verdict nit: the
+    shuffle-width win was argued, never measured).  Two corpora:
+
+    * the 10x sf corpus — short synthetic grams, so the honest win is
+      modest: hashed must still shuffle strictly fewer bytes, both
+      compressed (wire) and uncompressed (dataSize >= 1.3x, the
+      row-width the argument is actually about);
+    * a crafted long-unit corpus (~240-char lines — the web-text shape
+      where lines/paragraphs dominate bytes) — the claimed >= 2x
+      uncompressed win must materialize.
+
+    Measured on this box: sf corpus ~1.5x both metrics (the round-6
+    note's 2-5x band holds only for long units); long-unit corpus
+    comfortably >= 2x."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.gopher import unit_relation
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_docs)
+           .drop("__rep__"))
+    h, r = _battery_shuffles(unit_relation(big))
+    assert 0 < h["shuffleBytesWritten"] < r["shuffleBytesWritten"]
+    assert h["dataSize"] * 1.3 <= r["dataSize"], (h, r)
+    print(f"x56 sf-corpus shuffle: hashed {h} vs raw {r} (wire "
+          f"{r['shuffleBytesWritten'] / h['shuffleBytesWritten']:.2f}x, "
+          f"rows {r['dataSize'] / h['dataSize']:.2f}x)")
+
+    # 30-char tokens make EVERY unit long — the n-gram rows (which
+    # dominate the exploded relation ~9:1) are 60-300 chars each, the
+    # shape of real web text with long words/URLs/code identifiers
+    toks = [f"identifier{i:04d}".ljust(30, "x") for i in range(100)]
+    doc = "\n".join(" ".join(toks[j:j + 10])
+                    for j in range(0, 100, 10))
+    texts = [(i, doc) for i in range(500)]
+    crafted = spark.createDataFrame(texts, "doc_id: long, text: string")
+    h2, r2 = _battery_shuffles(unit_relation(crafted))
+    assert h2["dataSize"] * 2 <= r2["dataSize"], (h2, r2)
+    print(f"x56 long-unit shuffle: rows "
+          f"{r2['dataSize'] / h2['dataSize']:.2f}x smaller hashed")
+
+
+def _replicated_embeddings(spark, factor):
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    n = emb.count()
+    reps = spark.range(factor).select(F.col("id").alias("__rep__"))
+    big = (emb.crossJoin(reps)
+           .withColumn("vec_id", F.col("vec_id") + F.col("__rep__") * n)
+           # perturb magnitude only per replica: k-means still separates
+           # the data's real clusters, vectors stay distinct rows
+           .withColumn("embedding",
+                       F.expr("transform(embedding, "
+                              "x -> cast(x * (1.0 + __rep__ / 100.0) "
+                              "as float))"))
+           .drop("__rep__"))
+    return emb, big, n
+
+
+def test_semdedup_pair_work_subquadratic(spark):
+    """SemDeDup's growth law: with derived k ~ sqrt(n) cells the
+    within-cell pair work must grow ~n^1.5, never ~n^2 — measured
+    EXACTLY from the cell histogram (sum of c*(c-1)/2), not wall-clock,
+    at 1x vs 10x embeddings."""
+    from scardina_spark.operators.similarity import (
+        derive_ivf_params, ivf_assign, ivf_train, semdedup_flags)
+
+    emb, big, n = _replicated_embeddings(spark, 10)
+
+    def pair_work(df):
+        k, _ = derive_ivf_params(df.count())
+        cents = ivf_train(df, k=k, iters=2)
+        hist = (ivf_assign(df, cents).groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("c")))
+        row = hist.agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.max("c").alias("maxc")).first()
+        return float(row["pairs"]), cents
+
+    base_pairs, _ = pair_work(emb)
+    big_pairs, big_cents = pair_work(big)
+    # n^1.5 predicts ~31.6x; n^2 would be 100x.  The bound allows 2x
+    # cell-imbalance headroom but still rejects anything quadratic.
+    assert big_pairs <= base_pairs * 10 ** 1.75, (base_pairs, big_pairs)
+    # and the operator still runs end-to-end at 10x with sane output
+    flags = semdedup_flags(big, big_cents, threshold=0.95)
+    kept = flags.where("kept").count()
+    assert 0 < kept < big.count()
+
+
+def test_ivf_indexed_probe_fraction_shrinks(spark):
+    """The IVF scale path: with derived (k, nprobe) the probed fraction
+    of the corpus must SHRINK as the corpus grows (~N^-1/4), and the
+    indexed top-k must still land in the brute-force top set."""
+    from scardina_spark.operators.similarity import (
+        IvfIndex, derive_ivf_params, ivf_assign, ivf_train,
+        topk_cosine, topk_cosine_ivf_indexed)
+
+    emb, big, n = _replicated_embeddings(spark, 10)
+    query = [float(x) for x in
+             emb.orderBy("vec_id").first()["embedding"]]
+
+    def probe_stats(df):
+        n_rows = df.count()
+        k, nprobe = derive_ivf_params(n_rows)
+        cents = ivf_train(df, k=k, iters=2)
+        assigned = ivf_assign(df, cents)
+        index = IvfIndex(assigned, cents, "vec_id", "embedding")
+        top = topk_cosine_ivf_indexed(index, query, k=10, nprobe=nprobe)
+        got = [r["vec_id"] for r in top.collect()]
+        from scardina_spark.operators.similarity import _probe_cells
+        probed = _probe_cells(cents, query, nprobe)
+        scanned = (assigned.where(F.col("cell").isin(probed)).count())
+        return scanned / n_rows, got, df
+
+    frac_base, got_base, _ = probe_stats(emb)
+    frac_big, got_big, big_df = probe_stats(big)
+    assert frac_big < frac_base, (frac_base, frac_big)
+    # recall floor vs brute force at 10x: the probed cells must hold
+    # most of the true top-10 (the query IS a corpus vector, so its
+    # replicas dominate and cluster together)
+    brute = {r["vec_id"] for r in
+             topk_cosine(big_df, query, k=10).collect()}
+    recall = len(set(got_big) & brute) / 10
+    assert recall >= 0.5, (recall, got_big, brute)
+    print(f"ivf probe fraction: {frac_base:.3f} -> {frac_big:.3f}, "
+          f"recall@10 at 10x: {recall}")
+
+
+def test_substring_dedup_scales_and_saturates(spark):
+    """10x replication makes EVERY k-token window a corpus-level
+    duplicate: ExactSubstr must flag each replicated doc as one full
+    span (10x the docs with >= k tokens) and strip everything, at
+    roughly linear cost."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.substring import (
+        duplicated_spans, strip_duplicated_spans)
+
+    k = 8
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_long = docs.where(F.size(F.split(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "))
+        >= k).count()
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_docs)
+           .drop("__rep__"))
+
+    t0 = time.perf_counter()
+    base_spans = duplicated_spans(docs, k=k).count()
+    base_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    spans = duplicated_spans(big, k=k)
+    big_spans = spans.count()
+    big_s = time.perf_counter() - t0
+
+    # every position of every replicated doc is flagged -> exactly one
+    # maximal span per doc with >= k tokens
+    assert big_spans == 10 * n_long, (big_spans, n_long)
+    assert big_spans > 10 * base_spans  # base corpus is NOT saturated
+    stripped = strip_duplicated_spans(big, k=k, spans=spans)
+    row = (stripped.where(F.col("n_tokens") >= k)
+           .agg(F.sum("n_tokens").alias("nt"),
+                F.sum("n_removed").alias("nr")).first())
+    assert row["nt"] == row["nr"]  # total duplication strips everything
+    assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
+
+
 def test_line_dedup_scales_and_saturates(spark):
     """10x replication makes EVERY line a corpus-level duplicate: the
     pass must drop everything (n_kept = 0) while costing roughly
