@@ -1,12 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode/feature steps as Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codecs are not available in this environment, so the decode
-kernel is a clearly-marked deterministic stub — but the Spark-side contract
-is real and tested: schema (binary payload + metadata struct), partitioning
-(payload-size-aware repartition so one executor never holds a skewed chunk
-of large blobs), Arrow batch shapes, and the UDF signature a real decoder
-would drop into.
+AUDIO decode is REAL: payloads are RIFF/WAVE containers (stdlib ``wave``
+encoder) and ``decode_wav_features`` parses them back with the stdlib
+``wave`` reader — an actual container codec with header/format/frame
+extraction, exact-integer features, and a from-first-principles DuckDB
+oracle (x61).  The IMAGE/VIDEO codecs are not available in this
+environment (no PIL/ffmpeg), so their decode kernel remains a
+clearly-marked deterministic stub — the Spark-side contract is real and
+tested either way: schema (binary payload + metadata struct),
+partitioning (payload-size-aware repartition so one executor never holds
+a skewed chunk of large blobs), Arrow batch shapes, and the UDF
+signature a real decoder drops into (``decode_wav_features`` IS that
+drop-in, demonstrated).
 
 At 100 TB the rules encoded here matter: binary columns ride along parquet
 scans without being read when pruned (columnar projection), metadata-only
@@ -184,6 +190,116 @@ def resize_batch(df: DataFrame, target_bytes: int = 64,
             })
 
     return classed.mapInPandas(run, RESIZE_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 8000
+
+WAV_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_us", LongType()),
+    StructField("pcm_sum", LongType()),
+    StructField("pcm_sq_sum", LongType()),   # sum of (sample-128)^2
+    StructField("peak", IntegerType()),      # max |sample-128|
+])
+
+
+def pcm_to_wav(pcm: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A REAL RIFF/WAVE container around 8-bit unsigned mono PCM —
+    written with the stdlib ``wave`` encoder (44-byte canonical PCM
+    header + data chunk), so the decode side exercises an actual
+    container format, not a fake."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def documents_as_wav(df: DataFrame, id_col: str = "doc_id",
+                     col: str = "text",
+                     sample_rate: int = WAV_SAMPLE_RATE) -> DataFrame:
+    """An audio media table with REAL WAV payloads: each document's
+    utf-8 bytes become the 8-bit PCM samples of a mono WAV container.
+    Deterministic, so every decoded feature is recomputable by a SQL
+    oracle straight from the text.  Container construction is the
+    Arrow-batched Python stage (binary assembly is exactly the work
+    that belongs in ``mapInPandas``); everything after decode is
+    metadata-sized."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                pcm_to_wav((t or "").encode("utf-8"), sample_rate)
+                for t in pdf[col]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].values,
+                "kind": ["audio"] * len(pdf),
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), col)
+            .mapInPandas(run, out_schema))
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each payload with the stdlib ``wave``
+    reader (RIFF header, format block, frame extraction — an actual
+    codec, unlike the image/video ``decode_stub``) and emit
+    exact-integer features: sample count, duration, PCM byte sum,
+    centered sum of squares (the RMS numerator) and peak amplitude.
+    Integer outputs keep the operator bit-reproducible by the DuckDB
+    oracle, which recomputes every value from the source text.
+
+    Arrow-batched ``mapInPandas``; payload bytes cross into Python
+    once, features leaving the stage are a few ints per row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("media_id", "sample_rate",
+                                    "n_samples", "duration_us",
+                                    "pcm_sum", "pcm_sq_sum", "peak")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = w.readframes(n)
+                arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                centered = arr - 128
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["pcm_sum"].append(int(arr.sum()))
+                rows["pcm_sq_sum"].append(int((centered * centered).sum()))
+                rows["peak"].append(int(np.abs(centered).max())
+                                    if n else 0)
+            yield pd.DataFrame(rows)
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(run, WAV_FEATURE_SCHEMA))
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -2902,6 +2902,46 @@ from planned order by media_id, frame_idx
 """
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 (REAL audio decode; upgrades the multimodal 'weak' item):
+    every document's utf-8 bytes become the 8-bit PCM of a genuine
+    RIFF/WAVE container (stdlib ``wave`` encoder, Arrow-batched
+    assembly), then ``decode_wav_features`` parses the containers back
+    with the stdlib ``wave`` READER — header, format block, frame
+    extraction — and emits exact-integer features (sample count,
+    duration, PCM sum, centered sum-of-squares, peak).  The oracle
+    recomputes every value from the text's character codes (the corpus
+    is ASCII at all SFs, so code point == PCM byte), certifying the
+    encode -> container -> decode -> features loop end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    wav = MM.documents_as_wav(docs)
+    return MM.decode_wav_features(wav).orderBy("media_id")
+
+
+SQL_WAV_DECODE = """
+with d as (select doc_id, coalesce(text, '') as t,
+                  length(coalesce(text, '')) as n
+           from documents),
+b as (
+  select doc_id, ascii(substr(t, i, 1)) as v
+  from d, unnest(range(1, n + 1)) as u(i)),
+agg as (
+  select doc_id, sum(v) as pcm_sum,
+         sum((v - 128) * (v - 128)) as sq,
+         max(abs(v - 128)) as pk
+  from b group by doc_id)
+select d.doc_id::BIGINT as media_id,
+       8000::INT as sample_rate,
+       d.n::BIGINT as n_samples,
+       (d.n * 1000000 // 8000)::BIGINT as duration_us,
+       coalesce(a.pcm_sum, 0)::BIGINT as pcm_sum,
+       coalesce(a.sq, 0)::BIGINT as pcm_sq_sum,
+       coalesce(a.pk, 0)::INT as peak
+from d left join agg a using (doc_id)
+order by media_id
+"""
+
+
 def q_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize with size-class co-location: rows range-partitioned
     by payload size so each Arrow batch holds similarly-sized blobs, then a
@@ -5203,6 +5243,7 @@ def queries() -> dict:
     return {
         # --- new / changed this round ---
         "st12_stream_neardup": q_stream_neardup,
+        "x61_wav_decode": q_wav_decode,
         "e5_perror": q_perror,
         "e11_pg_plan_cost": q_pg_plan_cost,
         "x56_repetition_battery": q_repetition_battery,
@@ -5484,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         # st12 streams the same shard split, so the x60 recomputation
         # is its exact oracle too
         "st12_stream_neardup": SQL_INCREMENTAL_NEARDUP,
+        "x61_wav_decode": SQL_WAV_DECODE,
         "a29_volume_shipping": SQL_VOLUME_SHIPPING,
         "a30_product_profit": SQL_PRODUCT_PROFIT,
         "a31_market_share": SQL_MARKET_SHARE,
