@@ -2,10 +2,24 @@
 
 Reference semantics (NOT code): scardina/run.py:611-708 — a search over
 {d_word, d_ff, ...} scored by validation loss, best config exported.  The
-reference drives Ray Tune + Optuna + ASHA; here a deterministic grid with
-a seeded 90/10 train/validation split (validation capped at 10k rows,
-matching scardina/common.py:597-608) is enough — the model space is small
-and each trial is seconds of NumPy.
+reference drives Ray Tune + Optuna + ASHA; here two deterministic
+drivers cover the same protocol:
+
+* ``grid_search`` — exhaustive over the (small) space, every trial at
+  full budget; and
+* ``asha_search`` — the reference's ASHA SCHEDULER semantics made
+  deterministic: successive-halving rungs (epoch budgets r, r·eta,
+  r·eta², ...), each rung keeping the top 1/eta configs by validation
+  loss (ties broken by config, so the run is reproducible), survivors
+  retrained at the next budget from the same seed.  Synchronous rather
+  than async (no worker pool here — promotion decisions see the whole
+  rung, which is ASHA's limit behavior), and early-stopped configs
+  really do cost only their rung budget — the resource-adaptivity the
+  reference gets from Ray's scheduler.
+
+Both use a seeded 90/10 train/validation split (validation capped at
+10k rows, matching scardina/common.py:597-608); each trial is seconds
+of NumPy.
 """
 
 from __future__ import annotations
@@ -55,6 +69,75 @@ class TrialResult:
     cfg: TrainConfig
     val_loss: float
     train_loss: float
+
+
+@dataclass
+class AshaTrial:
+    cfg: TrainConfig
+    rung: int          # highest rung this config was trained at
+    epochs: int        # epoch budget of that rung
+    val_loss: float    # validation loss at that rung
+    train_loss: float
+    promoted: bool     # survived into the next rung
+
+
+def asha_schedule(n_configs: int, max_epochs: int, eta: int = 2,
+                  min_epochs: int = 2) -> list[tuple[int, int]]:
+    """The successive-halving ladder: [(epoch_budget, n_kept_after)]
+    per rung.  Budgets grow by eta, survivors shrink by eta, and the
+    last rung trains at ``max_epochs`` keeping one winner."""
+    rungs = []
+    n, e = n_configs, min_epochs
+    while n > 1 and e < max_epochs:
+        keep = max(1, n // eta)
+        rungs.append((e, keep))
+        n, e = keep, min(e * eta, max_epochs)
+    rungs.append((max_epochs, 1))
+    return rungs
+
+
+def asha_search(input_bins: list[tuple[str, int]], codes: np.ndarray,
+                base: TrainConfig | None = None,
+                d_words: tuple[int, ...] = (8, 16, 32),
+                d_ffs: tuple[int, ...] = (32, 64, 96),
+                eta: int = 2, min_epochs: int = 2,
+                model_cls=NarMLP) -> tuple[NarMLP, list[AshaTrial]]:
+    """Deterministic successive halving over the (d_word, d_ff) grid:
+    returns the winning model (trained at the full epoch budget) and
+    the complete trial table — one row per (config, rung) training run,
+    so the promotion decisions are externally re-checkable.
+
+    Retraining survivors from the same seed (rather than checkpointing
+    optimizer state) keeps every rung bit-reproducible; at this model
+    scale a retrain costs the same handful of seconds the reference's
+    per-trial Ray task does."""
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    alive = [replace(base, d_word=dw, d_ff=dff)
+             for dw in d_words for dff in d_ffs]
+    rungs = asha_schedule(len(alive), base.epochs, eta, min_epochs)
+    trials: list[AshaTrial] = []
+    best_model = None
+    for rung_idx, (budget, keep) in enumerate(rungs):
+        scored = []
+        for cfg in alive:
+            run_cfg = replace(cfg, epochs=budget)
+            model = model_cls(input_bins, run_cfg)
+            losses = model.fit(train)
+            vl = masked_val_loss(model, val)
+            scored.append((vl, cfg.d_word, cfg.d_ff, cfg, model,
+                           losses[-1]))
+        # promotion rule: top-`keep` by (val_loss, d_word, d_ff) — the
+        # config tie-break makes the whole run deterministic
+        scored.sort(key=lambda t: (t[0], t[1], t[2]))
+        kept = {(t[1], t[2]) for t in scored[:keep]}
+        for vl, dw, dff, cfg, model, tl in scored:
+            trials.append(AshaTrial(replace(cfg, epochs=budget),
+                                    rung_idx, budget, vl, tl,
+                                    (dw, dff) in kept))
+        alive = [t[3] for t in scored[:keep]]
+        best_model = scored[0][4]
+    return best_model, trials
 
 
 def grid_search(input_bins: list[tuple[str, int]], codes: np.ndarray,

@@ -3337,6 +3337,94 @@ def _sql_pg_plan_cost() -> str:
     return "\nunion all\n".join(parts) + "\norder by q"
 
 
+_ASHA_D_WORDS = (8, 12, 16)
+_ASHA_D_FFS = (32, 48, 64)
+_ASHA_MAX_EPOCHS = 8
+_ASHA_ETA = 2
+_ASHA_MIN_EPOCHS = 2
+
+
+def q_asha_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (ASHA successive-halving search — the reference's scheduler
+    semantics, scardina/run.py:611-657 Ray Tune + ASHA, made
+    deterministic; complements e8's exhaustive grid): rung ladder of
+    epoch budgets (r, r·eta, ...), each rung keeping the top 1/eta
+    configs by validation loss with a config tie-break
+    (`model/search.asha_search`).  Output: one row per rung with its
+    schedule (budget, configs trained, configs kept) and `ok`
+    certifying Spark-side that (a) each rung's promotions equal the
+    independently recomputed top-k of its trial rows, (b) the winner is
+    the final rung's argmin, (c) every loss is finite, and (d) the run
+    really was resource-adaptive (total epochs spent < exhaustive
+    full-budget cost).  The oracle emits the literal ladder — which
+    configs survive is loss-dependent and carried by the booleans."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import asha_schedule, asha_search
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=_ASHA_MAX_EPOCHS, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    best_model, trials = asha_search(bins, codes, base,
+                                     d_words=_ASHA_D_WORDS,
+                                     d_ffs=_ASHA_D_FFS,
+                                     eta=_ASHA_ETA,
+                                     min_epochs=_ASHA_MIN_EPOCHS)
+    sched = asha_schedule(len(_ASHA_D_WORDS) * len(_ASHA_D_FFS),
+                          _ASHA_MAX_EPOCHS, _ASHA_ETA, _ASHA_MIN_EPOCHS)
+    ok = all(math.isfinite(t.val_loss) and math.isfinite(t.train_loss)
+             for t in trials)
+    by_rung: dict[int, list] = {}
+    for t in trials:
+        by_rung.setdefault(t.rung, []).append(t)
+    n_prev = len(_ASHA_D_WORDS) * len(_ASHA_D_FFS)
+    for rung, (budget, keep) in enumerate(sched):
+        rows = by_rung.get(rung, [])
+        ok = ok and len(rows) == n_prev
+        ok = ok and all(t.epochs == budget for t in rows)
+        # promotions == independently recomputed top-k
+        order = sorted(rows, key=lambda t: (t.val_loss, t.cfg.d_word,
+                                            t.cfg.d_ff))
+        want = {(t.cfg.d_word, t.cfg.d_ff) for t in order[:keep]}
+        got = {(t.cfg.d_word, t.cfg.d_ff) for t in rows if t.promoted}
+        ok = ok and want == got
+        n_prev = keep
+    final = sorted(by_rung[len(sched) - 1],
+                   key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
+    ok = ok and (best_model.cfg.d_word, best_model.cfg.d_ff) == (
+        final[0].cfg.d_word, final[0].cfg.d_ff)
+    spent = sum(t.epochs for t in trials)
+    exhaustive = (len(_ASHA_D_WORDS) * len(_ASHA_D_FFS)
+                  * _ASHA_MAX_EPOCHS)
+    ok = ok and spent < exhaustive
+    out = [(rung, budget, (len(by_rung.get(rung, []))), keep, bool(ok))
+           for rung, (budget, keep) in enumerate(sched)]
+    return (spark.createDataFrame(
+        out, "rung int, epochs int, n_trained int, n_kept int, "
+             "ok boolean")
+        .orderBy("rung"))
+
+
+def _sql_asha_search() -> str:
+    from .model.search import asha_schedule
+    sched = asha_schedule(len(_ASHA_D_WORDS) * len(_ASHA_D_FFS),
+                          _ASHA_MAX_EPOCHS, _ASHA_ETA, _ASHA_MIN_EPOCHS)
+    n_prev = len(_ASHA_D_WORDS) * len(_ASHA_D_FFS)
+    parts = []
+    for rung, (budget, keep) in enumerate(sched):
+        parts.append(f"select {rung}::INT as rung, {budget}::INT as "
+                     f"epochs, {n_prev}::INT as n_trained, "
+                     f"{keep}::INT as n_kept, true as ok")
+        n_prev = keep
+    return "\nunion all\n".join(parts) + "\norder by rung"
+
+
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: deterministic hyperparameter grid search (reference
     scardina/run.py:611-657 — Ray Tune/Optuna over {d_word, d_ff},
@@ -5244,6 +5332,7 @@ def queries() -> dict:
         # --- new / changed this round ---
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
+        "e12_asha_search": q_asha_search,
         "e5_perror": q_perror,
         "e11_pg_plan_cost": q_pg_plan_cost,
         "x56_repetition_battery": q_repetition_battery,
@@ -5526,6 +5615,7 @@ def oracle_sql() -> dict[str, str]:
         # is its exact oracle too
         "st12_stream_neardup": SQL_INCREMENTAL_NEARDUP,
         "x61_wav_decode": SQL_WAV_DECODE,
+        "e12_asha_search": _sql_asha_search(),
         "a29_volume_shipping": SQL_VOLUME_SHIPPING,
         "a30_product_profit": SQL_PRODUCT_PROFIT,
         "a31_market_share": SQL_MARKET_SHARE,

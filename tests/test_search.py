@@ -41,3 +41,53 @@ def test_masked_val_loss_deterministic():
                TrainConfig(epochs=2, d_word=8, d_ff=16, seed=0))
     m.fit(codes)
     assert masked_val_loss(m, codes) == masked_val_loss(m, codes)
+
+
+def test_asha_schedule_ladder():
+    from scardina_spark.model.search import asha_schedule
+    # 9 configs, max 8 epochs, eta 2: 9@2 -> 4@4 -> 2@8(final keeps 1)
+    assert asha_schedule(9, 8, eta=2, min_epochs=2) == [
+        (2, 4), (4, 2), (8, 1)]
+    # degenerate single config: one full-budget rung
+    assert asha_schedule(1, 8) == [(8, 1)]
+
+
+def test_asha_search_promotions_and_adaptivity():
+    from scardina_spark.model.search import asha_schedule, asha_search
+    rs = np.random.RandomState(0)
+    x = rs.randint(2, 10, size=3000)
+    y = np.where(rs.rand(3000) < 0.85, x, rs.randint(2, 10, size=3000))
+    codes = np.stack([x, y], axis=1)
+    base = TrainConfig(epochs=8, batch_size=512, seed=2)
+    model, trials = asha_search([("x", 10), ("y", 10)], codes, base,
+                                d_words=(8, 16), d_ffs=(16, 32),
+                                eta=2, min_epochs=2)
+    sched = asha_schedule(4, 8, 2, 2)
+    # trial table follows the ladder: n_trained per rung
+    n_prev = 4
+    for rung, (budget, keep) in enumerate(sched):
+        rows = [t for t in trials if t.rung == rung]
+        assert len(rows) == n_prev
+        assert all(t.epochs == budget for t in rows)
+        # promotions are exactly the top-k with the config tie-break
+        order = sorted(rows, key=lambda t: (t.val_loss, t.cfg.d_word,
+                                            t.cfg.d_ff))
+        assert [t.promoted for t in order] == (
+            [True] * keep + [False] * (n_prev - keep))
+        n_prev = keep
+    # winner is the final rung's argmin
+    final = [t for t in trials if t.rung == len(sched) - 1]
+    best = min(final, key=lambda t: (t.val_loss, t.cfg.d_word,
+                                     t.cfg.d_ff))
+    assert (model.cfg.d_word, model.cfg.d_ff) == (
+        best.cfg.d_word, best.cfg.d_ff)
+    # resource adaptivity: spent < exhaustive full-budget cost
+    assert sum(t.epochs for t in trials) < 4 * 8
+    # deterministic end to end
+    model2, trials2 = asha_search([("x", 10), ("y", 10)], codes, base,
+                                  d_words=(8, 16), d_ffs=(16, 32),
+                                  eta=2, min_epochs=2)
+    assert [(t.cfg.d_word, t.cfg.d_ff, t.rung, t.val_loss, t.promoted)
+            for t in trials] == \
+           [(t.cfg.d_word, t.cfg.d_ff, t.rung, t.val_loss, t.promoted)
+            for t in trials2]
