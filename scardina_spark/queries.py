@@ -5379,15 +5379,15 @@ def queries() -> dict:
         "e6_jobm_qerror": q_jobm_qerror,
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
-        # --- window fill: r05 keys sharing code with this round's
-        # changes (LSH banding / probe, semdedup, line dedup,
-        # streaming twin) ---
+        # --- window fill to exactly 50: r05 keys sharing code with
+        # this round's changes (LSH banding / probe, semdedup) ---
         "x60_incremental_neardup": q_incremental_neardup,
         "x47_semdedup": q_semdedup,
+        # --- past the cap: remaining r05-green keys (the r08
+        # refresh block, stalest-first; x59/st11 lead — they share
+        # this round's touched code) ---
         "x59_line_dedup": q_line_dedup,
         "st11_stream_dsir": q_stream_dsir,
-        # --- past the cap: remaining r05-green keys (the r08
-        # refresh block, stalest-first) ---
         "x48_pareto_sample": q_pareto_sample,
         "x49_token_budget": q_token_budget,
         "x50_perplexity_band": q_perplexity_band,
