@@ -181,6 +181,10 @@ def bushy_best_plan(pq: ParsedQuery, cards: dict[frozenset, float],
     break by enumeration order (subsets sorted, splits in mask order),
     so the chosen tree is deterministic."""
     adj = _join_graph(pq)
+    if not _connected(frozenset(pq.tables), adj):
+        raise UnsupportedQueryError(
+            "disconnected join graph (cartesian product) has no "
+            "connected join trees")
     subsets = sorted(connected_subsets(pq), key=lambda s: (len(s),
                                                            sorted(s)))
     best: dict[frozenset, tuple[float, object]] = {}
@@ -286,6 +290,10 @@ def p_error(query: ParsedQuery | str, est_fn, true_fn,
         raise UnsupportedQueryError(
             "disconnected join graph (cartesian product) has no "
             "left-deep join orders")
+    if not _connected(frozenset(pq.tables), _join_graph(pq)):
+        raise UnsupportedQueryError(
+            "disconnected join graph (cartesian product) has no "
+            "connected join trees")
     # size-1 subsets are base-table scans — C_out never reads them, the
     # smj model charges their sort as a build input
     min_size = 1 if cost_model == "smj" else 2
