@@ -706,6 +706,19 @@ def main() -> None:
         extras["line_dedup_kept"] = int(row["nk"])
     timed("line_dedup", run_line_dedup)
 
+    # round-7 addition: real WAV encode+decode loop (stdlib wave codec)
+    from scardina_spark.operators.multimodal import (
+        decode_wav_features, documents_as_wav)
+
+    def run_wav():
+        row = decode_wav_features(documents_as_wav(docs)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_samples").alias("ns"),
+            F.sum("pcm_sum").alias("ps")).first()
+        extras["wav_n_containers"] = int(row["n"])
+        extras["wav_total_samples"] = int(row["ns"])
+    timed("wav_encode_decode", run_wav)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",
