@@ -368,3 +368,57 @@ def test_order_count_dist_filter_inside_outer_join(spark, sf_dir):
     plan = _plan(q_order_count_dist(spark, sf_dir))
     assert "LeftOuter" in plan
     assert "1-URGENT" in plan  # filter reached the scan side, not post-agg
+
+
+def test_stream_neardup_stream_side_is_projection_only(spark, sf_dir):
+    """st12's legality rests on the stream side being PURE PROJECTION
+    up to the stream-static joins: the analyzed streaming plan must
+    contain no aggregate before them (the rowwise signatures replace
+    the batch explode+groupBy), and exactly one stateful operator (the
+    pair suppression)."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.neardup import (
+        build_neardup_index, near_dup_probe_stream)
+    docs = load_table(spark, sf_dir, "documents")
+    bands, shingles = build_neardup_index(
+        docs.where(F.col("doc_id") % 5 != 0))
+    st = (read_documents_stream(spark, sf_dir)
+          .where(F.col("doc_id") % 5 == 0))
+    out = near_dup_probe_stream(st, bands, shingles)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # one stateful operator: the applyInPandasWithState suppression
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    # the analyzed plan's only Aggregates belong to the BATCH index
+    # side (minhash signatures of the static corpus) — the stream
+    # lineage is projection/join-only because the rowwise signing
+    # replaces the explode+groupBy form
+    n_agg = plan.count("Aggregate")
+    idx_plan = bands._jdf.queryExecution().analyzed().toString()
+    assert n_agg == idx_plan.count("Aggregate"), (n_agg, plan)
+
+
+def test_wav_decode_prunes_to_id_and_payload(spark, sf_dir):
+    """x61's decode stage must carry only (media_id, payload) into
+    Python — the optimized plan of the decode input projects exactly
+    those columns (metadata columns never ship to the workers)."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.multimodal import (
+        decode_wav_features, documents_as_wav)
+    docs = load_table(spark, sf_dir, "documents")
+    import re
+    out = decode_wav_features(documents_as_wav(docs))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # the decode MapInPandas node's inputs are exactly (media_id,
+    # payload) — n_bytes/kind never ship into the decode kernel
+    decode_node = next(ln for ln in opt.splitlines()
+                       if "MapInPandas" in ln)
+    args = re.search(r"MapInPandas \w+\(([^)]*)\)", decode_node).group(1)
+    cols = [a.split("#")[0].strip() for a in args.split(",")]
+    assert cols == ["media_id", "payload"], decode_node
+    # and the parquet scan reads only (doc_id, text) for the container
+    # build — the other document columns are pruned at the source
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", ep).group(1)
+    assert sorted(f.split(":")[0] for f in rs.split(",")) == [
+        "doc_id", "text"], rs
