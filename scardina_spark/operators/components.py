@@ -63,6 +63,42 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
     return labels
 
 
+def merge_components(assign: DataFrame, new_pairs: DataFrame,
+                     col_a: str = "id_a", col_b: str = "id_b",
+                     max_iter: int = 25) -> DataFrame:
+    """Fold an arriving shard's near-dup pairs into an EXISTING
+    ``(node, component)`` labeling without recomputing the corpus
+    graph — the ingest-time companion of the incremental probe
+    (`dedup.incremental_near_dup` finds the pairs; this maintains the
+    canonical groups they imply).
+
+    Correctness: a min-id labeling is equivalent to the star graph
+    ``node—component`` (the component id IS its minimum member), so
+    components over ``star(assign) ∪ new_pairs`` equal components over
+    ``original_edges ∪ new_pairs`` — the incremental result is
+    bit-identical to a from-scratch recomputation (oracle-pinned).
+
+    Scale: only components TOUCHED by the new pairs re-enter label
+    propagation — the relabel subgraph is (affected components +
+    shard pairs)-sized, never corpus-sized.  Untouched rows pass
+    through with one anti-join.  At 100 TB a shard arrival costs the
+    shard's pairs plus the components they graze, which is the whole
+    point versus re-running `connected_components` on everything."""
+    nodes = (new_pairs.select(F.col(col_a).alias(NODE))
+             .unionByName(new_pairs.select(F.col(col_b).alias(NODE)))
+             .distinct())
+    touched = (assign.join(nodes, NODE, "left_semi")
+               .select(COMP).distinct())
+    affected = assign.join(touched, COMP, "left_semi")
+    untouched = assign.join(touched, COMP, "left_anti")
+    star = affected.select(F.col(NODE).alias(col_a),
+                           F.col(COMP).alias(col_b))
+    graph = star.unionByName(new_pairs.select(F.col(col_a),
+                                              F.col(col_b)))
+    relabeled = connected_components(graph, col_a, col_b, max_iter)
+    return untouched.unionByName(relabeled)
+
+
 def dup_groups(pairs: DataFrame, col_a: str = "id_a", col_b: str = "id_b",
                max_iter: int = 25) -> DataFrame:
     """(member_id, keep_id) per document in any duplicate group, keep_id =

@@ -2735,6 +2735,39 @@ from reach group by n order by member_id
 """
 
 
+def q_incremental_components(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """X62 (incremental dup-component maintenance; beyond reference —
+    completes the ingest pair: x60 probes an arriving shard for
+    near-dup PAIRS, this folds those pairs into the standing
+    canonical GROUPS without recomputing the corpus graph).  The x13
+    pair graph splits into a standing corpus (pairs with id_a % 3 !=
+    0, labeled by `connected_components`) and an arriving delta
+    (id_a % 3 == 0) merged via `components.merge_components` — only
+    components the delta touches re-enter label propagation.  The
+    oracle is x13's from-scratch transitive closure over the FULL
+    graph: the incremental result must reproduce it bit for bit."""
+    from .operators.components import (
+        connected_components, merge_components)
+    d = load_table(spark, sf_dir, "documents", ["doc_id"])
+    d2 = d.withColumnRenamed("doc_id", "doc_id2")
+    p1 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 2) \
+        .where(F.col("doc_id") % 7 == 0)
+    p2 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 4) \
+        .where(F.col("doc_id") % 14 == 0)
+    pairs = (p1.unionByName(p2)
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id2").alias("id_b")).distinct())
+    old = pairs.where(F.col("id_a") % 3 != 0)
+    delta = pairs.where(F.col("id_a") % 3 == 0)
+    assign = connected_components(old)
+    merged = merge_components(assign, delta)
+    return (merged.select(
+        F.col("node").cast("long").alias("member_id"),
+        F.col("component").cast("long").alias("keep_id"))
+        .orderBy("member_id"))
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X59 (corpus-wide line dedup — CCNet §3.1's first preprocessing
     step): drop every line whose trimmed text repeats anywhere in the
@@ -5333,6 +5366,7 @@ def queries() -> dict:
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
         "e12_asha_search": q_asha_search,
+        "x62_incremental_components": q_incremental_components,
         "e5_perror": q_perror,
         "e11_pg_plan_cost": q_pg_plan_cost,
         "x56_repetition_battery": q_repetition_battery,
@@ -5379,13 +5413,13 @@ def queries() -> dict:
         "e6_jobm_qerror": q_jobm_qerror,
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
-        # --- window fill to exactly 50: r05 keys sharing code with
-        # this round's changes (LSH banding / probe, semdedup) ---
+        # --- window fill to exactly 50: the r05 key sharing the most
+        # code with this round's changes (LSH banding / probe) ---
         "x60_incremental_neardup": q_incremental_neardup,
-        "x47_semdedup": q_semdedup,
         # --- past the cap: remaining r05-green keys (the r08
-        # refresh block, stalest-first; x59/st11 lead — they share
-        # this round's touched code) ---
+        # refresh block, stalest-first; x47/x59/st11 lead — they
+        # share this round's touched code) ---
+        "x47_semdedup": q_semdedup,
         "x59_line_dedup": q_line_dedup,
         "st11_stream_dsir": q_stream_dsir,
         "x48_pareto_sample": q_pareto_sample,
@@ -5616,6 +5650,9 @@ def oracle_sql() -> dict[str, str]:
         "st12_stream_neardup": SQL_INCREMENTAL_NEARDUP,
         "x61_wav_decode": SQL_WAV_DECODE,
         "e12_asha_search": _sql_asha_search(),
+        # the incremental merge must reproduce x13's from-scratch
+        # closure bit for bit — same oracle
+        "x62_incremental_components": SQL_DUP_GROUPS,
         "a29_volume_shipping": SQL_VOLUME_SHIPPING,
         "a30_product_profit": SQL_PRODUCT_PROFIT,
         "a31_market_share": SQL_MARKET_SHARE,

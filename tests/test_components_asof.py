@@ -113,3 +113,56 @@ def test_canonical_groups_keep_best_quality(spark):
     plan = (canonical_groups(docs, pairs, "q")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_merge_components_crafted_graph(spark):
+    """Incremental merge semantics on a crafted graph: a delta pair
+    bridges two standing components (both relabel to the global min),
+    brand-new nodes form their own component, and an untouched
+    component passes through with its label unchanged."""
+    from scardina_spark.operators.components import (
+        connected_components, merge_components)
+    old = spark.createDataFrame(
+        [(1, 2), (10, 11), (30, 31)], "id_a: long, id_b: long")
+    assign = connected_components(old)
+    delta = spark.createDataFrame(
+        [(2, 10),    # bridges {1,2} and {10,11} -> all label 1
+         (20, 21)],  # brand-new nodes -> component 20
+        "id_a: long, id_b: long")
+    got = {r["node"]: r["component"]
+           for r in merge_components(assign, delta).collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_merge_components_equals_batch_recompute(spark, tables):
+    """The incremental result is bit-identical to a from-scratch
+    recomputation over the union graph (the x62 oracle property), and
+    the delta genuinely relabels something (discriminating split)."""
+    from pyspark.sql import functions as F
+    from scardina_spark.operators.components import (
+        connected_components, merge_components)
+    d = tables["documents"].select("doc_id")
+    d2 = d.withColumnRenamed("doc_id", "doc_id2")
+    p1 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 2) \
+        .where(F.col("doc_id") % 7 == 0)
+    p2 = d.join(d2, F.col("doc_id2") == F.col("doc_id") + 4) \
+        .where(F.col("doc_id") % 14 == 0)
+    pairs = (p1.unionByName(p2)
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id2").alias("id_b")).distinct())
+    old = pairs.where(F.col("id_a") % 3 != 0)
+    delta = pairs.where(F.col("id_a") % 3 == 0)
+    assert 0 < delta.count() < pairs.count()
+    assign = connected_components(old)
+    inc = {(r["node"], r["component"])
+           for r in merge_components(assign, delta).collect()}
+    batch = {(r["node"], r["component"])
+             for r in connected_components(pairs).collect()}
+    assert inc == batch and inc
+    # the merge is non-vacuous: the labeling gained nodes and/or
+    # relabeled standing ones (bridging relabels are pinned by the
+    # crafted-graph test; which case this corpus split exercises is
+    # SF-dependent)
+    old_labels = {r["node"]: r["component"] for r in assign.collect()}
+    assert dict(inc) != old_labels
