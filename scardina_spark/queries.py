@@ -2951,10 +2951,23 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(wav).orderBy("media_id")
 
 
-SQL_WAV_DECODE = """
-with d as (select doc_id, coalesce(text, '') as t,
+#: The WAV/PNG oracles equate character count with utf-8 byte count and
+#: ascii() code with payload byte — valid ONLY for a pure-ASCII corpus.
+#: This guard CTE makes that assumption loud: a non-ASCII document makes
+#: the oracle ERROR (driver records err) instead of silently diverging.
+SQL_ASCII_GUARD = """
+  select case when count(*) > 0 then error(
+           'non-ASCII corpus: byte-level oracle assumptions violated')
+         else 0 end as ok
+  from documents
+  where length(coalesce(text, '')) <> octet_length(coalesce(text, '')::BLOB)
+"""
+
+SQL_WAV_DECODE = f"""
+with guard as ({SQL_ASCII_GUARD}),
+d as (select doc_id, coalesce(text, '') as t,
                   length(coalesce(text, '')) as n
-           from documents),
+           from documents cross join guard),
 b as (
   select doc_id, ascii(substr(t, i, 1)) as v
   from d, unnest(range(1, n + 1)) as u(i)),
@@ -2970,6 +2983,87 @@ select d.doc_id::BIGINT as media_id,
        coalesce(a.pcm_sum, 0)::BIGINT as pcm_sum,
        coalesce(a.sq, 0)::BIGINT as pcm_sq_sum,
        coalesce(a.pk, 0)::INT as peak
+from d left join agg a using (doc_id)
+order by media_id
+"""
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 (REAL image decode; closes the last multimodal 'weak'):
+    every document's utf-8 bytes become the grayscale pixels of a
+    genuine PNG container (``encode_png``: IHDR/IDAT/IEND chunk framing
+    with CRC-32, zlib DEFLATE, all five scanline filters cycled per
+    row), then ``decode_png_features`` parses the containers back with
+    a from-scratch PNG READER — signature, CRC-verified chunk walk,
+    inflate, per-filter-type reconstruction — and emits exact-integer
+    features.  The oracle recomputes every value from the text's
+    character codes (ASCII corpus guard built into the SQL), certifying
+    the encode → container → decode → features loop end to end.  The
+    codec is additionally cross-validated against the JVM's independent
+    javax.imageio reader in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    png = MM.documents_as_png(docs)
+    return MM.decode_png_features(png).orderBy("media_id")
+
+
+SQL_PNG_DECODE = f"""
+with guard as ({SQL_ASCII_GUARD}),
+d as (select doc_id, coalesce(text, '') as t,
+             length(coalesce(text, '')) as n
+      from documents cross join guard),
+b as (
+  select doc_id, ascii(substr(t, i, 1)) as v
+  from d, unnest(range(1, n + 1)) as u(i)),
+agg as (
+  select doc_id, sum(v) as s, sum(v * v) as sq, max(v) as pk
+  from b group by doc_id)
+select d.doc_id::BIGINT as media_id,
+       32::INT as width,
+       greatest(1, (d.n + 31) // 32)::INT as height,
+       (32 * greatest(1, (d.n + 31) // 32))::BIGINT as n_pixels,
+       coalesce(a.s, 0)::BIGINT as pixel_sum,
+       coalesce(a.sq, 0)::BIGINT as pixel_sq_sum,
+       coalesce(a.pk, 0)::INT as peak,
+       3::INT as n_chunks
+from d left join agg a using (doc_id)
+order by media_id
+"""
+
+
+def q_png_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 (image transform across REAL codec boundaries): PNG-encode
+    every document, decode → nearest-neighbor downsample ×2 →
+    RE-ENCODE as a new PNG → decode features of the result.  The
+    oracle recomputes the surviving pixel set (even rows × even cols
+    of the source grid) straight from the text — certifying the full
+    decode/transform/encode/decode chain, not just one decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    png = MM.documents_as_png(docs)
+    small = MM.png_downsample(png, factor=2)
+    return MM.decode_png_features(small).orderBy("media_id")
+
+
+SQL_PNG_DOWNSAMPLE = f"""
+with guard as ({SQL_ASCII_GUARD}),
+d as (select doc_id, coalesce(text, '') as t,
+             length(coalesce(text, '')) as n
+      from documents cross join guard),
+b as (
+  select doc_id, ascii(substr(t, i, 1)) as v
+  from d, unnest(range(1, n + 1)) as u(i)
+  where ((i - 1) // 32) % 2 = 0 and ((i - 1) % 32) % 2 = 0),
+agg as (
+  select doc_id, sum(v) as s, sum(v * v) as sq, max(v) as pk
+  from b group by doc_id)
+select d.doc_id::BIGINT as media_id,
+       16::INT as width,
+       ((greatest(1, (d.n + 31) // 32) + 1) // 2)::INT as height,
+       (16 * ((greatest(1, (d.n + 31) // 32) + 1) // 2))::BIGINT
+         as n_pixels,
+       coalesce(a.s, 0)::BIGINT as pixel_sum,
+       coalesce(a.sq, 0)::BIGINT as pixel_sq_sum,
+       coalesce(a.pk, 0)::INT as peak,
+       3::INT as n_chunks
 from d left join agg a using (doc_id)
 order by media_id
 """
@@ -5363,6 +5457,8 @@ def queries() -> dict:
     # are stable across rounds.
     return {
         # --- new / changed this round ---
+        "x63_png_decode": q_png_decode,
+        "x64_png_downsample": q_png_downsample,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
         "e12_asha_search": q_asha_search,
@@ -5649,6 +5745,8 @@ def oracle_sql() -> dict[str, str]:
         # is its exact oracle too
         "st12_stream_neardup": SQL_INCREMENTAL_NEARDUP,
         "x61_wav_decode": SQL_WAV_DECODE,
+        "x63_png_decode": SQL_PNG_DECODE,
+        "x64_png_downsample": SQL_PNG_DOWNSAMPLE,
         "e12_asha_search": _sql_asha_search(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

@@ -126,3 +126,120 @@ def test_wav_decode_features_match_numpy(spark, tables):
         assert d["pcm_sum"] == int(arr.sum())
         assert d["pcm_sq_sum"] == int((c * c).sum())
         assert d["peak"] == (int(np.abs(c).max()) if len(pcm) else 0)
+
+
+# --------------------------------------------------------------------------
+# PNG: a REAL image codec (x63/x64)
+# --------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png recovers the exact pixels for assorted
+    sizes, and images taller than 4 rows really carry ALL FIVE filter
+    types in their IDAT stream (the encoder cycles r % 5)."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(13)
+    for n in (0, 1, 31, 32, 33, 64, 160, 161, 500, 1009):
+        px = bytes(rng.randrange(256) for _ in range(n))
+        payload = M.encode_png(px)
+        w, h, out, n_chunks = M.decode_png(payload)
+        assert (w, h) == (32, max(1, -(-n // 32)))
+        assert out[:n] == px
+        assert all(b == 0 for b in out[n:])
+        assert n_chunks == 3  # IHDR + IDAT + IEND
+    # inspect the raw scanline stream of a 10-row image: filter bytes
+    # must be 0,1,2,3,4,0,1,2,3,4 (the decoder exercised every path)
+    payload = M.encode_png(bytes(rng.randrange(256) for _ in range(320)))
+    # layout: sig(8) + IHDR chunk(25) -> IDAT header at 33, data at 41
+    (ilen,) = struct.unpack(">I", payload[33:37])
+    idat = payload[41:41 + ilen]
+    raw = zlib.decompress(idat)
+    assert [raw[r * 33] for r in range(10)] == [0, 1, 2, 3, 4] * 2
+
+
+def test_png_rejects_malformed_containers():
+    payload = bytearray(M.encode_png(b"scardina png codec" * 9))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"JFIF" + bytes(payload[4:]))
+    bad = bytearray(payload)
+    bad[60] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_png(bytes(payload[:40]))
+
+
+def test_png_cross_validated_by_independent_jvm_decoder(spark):
+    """Our PNGs are not merely self-consistent: the JVM's javax.imageio
+    reader (an INDEPENDENT full PNG implementation) must decode them to
+    the identical pixel grid — signature, chunk framing, CRCs, zlib
+    stream and all five scanline filters validated by a second codec."""
+    import random
+
+    rng = random.Random(41)
+    for n in (5, 200, 331):  # 1-row, 7-row (all filters), ragged tail
+        px = bytes(rng.randrange(256) for _ in range(n))
+        payload = M.encode_png(px)
+        jvm = spark._jvm
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload)))
+        w, h = img.getWidth(), img.getHeight()
+        assert (w, h) == (32, max(1, -(-n // 32)))
+        raster = img.getRaster()
+        got = [raster.getSample(x, y, 0) for y in range(h) for x in range(w)]
+        assert got == list(px) + [0] * (w * h - n)
+
+
+def test_png_decode_features_match_numpy(spark, tables):
+    """decode_png_features == a direct numpy recomputation from the
+    source text, for every document (including empty/NULL)."""
+    import numpy as np
+
+    docs = tables["documents"].limit(40)
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None)], "doc_id: long, text: string")
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    png = M.documents_as_png(docs)
+    got = {r["media_id"]: r.asDict()
+           for r in M.decode_png_features(png).collect()}
+    for row in docs.collect():
+        b = (row["text"] or "").encode("utf-8")
+        h = max(1, -(-len(b) // 32))
+        arr = np.zeros(32 * h, dtype=np.int64)
+        arr[:len(b)] = np.frombuffer(b, dtype=np.uint8)
+        d = got[row["doc_id"]]
+        assert (d["width"], d["height"]) == (32, h)
+        assert d["n_pixels"] == 32 * h
+        assert d["pixel_sum"] == int(arr.sum())
+        assert d["pixel_sq_sum"] == int((arr * arr).sum())
+        assert d["peak"] == int(arr.max())
+        assert d["n_chunks"] == 3
+
+
+def test_png_downsample_chain(spark, tables):
+    """decode -> nearest-neighbor downsample -> re-encode -> decode:
+    the x64 chain.  Downsampled features equal a numpy subsample of the
+    original pixel grid (even rows / even cols for factor 2)."""
+    import numpy as np
+
+    docs = tables["documents"].limit(30).select("doc_id", "text")
+    png = M.documents_as_png(docs)
+    small = M.png_downsample(png, factor=2)
+    got = {r["media_id"]: r.asDict()
+           for r in M.decode_png_features(small).collect()}
+    for row in docs.collect():
+        b = (row["text"] or "").encode("utf-8")
+        h = max(1, -(-len(b) // 32))
+        arr = np.zeros((h, 32), dtype=np.int64)
+        flat = np.frombuffer(b, dtype=np.uint8)
+        arr.reshape(-1)[:len(b)] = flat
+        sm = arr[::2, ::2]
+        d = got[row["doc_id"]]
+        assert (d["width"], d["height"]) == (sm.shape[1], sm.shape[0])
+        assert d["pixel_sum"] == int(sm.sum())
+        assert d["pixel_sq_sum"] == int((sm * sm).sum())
+        assert d["peak"] == int(sm.max())

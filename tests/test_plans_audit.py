@@ -422,3 +422,26 @@ def test_wav_decode_prunes_to_id_and_payload(spark, sf_dir):
     rs = re.search(r"ReadSchema: struct<([^>]*)>", ep).group(1)
     assert sorted(f.split(":")[0] for f in rs.split(",")) == [
         "doc_id", "text"], rs
+
+
+def test_png_decode_prunes_to_id_and_payload(spark, sf_dir):
+    """x63's decode stage must carry only (media_id, payload) into
+    Python, and the parquet scan must read only (doc_id, text) for the
+    container build — same contract as the WAV path."""
+    import re
+
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.multimodal import (
+        decode_png_features, documents_as_png)
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_png_features(documents_as_png(docs))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    decode_node = next(ln for ln in opt.splitlines()
+                       if "MapInPandas" in ln)
+    args = re.search(r"MapInPandas \w+\(([^)]*)\)", decode_node).group(1)
+    cols = [a.split("#")[0].strip() for a in args.split(",")]
+    assert cols == ["media_id", "payload"], decode_node
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", ep).group(1)
+    assert sorted(f.split(":")[0] for f in rs.split(",")) == [
+        "doc_id", "text"], rs
