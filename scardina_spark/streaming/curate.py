@@ -8,9 +8,9 @@ lowest-doc-id-per-fingerprint operator via ``applyInPandasWithState``:
 the state per key is the winning doc id, so replays and re-sent
 documents never re-enter the corpus, and a lower-id arrival revises the
 key (update mode).  State is O(distinct fingerprints) × 8 bytes across
-the state store's shuffle partitions; at 100 TB you bound it with a
-GroupStateTimeout matching the replay horizon (same note as
-``first_seen_dedup_stream``).
+the state store's shuffle partitions; at 100 TB you bound it by passing
+``state_timeout_ms`` (a ProcessingTimeTimeout matching the replay
+horizon, same knob as ``first_seen_dedup_stream``).
 
 The batch oracle is exact: gates + min(doc_id) per fingerprint.
 """
@@ -43,9 +43,14 @@ def curate_doc_stream(docs: DataFrame, min_quality: float = 0.7,
                       langs: tuple[str, ...] = ("en",),
                       max_dup_token_fraction: float = 0.5,
                       max_top_bigram_fraction: float = 0.2,
-                      col: str = "text") -> DataFrame:
+                      col: str = "text",
+                      state_timeout_ms: int | None = None) -> DataFrame:
     """Gated + content-deduped stream of corpus admissions: one row per
-    fingerprint holding the lowest-id admitted document."""
+    fingerprint holding the lowest-id admitted document.
+
+    ``state_timeout_ms`` (optional) bounds dedup state at the replay
+    horizon — an idle fingerprint is evicted and a later duplicate
+    re-admits.  Default ``None`` = exact batch-oracle parity."""
     gated = (
         with_text_stats(docs, col)
         .withColumn("dup_token_fraction", dup_token_fraction(col))
@@ -61,6 +66,9 @@ def curate_doc_stream(docs: DataFrame, min_quality: float = 0.7,
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         best = None
         for pdf in pdfs:
             if pdf.empty:
@@ -73,8 +81,13 @@ def curate_doc_stream(docs: DataFrame, min_quality: float = 0.7,
         if best is None:
             return
         if state.exists and state.get[0] <= best[0]:
+            if state_timeout_ms is not None:
+                # any sighting extends the retention window
+                state.setTimeoutDuration(state_timeout_ms)
             return  # an earlier-or-equal document already won this key
         state.update((best[0],))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame({
             "fingerprint": [key[0]], "doc_id": [best[0]],
             "n_tokens": [best[1]], "quality": [best[2]],
@@ -83,7 +96,8 @@ def curate_doc_stream(docs: DataFrame, min_quality: float = 0.7,
 
     out_schema = ("fingerprint string, doc_id bigint, n_tokens bigint, "
                   "quality double, lang_pred string")
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (gated.groupBy("fingerprint")
             .applyInPandasWithState(fn, out_schema, "doc_id bigint",
-                                    "update",
-                                    GroupStateTimeout.NoTimeout))
+                                    "update", timeout))

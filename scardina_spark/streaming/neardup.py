@@ -24,8 +24,9 @@ Streaming composition (every stage legal under Structured Streaming):
    st10/st11 suppression pattern; the batch path's `.distinct()` is a
    blocking aggregation a stream can't run before a join).  State is
    O(reported pairs) × 1 byte across the state store's shuffle
-   partitions; at 100 TB bound it with a GroupStateTimeout matching
-   the ingest horizon.
+   partitions; at 100 TB bound it by passing ``state_timeout_ms``
+   (a ProcessingTimeTimeout matching the ingest horizon — state then
+   tracks only the pairs sighted within the horizon).
 
 The batch probe over the same shards IS the oracle: the emitted pairs
 must equal `incremental_near_dup`'s rows exactly (test-pinned, and
@@ -69,10 +70,20 @@ def near_dup_probe_stream(docs: DataFrame, index_bands: DataFrame,
                           id_col: str = "doc_id", col: str = "text",
                           k_shingle: int = 3, n_hashes: int = 8,
                           n_bands: int = 4, threshold: float = 0.8,
-                          hash_fn: str = "md5") -> DataFrame:
+                          hash_fn: str = "md5",
+                          state_timeout_ms: int | None = None
+                          ) -> DataFrame:
     """``(new_id, index_id, jaccard)`` pairs at or above ``threshold``
     between a document STREAM and the standing index, each pair
-    emitted exactly once (update mode)."""
+    emitted exactly once (update mode).
+
+    ``state_timeout_ms`` bounds suppression state at scale: when set,
+    a pair's GroupState is evicted after that many ms of processing
+    time without a new sighting (each sighting extends the window), so
+    state is O(pairs seen within the horizon), not O(pairs ever) — the
+    100 TB knob the module docstring calls for.  A pair re-arriving
+    after eviction re-reports.  Default ``None`` keeps suppression
+    unbounded (exact batch-oracle parity)."""
     rows_per_band = n_hashes // n_bands
     signed = minhash_signatures_rowwise(docs, id_col, col, k_shingle,
                                         n_hashes, hash_fn=hash_fn,
@@ -104,18 +115,29 @@ def near_dup_probe_stream(docs: DataFrame, index_bands: DataFrame,
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # horizon passed: forget the pair
+            return
         jac = None
         for pdf in pdfs:
             if pdf.empty:
                 continue
             jac = float(pdf["jaccard"].iloc[0])
         if jac is None or state.exists:
+            if state.exists and state_timeout_ms is not None:
+                # a sighting extends the suppression window (timeouts
+                # are cleared on every invocation, so always re-arm)
+                state.setTimeoutDuration(state_timeout_ms)
             return  # no rows, or this pair already reported
         state.update((1,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame({"new_id": [key[0]], "index_id": [key[1]],
                             "jaccard": [jac]})
 
     out_schema = "new_id bigint, index_id bigint, jaccard double"
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (scored.groupBy("new_id", "index_id")
             .applyInPandasWithState(fn, out_schema, "seen tinyint",
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout))

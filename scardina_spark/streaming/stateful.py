@@ -10,7 +10,9 @@ This is the pattern Spark's built-in windows can't express (the state is
 arbitrary-stateful API: one GroupState per key holding the emitted
 row's identity.  State size is O(distinct keys) × a few bytes, spread
 across the state store's shuffle partitions; at 100 TB scale you bound
-it with a TTL (GroupStateTimeout) matching the replay horizon.
+it by passing ``state_timeout_ms`` (a ProcessingTimeTimeout matching
+the replay horizon — keys idle past it are evicted and a later replay
+re-emits as first-seen).
 
 Batches inside a micro-batch arrive unordered — the function picks the
 (ts, id) minimum across the batch iterator and compares it against
@@ -30,14 +32,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def first_seen_dedup_stream(events: DataFrame, key_col: str = "user_id",
                             ts_col: str = "ts", id_col: str = "event_id",
+                            state_timeout_ms: int | None = None,
                             ) -> DataFrame:
     """One row per key: the earliest (ts, id) event ever seen on the
     stream.  Output mode must be ``update`` — a later micro-batch can
     revise a key's row only if it carries a strictly earlier event
-    (possible when the source replays or is out of order)."""
+    (possible when the source replays or is out of order).
+
+    ``state_timeout_ms`` (optional) bounds state at the replay
+    horizon: a key idle past it is evicted, so a much later replay
+    re-emits as first-seen.  Default ``None`` = exact unbounded
+    semantics (batch-oracle parity)."""
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         best = None  # (ts_epoch_int, id, original_ts_value)
         for pdf in pdfs:
             if pdf.empty:
@@ -52,8 +63,13 @@ def first_seen_dedup_stream(events: DataFrame, key_col: str = "user_id",
         if state.exists:
             prev = state.get
             if (prev[0], prev[1]) <= best[:2]:
+                if state_timeout_ms is not None:
+                    # any sighting extends the retention window
+                    state.setTimeoutDuration(state_timeout_ms)
                 return  # already emitted an earlier-or-equal event
         state.update(best[:2])
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame({
             key_col: [key[0]],
             id_col: [best[1]],
@@ -62,7 +78,8 @@ def first_seen_dedup_stream(events: DataFrame, key_col: str = "user_id",
 
     out_schema = f"{key_col} bigint, {id_col} bigint, {ts_col} timestamp"
     state_schema = "ts_us bigint, id bigint"
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
-                                    "update",
-                                    GroupStateTimeout.NoTimeout))
+                                    "update", timeout))

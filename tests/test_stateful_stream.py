@@ -66,3 +66,56 @@ def test_two_batch_replay_and_revision(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append(r["event_id"])
     assert len(per_user[2]) == 1  # never revised
     assert len(per_user[1]) <= 2  # replay suppressed, at most one revision
+
+
+def test_state_ttl_evicts_and_replay_reemits(spark, tmp_path):
+    """The 100 TB state bound: with ``state_timeout_ms`` set, a key
+    idle past the horizon is EVICTED (fn sees hasTimedOut and removes
+    it), so a replay arriving after the horizon re-emits as
+    first-seen — exactly the bounded-state semantics the module
+    docstring promises.  Without the knob the replay would be
+    suppressed forever (pinned by test_two_batch_replay_and_revision)."""
+    import time
+
+    d = str(tmp_path / "ttl_src")
+    os.makedirs(d)
+    cols = ["event_id", "ts", "user_id"]
+    b1 = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", 1)],
+        cols).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.parquet(d + "/b=1")
+    schema = spark.read.parquet(d + "/b=1").schema
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(d + "/b=*"))
+    out = first_seen_dedup_stream(st, state_timeout_ms=1_500)
+    q = (out.writeStream.format("memory").queryName("t_ttl")
+         .outputMode("update")
+         .trigger(processingTime="300 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from t_ttl").count() >= 1:
+                break
+            time.sleep(0.2)
+        assert spark.sql("select * from t_ttl").count() == 1
+        # idle past the horizon: empty triggers fire the timeout and
+        # evict the key's state
+        time.sleep(5)
+        # LATER event for the same user: without eviction this is
+        # suppressed (not earlier than the emitted one); with eviction
+        # it re-emits as the key's new first-seen
+        b2 = spark.createDataFrame(
+            [(99, "2024-01-01 12:00:00", 1)],
+            cols).withColumn("ts", F.to_timestamp("ts"))
+        b2.coalesce(1).write.parquet(d + "/b=2")
+        while time.time() < deadline:
+            if spark.sql("select * from t_ttl").count() >= 2:
+                break
+            time.sleep(0.2)
+        rows = [(r["user_id"], r["event_id"])
+                for r in spark.sql("select * from t_ttl").collect()]
+        assert rows.count((1, 10)) == 1 and rows.count((1, 99)) == 1, rows
+    finally:
+        q.stop()
