@@ -341,6 +341,7 @@ def main() -> None:
         timings["pg_load"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         pes_pg, pg_forced_ok = [], 0
+        pes_pg_sens: dict[str, list[float]] = {}
         for name, sql in ext_suite.items():
             pq = _parse(sql)
             est_cards, true_cards = {}, {}
@@ -353,8 +354,12 @@ def main() -> None:
                     est_cards[s] = float(ext_nar_fn(frag))
                 except (UnsupportedQueryError, ValueError):
                     est_cards[s] = true_cards[s]
-            r = PGH.pg_plan_error(pg_srv, pg_db, pq, est_cards, true_cards)
+            r = PGH.pg_plan_error(pg_srv, pg_db, pq, est_cards, true_cards,
+                                  method_sensitivity=True)
             pes_pg.append(r["pe_pg"])
+            for tag in PGH.METHOD_REGIMES:
+                pes_pg_sens.setdefault(tag, []).append(
+                    r[f"pe_pg_{tag}"])
             pg_forced_ok += int(r["order_respected"])
         timings["pg_perror"] = round(time.perf_counter() - t0, 4)
         extras["pg_perror_n"] = len(pes_pg)
@@ -362,6 +367,11 @@ def main() -> None:
         extras["pg_nar_perror_p50"] = round(pct(pes_pg, 0.5), 4)
         extras["pg_nar_perror_p90"] = round(pct(pes_pg, 0.9), 4)
         extras["pg_nar_perror_max"] = round(max(pes_pg), 4)
+        # method-costing robustness: the SAME forced est/true trees
+        # re-priced with one join-method family disabled — p-error ≈ 1
+        # must hold in every regime, not just the planner's default mix
+        for tag, vals in pes_pg_sens.items():
+            extras[f"pg_nar_perror_max_{tag}"] = round(max(vals), 4)
 
         # PostgreSQL's NATIVE estimator as the DBMS baseline (Leis et
         # al. VLDB'15): its planner's Plan Rows on every artifact
@@ -717,7 +727,23 @@ def main() -> None:
             F.sum("pcm_sum").alias("ps")).first()
         extras["wav_n_containers"] = int(row["n"])
         extras["wav_total_samples"] = int(row["ns"])
+        extras["wav_total_pcm_sum"] = int(row["ps"])
     timed("wav_encode_decode", run_wav)
+
+    # round-8 addition: real PNG encode+decode loop (stdlib zlib codec,
+    # all five scanline filters) — the image twin of the WAV stage
+    from scardina_spark.operators.multimodal import (
+        decode_png_features, documents_as_png)
+
+    def run_png():
+        row = decode_png_features(documents_as_png(docs)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_pixels").alias("np"),
+            F.sum("pixel_sum").alias("ps")).first()
+        extras["png_n_images"] = int(row["n"])
+        extras["png_total_pixels"] = int(row["np"])
+        extras["png_total_pixel_sum"] = int(row["ps"])
+    timed("png_encode_decode", run_png)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -264,6 +264,11 @@ def forced_join_sql_tree(pq: ParsedQuery, tree) -> str:
     = 1`` Postgres keeps the written association, so the planner costs
     exactly this tree's shape — left-deep, zig-zag, or bushy — while
     scan/join methods and build/probe sides stay free."""
+    # dedup by the full COLUMN pair, not the alias pair: a composite-key
+    # join carries two predicates between the same two aliases, and both
+    # must survive into the forced SQL (each predicate's aliases land on
+    # opposite sides at exactly one tree node, its lowest common
+    # ancestor, so the set only guards duplicated predicate rows)
     used: set[tuple[str, str]] = set()
 
     def emit(node) -> tuple[str, frozenset]:
@@ -274,12 +279,12 @@ def forced_join_sql_tree(pq: ParsedQuery, tree) -> str:
         conds = []
         for a, b in pq.joins:
             aa, bb = a.split(".", 1)[0], b.split(".", 1)[0]
-            if (aa, bb) in used or (bb, aa) in used:
+            if (a, b) in used or (b, a) in used:
                 continue
             if ((aa in lset and bb in rset)
                     or (aa in rset and bb in lset)):
                 conds.append(f"{a} = {b}")
-                used.add((aa, bb))
+                used.add((a, b))
         on = " AND ".join(conds) if conds else "TRUE"
         return f"({lsql} JOIN {rsql} ON {on})", lset | rset
 
@@ -290,7 +295,8 @@ def forced_join_sql_tree(pq: ParsedQuery, tree) -> str:
 
 
 def explain_cost(server: PgServer, db: str, sql: str,
-                 force_order: bool = False
+                 force_order: bool = False,
+                 extra_set: str = ""
                  ) -> tuple[float, list[frozenset]]:
     """Total plan cost + the join-tree structure: one leaf-alias set per
     join node (every node with >1 input).  ``join_collapse_limit = 1``
@@ -301,7 +307,8 @@ def explain_cost(server: PgServer, db: str, sql: str,
     decide the order, the cost model decides the rest)."""
     prefix = ("SET join_collapse_limit = 1; SET from_collapse_limit = 1; "
               if force_order else "")
-    out = server.psql(f"{prefix}EXPLAIN (FORMAT JSON) {sql};", db)
+    out = server.psql(f"{extra_set}{prefix}EXPLAIN (FORMAT JSON) {sql};",
+                      db)
     start = out.index("[")
     plan = json.loads(out[start:])[0]["Plan"]
 
@@ -367,9 +374,20 @@ def row_estimates(server: PgServer, db: str, sqls: list[str],
     return out
 
 
+#: Join-method families the sensitivity pass disables one at a time:
+#: the forcing pins the join TREE while methods stay free, so re-costing
+#: the same est/true trees under a disabled method family shows whether
+#: p-error ≈ 1 is robust to method costing or an artifact of one regime.
+METHOD_REGIMES = {
+    "nohashjoin": "SET enable_hashjoin = off; ",
+    "nomergejoin": "SET enable_mergejoin = off; ",
+}
+
+
 def pg_plan_error(server: PgServer, db: str, query: ParsedQuery | str,
                   est_cards: dict[frozenset, float],
-                  true_cards: dict[frozenset, float]) -> dict:
+                  true_cards: dict[frozenset, float],
+                  method_sensitivity: bool = False) -> dict:
     """The PPC ratio with a live costing back end: DP-choose the join
     TREE over the full bushy plan space under estimated vs true cards
     (C_out — the decision step the reference injects cards into), force
@@ -387,7 +405,20 @@ def pg_plan_error(server: PgServer, db: str, query: ParsedQuery | str,
         server, db, forced_join_sql_tree(pq, tree_true), force_order=True)
     native_cost, _ = explain_cost(
         server, db, forced_join_sql_tree(pq, tree_true), force_order=False)
+    sens = {}
+    if method_sensitivity:
+        # same trees, planner restricted to a subset of join methods:
+        # est/true costs move together iff the p-error is method-robust
+        for tag, setting in METHOD_REGIMES.items():
+            ce, _ = explain_cost(server, db,
+                                 forced_join_sql_tree(pq, tree_est),
+                                 force_order=True, extra_set=setting)
+            ct, _ = explain_cost(server, db,
+                                 forced_join_sql_tree(pq, tree_true),
+                                 force_order=True, extra_set=setting)
+            sens[f"pe_pg_{tag}"] = ce / max(ct, 1e-12)
     return {
+        **sens,
         "pe_pg": cost_est / max(cost_true, 1e-12),
         "order_est": tree_est,
         "order_true": tree_true,

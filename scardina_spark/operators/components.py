@@ -17,6 +17,15 @@ large-star/small-star variant would cut rounds to O(log d) at the price
 of two shuffles per round — not worth it at near-dup shapes).
 
 Determinism: labels are min ids — no randomness anywhere.
+
+Lineage: every iteration's label frame is ``localCheckpoint(eager=True)``
+— materialized AND plan-truncated.  Without truncation the logical plan
+references the previous labels ~3× per round, so plans grow
+exponentially and Catalyst analysis itself becomes the bottleneck (a
+second components run over the first one's output — exactly what
+``merge_components`` does — used to hang on 7-edge graphs).  On a real
+cluster swap ``localCheckpoint`` for reliable ``checkpoint`` against the
+cluster checkpoint dir so executor loss can't lose iteration state.
 """
 
 from __future__ import annotations
@@ -35,42 +44,53 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
     und = (pairs.select(a.alias("src"), b.alias("dst"))
            .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
            .distinct()
-           .persist())
+           .localCheckpoint(eager=True))
     labels = (und.select(F.col("src").alias(NODE)).distinct()
               .withColumn(COMP, F.col(NODE))
-              .persist())
-    labels.count()
+              .localCheckpoint(eager=True))
 
     for _ in range(max_iter):
         nb_min = (und.join(labels, und["dst"] == labels[NODE])
                   .groupBy(F.col("src").alias(NODE))
                   .agg(F.min(COMP).alias("__nb__")))
+        # eager localCheckpoint = materialize + TRUNCATE lineage, so
+        # the next round's plan starts from a flat scan (see module
+        # docstring — without this, plan size grows exponentially)
         new = (labels.join(nb_min, NODE, "left_outer")
                .select(F.col(NODE),
                        F.least(F.col(COMP), F.coalesce(F.col("__nb__"),
                                                        F.col(COMP)))
                        .alias(COMP))
-               .persist())
+               .localCheckpoint(eager=True))
         changed = (new.alias("n")
                    .join(labels.alias("o"), NODE)
                    .where(F.col(f"n.{COMP}") != F.col(f"o.{COMP}"))
                    .count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
-    und.unpersist()
     return labels
 
 
 def merge_components(assign: DataFrame, new_pairs: DataFrame,
                      col_a: str = "id_a", col_b: str = "id_b",
-                     max_iter: int = 25) -> DataFrame:
+                     max_iter: int = 25,
+                     validate_min_labels: bool = True) -> DataFrame:
     """Fold an arriving shard's near-dup pairs into an EXISTING
     ``(node, component)`` labeling without recomputing the corpus
     graph — the ingest-time companion of the incremental probe
     (`dedup.incremental_near_dup` finds the pairs; this maintains the
     canonical groups they imply).
+
+    PRECONDITION: ``assign`` must be a MIN-ID labeling — each row's
+    component id is the component's minimum member, i.e. the output of
+    ``connected_components`` / ``dup_groups`` / a previous
+    ``merge_components`` (NOT ``canonical_groups``, whose keeper is
+    quality-chosen, and not an externally relabeled frame).  The star
+    equivalence below silently breaks otherwise, so by default the
+    touched rows are asserted (``component <= node``) before merging —
+    the check is shard-sized, never corpus-sized; pass
+    ``validate_min_labels=False`` to skip it.
 
     Correctness: a min-id labeling is equivalent to the star graph
     ``node—component`` (the component id IS its minimum member), so
@@ -90,6 +110,14 @@ def merge_components(assign: DataFrame, new_pairs: DataFrame,
     touched = (assign.join(nodes, NODE, "left_semi")
                .select(COMP).distinct())
     affected = assign.join(touched, COMP, "left_semi")
+    if validate_min_labels:
+        bad = affected.where(F.col(COMP) > F.col(NODE)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "merge_components requires a min-id labeling "
+                f"(component <= node); got {bad[0]} — feed it "
+                "connected_components/dup_groups output, not a "
+                "quality-canonical or externally relabeled frame")
     untouched = assign.join(touched, COMP, "left_anti")
     star = affected.select(F.col(NODE).alias(col_a),
                            F.col(COMP).alias(col_b))

@@ -166,3 +166,57 @@ def test_merge_components_equals_batch_recompute(spark, tables):
     # SF-dependent)
     old_labels = {r["node"]: r["component"] for r in assign.collect()}
     assert dict(inc) != old_labels
+
+
+def test_merge_components_property_random_graphs_and_splits(spark):
+    """Property (hypothesis): for ANY small graph and ANY old/delta
+    edge split, merge_components(connected_components(old), delta) is
+    bit-identical to connected_components(old ∪ delta) — the min-id
+    star-graph equivalence the x62 oracle relies on, pinned over the
+    whole split space rather than two crafted cases."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scardina_spark.operators.components import (
+        connected_components, merge_components)
+
+    edges_s = st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14))
+        .filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=10, unique=True)
+
+    @given(edges=edges_s, mask=st.integers(0, 2 ** 10 - 1))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(edges, mask):
+        old = [e for i, e in enumerate(edges) if (mask >> i) & 1]
+        delta = [e for i, e in enumerate(edges) if not (mask >> i) & 1]
+        if not old or not delta:
+            return
+        schema = "id_a: long, id_b: long"
+        assign = connected_components(
+            spark.createDataFrame(old, schema))
+        inc = {(r["node"], r["component"])
+               for r in merge_components(
+                   assign, spark.createDataFrame(delta, schema)).collect()}
+        batch = {(r["node"], r["component"])
+                 for r in connected_components(
+                     spark.createDataFrame(edges, schema)).collect()}
+        assert inc == batch
+
+    check()
+
+
+def test_merge_components_rejects_non_min_labeling(spark):
+    """The documented precondition is enforced: a quality-canonical
+    (non-min-id) labeling raises instead of silently diverging from
+    the from-scratch recompute."""
+    import pytest
+
+    from scardina_spark.operators.components import merge_components
+    bad_assign = spark.createDataFrame(
+        [(1, 2), (2, 2)],  # component id 2 is not the min member
+        "node: long, component: long")
+    delta = spark.createDataFrame([(1, 5)], "id_a: long, id_b: long")
+    with pytest.raises(ValueError, match="min-id"):
+        merge_components(bad_assign, delta)

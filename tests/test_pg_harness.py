@@ -203,3 +203,59 @@ def test_pg_plan_error_truth_is_one_and_distortion_moves_it(server, db):
     assert res2["order_est"] != res2["order_true"]
     assert res2["order_respected"]
     assert res2["pe_pg"] != 1.0
+
+
+def test_forced_count_matches_flat_count_composite_key(server, db):
+    """A COMPOSITE-key join (two predicates between the same alias
+    pair) must survive the forced rewrite intact: dedup is by column
+    pair, so dropping to the alias pair (a past bug) would silently
+    change the forced query's semantics."""
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, lineitem m WHERE "
+           "l.l_orderkey = m.l_orderkey AND l.l_quantity = m.l_quantity "
+           "AND l.l_quantity > 45")
+    pq = parse_query(sql)
+    forced_sql = PG.forced_join_sql(pq, ("l", "m"))
+    assert "l.l_orderkey = m.l_orderkey" in forced_sql
+    assert "l.l_quantity = m.l_quantity" in forced_sql
+    flat = int(server.psql(sql, db).strip())
+    forced = int(server.psql(forced_sql, db).strip())
+    assert forced == flat
+
+
+def test_method_sensitivity_regimes(server, db):
+    """Disabling a join-method family really changes the costing
+    regime (the restricted plan avoids that method), and the p-error
+    computed under each regime is a sane positive ratio that equals
+    1.0 when est and true cards agree (same tree both sides)."""
+    import json as _json
+
+    from scardina_spark.plans.parse import parse_query
+    sql = ("SELECT COUNT(*) FROM lineitem l, orders o, customer c WHERE "
+           "l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
+           "AND l.l_quantity > 30")
+    # the disabled family must vanish from the restricted plan
+    out = server.psql(
+        "SET enable_hashjoin = off; EXPLAIN (FORMAT JSON) " + sql + ";",
+        db)
+    plan = _json.loads(out[out.index("["):])
+    assert "Hash Join" not in _json.dumps(plan)
+    pq = parse_query(sql)
+    cards = {frozenset(["l", "o"]): 100.0,
+             frozenset(["o", "c"]): 50.0,
+             frozenset(["l", "c"]): 1000.0,
+             frozenset(["l", "o", "c"]): 120.0}
+    r = PG.pg_plan_error(server, db, pq, cards, cards,
+                         method_sensitivity=True)
+    assert r["pe_pg"] == pytest.approx(1.0)
+    for tag in PG.METHOD_REGIMES:
+        assert r[f"pe_pg_{tag}"] == pytest.approx(1.0), tag
+    # distorted est cards flip the DP's tree choice -> regime ratios
+    # are still finite positives (possibly != the default-regime ratio)
+    distorted = dict(cards)
+    distorted[frozenset(["l", "o"])] = 1e9
+    r2 = PG.pg_plan_error(server, db, pq, distorted, cards,
+                          method_sensitivity=True)
+    for tag in PG.METHOD_REGIMES:
+        assert r2[f"pe_pg_{tag}"] > 0, tag
+    assert r2["order_respected"]
