@@ -783,6 +783,22 @@ def main() -> None:
         extras["png_total_pixel_sum"] = int(row["ps"])
     timed("png_encode_decode", run_png)
 
+    # round-8 addition: real AVI encode+decode loop (RIFF container,
+    # raw DIB frames, idx1 verification) — the video leg; with it all
+    # three modalities run genuine codecs in the bench
+    from scardina_spark.operators.multimodal import (
+        decode_avi_features, documents_as_avi)
+
+    def run_avi():
+        row = decode_avi_features(documents_as_avi(docs)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_frames").alias("nf"),
+            F.sum("pixel_sum").alias("ps")).first()
+        extras["avi_n_videos"] = int(row["n"])
+        extras["avi_total_frames"] = int(row["nf"])
+        extras["avi_total_pixel_sum"] = int(row["ps"])
+    timed("avi_encode_decode", run_avi)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "total_bench_sec",

@@ -14,13 +14,20 @@ per row) and ``decode_png_features`` is a from-scratch PNG reader:
 signature + chunk walk with CRC verification, IDAT reassembly, inflate,
 and per-filter-type reconstruction (x63).  The transform stage
 ``png_downsample`` closes the decode→transform→re-encode loop (x64).
-Only VIDEO remains a clearly-marked deterministic stub (no ffmpeg in
-this environment) — the Spark-side contract is real and tested either
-way: schema (binary payload + metadata struct), partitioning
-(payload-size-aware repartition so one executor never holds a skewed
-chunk of large blobs), Arrow batch shapes, and the UDF signature a real
-decoder drops into (``decode_wav_features``/``decode_png_features`` ARE
-those drop-ins, demonstrated).
+
+VIDEO decode is REAL as well: ``documents_as_avi`` emits genuine
+RIFF/AVI containers (uncompressed 8-bit DIB frames with bottom-up rows
+and 4-byte stride, MainAVIHeader + stream headers + grayscale palette +
+idx1 index) and ``decode_avi_features`` walks the chunk tree, validates
+the headers, cross-checks idx1 against the actual movi layout, and
+un-flips the DIBs (x65).  All three modalities therefore run genuine
+container codecs built on stdlib alone (wave / zlib+struct / struct).
+``decode_stub`` remains only for the generic text-byte fixture that
+exercises batching/partitioning plumbing in isolation — the real
+decoders above ARE the drop-ins it documents: schema (binary payload +
+metadata struct), partitioning (payload-size-aware repartition so one
+executor never holds a skewed chunk of large blobs), Arrow batch
+shapes, and the UDF signature.
 
 At 100 TB the rules encoded here matter: binary columns ride along parquet
 scans without being read when pruned (columnar projection), metadata-only
@@ -93,10 +100,11 @@ def decode_stub(payload: bytes, kind: str) -> bytes:
     Deterministic fake 'decode': returns the first 16 payload bytes as the
     'decoded frame'.  The REAL codecs live beside this: audio =
     ``decode_wav_features`` (stdlib ``wave``), image =
-    ``decode_png_features`` (from-scratch PNG reader); only VIDEO still
-    lacks a real decoder in this environment (no ffmpeg).  A real
-    implementation replaces ONLY this function; the Spark plumbing around
-    it (batching, schema, partitioning) is the part under test.
+    ``decode_png_features`` (from-scratch PNG reader), video =
+    ``decode_avi_features`` (from-scratch RIFF/AVI reader).  This stub
+    exists only for the generic text-byte fixture whose payloads are not
+    containers; the Spark plumbing around it (batching, schema,
+    partitioning) is the part under test.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown media kind: {kind}")
@@ -581,6 +589,243 @@ def png_downsample(df: DataFrame, factor: int = 2) -> DataFrame:
 
     return (df.select("media_id", "payload")
             .mapInPandas(run, out_schema))
+
+
+AVI_WIDTH = 16
+AVI_HEIGHT = 8
+AVI_FPS = 10
+
+AVI_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("pixel_sum", LongType()),
+    StructField("pixel_sq_sum", LongType()),
+    StructField("peak", IntegerType()),
+    StructField("mid_frame_sum", LongType()),  # random access into movi
+])
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc, little-endian size, data, pad byte to
+    word alignment (AVI RIFF spec)."""
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(frames: list[bytes], width: int = AVI_WIDTH,
+               height: int = AVI_HEIGHT, fps: int = AVI_FPS) -> bytes:
+    """A REAL AVI encoder (stdlib struct): uncompressed 8-bit grayscale
+    DIB video in a genuine RIFF container — ``hdrl`` with a 56-byte
+    MainAVIHeader and a ``strl`` stream (AVISTREAMHEADER +
+    BITMAPINFOHEADER + 256-entry grayscale palette), ``movi`` with one
+    ``00db`` chunk per frame (BOTTOM-UP row order and 4-byte row
+    stride, as the DIB format demands), and a spec-complete ``idx1``
+    index whose offsets the decoder re-verifies.
+
+    Each input frame is ``width*height`` row-major pixels (short
+    frames are zero-padded)."""
+    import struct
+
+    stride = (width + 3) & ~3
+    dib_frames = []
+    for f in frames:
+        f = bytes(f) + b"\x00" * (width * height - len(f))
+        rows = [f[r * width:r * width + width].ljust(stride, b"\x00")
+                for r in range(height)]
+        dib_frames.append(b"".join(reversed(rows)))  # bottom-up
+    frame_bytes = stride * height
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX
+        len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sI2H8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), frame_bytes, 0, 0, 0, 0, width, height)
+    bmih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_bytes,
+        0, 0, 256, 0)
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    strl = _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                      + _riff_chunk(b"strf", bmih + palette))
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+
+    movi_payload = b"".join(_riff_chunk(b"00db", f) for f in dib_frames)
+    movi = _riff_list(b"movi", movi_payload)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx_entries = []
+    off = 4
+    for f in dib_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off,
+                                       len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """A REAL AVI decoder (the inverse of :func:`encode_avi`, but a
+    general reader): verifies the RIFF/AVI signature, walks the chunk
+    tree, parses MainAVIHeader + BITMAPINFOHEADER (8-bit uncompressed
+    DIB only), collects the ``movi`` ``00db``/``00dc`` frames,
+    cross-checks the ``idx1`` index against the actual chunk offsets
+    and sizes, and un-flips each bottom-up stride-padded DIB back to
+    row-major pixels.  Returns ``(width, height, frames)``; raises
+    ``ValueError`` on malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    width = height = None
+    n_frames_hdr = None
+    frames_raw: list[bytes] = []
+    idx_entries: list[tuple[bytes, int, int]] = []
+    movi_chunk_offsets: list[tuple[int, int]] = []
+
+    def walk(buf: bytes, base: int, end: int, in_movi: bool,
+             movi_start: int) -> None:
+        nonlocal width, height, n_frames_hdr
+        pos = base
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            data_start = pos + 8
+            if data_start + size > end:
+                raise ValueError(f"truncated chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                ltype = buf[data_start:data_start + 4]
+                walk(buf, data_start + 4, data_start + size,
+                     in_movi or ltype == b"movi",
+                     data_start if ltype == b"movi" else movi_start)
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", buf[data_start:data_start + 56])
+                n_frames_hdr, width, height = vals[4], vals[8], vals[9]
+            elif fourcc == b"strf":
+                (bi_size, bw, bh, planes, bpp, comp) = struct.unpack(
+                    "<IiiHHI", buf[data_start:data_start + 20])
+                if (bpp, comp) != (8, 0):
+                    raise ValueError("unsupported AVI codec (want raw "
+                                     "8-bit DIB)")
+            elif fourcc in (b"00db", b"00dc") and in_movi:
+                frames_raw.append(buf[data_start:data_start + size])
+                # offset convention: relative to the 'movi' fourcc
+                # (movi_start points AT the fourcc, first chunk at +4)
+                movi_chunk_offsets.append((pos - movi_start, size))
+            elif fourcc == b"idx1":
+                for i in range(0, size, 16):
+                    ck, flags, off, sz = struct.unpack(
+                        "<4sIII", buf[data_start + i:data_start + i + 16])
+                    idx_entries.append((ck, off, sz))
+            pos = data_start + size + (size % 2)
+
+    walk(payload, 12, 8 + riff_size, False, 0)
+    if width is None:
+        raise ValueError("missing avih header")
+    if n_frames_hdr != len(frames_raw):
+        raise ValueError(
+            f"header claims {n_frames_hdr} frames, movi has "
+            f"{len(frames_raw)}")
+    if idx_entries:
+        got = [(o, s) for _, o, s in idx_entries]
+        if got != movi_chunk_offsets:
+            raise ValueError("idx1 does not match movi chunk layout")
+    stride = (width + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) != stride * height:
+            raise ValueError("frame size != stride * height")
+        rows = [raw[r * stride:r * stride + width]
+                for r in range(height)]
+        frames.append(b"".join(reversed(rows)))  # back to top-down
+    return width, height, frames
+
+
+def documents_as_avi(df: DataFrame, id_col: str = "doc_id",
+                     col: str = "text", width: int = AVI_WIDTH,
+                     height: int = AVI_HEIGHT) -> DataFrame:
+    """A video media table with REAL AVI payloads: each document's
+    utf-8 bytes split into ``width*height``-pixel frames (zero-padded
+    tail; empty text = one zero frame) inside a genuine RIFF/AVI
+    container.  Deterministic, so decoded features are recomputable by
+    a SQL oracle straight from the text."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+    fsz = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[col]:
+                b = (t or "").encode("utf-8")
+                n = max(1, -(-len(b) // fsz))
+                payloads.append(encode_avi(
+                    [b[k * fsz:(k + 1) * fsz] for k in range(n)],
+                    width, height))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].values,
+                "kind": ["video"] * len(pdf),
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), col)
+            .mapInPandas(run, out_schema))
+
+
+def decode_avi_features(df: DataFrame) -> DataFrame:
+    """REAL video decode: parse each AVI container (chunk walk, header
+    + format validation, idx1 cross-check, DIB un-flip) and emit
+    exact-integer features — dimensions, frame count, pixel sum/sq-sum
+    and peak over ALL frames, plus the middle frame's pixel sum (the
+    per-frame random access a frame-sampling pipeline needs).
+    Arrow-batched ``mapInPandas``; payloads cross into Python once."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("media_id", "width", "height",
+                                    "n_frames", "pixel_sum",
+                                    "pixel_sq_sum", "peak",
+                                    "mid_frame_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_avi(bytes(payload))
+                arr = np.frombuffer(b"".join(frames),
+                                    dtype=np.uint8).astype(np.int64)
+                mid_f = np.frombuffer(frames[len(frames) // 2],
+                                      dtype=np.uint8).astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["pixel_sum"].append(int(arr.sum()))
+                rows["pixel_sq_sum"].append(int((arr * arr).sum()))
+                rows["peak"].append(int(arr.max()) if arr.size else 0)
+                rows["mid_frame_sum"].append(int(mid_f.sum()))
+            yield pd.DataFrame(rows)
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(run, AVI_FEATURE_SCHEMA))
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -3069,6 +3069,54 @@ order by media_id
 """
 
 
+def q_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 (REAL video decode — with this, all three modalities run
+    genuine container codecs: WAV x61, PNG x63, AVI here): every
+    document's utf-8 bytes become the frames of an uncompressed 8-bit
+    DIB video in a genuine RIFF/AVI container (``encode_avi``:
+    MainAVIHeader + AVISTREAMHEADER + BITMAPINFOHEADER + palette,
+    bottom-up stride-padded frames, idx1 index), then
+    ``decode_avi_features`` parses the containers back — chunk walk,
+    header/format validation, idx1 cross-check against the actual movi
+    layout, DIB un-flip — and emits exact-integer features including
+    the MIDDLE frame's pixel sum (per-frame random access).  The
+    oracle recomputes every value from the text's character codes
+    (ASCII guard in the SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    avi = MM.documents_as_avi(docs)
+    return MM.decode_avi_features(avi).orderBy("media_id")
+
+
+SQL_AVI_DECODE = f"""
+with guard as ({SQL_ASCII_GUARD}),
+d as (select doc_id, coalesce(text, '') as t,
+             length(coalesce(text, '')) as n,
+             greatest(1, (length(coalesce(text, '')) + 127) // 128)
+               as nf
+      from documents cross join guard),
+b as (
+  select doc_id, (i - 1) as idx, ascii(substr(t, i, 1)) as v
+  from d, unnest(range(1, n + 1)) as u(i)),
+agg as (
+  select doc_id, sum(v) as s, sum(v * v) as sq, max(v) as pk
+  from b group by doc_id),
+midagg as (
+  select b.doc_id, sum(b.v) as ms
+  from b join d using (doc_id)
+  where b.idx >= (d.nf // 2) * 128 and b.idx < (d.nf // 2 + 1) * 128
+  group by b.doc_id)
+select d.doc_id::BIGINT as media_id,
+       16::INT as width, 8::INT as height,
+       d.nf::BIGINT as n_frames,
+       coalesce(a.s, 0)::BIGINT as pixel_sum,
+       coalesce(a.sq, 0)::BIGINT as pixel_sq_sum,
+       coalesce(a.pk, 0)::INT as peak,
+       coalesce(m.ms, 0)::BIGINT as mid_frame_sum
+from d left join agg a using (doc_id) left join midagg m using (doc_id)
+order by media_id
+"""
+
+
 def q_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize with size-class co-location: rows range-partitioned
     by payload size so each Arrow batch holds similarly-sized blobs, then a
@@ -5459,6 +5507,7 @@ def queries() -> dict:
         # --- new / changed this round ---
         "x63_png_decode": q_png_decode,
         "x64_png_downsample": q_png_downsample,
+        "x65_avi_decode": q_avi_decode,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
         "e12_asha_search": q_asha_search,
@@ -5747,6 +5796,7 @@ def oracle_sql() -> dict[str, str]:
         "x61_wav_decode": SQL_WAV_DECODE,
         "x63_png_decode": SQL_PNG_DECODE,
         "x64_png_downsample": SQL_PNG_DOWNSAMPLE,
+        "x65_avi_decode": SQL_AVI_DECODE,
         "e12_asha_search": _sql_asha_search(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

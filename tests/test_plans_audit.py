@@ -445,3 +445,26 @@ def test_png_decode_prunes_to_id_and_payload(spark, sf_dir):
     rs = re.search(r"ReadSchema: struct<([^>]*)>", ep).group(1)
     assert sorted(f.split(":")[0] for f in rs.split(",")) == [
         "doc_id", "text"], rs
+
+
+def test_avi_decode_prunes_to_id_and_payload(spark, sf_dir):
+    """x65's decode stage carries only (media_id, payload) into Python
+    and the parquet scan reads only (doc_id, text) — same contract as
+    the WAV/PNG paths."""
+    import re
+
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.multimodal import (
+        decode_avi_features, documents_as_avi)
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_avi_features(documents_as_avi(docs))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    decode_node = next(ln for ln in opt.splitlines()
+                       if "MapInPandas" in ln)
+    args = re.search(r"MapInPandas \w+\(([^)]*)\)", decode_node).group(1)
+    cols = [a.split("#")[0].strip() for a in args.split(",")]
+    assert cols == ["media_id", "payload"], decode_node
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", ep).group(1)
+    assert sorted(f.split(":")[0] for f in rs.split(",")) == [
+        "doc_id", "text"], rs
