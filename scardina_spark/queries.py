@@ -5494,76 +5494,21 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r06 each recorded exactly 50 rows).
-    # Round-7 order: keys new or changed this round first (st12; the
-    # bushy-plan-space e5/e11; the x56/x54 internals refactors), then
-    # the 41 r04-green keys the r06 ledger scheduled for refresh, then
-    # four r05 keys adjacent to this round's code changes to fill the
-    # window.  Everything after the cap is the r08 schedule,
-    # stalest-first (remaining r05 keys, then the r06 block), so no
-    # key goes more than ~2 rounds without a driver row.  Key names
-    # are stable across rounds.
+    # first ~50 entries in order (r01-r07 each recorded exactly 50 rows).
+    # Round-8 order: the three NEW real-codec keys (x63/x64 PNG, x65
+    # AVI) plus x62 (its connected_components core gained per-iteration
+    # lineage truncation this round) lead, then the full r05-green
+    # block (46 keys, the stalest in the ledger) — exactly 50, so after
+    # this round no key's latest driver row is older than r06.
+    # Everything past the cap is the r09 schedule, stalest-first (the
+    # r06-green block, then the r07-green block), keeping the ≤2-round
+    # staleness invariant.  Key names are stable across rounds.
     return {
-        # --- new / changed this round ---
+        # --- window: new/changed this round + the r05-green refresh ---
         "x63_png_decode": q_png_decode,
         "x64_png_downsample": q_png_downsample,
         "x65_avi_decode": q_avi_decode,
-        "st12_stream_neardup": q_stream_neardup,
-        "x61_wav_decode": q_wav_decode,
-        "e12_asha_search": q_asha_search,
         "x62_incremental_components": q_incremental_components,
-        "e5_perror": q_perror,
-        "e11_pg_plan_cost": q_pg_plan_cost,
-        "x56_repetition_battery": q_repetition_battery,
-        "x54_gopher_rules": q_gopher_rules,
-        # --- the 41 r04-green keys scheduled for the r07 window ---
-        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
-        "st10_stream_curate": q_stream_curate,
-        "p10_timestamp_preds": q_timestamp_preds,
-        "e9_subquery_truths": q_subquery_truths,
-        "e10_ppc_inject": q_ppc_inject,
-        "x43_substring_spans": q_substring_spans,
-        "x44_knn_classify": q_knn_classify,
-        "x46_bpe_pairs": q_bpe_pairs,
-        "x27_repetition": q_repetition_stats,
-        "j10_semi_anti": q_semi_anti_join,
-        "a9_cube": q_cube_agg,
-        "a10_window_funcs": q_window_funcs,
-        "o2_set_ops": q_set_ops,
-        "x10_media_meta": q_media_meta,
-        "x22_frame_sample": q_frame_sample,
-        "x23_resize_batch": q_resize_batch,
-        "a11_pricing_summary": q_pricing_summary,
-        "a12_region_revenue": q_region_revenue,
-        "a13_ship_priority": q_ship_priority,
-        "a14_promo_revenue": q_promo_revenue,
-        "a19_rollup": q_rollup_agg,
-        "a20_pivot": q_pivot_counts,
-        "a23_event_funnel": q_event_funnel,
-        "x29_quantile_sketch": q_quantile_sketch,
-        "x30_salted_agg": q_salted_agg,
-        "x31_bm25_topk": q_bm25_topk,
-        "x32_hybrid_search": q_hybrid_search,
-        "x34_latest_per_key": q_latest_per_key,
-        "x35_profile": q_profile_table,
-        "x11_near_dup": q_near_dup,
-        "x12_incremental_counts": q_incremental_counts,
-        "x13_dup_groups": q_dup_groups,
-        "x14_asof_join": q_asof_join,
-        "j4_join_sample": q_join_sample,
-        "e1_estimate_qerror": q_estimate_qerror,
-        "e2_nar_qerror": q_nar_qerror,
-        "e3_nar_ur_qerror": q_nar_ur_qerror,
-        "e4_nar_cin_qerror": q_nar_cin_qerror,
-        "e6_jobm_qerror": q_jobm_qerror,
-        "x20_range_join": q_range_join,
-        "x26_heavy_hitters": q_heavy_hitters,
-        # --- window fill to exactly 50: the r05 key sharing the most
-        # code with this round's changes (LSH banding / probe) ---
-        "x60_incremental_neardup": q_incremental_neardup,
-        # --- past the cap: remaining r05-green keys (the r08
-        # refresh block, stalest-first; x47/x59/st11 lead — they
-        # share this round's touched code) ---
         "x47_semdedup": q_semdedup,
         "x59_line_dedup": q_line_dedup,
         "st11_stream_dsir": q_stream_dsir,
@@ -5610,7 +5555,6 @@ def queries() -> dict:
         "a2_group_agg": q_group_agg,
         "a3_dictionary": q_dictionary,
         "a4_join_group_topk": q_join_group_topk,
-        # --- freshest: r06-green keys ---
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5657,6 +5601,55 @@ def queries() -> dict:
         "o4_sampling_orderings": q_sampling_orderings,
         "x40_curate_corpus": q_curate_corpus,
         "x41_kmeans_iter": q_kmeans_iter,
+        "st12_stream_neardup": q_stream_neardup,
+        "x61_wav_decode": q_wav_decode,
+        "e12_asha_search": q_asha_search,
+        "e5_perror": q_perror,
+        "e11_pg_plan_cost": q_pg_plan_cost,
+        "x56_repetition_battery": q_repetition_battery,
+        "x54_gopher_rules": q_gopher_rules,
+        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
+        "st10_stream_curate": q_stream_curate,
+        "p10_timestamp_preds": q_timestamp_preds,
+        "e9_subquery_truths": q_subquery_truths,
+        "e10_ppc_inject": q_ppc_inject,
+        "x43_substring_spans": q_substring_spans,
+        "x44_knn_classify": q_knn_classify,
+        "x46_bpe_pairs": q_bpe_pairs,
+        "x27_repetition": q_repetition_stats,
+        "j10_semi_anti": q_semi_anti_join,
+        "a9_cube": q_cube_agg,
+        "a10_window_funcs": q_window_funcs,
+        "o2_set_ops": q_set_ops,
+        "x10_media_meta": q_media_meta,
+        "x22_frame_sample": q_frame_sample,
+        "x23_resize_batch": q_resize_batch,
+        "a11_pricing_summary": q_pricing_summary,
+        "a12_region_revenue": q_region_revenue,
+        "a13_ship_priority": q_ship_priority,
+        "a14_promo_revenue": q_promo_revenue,
+        "a19_rollup": q_rollup_agg,
+        "a20_pivot": q_pivot_counts,
+        "a23_event_funnel": q_event_funnel,
+        "x29_quantile_sketch": q_quantile_sketch,
+        "x30_salted_agg": q_salted_agg,
+        "x31_bm25_topk": q_bm25_topk,
+        "x32_hybrid_search": q_hybrid_search,
+        "x34_latest_per_key": q_latest_per_key,
+        "x35_profile": q_profile_table,
+        "x11_near_dup": q_near_dup,
+        "x12_incremental_counts": q_incremental_counts,
+        "x13_dup_groups": q_dup_groups,
+        "x14_asof_join": q_asof_join,
+        "j4_join_sample": q_join_sample,
+        "e1_estimate_qerror": q_estimate_qerror,
+        "e2_nar_qerror": q_nar_qerror,
+        "e3_nar_ur_qerror": q_nar_ur_qerror,
+        "e4_nar_cin_qerror": q_nar_cin_qerror,
+        "e6_jobm_qerror": q_jobm_qerror,
+        "x20_range_join": q_range_join,
+        "x26_heavy_hitters": q_heavy_hitters,
+        "x60_incremental_neardup": q_incremental_neardup,
     }
 
 
