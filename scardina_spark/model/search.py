@@ -15,7 +15,16 @@ drivers cover the same protocol:
   than async (no worker pool here — promotion decisions see the whole
   rung, which is ASHA's limit behavior), and early-stopped configs
   really do cost only their rung budget — the resource-adaptivity the
-  reference gets from Ray's scheduler.
+  reference gets from Ray's scheduler; and
+* ``tpe_search`` — the reference's Optuna TPE SAMPLER semantics
+  (Bergstra et al., NIPS'11 categorical TPE) made deterministic: a
+  fixed maximin startup spread replaces the random startup, then each
+  trial splits history at the gamma-quantile of validation loss into
+  good/bad sets, scores every untried config by the product of
+  per-dimension smoothed density ratios l(v)/g(v) (the
+  EI-proportional acquisition), and trains the argmax (ties broken by
+  config).  No RNG anywhere, so every promotion/pick decision is
+  externally re-checkable.
 
 Both use a seeded 90/10 train/validation split (validation capped at
 10k rows, matching scardina/common.py:597-608); each trial is seconds
@@ -138,6 +147,105 @@ def asha_search(input_bins: list[tuple[str, int]], codes: np.ndarray,
         alive = [t[3] for t in scored[:keep]]
         best_model = scored[0][4]
     return best_model, trials
+
+
+@dataclass
+class TpeTrial:
+    cfg: TrainConfig
+    trial: int        # 0-based pick order
+    val_loss: float
+    train_loss: float
+    startup: bool     # fixed-spread startup pick vs TPE-scored pick
+
+
+def tpe_startup_order(d_words: tuple[int, ...], d_ffs: tuple[int, ...]
+                      ) -> list[tuple[int, int]]:
+    """The deterministic analog of TPE's random startup: the full grid
+    ordered extremes-first (corners before edges before center, by L1
+    distance of the index pair from the grid center), ties broken by
+    (d_word, d_ff).  Maximal early spread without randomness."""
+    kd, kf = len(d_words), len(d_ffs)
+
+    def key(c: tuple[int, int]):
+        i, j = d_words.index(c[0]), d_ffs.index(c[1])
+        ext = abs(i - (kd - 1) / 2) + abs(j - (kf - 1) / 2)
+        return (-ext, c[0], c[1])
+
+    return sorted(((dw, dff) for dw in d_words for dff in d_ffs),
+                  key=key)
+
+
+def tpe_scores(history: list[tuple[int, int, float]],
+               candidates: list[tuple[int, int]],
+               d_words: tuple[int, ...], d_ffs: tuple[int, ...],
+               gamma: float = 0.25, prior: float = 1.0
+               ) -> dict[tuple[int, int], float]:
+    """The categorical-TPE acquisition: split ``history`` (sorted by
+    (val_loss, config)) at ``ceil(gamma*n)`` into good/bad, estimate a
+    smoothed per-dimension categorical density for each side
+    ((count + prior) / (n + prior*K)), and score each candidate by the
+    product of density ratios l(v)/g(v) — monotone in the expected
+    improvement for categorical spaces (Bergstra et al. NIPS'11 §4).
+    Exposed separately so callers (the e13 contract) can re-verify
+    every pick independently of the search loop."""
+    import math
+    from collections import Counter
+
+    n_good = max(1, math.ceil(gamma * len(history)))
+    srt = sorted(history, key=lambda t: (t[2], t[0], t[1]))
+    good, bad = srt[:n_good], srt[n_good:]
+
+    def dens(subset, dim_vals, idx):
+        cnt = Counter(t[idx] for t in subset)
+        tot = len(subset) + prior * len(dim_vals)
+        return {v: (cnt.get(v, 0) + prior) / tot for v in dim_vals}
+
+    lw, gw = dens(good, d_words, 0), dens(bad, d_words, 0)
+    lf, gf = dens(good, d_ffs, 1), dens(bad, d_ffs, 1)
+    return {(dw, dff): (lw[dw] / gw[dw]) * (lf[dff] / gf[dff])
+            for dw, dff in candidates}
+
+
+def tpe_search(input_bins: list[tuple[str, int]], codes: np.ndarray,
+               base: TrainConfig | None = None,
+               d_words: tuple[int, ...] = (8, 16, 32),
+               d_ffs: tuple[int, ...] = (32, 64, 96),
+               n_trials: int = 6, n_startup: int = 3,
+               gamma: float = 0.25, prior: float = 1.0,
+               model_cls=NarMLP) -> tuple[NarMLP, list[TpeTrial]]:
+    """Deterministic TPE over the (d_word, d_ff) grid: returns the
+    best-validation model and the full pick-ordered trial table.  Each
+    config is trained at most once (the space is finite), so
+    ``n_trials < |grid|`` really saves the difference vs exhaustive —
+    the sampler's adaptivity claim, which the e13 contract certifies
+    alongside pick-by-pick re-verification of the acquisition argmax."""
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    grid = [(dw, dff) for dw in d_words for dff in d_ffs]
+    n_trials = min(n_trials, len(grid))
+    startup = tpe_startup_order(d_words, d_ffs)
+    history: list[tuple[int, int, float]] = []
+    trials: list[TpeTrial] = []
+    best = None  # (val_loss, d_word, d_ff, model)
+    for t in range(n_trials):
+        if t < n_startup:
+            dw, dff = startup[t]
+        else:
+            tried = {(h[0], h[1]) for h in history}
+            untried = [c for c in grid if c not in tried]
+            scores = tpe_scores(history, untried, d_words, d_ffs,
+                                gamma, prior)
+            dw, dff = min(untried,
+                          key=lambda c: (-scores[c], c[0], c[1]))
+        cfg = replace(base, d_word=dw, d_ff=dff)
+        model = model_cls(input_bins, cfg)
+        losses = model.fit(train)
+        vl = masked_val_loss(model, val)
+        history.append((dw, dff, vl))
+        trials.append(TpeTrial(cfg, t, vl, losses[-1], t < n_startup))
+        if best is None or (vl, dw, dff) < best[:3]:
+            best = (vl, dw, dff, model)
+    return best[3], trials
 
 
 def grid_search(input_bins: list[tuple[str, int]], codes: np.ndarray,

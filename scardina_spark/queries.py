@@ -3519,6 +3519,85 @@ _ASHA_ETA = 2
 _ASHA_MIN_EPOCHS = 2
 
 
+_TPE_D_WORDS = (8, 12, 16)
+_TPE_D_FFS = (32, 48, 64)
+_TPE_N_TRIALS = 6
+_TPE_N_STARTUP = 3
+
+
+def q_tpe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 (TPE sampler — the reference's Optuna TPESampler semantics,
+    scardina/run.py:611-657, made deterministic per Bergstra et al.
+    NIPS'11 categorical TPE; completes the M8 search family beside
+    e8's grid and e12's ASHA scheduler): fixed maximin startup spread,
+    then each trial scores every untried config by the product of
+    per-dimension smoothed good/bad density ratios and trains the
+    argmax.  Output: one row per trial with `ok` certifying Spark-side
+    that (a) all trial configs are distinct and n_trials < |grid| (the
+    adaptivity claim), (b) the startup picks follow the documented
+    spread order, (c) every adaptive pick equals the independently
+    recomputed acquisition argmax over the untried configs given the
+    prior history (`tpe_scores` re-run outside the search loop), (d)
+    the returned winner is the val-loss argmin with config tie-break,
+    and (e) every loss is finite.  The oracle emits the literal pick
+    schedule; which configs win is loss-dependent and carried by the
+    booleans."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import tpe_scores, tpe_search, tpe_startup_order
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=4, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    best_model, trials = tpe_search(bins, codes, base,
+                                    d_words=_TPE_D_WORDS,
+                                    d_ffs=_TPE_D_FFS,
+                                    n_trials=_TPE_N_TRIALS,
+                                    n_startup=_TPE_N_STARTUP)
+    grid = [(dw, dff) for dw in _TPE_D_WORDS for dff in _TPE_D_FFS]
+    cfgs = [(t.cfg.d_word, t.cfg.d_ff) for t in trials]
+    ok = (len(cfgs) == _TPE_N_TRIALS < len(grid)
+          and len(set(cfgs)) == len(cfgs))
+    ok = ok and all(math.isfinite(t.val_loss)
+                    and math.isfinite(t.train_loss) for t in trials)
+    ok = ok and cfgs[:_TPE_N_STARTUP] == tpe_startup_order(
+        _TPE_D_WORDS, _TPE_D_FFS)[:_TPE_N_STARTUP]
+    hist: list[tuple[int, int, float]] = []
+    for t in trials:
+        c = (t.cfg.d_word, t.cfg.d_ff)
+        ok = ok and t.startup == (t.trial < _TPE_N_STARTUP)
+        if not t.startup:
+            untried = [g for g in grid
+                       if g not in {h[:2] for h in hist}]
+            s = tpe_scores(hist, untried, _TPE_D_WORDS, _TPE_D_FFS)
+            ok = ok and c == min(untried,
+                                 key=lambda g: (-s[g], g[0], g[1]))
+        hist.append((c[0], c[1], t.val_loss))
+    best = min(trials, key=lambda t: (t.val_loss, t.cfg.d_word,
+                                      t.cfg.d_ff))
+    ok = ok and (best_model.cfg.d_word, best_model.cfg.d_ff) == (
+        best.cfg.d_word, best.cfg.d_ff)
+    out = [(t.trial, bool(t.startup), bool(ok)) for t in trials]
+    return (spark.createDataFrame(
+        out, "trial int, startup boolean, ok boolean")
+        .orderBy("trial"))
+
+
+def _sql_tpe_search() -> str:
+    parts = [
+        f"select {t}::INT as trial, "
+        f"{'true' if t < _TPE_N_STARTUP else 'false'} as startup, "
+        f"true as ok"
+        for t in range(_TPE_N_TRIALS)]
+    return "\nunion all\n".join(parts) + "\norder by trial"
+
+
 def q_asha_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 (ASHA successive-halving search — the reference's scheduler
     semantics, scardina/run.py:611-657 Ray Tune + ASHA, made
@@ -5555,6 +5634,9 @@ def queries() -> dict:
         "a2_group_agg": q_group_agg,
         "a3_dictionary": q_dictionary,
         "a4_join_group_topk": q_join_group_topk,
+        # --- past the cap (r09 schedule): new-this-round e13 leads,
+        # then the r06-green block stalest-first, then r07-green ---
+        "e13_tpe_search": q_tpe_search,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5791,6 +5873,7 @@ def oracle_sql() -> dict[str, str]:
         "x64_png_downsample": SQL_PNG_DOWNSAMPLE,
         "x65_avi_decode": SQL_AVI_DECODE,
         "e12_asha_search": _sql_asha_search(),
+        "e13_tpe_search": _sql_tpe_search(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -91,3 +91,62 @@ def test_asha_search_promotions_and_adaptivity():
             for t in trials] == \
            [(t.cfg.d_word, t.cfg.d_ff, t.rung, t.val_loss, t.promoted)
             for t in trials2]
+
+
+def test_tpe_startup_order_extremes_first():
+    from scardina_spark.model.search import tpe_startup_order
+    order = tpe_startup_order((8, 16, 32), (32, 64, 96))
+    # the four corners lead (L1-extreme picks), center is last
+    assert set(order[:4]) == {(8, 32), (8, 96), (32, 32), (32, 96)}
+    assert order[-1] == (16, 64)
+    # deterministic tie-break inside a ring: sorted by (d_word, d_ff)
+    assert order[:4] == sorted(order[:4])
+
+
+def test_tpe_scores_favor_good_cluster():
+    from scardina_spark.model.search import tpe_scores
+    # good trials (lowest losses) all sit at d_word=8: the density
+    # ratio must rank any untried d_word=8 config above d_word=32 ones
+    hist = [(8, 32, 0.1), (8, 64, 0.12), (32, 32, 0.9), (32, 96, 1.1),
+            (16, 64, 0.95)]
+    cands = [(8, 96), (32, 64), (16, 32)]
+    s = tpe_scores(hist, cands, (8, 16, 32), (32, 64, 96), gamma=0.4)
+    assert s[(8, 96)] > s[(16, 32)] > s[(32, 64)]
+
+
+def test_tpe_search_deterministic_verifiable_and_adaptive():
+    from scardina_spark.model.search import (
+        tpe_scores, tpe_search, tpe_startup_order)
+    rs = np.random.RandomState(0)
+    x = rs.randint(2, 10, size=3000)
+    y = np.where(rs.rand(3000) < 0.85, x, rs.randint(2, 10, size=3000))
+    codes = np.stack([x, y], axis=1)
+    base = TrainConfig(epochs=2, batch_size=512, seed=2)
+    kw = dict(d_words=(8, 16), d_ffs=(16, 32, 48), n_trials=4,
+              n_startup=2)
+    m1, t1 = tpe_search([("x", 10), ("y", 10)], codes, base, **kw)
+    m2, t2 = tpe_search([("x", 10), ("y", 10)], codes, base, **kw)
+    # bit-deterministic: same picks, same losses
+    assert [(t.cfg.d_word, t.cfg.d_ff, t.val_loss) for t in t1] == \
+           [(t.cfg.d_word, t.cfg.d_ff, t.val_loss) for t in t2]
+    # adaptivity: n_trials < |grid|, all configs distinct
+    cfgs = [(t.cfg.d_word, t.cfg.d_ff) for t in t1]
+    assert len(cfgs) == 4 < 6 and len(set(cfgs)) == 4
+    # startup picks follow the documented spread
+    assert cfgs[:2] == tpe_startup_order((8, 16), (16, 32, 48))[:2]
+    # every adaptive pick re-verifies as the acquisition argmax over
+    # the untried configs given the prior history
+    grid = [(dw, dff) for dw in (8, 16) for dff in (16, 32, 48)]
+    hist = []
+    for t in t1:
+        c = (t.cfg.d_word, t.cfg.d_ff)
+        if not t.startup:
+            untried = [g for g in grid if g not in {h[:2] for h in hist}]
+            s = tpe_scores(hist, untried, (8, 16), (16, 32, 48))
+            want = min(untried, key=lambda g: (-s[g], g[0], g[1]))
+            assert c == want
+        hist.append((c[0], c[1], t.val_loss))
+    # winner = argmin val loss with config tie-break
+    best = min(t1, key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
+    assert (m1.cfg.d_word, m1.cfg.d_ff) == (best.cfg.d_word,
+                                            best.cfg.d_ff)
