@@ -828,6 +828,47 @@ def decode_avi_features(df: DataFrame) -> DataFrame:
             .mapInPandas(run, AVI_FEATURE_SCHEMA))
 
 
+def avi_thumbnail(df: DataFrame, frame: str = "middle") -> DataFrame:
+    """Cross-codec video thumbnailing — the everyday multimodal
+    pipeline op: decode each AVI, pick one frame (``middle`` =
+    ``n_frames // 2``, or ``first``), and re-encode it as a standalone
+    PNG at the video's own dimensions.  Two REAL codecs compose in one
+    Arrow batch with no intermediate materialization; downstream
+    consumers see ordinary image media rows.
+
+    One partition-local pass, no shuffle; payload bytes cross into
+    Python once."""
+    if frame not in ("middle", "first"):
+        raise ValueError(f"unknown frame selector: {frame}")
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_avi(bytes(payload))
+                pick = frames[len(frames) // 2] if frame == "middle" \
+                    else frames[0]
+                payloads.append(encode_png(pick, width=w))
+                ids.append(int(mid))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["image"] * len(ids),
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(run, out_schema))
+
+
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes.  The kernel is
     the stub above; the batch loop, schema and output contract are real."""

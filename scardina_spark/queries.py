@@ -3117,6 +3117,46 @@ order by media_id
 """
 
 
+def q_video_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 (cross-codec composition): AVI-encode every document, then
+    ``avi_thumbnail`` decodes each video, picks the MIDDLE frame and
+    re-encodes it as a standalone PNG — two real codecs composing in
+    one Arrow batch — and ``decode_png_features`` reads the thumbnails
+    back.  The oracle recomputes every thumbnail feature from the
+    middle frame's byte span of the source text."""
+    docs = load_table(spark, sf_dir, "documents")
+    avi = MM.documents_as_avi(docs)
+    thumbs = MM.avi_thumbnail(avi)
+    return MM.decode_png_features(thumbs).orderBy("media_id")
+
+
+SQL_VIDEO_THUMBNAIL = f"""
+with guard as ({SQL_ASCII_GUARD}),
+d as (select doc_id, coalesce(text, '') as t,
+             length(coalesce(text, '')) as n,
+             greatest(1, (length(coalesce(text, '')) + 127) // 128)
+               as nf
+      from documents cross join guard),
+b as (
+  select doc_id, (i - 1) as idx, ascii(substr(t, i, 1)) as v
+  from d, unnest(range(1, n + 1)) as u(i)),
+midagg as (
+  select b.doc_id, sum(b.v) as s, sum(b.v * b.v) as sq, max(b.v) as pk
+  from b join d using (doc_id)
+  where b.idx >= (d.nf // 2) * 128 and b.idx < (d.nf // 2 + 1) * 128
+  group by b.doc_id)
+select d.doc_id::BIGINT as media_id,
+       16::INT as width, 8::INT as height,
+       128::BIGINT as n_pixels,
+       coalesce(m.s, 0)::BIGINT as pixel_sum,
+       coalesce(m.sq, 0)::BIGINT as pixel_sq_sum,
+       coalesce(m.pk, 0)::INT as peak,
+       3::INT as n_chunks
+from d left join midagg m using (doc_id)
+order by media_id
+"""
+
+
 def q_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize with size-class co-location: rows range-partitioned
     by payload size so each Arrow batch holds similarly-sized blobs, then a
@@ -5637,6 +5677,7 @@ def queries() -> dict:
         # --- past the cap (r09 schedule): new-this-round e13 leads,
         # then the r06-green block stalest-first, then r07-green ---
         "e13_tpe_search": q_tpe_search,
+        "x66_video_thumbnail": q_video_thumbnail,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5874,6 +5915,7 @@ def oracle_sql() -> dict[str, str]:
         "x65_avi_decode": SQL_AVI_DECODE,
         "e12_asha_search": _sql_asha_search(),
         "e13_tpe_search": _sql_tpe_search(),
+        "x66_video_thumbnail": SQL_VIDEO_THUMBNAIL,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -327,3 +327,28 @@ def test_avi_decode_features_match_numpy(spark, tables):
         assert d["pixel_sq_sum"] == int((arr * arr).sum())
         assert d["peak"] == int(arr.max())
         assert d["mid_frame_sum"] == int(mid.sum())
+
+
+def test_avi_thumbnail_cross_codec(spark, tables):
+    """x66: the middle AVI frame re-encoded as PNG decodes to exactly
+    that frame's pixels; 'first' selector picks frame 0; unknown
+    selectors are rejected."""
+    import numpy as np
+
+    docs = tables["documents"].limit(20).select("doc_id", "text")
+    avi = M.documents_as_avi(docs)
+    for sel, pick in (("middle", lambda fs: fs[len(fs) // 2]),
+                      ("first", lambda fs: fs[0])):
+        thumbs = {r["media_id"]: bytes(r["payload"])
+                  for r in M.avi_thumbnail(avi, frame=sel).collect()}
+        for row in docs.collect():
+            b = (row["text"] or "").encode("utf-8")
+            fsz = M.AVI_WIDTH * M.AVI_HEIGHT
+            nf = max(1, -(-len(b) // fsz))
+            frames = [b[k * fsz:(k + 1) * fsz].ljust(fsz, b"\x00")
+                      for k in range(nf)]
+            w, h, px, _ = M.decode_png(thumbs[row["doc_id"]])
+            assert (w, h) == (M.AVI_WIDTH, M.AVI_HEIGHT)
+            assert px == pick(frames)
+    with pytest.raises(ValueError, match="selector"):
+        M.avi_thumbnail(avi, frame="last")
