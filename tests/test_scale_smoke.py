@@ -474,3 +474,41 @@ def test_line_dedup_scales_and_saturates(spark):
     assert big_row["nl"] == 10 * base_row["nl"]
     assert big_row["nk"] == 0  # every line now repeats corpus-wide
     assert big_s < 20 * max(base_s, 1.0), (base_s, big_s)
+
+
+def test_codec_stages_scale_linearly(spark):
+    """The three real-codec decode loops (WAV/PNG/AVI) at 10x
+    documents: wall-clock must scale roughly linearly — the stages are
+    shuffle-free mapInPandas projections, so anything super-linear
+    would mean Arrow batching or payload assembly regressed."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.multimodal import (
+        decode_avi_features, decode_png_features, decode_wav_features,
+        documents_as_avi, documents_as_png, documents_as_wav)
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_base = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (docs.crossJoin(reps)
+           .withColumn("doc_id",
+                       F.col("doc_id") + F.col("__rep__") * n_base)
+           .drop("__rep__"))
+
+    stages = {
+        "wav": lambda d: decode_wav_features(documents_as_wav(d)),
+        "png": lambda d: decode_png_features(documents_as_png(d)),
+        "avi": lambda d: decode_avi_features(documents_as_avi(d)),
+    }
+    for name, fn in stages.items():
+        t0 = time.perf_counter()
+        small_n = fn(docs).count()
+        small_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big_n = fn(big).count()
+        big_s = time.perf_counter() - t0
+        assert big_n == 10 * small_n
+        # generous linearity bound (fixed overheads amortize; the
+        # codecs are per-row, so quadratic growth would blow past this)
+        assert big_s < 10 * max(small_s, 1.0), (name, small_s, big_s)
+        print(f"{name} 10x: {small_n} -> {big_n} rows, "
+              f"{small_s:.1f}s -> {big_s:.1f}s")
