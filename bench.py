@@ -800,14 +800,53 @@ def main() -> None:
     timed("avi_encode_decode", run_avi)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    payload = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         **extras,
-    }))
+    }
+    # The full payload (~4 KB) goes to bench_extras.json; stdout gets a
+    # COMPACT line trimmed to fit a 2000-char capture window (recorders
+    # that tail stdout keep a parseable line instead of a truncated
+    # one).  Headline keys are appended best-effort, least-important
+    # last, and dropped from the end until the line fits.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_extras.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    headline = [
+        "jl_qerror_p50", "jl_qerror_p100", "jl_mean_ms_per_query",
+        "jl_nar_hybrid_qerror_max", "jl_nar_mean_ms_per_query",
+        "jl_cin_hybrid_qerror_max", "jl_cin_mean_ms_per_query",
+        "jm_ht_qerror_p100", "jm_nar_hybrid_qerror_max",
+        "jm_cin_hybrid_qerror_max", "jl_ext_nar_perror_max",
+        "jl_ext_nar_subq_qerror_max", "jl_ext_heur_perror_flips",
+        "pg_nar_perror_max", "pg_forced_plans_ok",
+        "pg_nar_perror_max_nohashjoin", "pg_nar_perror_max_nomergejoin",
+        "pg_native_perror_max", "asha_epochs_spent",
+        "extras_file", "qerror_max", "nar_qerror_max",
+    ]
+    extras["extras_file"] = "bench_extras.json"
+    compact = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    kept = [k for k in headline if k in extras]
+    while kept:
+        line = json.dumps({**compact,
+                           **{k: extras[k] for k in kept}},
+                          separators=(",", ":"))
+        if len(line) <= 1950:
+            break
+        kept.pop()
+    else:
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

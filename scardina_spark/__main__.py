@@ -474,6 +474,41 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Hyperparameter search over a single-table matrix (M8): the
+    reference's train-time search workflow with all three deterministic
+    drivers — exhaustive grid, ASHA successive halving, TPE sampler."""
+    from .catalog import load_table
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import asha_search, grid_search, tpe_search
+    spark = _spark()
+    df = load_table(spark, args.sf_dir, args.table)
+    cols = [c.strip() for c in args.columns.split(",")]
+    base = TrainConfig(epochs=args.epochs, batch_size=1024,
+                       seed=args.seed)
+    codes, domains = training_matrix(df, cols, max_rows=args.max_rows,
+                                     seed=base.seed)
+    bins = [(c, domains[c].dom_size) for c in cols]
+    if args.driver == "grid":
+        model, trials = grid_search(bins, codes, base)
+        spent = len(trials) * args.epochs
+    elif args.driver == "asha":
+        model, trials = asha_search(bins, codes, base)
+        spent = sum(t.epochs for t in trials)
+    else:
+        model, trials = tpe_search(bins, codes, base,
+                                   n_trials=args.n_trials)
+        spent = len(trials) * args.epochs
+    print(json.dumps({
+        "driver": args.driver, "table": args.table, "columns": cols,
+        "chosen_d_word": model.cfg.d_word,
+        "chosen_d_ff": model.cfg.d_ff,
+        "n_trials": len(trials), "epochs_spent": spent,
+    }))
+    return 0
+
+
 def cmd_train_join(args) -> int:
     from .benchmarks import UR_MODEL_COLUMNS
     from .catalog import build_tpch_schema, load_tables
@@ -647,6 +682,18 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("search")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", required=True)
+    p.add_argument("--driver", default="asha",
+                   choices=["grid", "asha", "tpe"])
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--n-trials", type=int, default=6)
+    p.add_argument("--max-rows", type=int, default=20_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_search)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -126,3 +126,15 @@ def test_cli_semdedup(capsys, spark, sf_dir, tmp_path):
     assert 0 < out["dropped"] < out["n"]
     back = spark.read.parquet(out_path)
     assert set(back.columns) >= {"vec_id", "cell", "kept"}
+
+
+def test_cli_search_drivers(capsys, spark, sf_dir):
+    for driver, extra in (("tpe", []), ("asha", [])):
+        rc = main(["search", "--sf-dir", sf_dir, "--table", "lineitem",
+                   "--columns", "l_returnflag,l_linestatus",
+                   "--driver", driver, "--epochs", "2"] + extra)
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["driver"] == driver
+        assert out["chosen_d_word"] in (8, 16, 32)
+        assert out["n_trials"] >= 2 and out["epochs_spent"] > 0
