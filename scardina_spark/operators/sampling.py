@@ -189,3 +189,55 @@ def temperature_weights(df: DataFrame, alpha: float = 0.5,
             .select(group_col, "n_docs", "avail_tokens",
                     F.round(pw / F.col("z"), 6).alias("weight"))
             .orderBy(group_col))
+
+
+def unimax_plan(df: DataFrame, budget_tokens: int,
+                max_epochs: float = 1.0, group_col: str = "source",
+                token_col: str = "n_tokens") -> DataFrame:
+    """UNIMAX mixture allocation (Chung et al., ICLR 2023): distribute
+    ``budget_tokens`` as UNIFORMLY as possible across sources subject
+    to a per-source epoch cap — the fairness-first alternative to
+    temperature flattening (no alpha to tune; low-resource sources are
+    never over-repeated past ``max_epochs``).
+
+    The greedy water-filling: visit sources ASCENDING by available
+    tokens (ties by name); each receives
+    ``min(max_epochs * avail, remaining_budget / remaining_sources)``.
+    A source hits its cap exactly when its capacity is below the
+    current fair share; its surplus flows to larger sources.
+
+    Scale shape: one map-side-combinable groupBy on the source key,
+    then the greedy loop runs DRIVER-SIDE over the O(#sources)
+    relation (metadata-scale, like `token_budget_plan`'s epoch
+    table).  Returns ``(group, n_docs, avail_tokens, alloc_tokens,
+    epochs, capped)`` sorted by group; ``epochs`` = alloc/avail
+    (rounded 6dp), ``capped`` marks cap-bound sources."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    per = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(token_col)).cast("long")
+                .alias("avail_tokens"))
+           .orderBy("avail_tokens", group_col)
+           .collect())
+    remaining = float(budget_tokens)
+    left = len(per)
+    rows = []
+    for r in per:
+        fair = remaining / left if left else 0.0
+        cap = max_epochs * float(r["avail_tokens"])
+        alloc = min(cap, fair)
+        remaining -= alloc
+        left -= 1
+        rows.append((r[group_col], int(r["n_docs"]),
+                     int(r["avail_tokens"]), round(alloc, 4),
+                     round(alloc / float(r["avail_tokens"]), 6)
+                     if r["avail_tokens"] else 0.0,
+                     bool(cap < fair)))
+    spark = df.sparkSession
+    return (spark.createDataFrame(
+        rows, f"{group_col} string, n_docs bigint, avail_tokens bigint, "
+              "alloc_tokens double, epochs double, capped boolean")
+        .orderBy(group_col))

@@ -2569,6 +2569,23 @@ from laid order by doc_id
 """
 
 
+def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13 (streaming multimodal decode, beyond reference): arriving
+    documents are PNG-encoded and codec-decoded to features ON THE
+    STREAM — the batch codec stages are stateless Arrow-batched
+    projections, so they compose with the file source unchanged
+    (append mode, no state, no watermark; `streaming/media.py`).
+    Drained with availableNow; the batch x63 oracle is exact."""
+    from .streaming.curate import read_documents_stream
+    from .streaming.events import run_to_memory_sink
+    from .streaming.media import decode_media_stream
+
+    st = read_documents_stream(spark, sf_dir)
+    out = run_to_memory_sink(decode_media_stream(st, codec="png"),
+                             "q_stream_media", output_mode="append")
+    return out.orderBy("media_id")
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation (beyond reference): documents stream
     through the stateless quality/language/repetition gates, then a
@@ -5539,6 +5556,53 @@ from per, tot order by source
 """
 
 
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 (UNIMAX mixture allocation, Chung et al. ICLR 2023;
+    completes the mixture family beside x57's temperature flattening
+    and x49's weighted budget): distribute a token budget as uniformly
+    as possible across sources under a per-source epoch cap — greedy
+    water-filling ascending by availability, cap-bound surplus flowing
+    to larger sources (`sampling.unimax_plan`; budget 140k chars, cap
+    1 epoch — a discriminating split: some sources cap, some don't).
+    The oracle replays the exact greedy with a recursive CTE."""
+    from .operators.sampling import unimax_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_plan(docs, budget_tokens=140_000, max_epochs=1.0,
+                       token_col="n_chars")
+
+
+SQL_UNIMAX_PLAN = """
+with recursive per as (
+  select source, count(*)::BIGINT as n_docs,
+         sum(n_chars)::BIGINT as avail
+  from documents group by source),
+ord as (
+  select *, row_number() over (order by avail, source) as rn
+  from per),
+k as (select count(*)::INT as n from per),
+alloc as (
+  select 0 as rn, cast(140000 as double) as remaining,
+         (select n from k) as left_n,
+         cast(null as varchar) as source, 0::BIGINT as n_docs,
+         0::BIGINT as avail, cast(0 as double) as a,
+         false as capped
+  union all
+  select o.rn,
+         alloc.remaining - least(1.0 * o.avail,
+                                 alloc.remaining / alloc.left_n),
+         alloc.left_n - 1, o.source, o.n_docs, o.avail,
+         least(1.0 * o.avail, alloc.remaining / alloc.left_n),
+         1.0 * o.avail < alloc.remaining / alloc.left_n
+  from alloc join ord o on o.rn = alloc.rn + 1)
+select source, n_docs, avail as avail_tokens,
+       round(a, 4) as alloc_tokens,
+       round(a / avail, 6) as epochs, capped
+from alloc where rn > 0
+order by source
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 (DSIR data selection, Xie et al. NeurIPS 2023): score every
     document by the log importance weight between an add-1 unigram LM
@@ -5678,6 +5742,8 @@ def queries() -> dict:
         # then the r06-green block stalest-first, then r07-green ---
         "e13_tpe_search": q_tpe_search,
         "x66_video_thumbnail": q_video_thumbnail,
+        "st13_stream_media": q_stream_media_decode,
+        "x67_unimax_plan": q_unimax_plan,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5916,6 +5982,10 @@ def oracle_sql() -> dict[str, str]:
         "e12_asha_search": _sql_asha_search(),
         "e13_tpe_search": _sql_tpe_search(),
         "x66_video_thumbnail": SQL_VIDEO_THUMBNAIL,
+        # the stream runs the same codec projections -> the batch PNG
+        # oracle is exact for the drained stream
+        "st13_stream_media": SQL_PNG_DECODE,
+        "x67_unimax_plan": SQL_UNIMAX_PLAN,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -160,3 +160,36 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     # composes with the epochs table
     plan = token_budget_plan(df, half, budget_tokens=5000)
     assert {r["source"] for r in plan.collect()} == {"big", "small"}
+
+
+def test_unimax_plan_water_filling(spark):
+    """UNIMAX greedy on a crafted 3-source corpus: a tiny source caps
+    at max_epochs, its surplus flows to the larger sources, the full
+    budget is spent when capacity allows, and allocation is uniform
+    when nothing caps."""
+    from scardina_spark.operators.sampling import unimax_plan
+    rows = [("tiny", 100), ("mid", 1000), ("big", 5000)]
+    df = spark.createDataFrame(
+        [(s, n) for s, n in rows], "source: string, n_tokens: long")
+    # budget 3000, cap 2 epochs: fair share 1000 > tiny's capacity 200
+    # -> tiny caps; surplus 800 splits across mid/big (1400 each)
+    got = {r["source"]: r.asDict()
+           for r in unimax_plan(df, 3000, max_epochs=2.0).collect()}
+    assert got["tiny"]["alloc_tokens"] == 200.0 and got["tiny"]["capped"]
+    assert got["mid"]["alloc_tokens"] == 1400.0 and not got["mid"]["capped"]
+    assert got["big"]["alloc_tokens"] == 1400.0
+    assert got["tiny"]["epochs"] == 2.0
+    assert sum(r["alloc_tokens"] for r in got.values()) == 3000.0
+    # nothing caps -> uniform thirds
+    got2 = {r["source"]: r["alloc_tokens"]
+            for r in unimax_plan(df, 300, max_epochs=2.0).collect()}
+    assert set(got2.values()) == {100.0}
+    # budget above total capacity: everyone caps, epochs == cap
+    got3 = {r["source"]: r.asDict()
+            for r in unimax_plan(df, 10**9, max_epochs=1.5).collect()}
+    assert all(r["capped"] and r["epochs"] == 1.5 for r in got3.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        unimax_plan(df, -1)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_plan(df, 100, max_epochs=0)

@@ -99,3 +99,49 @@ def test_stream_dsir_matches_batch_scorer(spark, tables, sf_dir):
             for r in score_against_lms(docs, lm_t, lm_r,
                                        oov_t, oov_r).collect()}
     assert got == want
+
+
+def test_stream_media_decode_matches_batch(spark, tables, sf_dir):
+    """st13: codec feature extraction on the stream == the batch
+    pipeline row for row (the stages are stateless projections), for
+    every codec; unknown codec rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scardina_spark.operators.multimodal import (
+        decode_avi_features, decode_png_features, decode_wav_features,
+        documents_as_avi, documents_as_png, documents_as_wav)
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.events import run_to_memory_sink
+    from scardina_spark.streaming.media import decode_media_stream
+
+    docs = tables["documents"]
+    batch = {
+        "wav": decode_wav_features(documents_as_wav(docs)),
+        "png": decode_png_features(documents_as_png(docs)),
+        "avi": decode_avi_features(documents_as_avi(docs)),
+    }
+    for codec, want_df in batch.items():
+        st = read_documents_stream(spark, sf_dir)
+        got = run_to_memory_sink(decode_media_stream(st, codec=codec),
+                                 f"t_media_{codec}",
+                                 output_mode="append")
+        want = {tuple(r) for r in want_df.collect()}
+        have = {tuple(r) for r in got.collect()}
+        assert have == want and have, codec
+    with _pytest.raises(ValueError, match="unknown codec"):
+        decode_media_stream(read_documents_stream(spark, sf_dir),
+                            codec="mp3")
+
+
+def test_stream_media_decode_plan_is_stateless(spark, sf_dir):
+    """st13's legality: the analyzed streaming plan carries NO
+    stateful operator and NO aggregate — pure projections, so append
+    mode needs no watermark."""
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.media import decode_media_stream
+
+    out = decode_media_stream(read_documents_stream(spark, sf_dir))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" not in plan
+    assert "Aggregate" not in plan
