@@ -512,3 +512,43 @@ def test_codec_stages_scale_linearly(spark):
         assert big_s < 10 * max(small_s, 1.0), (name, small_s, big_s)
         print(f"{name} 10x: {small_n} -> {big_n} rows, "
               f"{small_s:.1f}s -> {big_s:.1f}s")
+
+
+def test_repeated_component_merges_stay_flat(spark):
+    """The real ingest pattern: FIVE successive shard merges into a
+    standing labeling.  Per-merge wall time must stay roughly flat
+    (each merge's plan starts from checkpointed state — before the
+    round-8 lineage fix, plan analysis grew exponentially and a merge
+    of a merge hung), and the final labeling must equal a from-scratch
+    recompute over all edges."""
+    from scardina_spark.operators.components import (
+        connected_components, merge_components)
+
+    # a chain-of-cliques corpus graph split into 6 shards
+    edges = []
+    for c in range(40):
+        base = c * 5
+        edges += [(base + i, base + i + 1) for i in range(4)]
+    bridges = [(c * 5 + 4, (c + 1) * 5) for c in range(0, 39, 2)]
+    all_edges = edges + bridges
+    shards = [all_edges[k::6] for k in range(6)]
+    schema = "id_a: long, id_b: long"
+
+    assign = connected_components(
+        spark.createDataFrame(shards[0], schema))
+    times = []
+    for shard in shards[1:]:
+        t0 = time.perf_counter()
+        assign = merge_components(
+            assign, spark.createDataFrame(shard, schema))
+        assign = assign.localCheckpoint(eager=True)
+        times.append(time.perf_counter() - t0)
+    got = {(r["node"], r["component"]) for r in assign.collect()}
+    want = {(r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(all_edges, schema)).collect()}
+    assert got == want and got
+    # flatness: the last merge may not cost more than 3x the first
+    # (exponential lineage growth would be orders of magnitude)
+    assert times[-1] < 3 * max(times[0], 1.0), times
+    print("merge times:", [round(t, 1) for t in times])
