@@ -150,6 +150,93 @@ def asha_search(input_bins: list[tuple[str, int]], codes: np.ndarray,
 
 
 @dataclass
+class AsyncTrial:
+    cfg: TrainConfig
+    job: int                   # 0-based scheduling order
+    rung: int                  # rung this job trained at
+    epochs: int                # rung budget
+    val_loss: float
+    train_loss: float
+    promoted_from: int | None  # rung promoted from; None = fresh start
+
+
+def asha_async_search(input_bins: list[tuple[str, int]],
+                      codes: np.ndarray,
+                      base: TrainConfig | None = None,
+                      d_words: tuple[int, ...] = (8, 16, 32),
+                      d_ffs: tuple[int, ...] = (32, 64, 96),
+                      eta: int = 2, min_epochs: int = 2,
+                      model_cls=NarMLP) -> tuple[NarMLP, list[AsyncTrial]]:
+    """ASYNCHRONOUS ASHA (Li et al., MLSys 2020 — the algorithm the
+    reference's Ray scheduler actually runs), deterministically
+    serialized: one simulated worker, so each scheduling decision sees
+    every previously completed job and the run is bit-reproducible.
+
+    The get_job rule is Li et al.'s verbatim: scan rungs top-down and
+    PROMOTE the best not-yet-promoted config sitting in the top
+    ``floor(n_seen / eta)`` of its rung's results-so-far; if no rung
+    has a promotable config, START the next unstarted config (row-major
+    grid order) at rung 0; stop when neither exists.  This is the
+    semantics sync ASHA lacks: promotions fire on PARTIAL rung
+    information (the first rung-1 job runs after only ``eta`` rung-0
+    completions, long before the rung fills), which is what removes
+    the straggler barrier on a real worker pool.
+
+    The rung whose budget reaches ``base.epochs`` is final (never
+    promoted from); the winner is the val-loss argmin among final-rung
+    trials (config tie-break).  Total job count and epoch spend depend
+    only on |grid| and eta, not on losses — the e14 contract exploits
+    this for its literal oracle."""
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    grid = [(dw, dff) for dw in d_words for dff in d_ffs]
+
+    def rung_budget(r: int) -> int:
+        return min(min_epochs * eta ** r, base.epochs)
+
+    results: dict[int, list[tuple[float, int, int]]] = {}
+    promoted: dict[int, set] = {}
+    models: dict[tuple[int, int, int], object] = {}  # (rung, dw, dff)
+    trials: list[AsyncTrial] = []
+    started = 0
+    job = 0
+    while True:
+        pick = None
+        for r in sorted(results, reverse=True):
+            if rung_budget(r) >= base.epochs:
+                continue  # final rung: never promoted from
+            done = sorted(results[r])
+            k = len(done) // eta
+            cands = [t for t in done[:k]
+                     if (t[1], t[2]) not in promoted.get(r, set())]
+            if cands:
+                pick = ("promote", r, cands[0][1], cands[0][2])
+                break
+        if pick is None and started < len(grid):
+            pick = ("start", None, *grid[started])
+            started += 1
+        if pick is None:
+            break
+        kind, from_rung, dw, dff = pick
+        rung = 0 if kind == "start" else from_rung + 1
+        cfg = replace(base, d_word=dw, d_ff=dff,
+                      epochs=rung_budget(rung))
+        model = model_cls(input_bins, cfg)
+        losses = model.fit(train)
+        vl = masked_val_loss(model, val)
+        results.setdefault(rung, []).append((vl, dw, dff))
+        if kind == "promote":
+            promoted.setdefault(from_rung, set()).add((dw, dff))
+        models[(rung, dw, dff)] = model
+        trials.append(AsyncTrial(cfg, job, rung, rung_budget(rung),
+                                 vl, losses[-1], from_rung))
+        job += 1
+    final_rung = max(results)
+    win = min(results[final_rung])
+    return models[(final_rung, win[1], win[2])], trials
+
+
+@dataclass
 class TpeTrial:
     cfg: TrainConfig
     trial: int        # 0-based pick order

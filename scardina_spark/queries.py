@@ -3576,6 +3576,96 @@ _ASHA_ETA = 2
 _ASHA_MIN_EPOCHS = 2
 
 
+def q_asha_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 (ASYNC ASHA — Li et al. MLSys 2020, the algorithm the
+    reference's Ray scheduler actually runs, deterministically
+    serialized at W=1; closes the last gap in the M8 search family):
+    promotions fire on PARTIAL rung information via the verbatim
+    get_job rule.  Job count and per-job rungs are loss-dependent, so
+    the oracle emits one literal parameter row; `ok` certifies
+    Spark-side that (a) a full re-simulation of the scheduler from the
+    recorded trial table reproduces every decision (start vs promote,
+    which config, which rung), (b) every promotion was legal at its
+    decision point (top floor(n_seen/eta), not yet promoted), (c)
+    every config started exactly once at rung 0 in grid order, (d) a
+    promotion interleaves before rung 0 fills (the async property),
+    (e) budgets follow the rung ladder and all losses are finite, and
+    (f) the winner is the final-rung argmin with config tie-break."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import asha_async_search
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=_ASHA_MAX_EPOCHS, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    best_model, trials = asha_async_search(
+        bins, codes, base, d_words=_ASHA_D_WORDS, d_ffs=_ASHA_D_FFS,
+        eta=_ASHA_ETA, min_epochs=_ASHA_MIN_EPOCHS)
+    grid = [(dw, dff) for dw in _ASHA_D_WORDS for dff in _ASHA_D_FFS]
+
+    def budget(r: int) -> int:
+        return min(_ASHA_MIN_EPOCHS * _ASHA_ETA ** r, _ASHA_MAX_EPOCHS)
+
+    ok = all(math.isfinite(t.val_loss) and math.isfinite(t.train_loss)
+             for t in trials)
+    results: dict[int, list] = {}
+    promoted: dict[int, set] = {}
+    started = 0
+    for t in trials:
+        c = (t.cfg.d_word, t.cfg.d_ff)
+        want = None
+        for r in sorted(results, reverse=True):
+            if budget(r) >= _ASHA_MAX_EPOCHS:
+                continue
+            done = sorted(results[r])
+            k = len(done) // _ASHA_ETA
+            cands = [x for x in done[:k]
+                     if (x[1], x[2]) not in promoted.get(r, set())]
+            if cands:
+                want = ("promote", r, cands[0][1], cands[0][2])
+                break
+        if want is None and started < len(grid):
+            want = ("start", None, *grid[started])
+            started += 1
+        if t.promoted_from is None:
+            ok = ok and want == ("start", None, *c) and t.rung == 0
+        else:
+            ok = ok and want == ("promote", t.promoted_from, *c)
+            ok = ok and t.rung == t.promoted_from + 1
+            promoted.setdefault(t.promoted_from, set()).add(c)
+        ok = ok and t.epochs == budget(t.rung)
+        results.setdefault(t.rung, []).append((t.val_loss, *c))
+    starts = [(t.cfg.d_word, t.cfg.d_ff) for t in trials
+              if t.promoted_from is None]
+    ok = ok and starts == grid
+    up = [t.job for t in trials if t.rung > 0]
+    r0 = [t.job for t in trials if t.rung == 0]
+    ok = ok and bool(up) and min(up) < max(r0)
+    final = max(t.rung for t in trials)
+    best = min((t for t in trials if t.rung == final),
+               key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
+    ok = ok and (best_model.cfg.d_word, best_model.cfg.d_ff) == (
+        best.cfg.d_word, best.cfg.d_ff)
+    return spark.createDataFrame(
+        [(len(grid), _ASHA_ETA, _ASHA_MIN_EPOCHS, _ASHA_MAX_EPOCHS,
+          bool(ok))],
+        "n_configs int, eta int, min_epochs int, max_epochs int, "
+        "ok boolean")
+
+
+def _sql_asha_async() -> str:
+    n = len(_ASHA_D_WORDS) * len(_ASHA_D_FFS)
+    return (f"select {n}::INT as n_configs, {_ASHA_ETA}::INT as eta, "
+            f"{_ASHA_MIN_EPOCHS}::INT as min_epochs, "
+            f"{_ASHA_MAX_EPOCHS}::INT as max_epochs, true as ok")
+
+
 _TPE_D_WORDS = (8, 12, 16)
 _TPE_D_FFS = (32, 48, 64)
 _TPE_N_TRIALS = 6
@@ -5744,6 +5834,7 @@ def queries() -> dict:
         "x66_video_thumbnail": q_video_thumbnail,
         "st13_stream_media": q_stream_media_decode,
         "x67_unimax_plan": q_unimax_plan,
+        "e14_asha_async": q_asha_async,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -5986,6 +6077,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle is exact for the drained stream
         "st13_stream_media": SQL_PNG_DECODE,
         "x67_unimax_plan": SQL_UNIMAX_PLAN,
+        "e14_asha_async": _sql_asha_async(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -150,3 +150,69 @@ def test_tpe_search_deterministic_verifiable_and_adaptive():
     best = min(t1, key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
     assert (m1.cfg.d_word, m1.cfg.d_ff) == (best.cfg.d_word,
                                             best.cfg.d_ff)
+
+
+def test_asha_async_scheduler_semantics():
+    """Deterministic async ASHA (Li et al. MLSys'20, W=1 serialized):
+    every promotion is legal at its decision point (top floor(n/eta)
+    of the rung's results-so-far, not yet promoted, highest rung
+    preferred, best-first), every config starts exactly once at rung
+    0 in grid order when nothing is promotable, promotions interleave
+    with rung-0 starts (the async property sync ASHA lacks), and the
+    winner is the final-rung argmin.  The whole run is re-simulated
+    from the trial table alone."""
+    from scardina_spark.model.search import asha_async_search
+    rs = np.random.RandomState(0)
+    x = rs.randint(2, 10, size=3000)
+    y = np.where(rs.rand(3000) < 0.85, x, rs.randint(2, 10, size=3000))
+    codes = np.stack([x, y], axis=1)
+    base = TrainConfig(epochs=8, batch_size=512, seed=2)
+    kw = dict(d_words=(8, 16), d_ffs=(16, 32), eta=2, min_epochs=2)
+    m1, t1 = asha_async_search([("x", 10), ("y", 10)], codes, base, **kw)
+    m2, t2 = asha_async_search([("x", 10), ("y", 10)], codes, base, **kw)
+    key = lambda t: (t.job, t.rung, t.cfg.d_word, t.cfg.d_ff, t.val_loss)
+    assert [key(t) for t in t1] == [key(t) for t in t2]  # deterministic
+
+    grid = [(dw, dff) for dw in (8, 16) for dff in (16, 32)]
+    # re-simulate the scheduler from the recorded losses
+    results, promoted, started = {}, {}, 0
+    for t in t1:
+        c = (t.cfg.d_word, t.cfg.d_ff)
+        want = None
+        for r in sorted(results, reverse=True):
+            if min(2 * 2 ** r, 8) >= 8:
+                continue
+            done = sorted(results[r])
+            k = len(done) // 2
+            cands = [x_ for x_ in done[:k]
+                     if (x_[1], x_[2]) not in promoted.get(r, set())]
+            if cands:
+                want = ("promote", r, cands[0][1], cands[0][2])
+                break
+        if want is None:
+            want = ("start", None, *grid[started])
+            started += 1
+        if t.promoted_from is None:
+            assert want == ("start", None, *c), (t.job, want)
+            assert t.rung == 0
+        else:
+            assert want == ("promote", t.promoted_from, *c), (t.job, want)
+            assert t.rung == t.promoted_from + 1
+            promoted.setdefault(t.promoted_from, set()).add(c)
+        assert t.epochs == min(2 * 2 ** t.rung, 8)
+        results.setdefault(t.rung, []).append(
+            (t.val_loss, c[0], c[1]))
+    # every config started exactly once at rung 0
+    starts = [(t.cfg.d_word, t.cfg.d_ff) for t in t1
+              if t.promoted_from is None]
+    assert starts == grid
+    # async interleaving: a promotion fires before rung 0 fills
+    r_up = [t.job for t in t1 if t.rung > 0]
+    r0 = [t.job for t in t1 if t.rung == 0]
+    assert r_up and min(r_up) < max(r0)
+    # winner = final-rung argmin
+    final = max(t.rung for t in t1)
+    best = min((t for t in t1 if t.rung == final),
+               key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
+    assert (m1.cfg.d_word, m1.cfg.d_ff) == (best.cfg.d_word,
+                                            best.cfg.d_ff)
