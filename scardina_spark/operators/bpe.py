@@ -224,6 +224,49 @@ def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
     return merges, vocab
 
 
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize documents with an EXPLICIT ordered merge list — the
+    inference half of the tokenizer when the merge table is *shipped*
+    (the standard deployment: train once, apply the frozen
+    ``merges.txt`` everywhere) rather than re-derived from a vocabulary
+    relation like :func:`bpe_encode`.  Returns
+    ``(id, n_words, bpe_tokens, n_bpe)`` where ``bpe_tokens`` is the
+    per-document symbol sequence (END marker after every word, Sennrich
+    §3.2) and ``n_bpe`` its length.
+
+    Scale story (100 TB): a PURE PROJECTION — words → char symbols →
+    one leftmost-greedy :func:`merge_pair` fold per merge, all
+    built-in higher-order functions nested inside a ``transform`` over
+    the word array.  No shuffle, no Python, no broadcast; every merge
+    is O(len) per word, so a document costs O(len · n_merges) inside
+    whole-stage codegen and the stage parallelizes with the scan.
+
+    Determinism: the fold is leftmost-greedy (driver-side twin
+    :func:`_apply_merge`, parity test-pinned), so the output depends
+    only on the text and the merge order — never on partitioning.
+    Merges must not involve the END marker (validated): END exists so
+    cross-word merges can never arise, mirroring the trainer."""
+    if not merges:
+        raise ValueError("merges must be a non-empty ordered list")
+    for m in merges:
+        if len(m) != 2 or not m[0] or not m[1] or END in m:
+            raise ValueError(f"invalid merge pair: {m!r}")
+
+    def word_syms(w: Column) -> Column:
+        syms = _char_symbols(w)
+        for a, b in merges:
+            syms = merge_pair(syms, a, b)
+        return syms
+
+    # NULL text tokenizes to the empty document, not NULL (CDC-friendly)
+    words = F.coalesce(_words(col), F.array().cast("array<string>"))
+    toks = F.flatten(F.transform(words, word_syms))
+    return (df.select(F.col(id_col), F.size(words).alias("n_words"),
+                      toks.alias("bpe_tokens"))
+            .withColumn("n_bpe", F.size("bpe_tokens")))
+
+
 def bpe_encode(df: DataFrame, vocab: DataFrame, col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Tokenize documents with a learned vocabulary: explode words,

@@ -828,6 +828,68 @@ order by pair_count desc, left_sym, right_sym limit 20
 """
 
 
+# The frozen merge table x68 ships: stacked chain — 'the' needs the
+# earlier 'th'.  None touches the END marker, so the oracle's
+# single-character replacement trick (each merged symbol becomes one
+# control char, adjacency in the string == adjacency in the symbol
+# array) replays the leftmost-greedy fold exactly: string REPLACE
+# scans left-to-right without re-examining replaced text, which IS the
+# fold's greedy rule.
+BPE_APPLY_MERGES = [("a", "r"), ("t", "h"), ("th", "e"), ("r", "o")]
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (BPE tokenizer INFERENCE with a shipped merge table —
+    completes the tokenizer family beside x46's training statistics):
+    apply the frozen 4-merge chain to every document and account
+    per-document token counts, the number every training-data budget
+    planner (x49/x67) consumes downstream.  `bpe.bpe_apply` is a pure
+    shuffle-free projection (nested higher-order functions, no Python);
+    the oracle replays each merge as a per-word single-character
+    REPLACE chain (leftmost-greedy equivalence documented at
+    BPE_APPLY_MERGES), with the ASCII/control-char corpus guard."""
+    from .operators.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (bpe_apply(docs, BPE_APPLY_MERGES)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_bpe").cast("long").alias("n_bpe"))
+            .orderBy("doc_id"))
+
+
+SQL_BPE_APPLY = """
+with guard as (
+  select case when count(*) > 0 then error(
+           'corpus violates byte-level oracle assumptions')
+         else 0 end as ok
+  from documents
+  where length(coalesce(text, '')) <> octet_length(coalesce(text, '')::BLOB)
+     or regexp_matches(text, '[\\x01-\\x04]')),
+w as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) as word
+  from documents cross join guard),
+m as (
+  select doc_id,
+         replace(replace(replace(replace(word,
+                 'ar', chr(1)),
+                 'th', chr(2)),
+                 chr(2) || 'e', chr(3)),
+                 'ro', chr(4)) as mw
+  from w),
+agg as (select doc_id, count(*) as n_words,
+               sum(len(mw) + 1) as n_bpe
+        from m group by doc_id)
+select d.doc_id::BIGINT as doc_id,
+       coalesce(a.n_words, 0)::BIGINT as n_words,
+       coalesce(a.n_bpe, 0)::BIGINT as n_bpe
+from documents d left join agg a using (doc_id)
+order by doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -5835,6 +5897,7 @@ def queries() -> dict:
         "st13_stream_media": q_stream_media_decode,
         "x67_unimax_plan": q_unimax_plan,
         "e14_asha_async": q_asha_async,
+        "x68_bpe_apply": q_bpe_apply,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6078,6 +6141,7 @@ def oracle_sql() -> dict[str, str]:
         "st13_stream_media": SQL_PNG_DECODE,
         "x67_unimax_plan": SQL_UNIMAX_PLAN,
         "e14_asha_async": _sql_asha_async(),
+        "x68_bpe_apply": SQL_BPE_APPLY,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -10,7 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from scardina_spark.operators.bpe import (
-    END, bpe_encode, bpe_learn, bpe_pair_counts, merge_pair, word_counts)
+    END, bpe_apply, bpe_encode, bpe_learn, bpe_pair_counts, merge_pair,
+    word_counts)
 
 
 def _ref_symbols(word: str) -> tuple[str, ...]:
@@ -144,6 +145,64 @@ def test_local_loop_job_count_independent_of_merges(spark, tables):
     assert len(merges) > 100  # the corpus really supports a deep merge table
     assert len(jobs) <= 4, f"expected O(1) Spark jobs, saw {len(jobs)}"
     assert elapsed < 60, f"1k merges took {elapsed:.1f}s"
+
+
+APPLY_MERGES = [("a", "r"), ("t", "h"), ("th", "e"), ("r", "o")]
+
+
+def test_bpe_apply_matches_reference_fold(spark, tables):
+    """Token-level parity with the pure-Python leftmost-greedy twin on
+    the real corpus — stacked merges ('the' consumes the earlier 'th')
+    included."""
+    import re
+
+    docs = tables["documents"].limit(60)
+    got = {r["doc_id"]: (r["n_words"], tuple(r["bpe_tokens"]), r["n_bpe"])
+           for r in bpe_apply(docs, APPLY_MERGES).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in
+                 re.split(r"\s+", (row["text"] or "").strip().lower()) if w]
+        toks: list[str] = []
+        for w in words:
+            syms = _ref_symbols(w)
+            for a, b in APPLY_MERGES:
+                syms = _ref_apply(syms, a, b)
+            toks.extend(syms)
+        assert got[row["doc_id"]] == (len(words), tuple(toks), len(toks)), \
+            row["doc_id"]
+
+
+def test_bpe_apply_stacked_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "the thermos"), (2, ""), (3, None), (4, "arrow road")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_words"], list(r["bpe_tokens"]))
+           for r in bpe_apply(df, APPLY_MERGES).collect()}
+    # stacked merge: 'the' fires wherever 'th' precedes 'e', so
+    # 'thermos' also opens with the 'the' symbol
+    assert got[1] == (2, ["the", END, "the", "r", "m", "o", "s", END])
+    assert got[2] == (0, [])
+    assert got[3] == (0, [])
+    # 'arrow': a,r,r,o,w -> ar,r,o,w -> ar,ro,w ; 'road': ro,a,d
+    assert got[4] == (2, ["ar", "ro", "w", END, "ro", "a", "d", END])
+
+
+def test_bpe_apply_validates_merges(spark, tables):
+    docs = tables["documents"]
+    with pytest.raises(ValueError):
+        bpe_apply(docs, [])
+    with pytest.raises(ValueError):
+        bpe_apply(docs, [("a", "")])
+    with pytest.raises(ValueError):
+        bpe_apply(docs, [(END, "a")])
+
+
+def test_bpe_apply_is_shuffle_free(spark, tables):
+    """The scale contract: tokenizer inference is a pure projection —
+    no Exchange anywhere in the physical plan."""
+    plan = (bpe_apply(tables["documents"], APPLY_MERGES)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
 
 
 def test_merge_pair_is_ansi_safe(spark):
