@@ -587,6 +587,53 @@ from g group by user_id order by user_id
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 (SCD Type 2 dimension history, Kimball CDC compaction — the
+    batch twin of x34's latest-per-key, which keeps only the CURRENT
+    row): collapse each user's event-type observations into half-open
+    validity intervals (consecutive identical states merge;
+    ``valid_to`` = next interval's start, NULL on the current one;
+    ``n_events`` = collapsed observations).  `operators/scd.py` — ONE
+    shuffle: every step is a window over the same partitionBy(user_id)
+    ordering, island event counts by row-number distance instead of a
+    re-shuffling groupBy.  Total order (ts, event_id); users < 10 keep
+    the gate artifact compact."""
+    from .operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    return (scd2_history(ev, key="user_id", attr="event_type", ts="ts",
+                         tiebreak=["event_id"])
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "event_type", "valid_from", "valid_to",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "is_current")
+            .orderBy("user_id", "valid_from"))
+
+
+SQL_SCD2_HISTORY = """
+with e as (
+  select user_id, event_type, ts, event_id from events where user_id < 10),
+n as (
+  select *,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev,
+         count(*) over (partition by user_id) as nk
+  from e),
+c as (select * from n where rn = 1 or prev is distinct from event_type),
+i as (
+  select user_id, event_type, ts as valid_from,
+         lead(ts) over (partition by user_id order by rn) as valid_to,
+         coalesce(lead(rn) over (partition by user_id order by rn),
+                  nk + 1) - rn as n_events
+  from c)
+select user_id::BIGINT as user_id, event_type, valid_from, valid_to,
+       n_events::BIGINT as n_events, valid_to is null as is_current
+from i order by user_id, valid_from
+"""
+
+
 def q_clicks_to_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join: clicks joined to the
     same user's purchases within 1 hour after the click."""
@@ -5898,6 +5945,7 @@ def queries() -> dict:
         "x67_unimax_plan": q_unimax_plan,
         "e14_asha_async": q_asha_async,
         "x68_bpe_apply": q_bpe_apply,
+        "x69_scd2_history": q_scd2_history,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6142,6 +6190,7 @@ def oracle_sql() -> dict[str, str]:
         "x67_unimax_plan": SQL_UNIMAX_PLAN,
         "e14_asha_async": _sql_asha_async(),
         "x68_bpe_apply": SQL_BPE_APPLY,
+        "x69_scd2_history": SQL_SCD2_HISTORY,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -1,0 +1,79 @@
+"""SCD Type 2 history construction: island semantics on crafted
+histories, the tiling/conservation invariants on the real events table,
+and the one-Exchange scale pin."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from scardina_spark.operators.scd import scd2_history
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_scd2_crafted_islands(spark):
+    rows = [
+        # user 1: A,A,B,A -> three intervals (repeat collapses, A returns)
+        (1, "A", _t(0), 0), (1, "A", _t(1), 1),
+        (1, "B", _t(2), 2), (1, "A", _t(3), 3),
+        # user 2: NULL,NULL,x,NULL -> NULL is a real state (3 intervals)
+        (2, None, _t(0), 4), (2, None, _t(1), 5),
+        (2, "x", _t(2), 6), (2, None, _t(3), 7),
+        # user 3: ts tie resolved by the tiebreak column
+        (3, "p", _t(0), 9), (3, "q", _t(0), 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, state: string, ts: timestamp, event_id: long")
+    got = [tuple(r) for r in
+           scd2_history(df, "user_id", "state", "ts", ["event_id"])
+           .orderBy("user_id", "valid_from").collect()]
+    assert got == [
+        (1, "A", _t(0), _t(2), 2, False),
+        (1, "B", _t(2), _t(3), 1, False),
+        (1, "A", _t(3), None, 1, True),
+        (2, None, _t(0), _t(2), 2, False),
+        (2, "x", _t(2), _t(3), 1, False),
+        (2, None, _t(3), None, 1, True),
+        (3, "q", _t(0), _t(0), 1, False),  # event 8 sorts before 9
+        (3, "p", _t(0), None, 1, True),
+    ]
+
+
+def test_scd2_invariants_on_events(spark, tables):
+    ev = tables["events"]
+    hist = scd2_history(ev, "user_id", "event_type", "ts",
+                        ["event_id"]).cache()
+    try:
+        # conservation: every observation lands in exactly one interval
+        n_hist = hist.agg(F.sum("n_events")).first()[0]
+        assert n_hist == ev.count()
+        # exactly one current row per key
+        cur = hist.groupBy("user_id").agg(
+            F.sum(F.col("is_current").cast("int")).alias("c"))
+        assert cur.where(F.col("c") != 1).count() == 0
+        # tiling: valid_to == next interval's valid_from, per key
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("valid_from")
+        bad = (hist.withColumn("nxt", F.lead("valid_from").over(w))
+               .where(~F.col("valid_to").eqNullSafe(F.col("nxt"))))
+        assert bad.count() == 0
+        # islands are maximal: consecutive intervals never share a state
+        rep = (hist.withColumn("nxt_s", F.lead("event_type").over(w))
+               .where(F.col("nxt_s").isNotNull()
+                      & F.col("event_type").eqNullSafe(F.col("nxt_s"))))
+        assert rep.count() == 0
+    finally:
+        hist.unpersist()
+
+
+def test_scd2_single_exchange(spark, tables):
+    """Scale pin: the whole history build is windows over ONE
+    partitionBy(key) — exactly one Exchange in the physical plan."""
+    plan = (scd2_history(tables["events"], "user_id", "event_type", "ts",
+                         ["event_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
