@@ -490,3 +490,42 @@ def similarity_selection_card(df: DataFrame, query_vec: list[float],
     return totals.crossJoin(F.broadcast(samp)).select(
         "n_total", "n_sample", est.alias("est_card"),
         F.coalesce(F.col("true_card"), F.lit(0)).alias("true_card"))
+
+
+def hard_negatives(df: DataFrame, anchors: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive/triplet training: for every
+    anchor row, the single most-similar corpus vector with a DIFFERENT
+    label — the negative that contributes the largest loss (FaceNet
+    semi-hard protocol's "hardest" end, Schroff et al. CVPR 2015).
+
+    Returns ``(q_id, q_label, neg_id, neg_sim)``, tie-broken
+    ``(neg_sim desc, neg_id)`` AFTER rounding to 6 dp so the argmax is
+    well-defined and replayable.
+
+    Scale story (100 TB): the anchor batch is training-batch-sized, so
+    it BROADCASTS and the corpus streams — one pass, no shuffle of the
+    big side; the label-inequality predicate makes this a broadcast
+    nested-loop join (each corpus partition scores |anchors| cosines
+    JVM-side), and the per-anchor argmax is a map-side-combinable
+    min-struct aggregate over |anchors|-keyed rows.  For web-scale
+    corpora swap the full scan for the IVF candidate set
+    (``topk_cosine_ivf_indexed``) and mine within the probed cells —
+    the aggregation shape is unchanged.
+    """
+    q = anchors.select(F.col(id_col).alias("q_id"),
+                       F.col(label_col).alias("q_label"),
+                       F.col(vec_col).alias("q_vec"))
+    c = df.select(F.col(id_col).alias("neg_id"),
+                  F.col(label_col).alias("n_label"),
+                  F.col(vec_col).alias("n_vec"))
+    scored = (c.join(F.broadcast(q), F.col("n_label") != F.col("q_label"))
+              .select("q_id", "q_label", "neg_id",
+                      F.round(cosine(F.col("n_vec"), F.col("q_vec")), 6)
+                      .alias("neg_sim")))
+    best = scored.groupBy("q_id", "q_label").agg(
+        F.min(F.struct((-F.col("neg_sim")).alias("ns"),
+                       F.col("neg_id").alias("i"))).alias("b"))
+    return best.select("q_id", "q_label", F.col("b.i").alias("neg_id"),
+                       (-F.col("b.ns")).alias("neg_sim"))

@@ -1356,6 +1356,45 @@ order by votes desc, label
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 (hard-negative mining, FaceNet triplet protocol — the
+    training-loop consumer of the similarity family): for each of the
+    first 8 anchors, the most-similar embedding with a DIFFERENT label
+    (`similarity.hard_negatives`).  The anchor batch broadcasts, the
+    corpus streams through a broadcast nested-loop join, and the
+    per-anchor argmax is a map-side-combinable min-struct aggregate;
+    ties broken (sim desc, neg_id) after 6-dp rounding so the pick is
+    oracle-replayable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8)
+    return (SIM.hard_negatives(emb, anchors)
+            .select(F.col("q_id").cast("long").alias("q_id"),
+                    F.col("q_label").cast("long").alias("q_label"),
+                    F.col("neg_id").cast("long").alias("neg_id"),
+                    "neg_sim")
+            .orderBy("q_id"))
+
+
+SQL_HARD_NEGATIVES = """
+with q as (select vec_id as q_id, label as q_label, embedding::DOUBLE[] v
+           from embeddings where vec_id < 8),
+s as (
+  select q.q_id, q.q_label, e.vec_id as neg_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.v) /
+               greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.v, q.v)), 1e-12),
+               6) as neg_sim
+  from embeddings e join q on e.label <> q.q_label),
+r as (select *, row_number() over (partition by q_id
+                                   order by neg_sim desc, neg_id) as rn
+      from s)
+select q_id::BIGINT as q_id, q_label::BIGINT as q_label,
+       neg_id::BIGINT as neg_id, neg_sim
+from r where rn = 1 order by q_id
+"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the partition layout of the ANN scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5946,6 +5985,7 @@ def queries() -> dict:
         "e14_asha_async": q_asha_async,
         "x68_bpe_apply": q_bpe_apply,
         "x69_scd2_history": q_scd2_history,
+        "x70_hard_negatives": q_hard_negatives,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6191,6 +6231,7 @@ def oracle_sql() -> dict[str, str]:
         "e14_asha_async": _sql_asha_async(),
         "x68_bpe_apply": SQL_BPE_APPLY,
         "x69_scd2_history": SQL_SCD2_HISTORY,
+        "x70_hard_negatives": SQL_HARD_NEGATIVES,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -404,3 +404,54 @@ def test_semdedup_pair_work_scales_subquadratically(spark):
     small, big = pair_work(1000), pair_work(4000)
     ratio = big / small
     assert 3.0 < ratio < 13.0, ratio  # ~8 expected; 16 = all-pairs
+
+
+def test_hard_negatives_crafted(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label as anchor 0 — must be skipped
+        (2, [0.8, 0.2], 1),   # nearest different-label for anchor 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int")
+    got = {r["q_id"]: (r["neg_id"], r["q_label"])
+           for r in S.hard_negatives(df, df.where("vec_id = 0")).collect()}
+    assert got == {0: (2, 0)}
+
+
+def test_hard_negatives_matches_numpy(tables):
+    emb = tables["embeddings"]
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    anchors = emb.where("vec_id < 5")
+    got = {r["q_id"]: (r["neg_id"], r["neg_sim"])
+           for r in S.hard_negatives(emb, anchors).collect()}
+    for qid in [r["vec_id"] for r in anchors.collect()]:
+        qv = vecs[qid]
+        cands = []
+        for nid, nv in vecs.items():
+            if labels[nid] == labels[qid]:
+                continue
+            sim = round(float(np.dot(qv, nv)
+                              / max(np.linalg.norm(qv)
+                                    * np.linalg.norm(nv), 1e-12)), 6)
+            cands.append((-sim, nid))
+        best = min(cands)
+        assert got[qid] == (best[1], -best[0]), qid
+    # the mined negative never shares the anchor's label
+    for qid, (nid, _) in got.items():
+        assert labels[nid] != labels[qid]
+
+
+def test_hard_negatives_broadcasts_anchors(tables):
+    """Scale pin: the corpus streams; only the anchor batch broadcasts."""
+    plan = (S.hard_negatives(tables["embeddings"],
+                             tables["embeddings"].where("vec_id < 5"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    # no sort-merge join / corpus-side exchange beyond the final argmax agg
+    assert "SortMergeJoin" not in plan

@@ -43,10 +43,14 @@ def test_recorded_truths_match_duckdb(rows):
         assert con.sql(r["sql"]).fetchone()[0] == r["card"], r["node"]
 
 
-def test_jm_artifact_matches_duckdb():
-    from scardina_spark.jobm import jobm_duckdb_connection
+def test_jm_artifact_matches_duckdb(spark):
+    from scardina_spark.jobm import derive_shipments, jobm_duckdb_connection
     rows = load_subqueries_csv(subqueries_csv_path(SF_DIR, "job-m"))
     assert len(rows) > 200
+    # the derived table is deterministic (xxhash64 off spark.range), so
+    # materializing here yields the exact relation the artifact was
+    # recorded against — keeps the test order- and /tmp-lifetime-free
+    derive_shipments(spark, SF_DIR)
     con = jobm_duckdb_connection(SF_DIR)
     for r in rows[::10]:
         assert con.sql(r["sql"]).fetchone()[0] == r["card"], r["node"]
