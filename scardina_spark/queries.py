@@ -1395,6 +1395,65 @@ from r where rn = 1 order by q_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 (PageRank, Page et al. 1999 — the host-level quality prior
+    of web-corpus curation, here over the nation-level purchase graph):
+    edges are (customer nation → supplier nation) pairs from lineitem ⋈
+    orders ⋈ customer ⋈ supplier, parallel edges weighing 1 each; 6
+    damped iterations (`operators/graphrank.pagerank`: edge-relational,
+    rank lineage truncated per iteration, dangling mass redistributed).
+    The oracle unrolls the identical recurrence as chained CTEs —
+    literal-for-literal the same IEEE operand order, so ranks match at
+    full precision before the 6-dp display rounding."""
+    from .operators.graphrank import pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (t["lineitem"]
+             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+             .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    return (pagerank(edges, n_iter=6, damping=0.85)
+            .select(F.col("node").cast("long").alias("node"),
+                    F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
+
+
+def _sql_pagerank(n_iter: int = 6, d: float = 0.85) -> str:
+    """Unrolled-CTE replay of the exact pagerank recurrence.  Float
+    literals are emitted from the SAME Python doubles the operator uses
+    (e.g. ``(1.0-d)`` is 0.15000000000000002 in both engines), so every
+    iteration multiplies/divides identical IEEE operands."""
+    parts = ["""
+with ew as (
+  select c.c_nationkey as src, s.s_nationkey as dst, count(*)::DOUBLE as w
+  from lineitem l
+  join orders o on l.l_orderkey = o.o_orderkey
+  join customer c on o.o_custkey = c.c_custkey
+  join supplier s on l.l_suppkey = s.s_suppkey
+  group by 1, 2),
+trans as (select src, dst, w / sum(w) over (partition by src) as p from ew),
+nodes as (select src as node from ew union select dst from ew),
+nn as (select count(*)::DOUBLE as n from nodes),
+rk0 as (select node, 1.0 / nn.n as rank from nodes cross join nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+dm{i} as (select coalesce(sum(rank), 0.0) as m from rk{i - 1}
+          where node not in (select src from trans)),
+cb{i} as (select t.dst as node, sum(r.rank * t.p) as c
+          from rk{i - 1} r join trans t on t.src = r.node group by t.dst),
+rk{i} as (select n.node,
+                 {(1.0 - d)!r} / nn.n
+                 + {d!r} * (coalesce(cb{i}.c, 0.0) + dm{i}.m / nn.n) as rank
+          from nodes n cross join nn cross join dm{i}
+          left join cb{i} on cb{i}.node = n.node)""")
+    parts.append(f"""
+select node::BIGINT as node, round(rank, 6) as rank
+from rk{n_iter} order by node""")
+    return "".join(parts)
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the partition layout of the ANN scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5986,6 +6045,7 @@ def queries() -> dict:
         "x68_bpe_apply": q_bpe_apply,
         "x69_scd2_history": q_scd2_history,
         "x70_hard_negatives": q_hard_negatives,
+        "x71_pagerank": q_pagerank,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6232,6 +6292,7 @@ def oracle_sql() -> dict[str, str]:
         "x68_bpe_apply": SQL_BPE_APPLY,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
+        "x71_pagerank": _sql_pagerank(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,
