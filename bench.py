@@ -799,6 +799,56 @@ def main() -> None:
         extras["avi_total_pixel_sum"] = int(row["ps"])
     timed("avi_encode_decode", run_avi)
 
+    # round-8 additions: the four new operator families at bench scale
+    from scardina_spark.operators.bpe import bpe_apply
+    from scardina_spark.operators.graphrank import pagerank
+    from scardina_spark.operators.scd import scd2_history
+    from scardina_spark.operators.similarity import hard_negatives
+    from scardina_spark.queries import BPE_APPLY_MERGES
+
+    def run_bpe_apply():
+        row = (bpe_apply(docs, BPE_APPLY_MERGES)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_bpe").alias("nb")).first())
+        extras["bpe_apply_docs"] = int(row["n"])
+        extras["bpe_apply_total_tokens"] = int(row["nb"])
+    timed("bpe_apply", run_bpe_apply)
+
+    def run_scd2():
+        ev = load_table(spark, sf_dir, "events")
+        hist = scd2_history(ev, "user_id", "event_type", "ts",
+                            ["event_id"])
+        row = hist.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("n_events").alias("ne")).first()
+        extras["scd2_intervals"] = int(row["n"])
+        extras["scd2_events_covered"] = int(row["ne"])
+    timed("scd2_history", run_scd2)
+
+    def run_hard_negatives():
+        anchors = emb.where(F.col("vec_id") < 64)
+        row = (hard_negatives(emb, anchors)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("neg_sim"), 4).alias("s")).first())
+        extras["hard_neg_anchors"] = int(row["n"])
+        extras["hard_neg_mean_sim"] = float(row["s"])
+    timed("hard_negatives_64", run_hard_negatives)
+
+    def run_pagerank():
+        edges = (tables["lineitem"]
+                 .join(tables["orders"],
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .join(tables["customer"],
+                       F.col("o_custkey") == F.col("c_custkey"))
+                 .join(tables["supplier"],
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+                 .select(F.col("c_nationkey").alias("src"),
+                         F.col("s_nationkey").alias("dst")))
+        top = (pagerank(edges, n_iter=6)
+               .orderBy(F.desc("rank")).first())
+        extras["pagerank_top_node"] = int(top["node"])
+        extras["pagerank_top_rank"] = round(float(top["rank"]), 6)
+    timed("pagerank_6iter", run_pagerank)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_bench_sec",
