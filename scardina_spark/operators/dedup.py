@@ -472,3 +472,57 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     return (df.select(id_col).join(assembled, id_col, "left")
             .fillna({"n_lines": 0, "n_kept": 0, "text": ""})
             .select(id_col, "text", "n_lines", "n_kept"))
+
+
+def edit_near_dup(df: DataFrame, max_rel_dist: float = 0.1,
+                  affix: int = 8, band_chars: int = 16,
+                  id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Edit-distance near-duplicates — the character-level member of
+    the dedup family (beside shingle-Jaccard x3, MinHash x2/x11 and
+    SimHash x4): pairs whose Levenshtein distance is at most
+    ``max_rel_dist`` of the longer normalized text.  Returns
+    ``(id_a, id_b, dist, edit_sim)`` with ``id_a < id_b``.
+
+    Scale story (100 TB): the quadratic DP never runs all-pairs —
+    candidates come from AFFIX BLOCKING, the banding idiom of
+    ``lsh_candidate_pairs``: each doc emits two keys
+    ``(len//band_chars, prefix(affix))`` and ``(len//band_chars,
+    suffix(affix))``, candidates are equi-join collisions, so the
+    shuffle carries 2 rows/doc and the O(n·m) ``levenshtein`` (JVM
+    built-in) runs only on colliding pairs that also survive the free
+    length-difference prune (|len_a − len_b| bounds the distance from
+    below).  Recall is heuristic BY DESIGN (a near-dup mangled inside
+    the first AND last affix escapes — the standard blocking
+    trade-off); raise ``affix=0``'s sibling knobs or add mid-affix keys
+    for stricter recall.  Determinism: pure function of the texts.
+    """
+    if not 0.0 < max_rel_dist < 1.0:
+        raise ValueError("max_rel_dist must be in (0, 1)")
+    if affix < 1 or band_chars < 1:
+        raise ValueError("affix and band_chars must be >= 1")
+    n = (df.select(F.col(id_col).alias("id"), normalized(col).alias("t"))
+         .where(F.length("t") > 0))
+    lb = F.floor(F.length("t") / band_chars).cast("long").cast("string")
+    keyed = n.select("id", "t", F.explode(F.array(
+        F.concat_ws("|", F.lit("p"), lb, F.left(F.col("t"), F.lit(affix))),
+        F.concat_ws("|", F.lit("s"), lb, F.right(F.col("t"), F.lit(affix))),
+    )).alias("bk"))
+    a = keyed.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+                     "bk")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+                     "bk")
+    cands = (a.join(b, "bk").where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "t_a", "t_b").distinct())
+    ml = F.greatest(F.length("t_a"), F.length("t_b"))
+    budget = F.floor(F.lit(float(max_rel_dist)) * ml)
+    pruned = cands.where(
+        F.abs(F.length("t_a") - F.length("t_b")) <= budget)
+    return (pruned
+            .select("id_a", "id_b",
+                    F.levenshtein("t_a", "t_b").alias("dist"),
+                    ml.alias("__ml__"), budget.alias("__bud__"))
+            .where(F.col("dist") <= F.col("__bud__"))
+            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"),
+                    F.round(F.lit(1.0)
+                            - F.col("dist") / F.col("__ml__"), 6)
+                    .alias("edit_sim")))

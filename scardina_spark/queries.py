@@ -1395,6 +1395,49 @@ from r where rn = 1 order by q_id
 """
 
 
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 (edit-distance near-duplicates — the character-level dedup
+    beside shingle-Jaccard x3 / MinHash x11 / SimHash x4): pairs within
+    10% relative Levenshtein distance, candidates from affix blocking
+    (two keys per doc: length-band + 8-char prefix / suffix), the
+    quadratic DP only on colliding pairs surviving the free
+    length-difference prune (`dedup.edit_near_dup`).  The oracle
+    replays the identical blocking + DuckDB's levenshtein."""
+    from .operators.dedup import edit_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (edit_near_dup(docs, max_rel_dist=0.1)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    "dist", "edit_sim")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_EDIT_NEAR_DUP = """
+with n as (
+  select doc_id as id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as t
+  from documents
+  where length(regexp_replace(trim(lower(coalesce(text, ''))),
+                              '\\s+', ' ', 'g')) > 0),
+b as (
+  select id, t,
+         unnest(['p|' || (len(t) // 16)::VARCHAR || '|' || left(t, 8),
+                 's|' || (len(t) // 16)::VARCHAR || '|' || right(t, 8)])
+           as bk
+  from n),
+c as (select distinct a.id as id_a, b2.id as id_b, a.t as ta, b2.t as tb
+      from b a join b b2 using (bk) where a.id < b2.id),
+d as (select id_a, id_b, levenshtein(ta, tb) as dist,
+             greatest(len(ta), len(tb)) as ml
+      from c)
+select id_a::BIGINT as id_a, id_b::BIGINT as id_b, dist::BIGINT as dist,
+       round(1.0::DOUBLE - dist / ml, 6) as edit_sim
+from d where dist <= floor(0.1::DOUBLE * ml)
+order by id_a, id_b
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X71 (PageRank, Page et al. 1999 — the host-level quality prior
     of web-corpus curation, here over the nation-level purchase graph):
@@ -6046,6 +6089,7 @@ def queries() -> dict:
         "x69_scd2_history": q_scd2_history,
         "x70_hard_negatives": q_hard_negatives,
         "x71_pagerank": q_pagerank,
+        "x72_edit_near_dup": q_edit_near_dup,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6293,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),
+        "x72_edit_near_dup": SQL_EDIT_NEAR_DUP,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -250,3 +250,53 @@ def test_incremental_probe_matches_selfjoin_straddlers(spark, tables):
             for r in incremental_near_dup(new, idx, index_sigs=idx_sigs,
                                           threshold=0.8).collect()}
     assert got2 == got
+
+
+def test_edit_near_dup_crafted(spark):
+    from scardina_spark.operators.dedup import edit_near_dup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base.replace("lazy", "hazy")),      # dist 1 — caught
+        (2, "x" + base[1:-1] + "y"),            # both affixes differ — missed
+        (3, "completely different text that shares nothing with the rest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_near_dup(df, max_rel_dist=0.1).collect()}
+    assert got == {(0, 1): 1}  # (0,2) is a true near-dup the blocking
+    # heuristic misses by design: its prefix AND suffix both changed
+
+
+def test_edit_near_dup_pairs_valid_on_corpus(tables):
+    from scardina_spark.operators.dedup import edit_near_dup
+    out = edit_near_dup(tables["documents"], max_rel_dist=0.1).collect()
+    assert len(out) > 0  # the corpus has planted near-identical docs
+    seen = set()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+        assert 0.9 - 1e-9 <= r["edit_sim"] <= 1.0
+
+
+def test_edit_near_dup_blocking_shrinks_candidates(tables):
+    """Scale pin: the DP runs on far fewer pairs than all-pairs."""
+    from scardina_spark.operators.dedup import edit_near_dup, normalized
+    from pyspark.sql import functions as F
+    docs = tables["documents"]
+    n = docs.where(F.length(normalized()) > 0).count()
+    # re-derive the candidate count the operator joins on
+    pairs = edit_near_dup(docs, max_rel_dist=0.999)
+    cands = pairs.count()  # rel≈1 keeps every colliding candidate
+    assert cands < n * (n - 1) / 20, (cands, n)
+
+
+def test_edit_near_dup_validates(spark):
+    from scardina_spark.operators.dedup import edit_near_dup
+    df = spark.createDataFrame([(0, "a")], "doc_id: long, text: string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edit_near_dup(df, max_rel_dist=0.0)
+    with _pt.raises(ValueError):
+        edit_near_dup(df, affix=0)
