@@ -225,7 +225,8 @@ def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
 
 
 def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
-              col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              col: str = "text", id_col: str = "doc_id",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Tokenize documents with an EXPLICIT ordered merge list — the
     inference half of the tokenizer when the merge table is *shipped*
     (the standard deployment: train once, apply the frozen
@@ -262,7 +263,8 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     # NULL text tokenizes to the empty document, not NULL (CDC-friendly)
     words = F.coalesce(_words(col), F.array().cast("array<string>"))
     toks = F.flatten(F.transform(words, word_syms))
-    return (df.select(F.col(id_col), F.size(words).alias("n_words"),
+    return (df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                      F.size(words).alias("n_words"),
                       toks.alias("bpe_tokens"))
             .withColumn("n_bpe", F.size("bpe_tokens")))
 

@@ -2836,6 +2836,59 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("media_id")
 
 
+def q_stream_token_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 (streaming tokenizer accounting, beyond reference):
+    arriving documents are BPE-tokenized on the stream with the frozen
+    x68 merge table (pure stateless projection — the st13 composition
+    lesson) and per-source running token/doc totals maintained by one
+    map-side-combinable groupBy (complete mode, |sources|-sized state,
+    no watermark; `streaming/stats.token_account_stream`).  Drained
+    with availableNow; the oracle is the batch per-source replay of the
+    x68 REPLACE-chain semantics."""
+    from .streaming.curate import read_documents_stream
+    from .streaming.events import run_to_memory_sink
+    from .streaming.stats import token_account_stream
+
+    st = read_documents_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        token_account_stream(st, BPE_APPLY_MERGES),
+        "q_stream_token_account", output_mode="complete")
+    return (out.select("source",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("total_bpe").cast("long").alias("total_bpe"))
+            .orderBy("source"))
+
+
+SQL_STREAM_TOKEN_ACCOUNT = """
+with guard as (
+  select case when count(*) > 0 then error(
+           'corpus violates byte-level oracle assumptions')
+         else 0 end as ok
+  from documents
+  where length(coalesce(text, '')) <> octet_length(coalesce(text, '')::BLOB)
+     or regexp_matches(text, '[\\x01-\\x04]')),
+w as (
+  select doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) as word
+  from documents cross join guard),
+m as (
+  select source,
+         replace(replace(replace(replace(word,
+                 'ar', chr(1)),
+                 'th', chr(2)),
+                 chr(2) || 'e', chr(3)),
+                 'ro', chr(4)) as mw
+  from w),
+t as (select source, sum(len(mw) + 1) as total_bpe from m group by source),
+d as (select source, count(*) as n_docs from documents group by source)
+select d.source, d.n_docs::BIGINT as n_docs,
+       coalesce(t.total_bpe, 0)::BIGINT as total_bpe
+from d left join t using (source)
+order by d.source
+"""
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation (beyond reference): documents stream
     through the stateless quality/language/repetition gates, then a
@@ -6090,6 +6143,7 @@ def queries() -> dict:
         "x70_hard_negatives": q_hard_negatives,
         "x71_pagerank": q_pagerank,
         "x72_edit_near_dup": q_edit_near_dup,
+        "st14_stream_tokens": q_stream_token_account,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6338,6 +6392,7 @@ def oracle_sql() -> dict[str, str]:
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),
         "x72_edit_near_dup": SQL_EDIT_NEAR_DUP,
+        "st14_stream_tokens": SQL_STREAM_TOKEN_ACCOUNT,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

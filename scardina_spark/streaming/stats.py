@@ -275,3 +275,22 @@ def compact_fk_counts(spark: SparkSession, state_dir: str) -> None:
     _swap_deltas(spark, state_dir,
                  lambda deltas: deltas.groupBy(KEY)
                  .agg(F.sum(COUNT).alias(COUNT)))
+
+
+def token_account_stream(docs: DataFrame, merges: list[tuple[str, str]],
+                         group_col: str = "source") -> DataFrame:
+    """Per-source tokenizer accounting ON INGEST: arriving documents
+    are tokenized with the frozen merge table (``bpe.bpe_apply`` — a
+    pure stateless projection, so it composes with the file source
+    unchanged, the st13 lesson) and the running per-source token/doc
+    totals feed the budget planners (x49/x67) without a later
+    corpus-wide batch pass.  The aggregation is the only stateful part:
+    one map-side-combinable groupBy whose state is |sources|-sized —
+    complete output mode, no watermark needed (totals, not windows).
+    Returns ``(group_col, n_docs, total_bpe)``."""
+    from ..operators.bpe import bpe_apply
+
+    toks = bpe_apply(docs, merges, keep_cols=(group_col,))
+    return (toks.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe")))

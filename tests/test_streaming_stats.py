@@ -287,3 +287,40 @@ def test_quantile_compaction_preserves_sketch(spark, tables, event_files,
              read_quantile_sketch(spark, state, k=32,
                                   group_cols=["event_type"]).collect()}
     assert before == after
+
+
+def test_token_account_stream_matches_batch(spark, sf_dir):
+    from scardina_spark.operators.bpe import bpe_apply
+    from scardina_spark.queries import BPE_APPLY_MERGES
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.events import run_to_memory_sink
+    from scardina_spark.streaming.stats import token_account_stream
+    from scardina_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    st = read_documents_stream(spark, sf_dir)
+    got = {r["source"]: (r["n_docs"], r["total_bpe"]) for r in
+           run_to_memory_sink(
+               token_account_stream(st, BPE_APPLY_MERGES),
+               "tok_account_parity", output_mode="complete").collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["source"]: (r["n"], r["t"]) for r in
+            (bpe_apply(docs, BPE_APPLY_MERGES, keep_cols=("source",))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_bpe").alias("t"))).collect()}
+    assert got == want
+
+
+def test_token_account_stream_single_stateful_op(spark, sf_dir):
+    """The tokenizer is a stateless projection; only the per-source
+    aggregate holds state (|sources|-sized)."""
+    from scardina_spark.queries import BPE_APPLY_MERGES
+    from scardina_spark.streaming.curate import read_documents_stream
+    from scardina_spark.streaming.stats import token_account_stream
+
+    st = token_account_stream(read_documents_stream(spark, sf_dir),
+                              BPE_APPLY_MERGES)
+    assert st.isStreaming
+    plan = st._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Aggregate") == 1, plan
