@@ -610,6 +610,32 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "valid_from"))
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 (incremental SCD2 merge — the x62 incremental lesson applied
+    to dimension history): build the history from events before
+    2024-01-20, fold the later events in with `scd.scd2_merge`
+    (untouched keys anti-join through; per touched key only the OPEN
+    interval re-islands against the delta), and require the result to
+    be BIT-IDENTICAL to the from-scratch x69 build over all events —
+    the oracle IS the from-scratch SQL."""
+    from .operators.scd import scd2_history, scd2_merge
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    cut = F.lit("2024-01-20").cast("timestamp")
+    hist = scd2_history(ev.where(F.col("ts") < cut),
+                        key="user_id", attr="event_type", ts="ts",
+                        tiebreak=["event_id"])
+    merged = scd2_merge(hist, ev.where(F.col("ts") >= cut),
+                        key="user_id", attr="event_type", ts="ts",
+                        tiebreak=["event_id"])
+    return (merged
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "event_type", "valid_from", "valid_to",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "is_current")
+            .orderBy("user_id", "valid_from"))
+
+
 SQL_SCD2_HISTORY = """
 with e as (
   select user_id, event_type, ts, event_id from events where user_id < 10),
@@ -6144,6 +6170,7 @@ def queries() -> dict:
         "x71_pagerank": q_pagerank,
         "x72_edit_near_dup": q_edit_near_dup,
         "st14_stream_tokens": q_stream_token_account,
+        "x73_scd2_merge": q_scd2_merge,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6393,6 +6420,9 @@ def oracle_sql() -> dict[str, str]:
         "x71_pagerank": _sql_pagerank(),
         "x72_edit_near_dup": SQL_EDIT_NEAR_DUP,
         "st14_stream_tokens": SQL_STREAM_TOKEN_ACCOUNT,
+        # the merge's oracle IS the from-scratch build: bit-identical
+        # incremental maintenance, the x62 pattern
+        "x73_scd2_merge": SQL_SCD2_HISTORY,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

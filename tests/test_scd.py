@@ -77,3 +77,52 @@ def test_scd2_single_exchange(spark, tables):
                          ["event_id"])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+def _canon_hist(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_merge_equals_from_scratch_any_cutoff(spark, tables):
+    """The x62 property, applied to dimensions: for EVERY cutoff the
+    incremental merge must reproduce the from-scratch build exactly."""
+    from scardina_spark.operators.scd import scd2_merge
+
+    ev = tables["events"].where(F.col("user_id") < 6)
+    full = _canon_hist(scd2_history(ev, "user_id", "event_type", "ts",
+                                    ["event_id"]))
+    for cut in ("2024-01-03", "2024-01-15", "2024-01-28"):
+        c = F.lit(cut).cast("timestamp")
+        hist = scd2_history(ev.where(F.col("ts") < c), "user_id",
+                            "event_type", "ts", ["event_id"])
+        merged = scd2_merge(hist, ev.where(F.col("ts") >= c), "user_id",
+                            "event_type", "ts", ["event_id"])
+        assert _canon_hist(merged.select(*[c_ for c_ in
+                                           hist.columns])) == full, cut
+
+
+def test_scd2_merge_handles_brand_new_keys(spark):
+    from scardina_spark.operators.scd import scd2_merge
+    old = [(1, "A", _t(0), 0), (1, "B", _t(1), 1)]
+    new = [(1, "B", _t(2), 2),          # extends key 1's open interval
+           (2, "Z", _t(3), 3), (2, "Y", _t(4), 4)]  # key 2 is new
+    schema = "user_id: long, state: string, ts: timestamp, event_id: long"
+    hist = scd2_history(spark.createDataFrame(old, schema),
+                        "user_id", "state", "ts", ["event_id"])
+    merged = scd2_merge(hist, spark.createDataFrame(new, schema),
+                        "user_id", "state", "ts", ["event_id"])
+    both = scd2_history(spark.createDataFrame(old + new, schema),
+                        "user_id", "state", "ts", ["event_id"])
+    assert _canon_hist(merged.select(*both.columns)) == _canon_hist(both)
+
+
+def test_scd2_merge_rejects_backfill(spark):
+    import pytest
+    from scardina_spark.operators.scd import scd2_merge
+    schema = "user_id: long, state: string, ts: timestamp, event_id: long"
+    hist = scd2_history(
+        spark.createDataFrame([(1, "A", _t(5), 0)], schema),
+        "user_id", "state", "ts", ["event_id"])
+    late = spark.createDataFrame([(1, "B", _t(2), 1)], schema)
+    with pytest.raises(ValueError, match="append-only"):
+        scd2_merge(hist, late, "user_id", "state", "ts", ["event_id"])
