@@ -474,6 +474,64 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "text", "n_lines", "n_kept"))
 
 
+def allpairs_sim_join(df: DataFrame, threshold: float = 0.6,
+                      k_shingle: int = 3, id_col: str = "doc_id",
+                      col: str = "text") -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs prefix filtering
+    (Bayardo, Ma & Srikant, WWW 2007) — every pair with shingle-set
+    Jaccard ≥ ``threshold``, with NO recall loss (unlike the MinHash
+    path x2/x11: LSH trades recall for speed; this trades a canonical
+    sort for exactness).  Returns ``(id_a, id_b, jaccard)``.
+
+    The filter: order all shingles by ascending global frequency (ties
+    by token — a total order, so the ORDER is layout-independent); a
+    doc's PREFIX is its first ``n − ⌈t·n⌉ + 1`` shingles in that order.
+    Any pair with J ≥ t must collide on a prefix token, so candidates =
+    prefix-exploded equi-join collisions, then exact Jaccard verifies.
+
+    Scale story (100 TB): no global rank relation — the canonical order
+    is the (cnt, token) PAIR itself, so ranking is one token-keyed
+    count shuffle plus one regroup (both map-side combinable); the
+    prefix explode emits ~(1−t)·|doc| rows per doc, and rare-first
+    ordering makes prefix tokens the LEAST colliding ones (the whole
+    point of the canonical order).  The verify step re-checks only
+    colliding pairs.  Numeric care: the prefix length uses
+    ``ceil(t·n − 1e-9)`` — double dust above an exact integer (e.g.
+    0.6·5 = 3.0000000000000004) would otherwise SHORTEN the prefix and
+    silently break the exactness guarantee.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(col, k_shingle).alias("toks"))
+            .where((F.length(normalized(col)) > 0) & (F.size("toks") > 0)))
+    tok_cnt = (toks.select(F.explode("toks").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = (toks.select("id", F.explode("toks").alias("tok"))
+              .join(tok_cnt, "tok")
+              .groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("cnt", "tok")))
+                   .alias("s")))
+    ordered = F.transform("s", lambda x: x["tok"])
+    n = F.size("s")
+    plen = (n - F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9)) + 1) \
+        .cast("int")
+    pre = ranked.select("id", ordered.alias("t"),
+                        F.slice(ordered, F.lit(1), plen).alias("prefix"))
+    ex = pre.select("id", "t", F.explode("prefix").alias("tok"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+                  "tok")
+    b = ex.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+                  "tok")
+    cand = (a.join(b, "tok").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "t_a", "t_b").distinct())
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    jac = inter / (F.size("t_a") + F.size("t_b") - inter)
+    return (cand.select("id_a", "id_b", jac.alias("__j__"))
+            .where(F.col("__j__") >= float(threshold))
+            .select("id_a", "id_b", F.round("__j__", 6).alias("jaccard")))
+
+
 def edit_near_dup(df: DataFrame, max_rel_dist: float = 0.1,
                   affix: int = 8, band_chars: int = 16,
                   id_col: str = "doc_id", col: str = "text") -> DataFrame:

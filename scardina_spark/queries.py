@@ -1131,6 +1131,47 @@ where a.doc_id < 50 order by id_a, id_b
 """
 
 
+def q_allpairs_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 (EXACT set-similarity self-join, AllPairs prefix filtering,
+    Bayardo et al. WWW 2007 — the no-recall-loss counterpart of the
+    MinHash path x11): every document pair with 3-word-shingle Jaccard
+    ≥ 0.6 (`dedup.allpairs_sim_join`).  Because the algorithm is exact,
+    the oracle is plain BRUTE FORCE — it certifies the prefix filter
+    finds every pair, not merely that a replay agrees."""
+    from .operators.dedup import allpairs_sim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (allpairs_sim_join(docs, threshold=0.6)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_ALLPAIRS_SIM_JOIN = """
+with norm as (
+  select doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, greatest(len(toks) - 2, 1) + 1)
+         ]) as sh
+  from (select doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                           'g'), ' ') toks
+        from documents
+        where length(regexp_replace(trim(lower(coalesce(text, ''))),
+                                    '\\s+', ' ', 'g')) > 0)),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) as jac
+  from norm a join norm b on a.doc_id < b.doc_id)
+select id_a::BIGINT as id_a, id_b::BIGINT as id_b,
+       round(jac, 6) as jaccard
+from p where jac >= 0.6
+order by id_a, id_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_table(docs).orderBy("doc_id")
@@ -6171,6 +6212,7 @@ def queries() -> dict:
         "x72_edit_near_dup": q_edit_near_dup,
         "st14_stream_tokens": q_stream_token_account,
         "x73_scd2_merge": q_scd2_merge,
+        "x74_allpairs_sim_join": q_allpairs_sim_join,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6423,6 +6465,8 @@ def oracle_sql() -> dict[str, str]:
         # the merge's oracle IS the from-scratch build: bit-identical
         # incremental maintenance, the x62 pattern
         "x73_scd2_merge": SQL_SCD2_HISTORY,
+        # exact algorithm ⇒ brute-force oracle certifies completeness
+        "x74_allpairs_sim_join": SQL_ALLPAIRS_SIM_JOIN,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -300,3 +300,89 @@ def test_edit_near_dup_validates(spark):
         edit_near_dup(df, max_rel_dist=0.0)
     with _pt.raises(ValueError):
         edit_near_dup(df, affix=0)
+
+
+def test_allpairs_exact_vs_bruteforce_on_corpus(spark, tables):
+    """The exactness claim itself: prefix filtering finds EVERY pair
+    the quadratic scan finds, at several thresholds."""
+    from pyspark.sql import functions as F
+    from scardina_spark.operators.dedup import (
+        allpairs_sim_join, normalized, word_shingles)
+
+    docs = tables["documents"]
+    base = (docs.select(F.col("doc_id").alias("id"),
+                        word_shingles("text", 3).alias("sh"))
+            .where(F.length(normalized()) > 0))
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    brute = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", jac.alias("j"))
+    for t in (0.5, 0.6, 0.9):
+        want = {(r["id_a"], r["id_b"]): round(r["j"], 6)
+                for r in brute.where(F.col("j") >= t).collect()}
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in allpairs_sim_join(docs, threshold=t).collect()}
+        assert got == want, t
+    assert len(got) > 0  # the corpus plants near-dups
+
+
+def test_allpairs_boundary_and_prefix_dust(spark):
+    """J exactly == t must be KEPT, and the ceil(t*n) double-dust case
+    (0.6*5 = 3.0000000000000004) must not shorten the prefix."""
+    from scardina_spark.operators.dedup import allpairs_sim_join
+    # 7 words -> 5 distinct 3-shingles each; overlap 3 of 7 distinct
+    # total -> J = 3/7; craft instead sets with J = 3/5... simpler:
+    # two docs sharing 3 of 5 shingles each side (J = 3/7 < 0.6), and
+    # two identical docs (J = 1.0)
+    d = [(0, "a b c d e f g"),
+         (1, "a b c d e x y"),   # shares shingles abc bcd cde -> J=3/7
+         (2, "a b c d e f g")]   # identical to 0 -> J=1
+    df = spark.createDataFrame(d, "doc_id: long, text: string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in allpairs_sim_join(df, threshold=3.0 / 7.0).collect()}
+    assert got[(0, 2)] == 1.0
+    assert got[(0, 1)] == round(3.0 / 7.0, 6)  # boundary kept
+    assert (1, 2) in got
+    strict = {(r["id_a"], r["id_b"])
+              for r in allpairs_sim_join(df, threshold=0.6).collect()}
+    assert strict == {(0, 2)}
+
+
+def test_allpairs_candidates_shrink(spark, tables):
+    """Scale pin: the prefix join examines far fewer pairs than n^2/2
+    at a selective threshold (rare-first canonical order)."""
+    from pyspark.sql import functions as F
+    from scardina_spark.operators.dedup import (
+        normalized, word_shingles)
+    docs = tables["documents"]
+    toks = (docs.select(F.col("doc_id").alias("id"),
+                        word_shingles("text", 3).alias("toks"))
+            .where(F.length(normalized()) > 0))
+    n = toks.count()
+    tok_cnt = (toks.select(F.explode("toks").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = (toks.select("id", F.explode("toks").alias("tok"))
+              .join(tok_cnt, "tok").groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("cnt", "tok")))
+                   .alias("s")))
+    nn = F.size("s")
+    plen = (nn - F.ceil(F.lit(0.8) * nn - F.lit(1e-9)) + 1).cast("int")
+    ex = ranked.select("id", F.explode(
+        F.slice(F.transform("s", lambda x: x["tok"]), F.lit(1), plen))
+        .alias("tok"))
+    cands = (ex.alias("a").join(ex.alias("b"), "tok")
+             .where(F.col("a.id") < F.col("b.id"))
+             .select("a.id", "b.id").distinct().count())
+    assert cands < n * (n - 1) / 8, (cands, n)
+
+
+def test_allpairs_validates(spark):
+    import pytest as _pt
+    from scardina_spark.operators.dedup import allpairs_sim_join
+    df = spark.createDataFrame([(0, "a")], "doc_id: long, text: string")
+    with _pt.raises(ValueError):
+        allpairs_sim_join(df, threshold=0.0)
+    with _pt.raises(ValueError):
+        allpairs_sim_join(df, threshold=1.5)
