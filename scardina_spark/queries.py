@@ -2956,6 +2956,49 @@ order by d.source
 """
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15 (streaming SCD2, the ingest twin of x69/x73): each user's
+    current validity interval lives in GroupState and is emitted the
+    moment the closing state-change arrives — append mode, closed
+    intervals are final under the per-key append-only CDC contract
+    (`streaming/stateful.scd2_stream`).  Drained with availableNow; the
+    oracle is the batch history restricted to CLOSED intervals."""
+    from .streaming.events import read_events_stream, run_to_memory_sink
+    from .streaming.stateful import scd2_stream
+
+    ev = read_events_stream(spark, sf_dir).where(F.col("user_id") < 10)
+    out = run_to_memory_sink(scd2_stream(ev), "q_stream_scd2",
+                             output_mode="append")
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       "event_type", "valid_from", "valid_to",
+                       F.col("n_events").cast("long").alias("n_events"))
+            .orderBy("user_id", "valid_from"))
+
+
+SQL_STREAM_SCD2 = """
+with e as (
+  select user_id, event_type, ts, event_id from events where user_id < 10),
+n as (
+  select *,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev
+  from e),
+c as (select * from n where rn = 1 or prev is distinct from event_type),
+i as (
+  select user_id, event_type, ts as valid_from,
+         lead(ts) over (partition by user_id order by rn) as valid_to,
+         coalesce(lead(rn) over (partition by user_id order by rn),
+                  0) - rn as n_events
+  from c)
+select user_id::BIGINT as user_id, event_type, valid_from, valid_to,
+       n_events::BIGINT as n_events
+from i where valid_to is not null
+order by user_id, valid_from
+"""
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation (beyond reference): documents stream
     through the stateless quality/language/repetition gates, then a
@@ -6213,6 +6256,7 @@ def queries() -> dict:
         "st14_stream_tokens": q_stream_token_account,
         "x73_scd2_merge": q_scd2_merge,
         "x74_allpairs_sim_join": q_allpairs_sim_join,
+        "st15_stream_scd2": q_stream_scd2,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6467,6 +6511,7 @@ def oracle_sql() -> dict[str, str]:
         "x73_scd2_merge": SQL_SCD2_HISTORY,
         # exact algorithm ⇒ brute-force oracle certifies completeness
         "x74_allpairs_sim_join": SQL_ALLPAIRS_SIM_JOIN,
+        "st15_stream_scd2": SQL_STREAM_SCD2,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -83,3 +83,72 @@ def first_seen_dedup_stream(events: DataFrame, key_col: str = "user_id",
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", timeout))
+
+
+def scd2_stream(events: DataFrame, key_col: str = "user_id",
+                attr_col: str = "event_type", ts_col: str = "ts",
+                id_col: str = "event_id",
+                state_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming SCD Type 2: maintain each key's CURRENT validity
+    interval in state and emit an interval the moment it CLOSES (the
+    next state change arrives) — CDC dimension history built at ingest,
+    the streaming twin of ``operators/scd.scd2_history`` (closed rows
+    only; the open interval lives in state until its closing event).
+
+    Contract (same as the batch ``scd2_merge``): per-key APPEND-ONLY
+    arrival — events inside a micro-batch are sorted ``(ts, id)``
+    before folding, and later micro-batches must not carry events
+    earlier than a key's open interval (out-of-order backfill cannot
+    re-open an emitted interval; closed intervals are append-final,
+    which is what makes append output mode correct).  State is one
+    ``(attr, valid_from, n_events)`` triple per key;
+    ``state_timeout_ms`` bounds it at the ingest horizon (an evicted
+    key's open interval is silently dropped — the trade documented in
+    the module docstring)."""
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values([ts_col, id_col])
+        if state.exists:
+            cur_attr, vf_ns, n = state.get
+            has_cur = True
+        else:
+            cur_attr, vf_ns, n, has_cur = None, 0, 0, False
+        closed: list[tuple] = []
+        for _, row in batch.iterrows():
+            a = row[attr_col]
+            a = None if pd.isna(a) else a
+            t_ns = int(pd.Timestamp(row[ts_col]).value)
+            if has_cur and a == cur_attr:
+                n += 1
+            else:
+                if has_cur:
+                    closed.append((cur_attr, vf_ns, t_ns, n))
+                cur_attr, vf_ns, n, has_cur = a, t_ns, 1, True
+        state.update((cur_attr, vf_ns, n))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(closed),
+                attr_col: [c[0] for c in closed],
+                "valid_from": [pd.Timestamp(c[1]) for c in closed],
+                "valid_to": [pd.Timestamp(c[2]) for c in closed],
+                "n_events": [c[3] for c in closed],
+            })
+
+    out_schema = (f"{key_col} bigint, {attr_col} string, "
+                  f"valid_from timestamp, valid_to timestamp, "
+                  f"n_events bigint")
+    state_schema = "attr string, vf_ns bigint, n bigint"
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", timeout))

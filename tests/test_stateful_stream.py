@@ -119,3 +119,57 @@ def test_state_ttl_evicts_and_replay_reemits(spark, tmp_path):
         assert rows.count((1, 10)) == 1 and rows.count((1, 99)) == 1, rows
     finally:
         q.stop()
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.scd import scd2_history
+    from scardina_spark.streaming.events import (
+        read_events_stream, run_to_memory_sink)
+    from scardina_spark.streaming.stateful import scd2_stream
+
+    st = read_events_stream(spark, sf_dir).where(F.col("user_id") < 8)
+    got = sorted(tuple(r) for r in run_to_memory_sink(
+        scd2_stream(st), "scd2_stream_parity",
+        output_mode="append").collect())
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    want = sorted(tuple(r) for r in
+                  scd2_history(ev, "user_id", "event_type", "ts",
+                               ["event_id"])
+                  .where(F.col("valid_to").isNotNull())
+                  .drop("is_current").collect())
+    assert got == want and len(got) > 0
+
+
+def test_scd2_stream_multi_batch_folds_against_state(spark, tmp_path):
+    """Two micro-batches: the second closes the interval the first
+    left open, and the emitted row spans both batches' events."""
+    from datetime import datetime
+
+    from scardina_spark.streaming.stateful import scd2_stream
+
+    def _m(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    d = str(tmp_path / "scdstream")
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    b1 = [(1, "A", _m(0), 0), (1, "A", _m(1), 1)]
+    b2 = [(1, "A", _m(2), 2), (1, "B", _m(3), 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        d, mode="overwrite")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (scd2_stream(st).writeStream.format("memory")
+         .queryName("scd2_two_batches").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("scd2_two_batches").collect()
+    # exactly one closed interval: A spanning all three A-events
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "A", 3)
+    assert r["valid_from"] == _m(0)
+    assert r["valid_to"] == _m(3)
