@@ -218,3 +218,17 @@ def test_merge_pair_is_ansi_safe(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert got == [["ab"], []]
+
+
+def test_bpe_apply_agrees_with_encode_on_learned_merges(spark, tables):
+    """The two inference paths are duals: applying the learned merge
+    LIST reproduces exactly the token sequences of the vocab-join
+    encode path — the merges/vocab duality of the trainer."""
+    docs = tables["documents"].limit(50)
+    merges, vocab = bpe_learn(docs, n_merges=6)
+    via_vocab = {r["doc_id"]: list(r["bpe_tokens"])
+                 for r in bpe_encode(docs, vocab).collect()}
+    via_merges = {r["doc_id"]: list(r["bpe_tokens"])
+                  for r in bpe_apply(
+                      docs, [(a, b) for a, b, _ in merges]).collect()}
+    assert via_merges == via_vocab
