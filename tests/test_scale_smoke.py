@@ -552,3 +552,115 @@ def test_repeated_component_merges_stay_flat(spark):
     # (exponential lineage growth would be orders of magnitude)
     assert times[-1] < 3 * max(times[0], 1.0), times
     print("merge times:", [round(t, 1) for t in times])
+
+
+def test_allpairs_candidate_work_stays_subquadratic(spark):
+    """AllPairs at 10x docs, replicated as DISJOINT corpora (every
+    word tagged with its replica id, so cross-replica Jaccard is 0 and
+    the true-pair population grows exactly 10x): the prefix filter's
+    candidate count must track the true pairs (~10x), nowhere near the
+    quadratic 100x — the rare-first canonical order is what keeps
+    prefix tokens from colliding across the corpus."""
+    import pyspark.sql.functions as F
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.dedup import (
+        normalized, word_shingles)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    tag = F.col("__rep__").cast("string")
+    tagged = F.array_join(
+        F.transform(F.split(normalized(), " "),
+                    lambda w: F.concat(w, F.lit("r"), tag)), " ")
+    big = (docs.crossJoin(reps)
+           .select((F.col("doc_id") + F.col("__rep__") * n_docs)
+                   .alias("doc_id"),
+                   tagged.alias("text")))
+
+    def cand_count(d, t=0.8):
+        toks = (d.select(F.col("doc_id").alias("id"),
+                         word_shingles("text", 3).alias("toks"))
+                .where(F.length(normalized()) > 0))
+        tok_cnt = (toks.select(F.explode("toks").alias("tok"))
+                   .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+        ranked = (toks.select("id", F.explode("toks").alias("tok"))
+                  .join(tok_cnt, "tok").groupBy("id")
+                  .agg(F.array_sort(
+                      F.collect_list(F.struct("cnt", "tok"))).alias("s")))
+        nn = F.size("s")
+        plen = (nn - F.ceil(F.lit(t) * nn - F.lit(1e-9)) + 1).cast("int")
+        ex = ranked.select("id", F.explode(
+            F.slice(F.transform("s", lambda x: x["tok"]),
+                    F.lit(1), plen)).alias("tok"))
+        return (ex.alias("a").join(ex.alias("b"), "tok")
+                .where(F.col("a.id") < F.col("b.id"))
+                .select("a.id", "b.id").distinct().count())
+
+    n1, n10 = docs.count(), big.count()
+    c1, c10 = cand_count(docs), cand_count(big)
+    # quadratic would be 100x the candidates for 10x the docs; with
+    # disjoint replicas the truth grows exactly 10x, so candidates must
+    # stay ~linear (ties in the per-replica canonical order give slack)
+    assert n10 == 10 * n1
+    assert c10 < 15 * c1, (c1, c10)
+
+
+def test_scd2_history_scales_linearly(spark):
+    """10x events: one window shuffle — wall must grow ~linearly, and
+    conservation must hold exactly at 1M rows."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    reps = spark.range(10).select(F.col("id").alias("__rep__"))
+    big = (ev.crossJoin(reps)
+           .select((F.col("user_id") + F.col("__rep__") * 10_000)
+                   .alias("user_id"),
+                   "event_type", "ts",
+                   (F.col("event_id") + F.col("__rep__") * n_ev)
+                   .alias("event_id")))
+
+    def run(d):
+        t0 = _t.perf_counter()
+        s = (scd2_history(d, "user_id", "event_type", "ts", ["event_id"])
+             .agg(F.sum("n_events")).first()[0])
+        return s, _t.perf_counter() - t0
+
+    s1, w1 = run(ev)
+    s10, w10 = run(big)
+    assert s1 == ev.count() and s10 == big.count()  # conservation
+    assert w10 < 25 * w1, (w1, w10)
+
+
+def test_pagerank_wall_dominated_by_edge_build_not_iterations(spark):
+    """The per-iteration cost at small node counts is fixed job
+    overhead: doubling iterations must NOT double total wall once the
+    edge relation is checkpointed."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from scardina_spark.catalog import load_tables
+    from scardina_spark.operators.graphrank import pagerank
+
+    t = load_tables(spark, SF_DIR)
+    edges = (t["lineitem"]
+             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+             .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+
+    def run(k):
+        t0 = _t.perf_counter()
+        pagerank(edges, n_iter=k).count()
+        return _t.perf_counter() - t0
+
+    w3, w12 = run(3), run(12)
+    # 4x the iterations must cost well under 4x the wall (edge build +
+    # fixed overheads dominate; iteration state is 25 rows)
+    assert w12 < 3.0 * w3, (w3, w12)
