@@ -246,12 +246,14 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     Determinism: the fold is leftmost-greedy (driver-side twin
     :func:`_apply_merge`, parity test-pinned), so the output depends
     only on the text and the merge order — never on partitioning.
-    Merges must not involve the END marker (validated): END exists so
-    cross-word merges can never arise, mirroring the trainer."""
+    Merges may involve the END marker (trainers learn ``(x, </w>)``
+    merges routinely — the duality test pins that applying
+    ``bpe_learn``'s merge list reproduces ``bpe_encode`` exactly);
+    cross-word merges still cannot arise because the fold is per-word."""
     if not merges:
         raise ValueError("merges must be a non-empty ordered list")
     for m in merges:
-        if len(m) != 2 or not m[0] or not m[1] or END in m:
+        if len(m) != 2 or not m[0] or not m[1]:
             raise ValueError(f"invalid merge pair: {m!r}")
 
     def word_syms(w: Column) -> Column:

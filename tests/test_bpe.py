@@ -193,8 +193,6 @@ def test_bpe_apply_validates_merges(spark, tables):
         bpe_apply(docs, [])
     with pytest.raises(ValueError):
         bpe_apply(docs, [("a", "")])
-    with pytest.raises(ValueError):
-        bpe_apply(docs, [(END, "a")])
 
 
 def test_bpe_apply_is_shuffle_free(spark, tables):
