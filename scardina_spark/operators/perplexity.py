@@ -317,3 +317,117 @@ def doc_perplexity_bigram(df: DataFrame, lm: BigramLM,
             .withColumn("ppl",
                         F.when(F.col("n_toks") == 0, F.lit(empty_ppl))
                         .otherwise(F.col("ppl"))))
+
+
+@dataclass
+class KneserNeyLM:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman 1999 eq. 4.24 at n=2) — the smoothing family KenLM
+    (and therefore CCNet's real filter) uses.  Relations: ``bigrams
+    (prev, token, n)``; ``contexts (prev, cn, n1p_fwd)`` where
+    ``n1p_fwd = N1+(prev ·)``; ``continuations (token, n1p_bwd)`` where
+    ``n1p_bwd = N1+(· token)``.  The continuation distribution carries
+    an add-k floor so OOV tokens keep finite mass (the same honesty
+    device as the add-k unigram/bigram models; textbook KN gives OOV
+    zero mass)."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    continuations: DataFrame
+    n_bigram_types: int
+    vocab: int
+    discount: float
+    smoothing_k: float
+    cache_handle: "DataFrame | None" = None
+
+    def release(self) -> "KneserNeyLM":
+        if self.cache_handle is not None:
+            self.cache_handle.unpersist()
+            self.cache_handle = None
+        return self
+
+    def materialize(self) -> "KneserNeyLM":
+        self.bigrams = self.bigrams.localCheckpoint(eager=True)
+        self.contexts = self.contexts.localCheckpoint(eager=True)
+        self.continuations = self.continuations.localCheckpoint(eager=True)
+        return self.release()
+
+    def pcont_oov(self) -> float:
+        """Continuation probability of a token never seen in training."""
+        k = self.smoothing_k
+        return k / (self.n_bigram_types + k * (self.vocab + 1))
+
+
+def train_bigram_kn(df: DataFrame, text_col: str = "text",
+                    discount: float = 0.75,
+                    smoothing_k: float = 1.0) -> KneserNeyLM:
+    """Interpolated Kneser-Ney bigram LM.  Probability of a pair:
+
+    * seen bigram:   ``(n − D)/cn + λ(prev) · P_cont(token)``
+    * seen context:  ``λ(prev) · P_cont(token)``
+    * unseen context: ``P_cont(token)``
+
+    with ``λ(prev) = D · N1+(prev ·)/cn`` (the discount mass re-spent
+    on the continuation distribution) and ``P_cont(w) = (N1+(· w) + k)
+    / (T + k·(V+1))`` (T = bigram types; add-k keeps OOV finite).
+    ``0 < D < 1`` guarantees ``n − D > 0`` for integer counts, so the
+    textbook max(·, 0) is vacuous here.
+
+    Scale shape: identical to :func:`train_bigram_lm` — one map-side
+    combinable pair-count shuffle, then vocabulary-sized rollups
+    (contexts, continuations) and two scalar counts."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    pairs = _bigram_pairs(
+        df.select(F.monotonically_increasing_id().alias("__rid__"),
+                  F.col(text_col)), "__rid__", text_col) \
+        .where(F.col("token").isNotNull())
+    bi = pairs.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("n")).cache()
+    ctx = bi.groupBy("prev").agg(F.sum("n").alias("cn"),
+                                 F.count(F.lit(1)).alias("n1p_fwd"))
+    cont = bi.groupBy("token").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    t_types = bi.count()
+    vocab = cont.count()
+    if vocab == 0:
+        raise ValueError("empty language model")
+    return KneserNeyLM(bi, ctx, cont, t_types, vocab,
+                       float(discount), float(smoothing_k),
+                       cache_handle=bi)
+
+
+def doc_perplexity_kn(df: DataFrame, lm: KneserNeyLM,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document interpolated-KN perplexity ``exp(mean token NLL)``
+    (4 dp).  Three joins, all token-keyed against vocabulary-sized
+    relations (AQE broadcasts them when they fit); empty documents
+    score the OOV-continuation floor."""
+    d, k = lm.discount, lm.smoothing_k
+    denom = float(lm.n_bigram_types + k * (lm.vocab + 1))
+    pairs = _bigram_pairs(df, id_col, text_col)
+    pc = (F.coalesce(F.col("n1p_bwd"), F.lit(0)) + F.lit(k)) / F.lit(denom)
+    lam = F.lit(d) * F.col("n1p_fwd") / F.col("cn")
+    p = (F.when(F.col("n").isNotNull(),
+                (F.col("n") - F.lit(d)) / F.col("cn") + lam * pc)
+         .when(F.col("cn").isNotNull(), lam * pc)
+         .otherwise(pc))
+    scored = (pairs
+              .join(lm.bigrams, ["prev", "token"], "left")
+              .join(lm.contexts, "prev", "left")
+              .join(lm.continuations, "token", "left")
+              .select(id_col, F.log(p).alias("lp"),
+                      F.col("token").isNotNull().cast("long")
+                      .alias("one")))
+    import math
+    empty_ppl = round(1.0 / lm.pcont_oov(), 4)
+    return (scored.groupBy(id_col)
+            .agg(F.sum("one").alias("n_toks"),
+                 F.round(F.exp(-F.sum(F.when(F.col("one") == 1,
+                                             F.col("lp"))
+                                      .otherwise(F.lit(0.0)))
+                               / F.greatest(F.sum("one"), F.lit(1))), 4)
+                 .alias("ppl"))
+            .withColumn("ppl",
+                        F.when(F.col("n_toks") == 0, F.lit(empty_ppl))
+                        .otherwise(F.col("ppl"))))

@@ -2276,6 +2276,78 @@ from full_scored order by doc_id
 """
 
 
+def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 (interpolated Kneser-Ney bigram perplexity, Kneser & Ney
+    1995 / Chen & Goodman 1999 — the smoothing family CCNet's actual
+    KenLM filter uses, completing the LM ladder x50 unigram → x52
+    add-k bigram → KN): absolute discount D=0.75, discount mass
+    re-spent on the CONTINUATION distribution N1+(·w), add-k floor so
+    OOV stays finite (`perplexity.train_bigram_kn`).  Same scale shape
+    as x52: one pair-count shuffle + vocabulary-sized rollups."""
+    from .operators import perplexity as PX
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = PX.train_bigram_kn(docs).materialize()
+    return (PX.doc_perplexity_kn(docs, lm)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_toks", "ppl")
+            .orderBy("doc_id"))
+
+
+SQL_KN_PPL = """
+with toks as (
+  select doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> len(x) > 0),
+                        x -> lower(x)) as ws
+  from documents),
+pairs as (
+  select doc_id, u2[1] as prev, u2[2] as token
+  from toks,
+       unnest(list_zip(list_prepend('<s>',
+                                    list_slice(ws, 1,
+                                               greatest(len(ws)-1, 0))),
+                       ws)) as z(u2)
+  where u2[2] is not null),
+bi as (select prev, token, count(*) as n from pairs group by 1, 2),
+ctx as (select prev, sum(n) as cn, count(*) as n1p_fwd from bi group by 1),
+cont as (select token, count(*) as n1p_bwd from bi group by 1),
+t as (select count(*)::DOUBLE as tt from bi),
+v as (select count(distinct token) as vocab from bi),
+scored as (
+  select p.doc_id, count(*)::BIGINT as n_toks,
+         round(exp(-sum(ln(
+           case when bi.n is not null then
+             (bi.n - 0.75::DOUBLE) / ctx.cn
+             + (0.75::DOUBLE * ctx.n1p_fwd / ctx.cn)
+               * ((coalesce(cont.n1p_bwd, 0) + 1.0::DOUBLE)
+                  / (tt + 1.0 * (vocab + 1)))
+           when ctx.cn is not null then
+             (0.75::DOUBLE * ctx.n1p_fwd / ctx.cn)
+               * ((coalesce(cont.n1p_bwd, 0) + 1.0::DOUBLE)
+                  / (tt + 1.0 * (vocab + 1)))
+           else
+             (coalesce(cont.n1p_bwd, 0) + 1.0::DOUBLE)
+               / (tt + 1.0 * (vocab + 1))
+           end)) / count(*)), 4) as ppl
+  from pairs p
+  left join bi on bi.prev = p.prev and bi.token = p.token
+  left join ctx on ctx.prev = p.prev
+  left join cont on cont.token = p.token
+  cross join t cross join v
+  group by p.doc_id),
+full_scored as (
+  select d.doc_id, coalesce(s.n_toks, 0)::BIGINT as n_toks,
+         coalesce(s.ppl,
+                  (select round((tt + 1.0 * (vocab + 1)) / 1.0, 4)
+                   from t, v))
+           as ppl
+  from documents d left join scored s using (doc_id))
+select doc_id::BIGINT as doc_id, n_toks, ppl
+from full_scored order by doc_id
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (beyond reference): 32-token windows with
     8-token overlap — the context-window preparation of
@@ -6257,6 +6329,7 @@ def queries() -> dict:
         "x73_scd2_merge": q_scd2_merge,
         "x74_allpairs_sim_join": q_allpairs_sim_join,
         "st15_stream_scd2": q_stream_scd2,
+        "x75_kneser_ney_ppl": q_kn_ppl,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6512,6 +6585,7 @@ def oracle_sql() -> dict[str, str]:
         # exact algorithm ⇒ brute-force oracle certifies completeness
         "x74_allpairs_sim_join": SQL_ALLPAIRS_SIM_JOIN,
         "st15_stream_scd2": SQL_STREAM_SCD2,
+        "x75_kneser_ney_ppl": SQL_KN_PPL,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

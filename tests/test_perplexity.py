@@ -257,3 +257,89 @@ def test_band_derived_per_language_terciles(spark):
                 assert r["ppl"] >= r["hi"]
     # the two languages derived different cuts
     assert by_lang["a"][0]["lo"] != by_lang["b"][0]["lo"]
+
+
+def _ref_kn(texts, d=0.75, k=1.0):
+    """Pure-Python interpolated-KN twin."""
+    import math
+    from collections import Counter, defaultdict
+    bi = Counter()
+    for t in texts:
+        ws = [w.lower() for w in (t or "").split() if w]
+        prev = "<s>"
+        for w in ws:
+            bi[(prev, w)] += 1
+            prev = w
+    cn = defaultdict(int)
+    n1p_fwd = defaultdict(int)
+    n1p_bwd = defaultdict(int)
+    for (p, w), n in bi.items():
+        cn[p] += n
+        n1p_fwd[p] += 1
+        n1p_bwd[w] += 1
+    tt = len(bi)
+    vocab = len(n1p_bwd)
+    denom = tt + k * (vocab + 1)
+
+    def prob(p, w):
+        pc = (n1p_bwd.get(w, 0) + k) / denom
+        if (p, w) in bi:
+            return (bi[(p, w)] - d) / cn[p] + (d * n1p_fwd[p] / cn[p]) * pc
+        if p in cn:
+            return (d * n1p_fwd[p] / cn[p]) * pc
+        return pc
+
+    def ppl(t):
+        ws = [w.lower() for w in (t or "").split() if w]
+        if not ws:
+            return round(denom / k, 4)
+        prev, s = "<s>", 0.0
+        for w in ws:
+            s += math.log(prob(prev, w))
+            prev = w
+        return round(math.exp(-s / len(ws)), 4)
+
+    return prob, ppl
+
+
+def test_kn_matches_reference(spark):
+    from scardina_spark.operators.perplexity import (
+        doc_perplexity_kn, train_bigram_kn)
+    texts = ["the cat sat on the mat", "the cat ran", "a dog sat",
+             "", "zz unseen words here", "the the the"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    lm = train_bigram_kn(df)
+    _, ref_ppl = _ref_kn(texts)
+    got = {r["doc_id"]: (r["n_toks"], r["ppl"])
+           for r in doc_perplexity_kn(df, lm).collect()}
+    for i, t in enumerate(texts):
+        n = len([w for w in t.split() if w])
+        assert got[i] == (n, ref_ppl(t)), (i, t)
+    lm.release()
+
+
+def test_kn_probabilities_sum_to_one_per_context(spark):
+    """The defining interpolated-KN closure: for any SEEN context p,
+    sum over the vocabulary PLUS one OOV slot of P(w|p) is EXACTLY 1 —
+    the discount mass re-spent on the continuation distribution
+    (which itself closes to 1 over vocab + the add-k OOV slot)."""
+    import pytest as _pt
+
+    from scardina_spark.operators.perplexity import train_bigram_kn
+    texts = ["the cat sat on the mat", "the cat ran", "a dog sat"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    lm = train_bigram_kn(df)
+    prob, _ = _ref_kn(texts)
+    vocab = [r["token"] for r in lm.continuations.collect()]
+    assert len(vocab) == lm.vocab
+    for ctx in ("the", "cat", "<s>"):
+        total = (sum(prob(ctx, w) for w in vocab)
+                 + prob(ctx, "@@never-seen@@"))
+        assert total == _pt.approx(1.0, abs=1e-12), ctx
+    # unseen context: pure continuation distribution, same closure
+    total = (sum(prob("@@noctx@@", w) for w in vocab)
+             + prob("@@noctx@@", "@@never-seen@@"))
+    assert total == _pt.approx(1.0, abs=1e-12)
+    lm.release()
