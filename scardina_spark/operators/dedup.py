@@ -523,6 +523,9 @@ def allpairs_sim_join(df: DataFrame, threshold: float = 0.6,
                   "tok")
     b = ex.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"),
                   "tok")
+    # candidate dedup carries both ordered token arrays once (the
+    # relation is collision-sized; see edit_near_dup for the id-only
+    # variant when payloads are very large)
     cand = (a.join(b, "tok").where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "t_a", "t_b").distinct())
     inter = F.size(F.array_intersect("t_a", "t_b"))
@@ -569,6 +572,10 @@ def edit_near_dup(df: DataFrame, max_rel_dist: float = 0.1,
                      "bk")
     b = keyed.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"),
                      "bk")
+    # the candidate dedup carries both texts once (docs are KB-sized;
+    # the relation is collision-sized, not corpus-sized).  For very
+    # long documents dedup on (id_a, id_b) alone and re-join the texts
+    # before the DP — same plan shape, two more joins.
     cands = (a.join(b, "bk").where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "t_a", "t_b").distinct())
     ml = F.greatest(F.length("t_a"), F.length("t_b"))
