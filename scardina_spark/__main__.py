@@ -361,6 +361,72 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """BPE-tokenize the documents table: learn a merge table (or apply
+    a frozen one from ``--merges a,r;t,h;th,e``) and write the per-doc
+    token relation as parquet."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.bpe import bpe_apply, bpe_learn
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    if args.merges:
+        merges = [tuple(m.split(",", 1)) for m in args.merges.split(";")]
+        learned = 0
+    else:
+        pairs, _ = bpe_learn(docs, n_merges=args.n_merges)
+        merges = [(a, b) for a, b, _ in pairs]
+        learned = len(merges)
+    out = bpe_apply(docs, merges, keep_cols=("source",))
+    out.write.mode("overwrite").parquet(args.out)
+    stats = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_tokens")).first()
+    print(json.dumps({
+        "out": args.out, "n_docs": int(stats["n_docs"]),
+        "total_tokens": int(stats["total_tokens"]),
+        "n_merges": len(merges), "learned": learned}))
+    return 0
+
+
+def cmd_scd2(args) -> int:
+    """Build (or incrementally extend) an SCD2 dimension history from
+    the events table and write it as parquet."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.scd import scd2_history, scd2_merge
+    spark = _spark()
+    ev = load_table(spark, args.sf_dir, "events")
+    if args.merge_into:
+        if not args.since:
+            raise SystemExit("--merge-into requires --since TS: the "
+                             "history alone does not record its ingest "
+                             "boundary (max valid_from is the last "
+                             "STATE CHANGE, not the last event)")
+        hist = spark.read.parquet(args.merge_into)
+        delta = ev.where(F.col(args.ts) >= F.lit(args.since)
+                         .cast("timestamp"))
+        out = scd2_merge(hist, delta, args.key, args.attr, args.ts,
+                         [args.tiebreak])
+    else:
+        out = scd2_history(ev, args.key, args.attr, args.ts,
+                           [args.tiebreak])
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("is_current").cast("long")).alias("n_open")).first()
+    print(json.dumps({
+        "out": args.out, "n_intervals": int(stats["n_intervals"]),
+        "n_events": int(stats["n_events"]),
+        "n_open": int(stats["n_open"]),
+        "merged": bool(args.merge_into)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -616,6 +682,30 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-tokens", type=int, default=256)
     p.add_argument("--overlap-tokens", type=int, default=32)
     p.set_defaults(fn=cmd_chunk)
+
+    p = sub.add_parser("tokenize")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-merges", type=int, default=64)
+    p.add_argument("--merges", default=None,
+                   help="frozen merge table 'a,r;t,h;th,e' "
+                        "(skips learning)")
+    p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser("scd2")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--key", default="user_id")
+    p.add_argument("--attr", default="event_type")
+    p.add_argument("--ts", default="ts")
+    p.add_argument("--tiebreak", default="event_id")
+    p.add_argument("--merge-into", default=None,
+                   help="existing history parquet: CDC-upsert the "
+                        "events at/after --since into it")
+    p.add_argument("--since", default=None,
+                   help="ingest boundary (timestamp literal) of the "
+                        "delta; required with --merge-into")
+    p.set_defaults(fn=cmd_scd2)
 
     p = sub.add_parser("semdedup")
     p.add_argument("--sf-dir", required=True)

@@ -138,3 +138,28 @@ def test_cli_search_drivers(capsys, spark, sf_dir):
         assert out["driver"] == driver
         assert out["chosen_d_word"] in (8, 16, 32)
         assert out["n_trials"] >= 2 and out["epochs_spent"] > 0
+
+
+def test_cli_tokenize_frozen_merges(capsys, spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "tok")
+    rc = main(["tokenize", "--sf-dir", sf_dir, "--out", out_dir,
+               "--merges", "a,r;t,h;th,e;r,o"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_merges"] == 4 and out["learned"] == 0
+    assert out["total_tokens"] > out["n_docs"]
+
+
+def test_cli_scd2_build_and_merge(capsys, spark, sf_dir, tmp_path):
+    import pytest
+
+    hist_dir = str(tmp_path / "hist")
+    rc = main(["scd2", "--sf-dir", sf_dir, "--out", hist_dir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_intervals"] >= out["n_open"] > 0
+    # merge mode demands an explicit ingest boundary
+    with pytest.raises(SystemExit, match="--since"):
+        main(["scd2", "--sf-dir", sf_dir,
+              "--out", str(tmp_path / "h2"),
+              "--merge-into", hist_dir])
