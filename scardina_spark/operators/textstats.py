@@ -264,3 +264,49 @@ def source_quality_profile(df: DataFrame, col: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def pmi_collocations(df: DataFrame, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks, CL 1990; the word2phrase phrase-detection score is the
+    discounted variant) — the phrase inventory a tokenizer/curation
+    pipeline mines before deciding merge candidates.  Returns
+    ``(left_w, right_w, pair_n, pmi)`` for adjacent lowercased word
+    pairs with ``pair_n >= min_count``, ordered (pmi desc, left, right).
+
+    PMI = ln( (c(ab)/N_pairs) / ((c(a)/N_words)·(c(b)/N_words)) ).
+
+    Scale shape: two map-side-combinable count shuffles (adjacent
+    pairs, unigrams — the pair relation comes from shifting the token
+    array, no window) plus two scalar totals; the join back onto the
+    pair relation is vocabulary-keyed against Zipf-bounded tables.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = lower_words(text_col)
+    prevs = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    nexts = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = (df.select(F.explode(F.zip_with(
+        prevs, nexts,
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p"))
+        .select(F.col("p.l").alias("left_w"), F.col("p.r").alias("right_w")))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    bi = pairs.groupBy("left_w", "right_w").agg(
+        F.count(F.lit(1)).alias("pair_n"))
+    n_pairs = bi.agg(F.sum("pair_n")).first()[0]
+    n_words = uni.agg(F.sum("wc")).first()[0]
+    if not n_pairs:
+        raise ValueError("no adjacent pairs in corpus")
+    ua = uni.select(F.col("w").alias("left_w"), F.col("wc").alias("ca"))
+    ub = uni.select(F.col("w").alias("right_w"), F.col("wc").alias("cb"))
+    pmi = F.log((F.col("pair_n") / F.lit(float(n_pairs)))
+                / ((F.col("ca") / F.lit(float(n_words)))
+                   * (F.col("cb") / F.lit(float(n_words)))))
+    return (bi.where(F.col("pair_n") >= min_count)
+            .join(ua, "left_w").join(ub, "right_w")
+            .select("left_w", "right_w",
+                    F.col("pair_n").cast("long").alias("pair_n"),
+                    F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "left_w", "right_w"))

@@ -2276,6 +2276,44 @@ from full_scored order by doc_id
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 (PMI collocation mining, Church & Hanks CL 1990 — the
+    phrase-inventory pass before tokenizer-merge decisions, word2phrase
+    lineage): adjacent-pair PMI over the corpus with a min-count floor
+    (`textstats.pmi_collocations`).  Two map-side-combinable count
+    shuffles + two scalar totals; joins are vocabulary-keyed."""
+    from .operators.textstats import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5)
+
+
+SQL_PMI_COLLOCATIONS = """
+with toks as (
+  select list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) as ws
+  from documents),
+pairs as (
+  select ws[i] as left_w, ws[i + 1] as right_w
+  from toks, unnest(generate_series(1, len(ws) - 1)) as u(i)),
+bi as (select left_w, right_w, count(*) as pair_n
+       from pairs group by 1, 2),
+uni as (select unnest(ws) as w from toks),
+uc as (select w, count(*) as wc from uni group by 1),
+np as (select sum(pair_n)::DOUBLE as n from bi),
+nw as (select sum(wc)::DOUBLE as n from uc)
+select b.left_w, b.right_w, b.pair_n::BIGINT as pair_n,
+       round(ln((b.pair_n / np.n) /
+                ((ua.wc / nw.n) * (ub.wc / nw.n))), 6) as pmi
+from bi b
+join uc ua on ua.w = b.left_w
+join uc ub on ub.w = b.right_w
+cross join np cross join nw
+where b.pair_n >= 5
+order by pmi desc, left_w, right_w
+"""
+
+
 def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X75 (interpolated Kneser-Ney bigram perplexity, Kneser & Ney
     1995 / Chen & Goodman 1999 — the smoothing family CCNet's actual
@@ -6330,6 +6368,7 @@ def queries() -> dict:
         "x74_allpairs_sim_join": q_allpairs_sim_join,
         "st15_stream_scd2": q_stream_scd2,
         "x75_kneser_ney_ppl": q_kn_ppl,
+        "x76_pmi_collocations": q_pmi_collocations,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6586,6 +6625,7 @@ def oracle_sql() -> dict[str, str]:
         "x74_allpairs_sim_join": SQL_ALLPAIRS_SIM_JOIN,
         "st15_stream_scd2": SQL_STREAM_SCD2,
         "x75_kneser_ney_ppl": SQL_KN_PPL,
+        "x76_pmi_collocations": SQL_PMI_COLLOCATIONS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -128,3 +128,47 @@ def test_filter_repetitive_gate(tables):
     n_kept = kept.count()
     assert 0 < n_kept < n_all
     assert kept.columns == docs.columns  # gate drops its own stat columns
+
+
+def test_pmi_collocations_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from scardina_spark.operators.textstats import pmi_collocations
+
+    texts = ["new york is big", "new york city", "big city lights",
+             "new york new york", "is big is big"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    bi, uni = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    np_, nw = sum(bi.values()), sum(uni.values())
+    want = {}
+    for (a, b), n in bi.items():
+        if n >= 2:
+            want[(a, b)] = (n, round(math.log(
+                (n / float(np_)) / ((uni[a] / float(nw))
+                                    * (uni[b] / float(nw)))), 6))
+    got = {(r["left_w"], r["right_w"]): (r["pair_n"], r["pmi"])
+           for r in pmi_collocations(df, min_count=2).collect()}
+    assert got == want
+    # 'new york' is the strongest collocation in this corpus
+    top = max(want.items(), key=lambda kv: kv[1][1])
+    assert top[0] == ("new", "york")
+
+
+def test_pmi_collocations_validates(spark):
+    import pytest
+
+    from scardina_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
+    empty = spark.createDataFrame([(0, "solo")],
+                                  "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="no adjacent pairs"):
+        pmi_collocations(empty)
