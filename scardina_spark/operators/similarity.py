@@ -275,6 +275,45 @@ def ivf_build_index(df: DataFrame, k: int | None = 16, iters: int = 2,
                     id_col, vec_col)
 
 
+def ivf_append(index: IvfIndex, new_df: DataFrame) -> IvfIndex:
+    """Extend an IVF index with new vectors WITHOUT retraining — the
+    x62/x73 incremental lesson applied to ANN: the FROZEN centroids
+    assign the delta (delta-sized work, one broadcast-by-construction
+    projection), and the existing cells' data is never touched.  The
+    result is bit-identical to assigning the full union against the
+    same centroids (oracle-pinned), because assignment is a pure
+    per-row function of (vector, centroids).
+
+    The standard trade (FAISS `add` semantics): cell balance degrades
+    as the corpus drifts from the training distribution — retrain the
+    quantizer when probe-cell sizes skew, the same trigger FAISS
+    documents."""
+    cols = [index.id_col, index.vec_col]
+    na = ivf_assign(new_df.select(*cols), index.centroids,
+                    vec_col=index.vec_col)
+    return IvfIndex(
+        index.assigned.select(*cols, "cell")
+        .unionByName(na.select(*cols, "cell")),
+        index.centroids, index.id_col, index.vec_col)
+
+
+def ivf_append_saved(spark, path: str, new_df: DataFrame) -> int:
+    """Disk twin of :func:`ivf_append`: append the delta's rows into
+    the saved partition-per-cell layout (``mode=append`` writes only
+    new files under the touched cell partitions — existing files are
+    untouched, so a 0.1% delta costs 0.1% of the index write).
+    Returns the number of appended rows."""
+    import os
+    idx = ivf_load_index(spark, path)
+    cols = [idx.id_col, idx.vec_col]
+    na = ivf_assign(new_df.select(*cols), idx.centroids,
+                    vec_col=idx.vec_col)
+    n = na.count()
+    (na.write.partitionBy("cell").mode("append")
+     .parquet(os.path.join(path, "cells")))
+    return n
+
+
 def ivf_load_index(spark, path: str) -> IvfIndex:
     import os
     rows = (spark.read.schema(_IVF_META_SCHEMA)

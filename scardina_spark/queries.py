@@ -1773,6 +1773,36 @@ def q_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 (incremental IVF maintenance — the x62/x73 lesson applied
+    to ANN): build the index on vectors < 400, APPEND the rest into the
+    saved partition-per-cell layout against the frozen seed quantizer
+    (only new files under touched partitions; existing cells never
+    rewritten), reload, probe.  Because assignment is a pure per-row
+    function of (vector, centroids), the appended index answers the
+    probe identically to a full build — the oracle is the x16 SQL
+    verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.ivf_build_index(emb.where(F.col("vec_id") < 400),
+                              k=8, iters=0)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"scardina_ivfappend_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    idx.save(path)
+    SIM.ivf_append_saved(spark, path, emb.where(F.col("vec_id") >= 400))
+    loaded = SIM.ivf_load_index(spark, path)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = SIM.topk_cosine_ivf_indexed(loaded, qv, 10, nprobe=2)
+    rows = out.collect()  # materialize before the index dir is removed
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (beyond reference): per event_type,
     approximate distinct users from the 32 smallest md5 hash values —
@@ -6369,6 +6399,7 @@ def queries() -> dict:
         "st15_stream_scd2": q_stream_scd2,
         "x75_kneser_ney_ppl": q_kn_ppl,
         "x76_pmi_collocations": q_pmi_collocations,
+        "x77_ivf_append_topk": q_ivf_append_topk,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6626,6 +6657,9 @@ def oracle_sql() -> dict[str, str]:
         "st15_stream_scd2": SQL_STREAM_SCD2,
         "x75_kneser_ney_ppl": SQL_KN_PPL,
         "x76_pmi_collocations": SQL_PMI_COLLOCATIONS,
+        # append == full build under frozen centroids: the x16 oracle
+        # applies verbatim (the x73 bit-identical-maintenance pattern)
+        "x77_ivf_append_topk": SQL_IVF_TOPK,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

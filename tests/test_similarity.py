@@ -455,3 +455,71 @@ def test_hard_negatives_broadcasts_anchors(tables):
     assert "BroadcastNestedLoopJoin" in plan
     # no sort-merge join / corpus-side exchange beyond the final argmax agg
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_append_equals_full_assignment(spark, tables):
+    """Incremental == from-scratch under frozen centroids, both
+    in-memory and through the saved partition layout."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"]
+    old = emb.where("vec_id < 300")
+    new = emb.where("vec_id >= 300")
+    idx = S.ivf_build_index(old, k=8, iters=0)
+    full = S.ivf_build_index(emb, k=8, iters=0)
+
+    def canon(df):
+        return sorted((r["vec_id"], r["cell"]) for r in df.collect())
+
+    appended = S.ivf_append(idx, new)
+    assert canon(appended.assigned) == canon(full.assigned)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ivfappend_test_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        idx.save(path)
+        n = S.ivf_append_saved(spark, path, new)
+        assert n == new.count()
+        loaded = S.ivf_load_index(spark, path)
+        assert canon(loaded.assigned.select("vec_id", "cell")) \
+            == canon(full.assigned)
+        # probes over the appended index == probes over the full build
+        qv = [float(x) for x in
+              emb.where("vec_id = 0").first()["embedding"]]
+        got = [(r["vec_id"], r["cos_sim"]) for r in
+               S.topk_cosine_ivf_indexed(loaded, qv, 10, 2).collect()]
+        want = [(r["vec_id"], r["cos_sim"]) for r in
+                S.topk_cosine_ivf_indexed(full, qv, 10, 2).collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_append_saved_touches_only_new_files(spark, tables):
+    """The scale contract: appending never rewrites existing files."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    emb = tables["embeddings"]
+    idx = S.ivf_build_index(emb.where("vec_id < 300"), k=8, iters=0)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ivfappend_files_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        idx.save(path)
+        before = {p: os.path.getmtime(p) for p in glob.glob(
+            os.path.join(path, "cells", "**", "*.parquet"),
+            recursive=True)}
+        S.ivf_append_saved(spark, path, emb.where("vec_id >= 300"))
+        after = set(glob.glob(os.path.join(path, "cells", "**",
+                                           "*.parquet"), recursive=True))
+        assert set(before) < after  # strictly more files
+        for p, m in before.items():
+            assert os.path.getmtime(p) == m, p  # untouched
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
