@@ -3305,6 +3305,55 @@ from reach group by n order by member_id
 """
 
 
+def q_exact_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 (exact near-dup dedup END TO END — the composition the
+    curation pipeline actually runs: x74's exact similarity pairs →
+    connected components → canonical keep-id): every document in a
+    Jaccard-0.6 group maps to its group's minimum id.  Both stages are
+    individually oracle-certified; this key certifies the COMPOSITION
+    against brute-force pairs + a recursive-CTE transitive closure —
+    no recall loss anywhere in the chain (the LSH path x13/x58 trades
+    that recall for fewer candidates)."""
+    from .operators.components import connected_components
+    from .operators.dedup import allpairs_sim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = allpairs_sim_join(docs, threshold=0.6)
+    return (connected_components(pairs)
+            .select(F.col("node").cast("long").alias("member_id"),
+                    F.col("component").cast("long").alias("keep_id"))
+            .orderBy("member_id"))
+
+
+SQL_EXACT_NEARDUP_GROUPS = """
+with recursive norm as (
+  select doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, greatest(len(toks) - 2, 1) + 1)
+         ]) as sh
+  from (select doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                           'g'), ' ') toks
+        from documents
+        where length(regexp_replace(trim(lower(coalesce(text, ''))),
+                                    '\\s+', ' ', 'g')) > 0)),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from norm a join norm b on a.doc_id < b.doc_id
+  where len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+und as (select id_a a, id_b b from p
+        union select id_b, id_a from p),
+reach(n, m) as (
+  select a, a from und
+  union
+  select r.n, u.b from reach r join und u on r.m = u.a)
+select n::BIGINT as member_id, min(m)::BIGINT as keep_id
+from reach group by n order by member_id
+"""
+
+
 def q_incremental_components(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """X62 (incremental dup-component maintenance; beyond reference —
@@ -6400,6 +6449,7 @@ def queries() -> dict:
         "x75_kneser_ney_ppl": q_kn_ppl,
         "x76_pmi_collocations": q_pmi_collocations,
         "x77_ivf_append_topk": q_ivf_append_topk,
+        "x78_exact_neardup_groups": q_exact_neardup_groups,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6660,6 +6710,7 @@ def oracle_sql() -> dict[str, str]:
         # append == full build under frozen centroids: the x16 oracle
         # applies verbatim (the x73 bit-identical-maintenance pattern)
         "x77_ivf_append_topk": SQL_IVF_TOPK,
+        "x78_exact_neardup_groups": SQL_EXACT_NEARDUP_GROUPS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,
