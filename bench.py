@@ -849,6 +849,28 @@ def main() -> None:
         extras["pagerank_top_rank"] = round(float(top["rank"]), 6)
     timed("pagerank_6iter", run_pagerank)
 
+    from scardina_spark.operators.dedup import allpairs_sim_join
+    from scardina_spark.operators.perplexity import (
+        doc_perplexity_kn, train_bigram_kn)
+
+    def run_allpairs():
+        row = (allpairs_sim_join(docs, threshold=0.6)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("jaccard"), 4).alias("j")).first())
+        extras["allpairs_pairs"] = int(row["n"])
+        extras["allpairs_mean_jaccard"] = float(row["j"])
+    timed("allpairs_sim_join", run_allpairs)
+
+    def run_kn():
+        lm = train_bigram_kn(docs).materialize()
+        row = (doc_perplexity_kn(docs, lm)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("ppl"), 4).alias("p")).first())
+        lm.release()
+        extras["kn_docs_scored"] = int(row["n"])
+        extras["kn_mean_ppl"] = float(row["p"])
+    timed("kneser_ney_ppl", run_kn)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_bench_sec",
