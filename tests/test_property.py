@@ -263,3 +263,84 @@ def test_overlap_fraction_matches_bruteforce(iv):
         1 for i in range(n) for j in range(i + 1, n)
         if ranges[i][0] <= ranges[j][1] and ranges[j][0] <= ranges[i][1])
     assert overlap_fraction(ranges) == brute / (n * (n - 1) // 2)
+
+
+# ---- round-8 exactness properties (driver-side reference twins; the
+# Spark runs use few examples because each example is a Spark job) ----
+
+_WORDS = ["spark", "table", "row", "scan", "join", "key", "agg"]
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8)
+    .map(" ".join), min_size=2, max_size=8),
+    tpct=st.sampled_from([0.4, 0.6, 0.8, 1.0]))
+@settings(max_examples=12, deadline=None)
+def test_allpairs_complete_on_random_corpora(spark, texts, tpct):
+    """Prefix filtering finds EVERY pair brute force finds — for random
+    small corpora and every threshold, including J == t boundaries and
+    the whole-text short-doc fallback."""
+    from scardina_spark.operators.dedup import allpairs_sim_join
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id: long, text: string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           allpairs_sim_join(df, threshold=tpct).collect()}
+
+    def shingles(t):
+        ws = t.split()
+        if not ws:
+            return frozenset()
+        if len(ws) < 3:
+            return frozenset({" ".join(ws)})
+        return frozenset(" ".join(ws[i:i + 3])
+                         for i in range(len(ws) - 2))
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tpct:
+                want.add((a, b))
+    assert got == want, (texts, tpct)
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 2),          # key
+              st.sampled_from(["A", "B", None]),  # state
+              st.integers(0, 40)),        # minute
+    min_size=1, max_size=14),
+    cut=st.integers(0, 40))
+@settings(max_examples=12, deadline=None)
+def test_scd2_merge_identity_on_random_streams(spark, events, cut):
+    """For ANY event stream and ANY cutoff, incrementally merging the
+    post-cutoff delta reproduces the from-scratch history exactly."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from scardina_spark.operators.scd import scd2_history, scd2_merge
+
+    rows = [(k, s, datetime(2024, 1, 1, 0, m), i)
+            for i, (k, s, m) in enumerate(events)]
+    schema = "k: long, s: string, ts: timestamp, eid: long"
+    df = spark.createDataFrame(rows, schema)
+    c = datetime(2024, 1, 1, 0, cut)
+
+    def canon(rows):  # None states sort; stringify like the gate does
+        return sorted((tuple(r) for r in rows),
+                      key=lambda t: tuple(str(x) for x in t))
+
+    full = canon(scd2_history(df, "k", "s", "ts", ["eid"]).collect())
+    hist = scd2_history(df.where(F.col("ts") < F.lit(c)),
+                        "k", "s", "ts", ["eid"])
+    merged = scd2_merge(hist, df.where(F.col("ts") >= F.lit(c)),
+                        "k", "s", "ts", ["eid"])
+    got = canon(merged.select(
+        "k", "s", "valid_from", "valid_to", "n_events",
+        "is_current").collect())
+    assert got == full, (events, cut)
