@@ -568,3 +568,50 @@ def hard_negatives(df: DataFrame, anchors: DataFrame,
                        F.col("neg_id").alias("i"))).alias("b"))
     return best.select("q_id", "q_label", F.col("b.i").alias("neg_id"),
                        (-F.col("b.ns")).alias("neg_sim"))
+
+
+def ranking_metrics(approx: DataFrame, exact: DataFrame, k: int = 10,
+                    id_col: str = "vec_id",
+                    score_col: str = "cos_sim") -> DataFrame:
+    """Retrieval-quality metrics of an APPROXIMATE ranked result
+    against the EXACT baseline — the in-engine answer to "how much
+    recall did the ANN shortcut trade?", so index-parameter choices
+    (nprobe, bands) are measured, not guessed.  Returns ONE row:
+    ``(k, n_hits, recall_at_k, ndcg_at_k)``.
+
+    nDCG uses binary relevance (a returned id is relevant iff it is in
+    the exact top-k) with the standard log2 position discount; the
+    ideal DCG normalizes against min(k, |exact|) so a shorter exact
+    set cannot inflate the score.  Ranks are derived from
+    ``(score_col desc, id)`` — the retrieval family's own total order —
+    never from physical row order.  Both inputs are k-row relations,
+    so every aggregate here is driver-trivial; the heavy lifting
+    happened in the retrieval.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    a = (approx.withColumn("rank", F.row_number().over(w))
+         .where(F.col("rank") <= k)
+         .select(F.col(id_col).alias("rid"), "rank"))
+    we = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    e = (exact.withColumn("rank", F.row_number().over(we))
+         .where(F.col("rank") <= k)
+         .select(F.col(id_col).alias("rid")))
+    n_exact = e.count()
+    hits = a.join(e, "rid")
+    dcg = hits.agg(F.coalesce(
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)),
+        F.lit(0.0))).first()[0]
+    n_hits = hits.count()
+    ideal = sum(1.0 / math.log2(i + 2) for i in range(min(k, n_exact)))
+    recall = n_hits / float(n_exact) if n_exact else 0.0
+    spark = approx.sparkSession
+    return spark.createDataFrame(
+        [(k, n_hits, round(recall, 6),
+          round(dcg / ideal if ideal else 0.0, 6))],
+        "k int, n_hits long, recall_at_k double, ndcg_at_k double")

@@ -1585,6 +1585,90 @@ from embeddings group by 1 order by bucket
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 (retrieval-quality evaluation IN-ENGINE — closes the loop
+    on the search family: the ANN shortcuts x9/x16 trade recall for
+    candidates, this MEASURES the trade): recall@10 and binary-nDCG@10
+    of the LSH- and IVF-probed top-10 against the exact x8 baseline
+    for vec 0's query (`similarity.ranking_metrics`; ranks from the
+    family's own (cos_sim desc, id) total order, never physical row
+    order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = SIM.topk_cosine(emb, qv, 10)
+    planes = SIM.hyperplanes(64, 8, seed=42)
+    lsh = SIM.topk_cosine_lsh(emb, qv, 10, planes=planes)
+    cents = _ivf_seed_centroids(emb)
+    ivf = SIM.topk_cosine_ivf(emb, qv, 10, centroids=cents, nprobe=2)
+    out = (SIM.ranking_metrics(ivf, exact, 10)
+           .withColumn("method", F.lit("ivf"))
+           .unionByName(SIM.ranking_metrics(lsh, exact, 10)
+                        .withColumn("method", F.lit("lsh"))))
+    return (out.select("method", F.col("k").cast("long").alias("k"),
+                       "n_hits", "recall_at_k", "ndcg_at_k")
+            .orderBy("method"))
+
+
+def _sql_ann_recall(k: int = 10) -> str:
+    import math
+    ideal = sum(1.0 / math.log2(i + 2) for i in range(k))
+    lits = _plane_lits()
+    bucket = " + ".join(
+        f"(case when list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+        f"then 1::BIGINT << {i} else 0 end)"
+        for i, lit in enumerate(lits))
+    cos = ("round(list_dot_product(e.embedding::DOUBLE[], q.v) /"
+           " greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],"
+           " e.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6)")
+    return f"""
+with q as (select embedding::DOUBLE[] as v from embeddings
+           where vec_id = 0),
+scored as (select e.vec_id, {cos} as cs from embeddings e, q),
+exact as (select vec_id from scored order by cs desc, vec_id
+          limit {k}),
+buck as (select vec_id, ({bucket})::BIGINT as bk from embeddings),
+lsh_r as (
+  select s.vec_id, row_number() over (order by s.cs desc, s.vec_id)
+           as rank
+  from scored s join buck b using (vec_id)
+  where b.bk = (select bk from buck where vec_id = 0)),
+cents as (select vec_id as cell, embedding::DOUBLE[] as cv
+          from embeddings where vec_id < 8),
+assigned as (
+  select e.vec_id, c.cell,
+         row_number() over (partition by e.vec_id
+             order by list_dot_product(e.embedding::DOUBLE[], c.cv) desc,
+                      c.cell) as rn
+  from embeddings e cross join cents c),
+probe as (select cell from cents, q
+          order by list_dot_product(q.v, cv) desc, cell limit 2),
+ivf_r as (
+  select s.vec_id, row_number() over (order by s.cs desc, s.vec_id)
+           as rank
+  from scored s
+  join (select vec_id from assigned a join probe using (cell)
+        where a.rn = 1) c using (vec_id)),
+m as (
+  select 'lsh' as method,
+         count(*) filter (where e.vec_id is not null) as n_hits,
+         coalesce(sum(1.0::DOUBLE / log2(r.rank + 1))
+                  filter (where e.vec_id is not null), 0.0) as dcg
+  from lsh_r r left join exact e using (vec_id) where r.rank <= {k}
+  union all
+  select 'ivf',
+         count(*) filter (where e.vec_id is not null),
+         coalesce(sum(1.0::DOUBLE / log2(r.rank + 1))
+                  filter (where e.vec_id is not null), 0.0)
+  from ivf_r r left join exact e using (vec_id) where r.rank <= {k})
+select method, {k}::BIGINT as k, n_hits::BIGINT as n_hits,
+       round(n_hits / {float(k)!r}, 6) as recall_at_k,
+       round(dcg / {ideal!r}, 6) as ndcg_at_k
+from m order by method
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -6450,6 +6534,7 @@ def queries() -> dict:
         "x76_pmi_collocations": q_pmi_collocations,
         "x77_ivf_append_topk": q_ivf_append_topk,
         "x78_exact_neardup_groups": q_exact_neardup_groups,
+        "x79_ann_recall": q_ann_recall,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6711,6 +6796,7 @@ def oracle_sql() -> dict[str, str]:
         # applies verbatim (the x73 bit-identical-maintenance pattern)
         "x77_ivf_append_topk": SQL_IVF_TOPK,
         "x78_exact_neardup_groups": SQL_EXACT_NEARDUP_GROUPS,
+        "x79_ann_recall": _sql_ann_recall(),
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

@@ -523,3 +523,37 @@ def test_ivf_append_saved_touches_only_new_files(spark, tables):
             assert os.path.getmtime(p) == m, p  # untouched
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ranking_metrics_crafted(spark):
+    import math
+
+    approx = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (99, 0.7)], "vec_id: long, cos_sim: double")
+    exact = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.75)], "vec_id: long, cos_sim: double")
+    r = S.ranking_metrics(approx, exact, k=3).first()
+    assert r["n_hits"] == 2
+    assert r["recall_at_k"] == round(2 / 3, 6)
+    ideal = sum(1 / math.log2(i + 2) for i in range(3))
+    dcg = 1 / math.log2(2) + 1 / math.log2(3)  # hits at ranks 1, 2
+    assert r["ndcg_at_k"] == round(dcg / ideal, 6)
+    # perfect retrieval scores 1.0 on both
+    p = S.ranking_metrics(exact, exact, k=3).first()
+    assert (p["recall_at_k"], p["ndcg_at_k"]) == (1.0, 1.0)
+    # disjoint retrieval scores 0.0
+    z = S.ranking_metrics(
+        spark.createDataFrame([(7, 0.5)], "vec_id: long, cos_sim: double"),
+        exact, k=3).first()
+    assert (z["n_hits"], z["recall_at_k"], z["ndcg_at_k"]) == (0, 0.0, 0.0)
+
+
+def test_ranking_metrics_rank_order_independent_of_layout(spark):
+    """Ranks come from (score desc, id), not physical row order."""
+    rows = [(3, 0.7), (1, 0.9), (2, 0.8)]  # deliberately shuffled
+    approx = spark.createDataFrame(rows, "vec_id: long, cos_sim: double") \
+        .repartition(3)
+    exact = spark.createDataFrame(sorted(rows, key=lambda t: -t[1]),
+                                  "vec_id: long, cos_sim: double")
+    r = S.ranking_metrics(approx, exact, k=3).first()
+    assert (r["n_hits"], r["recall_at_k"], r["ndcg_at_k"]) == (3, 1.0, 1.0)
