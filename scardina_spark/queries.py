@@ -560,6 +560,61 @@ from events group by 1, 2 order by hour, event_type
 """
 
 
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 (per-entity activity anomaly flags — the ops-analytics gap
+    beside the TPC-H a-family): hours where a user's event count sits
+    ≥ 3 sample standard deviations above their own active-hour mean.
+    EXACT arithmetic until the final division: the only aggregations
+    are integer sums (count / Σn / Σn²), so mean/variance/z are single
+    IEEE expressions over exact inputs — no summation-order dust at
+    all, both engines bit-equal before the display rounding.  Users
+    need ≥ 3 active hours and positive variance (constant series have
+    no z).  The anomaly flag compares the ROUNDED z so the threshold
+    is decided on the same value both engines hash."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id",
+                         F.window("ts", "1 hour").getField("start")
+                         .alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    stats = (hourly.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum("n").alias("sx"),
+                  F.sum(F.col("n") * F.col("n")).alias("sxx"))
+             .where(F.col("cnt") >= 3))
+    mean = F.col("sx") / F.col("cnt")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("cnt")) \
+        / (F.col("cnt") - 1)
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 4)
+    return (hourly.join(stats, "user_id")
+            .where(var > 0)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "hour", F.col("n").cast("long").alias("n"),
+                    F.round(mean, 4).alias("user_mean"),
+                    z.alias("z"))
+            .where(F.col("z") >= 3.0)
+            .orderBy("user_id", "hour"))
+
+
+SQL_EVENT_ANOMALIES = """
+with h as (
+  select user_id, date_trunc('hour', ts) as hour, count(*) as n
+  from events group by 1, 2),
+s as (
+  select user_id, count(*) as cnt, sum(n) as sx, sum(n * n) as sxx
+  from h group by 1),
+zed as (
+  select h.user_id, h.hour, h.n,
+         round(sx / cnt, 4) as user_mean,
+         round((h.n - sx / cnt) /
+               sqrt((sxx - sx * sx / cnt) / (cnt - 1)), 4) as z
+  from h join s using (user_id)
+  where cnt >= 3 and (sxx - sx * sx / cnt) / (cnt - 1) > 0)
+select user_id::BIGINT as user_id, hour, n::BIGINT as n, user_mean, z
+from zed where z >= 3.0
+order by user_id, hour
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counting: a session break is a >30-minute gap per user."""
     from pyspark.sql import Window
@@ -6535,6 +6590,7 @@ def queries() -> dict:
         "x77_ivf_append_topk": q_ivf_append_topk,
         "x78_exact_neardup_groups": q_exact_neardup_groups,
         "x79_ann_recall": q_ann_recall,
+        "x80_event_anomalies": q_event_anomalies,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6797,6 +6853,7 @@ def oracle_sql() -> dict[str, str]:
         "x77_ivf_append_topk": SQL_IVF_TOPK,
         "x78_exact_neardup_groups": SQL_EXACT_NEARDUP_GROUPS,
         "x79_ann_recall": _sql_ann_recall(),
+        "x80_event_anomalies": SQL_EVENT_ANOMALIES,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,
