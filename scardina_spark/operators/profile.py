@@ -54,3 +54,50 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                  F.col(f"__mx{i}__").alias("max_num"))
         for i, c in enumerate(cols)])).alias("s"))
     return stacked.select("s.*").orderBy("column")
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``col``
+    distributions of two relations — the standard distribution-drift
+    alarm a data pipeline runs between an incoming shard and the
+    standing corpus (or between two sources) before mixing them.
+
+    Returns one row ``(n_a, n_b, d_stat, at_value)``: the max ECDF gap
+    and the smallest value where it is attained.
+
+    Scale shape: one union + one groupBy(value) count (map-side
+    combinable, distinct-value-sized output) + one window over the
+    value order for the cumulative counts — the ECDFs never
+    materialize per-row, only per-distinct-value.  The single-partition
+    window over the DISTINCT-VALUE relation is deliberate: that
+    relation is domain-sized, not corpus-sized (range-partition it for
+    huge domains).  Determinism: counts are integers, the ECDF gap is
+    one IEEE expression per distinct value — no summation-order dust.
+    """
+    from pyspark.sql import Window
+
+    a = df_a.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    b = df_b.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    n_a, n_b = a.count(), b.count()
+    if n_a == 0 or n_b == 0:
+        raise ValueError("both samples must be non-empty")
+    tagged = (a.withColumn("ca", F.lit(1)).withColumn("cb", F.lit(0))
+              .unionByName(
+                  b.withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1))))
+    per_v = (tagged.groupBy("v")
+             .agg(F.sum("ca").alias("ka"), F.sum("cb").alias("kb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.abs(F.sum("ka").over(w) / F.lit(float(n_a))
+                - F.sum("kb").over(w) / F.lit(float(n_b)))
+    gaps = per_v.select("v", F.round(gap, 6).alias("g"))
+    best = gaps.agg(F.max("g").alias("d")).first()["d"]
+    at = gaps.where(F.col("g") == best).agg(F.min("v")).first()[0]
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, float(best), at)],
+        f"n_a long, n_b long, d_stat double, at_value {_sql_type(df_a, col)}")
+
+
+def _sql_type(df: DataFrame, col: str) -> str:
+    return dict((f.name, f.dataType.simpleString())
+                for f in df.schema.fields)[col]

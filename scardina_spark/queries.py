@@ -6018,6 +6018,49 @@ def sql_profile_table() -> str:
     return " union all ".join(parts) + ' order by "column"'
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 (two-sample Kolmogorov-Smirnov drift statistic — the
+    distribution alarm a pipeline runs between an incoming shard and
+    the standing corpus before mixing): KS D between src0's and the
+    rest's document-length distributions (`profile.ks_drift`).  ECDFs
+    materialize per DISTINCT VALUE only (one count shuffle + one
+    window over the domain-sized relation); integer counts make every
+    gap a single IEEE expression — no dust."""
+    from .operators.profile import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs.where(F.col("source") == "src0"),
+                    docs.where(F.col("source") != "src0"), "n_chars")
+
+
+SQL_KS_DRIFT = """
+with a as (select n_chars as v from documents
+           where source = 'src0' and n_chars is not null),
+b as (select n_chars as v from documents
+      where source <> 'src0' and n_chars is not null),
+na as (select count(*)::DOUBLE as n from a),
+nb as (select count(*)::DOUBLE as n from b),
+per_v as (
+  select v, sum(ca) as ka, sum(cb) as kb
+  from (select v, 1 as ca, 0 as cb from a
+        union all select v, 0, 1 from b)
+  group by v),
+gaps as (
+  select v,
+         round(abs(sum(ka) over (order by v rows between unbounded
+                                 preceding and current row) / na.n
+                   - sum(kb) over (order by v rows between unbounded
+                                   preceding and current row) / nb.n),
+               6) as g
+  from per_v cross join na cross join nb)
+select (select count(*)::BIGINT from a) as n_a,
+       (select count(*)::BIGINT from b) as n_b,
+       (select max(g) from gaps) as d_stat,
+       (select min(v) from gaps
+        where g = (select max(g) from gaps))::BIGINT as at_value
+"""
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version dedup (beyond reference): each user's latest event as a
     single struct-max aggregation — map-side combinable, one row of
@@ -6591,6 +6634,7 @@ def queries() -> dict:
         "x78_exact_neardup_groups": q_exact_neardup_groups,
         "x79_ann_recall": q_ann_recall,
         "x80_event_anomalies": q_event_anomalies,
+        "x81_ks_drift": q_ks_drift,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6854,6 +6898,7 @@ def oracle_sql() -> dict[str, str]:
         "x78_exact_neardup_groups": SQL_EXACT_NEARDUP_GROUPS,
         "x79_ann_recall": _sql_ann_recall(),
         "x80_event_anomalies": SQL_EVENT_ANOMALIES,
+        "x81_ks_drift": SQL_KS_DRIFT,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

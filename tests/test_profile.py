@@ -44,3 +44,47 @@ def test_profile_empty_frame_and_empty_cols(spark):
     assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
     with pytest.raises(ValueError):
         profile_table(empty, cols=[])
+
+
+def test_ks_drift_matches_reference(spark, tables):
+    from scardina_spark.operators.profile import ks_drift
+
+    docs = tables["documents"]
+    a = [r["n_chars"] for r in
+         docs.where("source = 'src0'").select("n_chars").collect()]
+    b = [r["n_chars"] for r in
+         docs.where("source <> 'src0'").select("n_chars").collect()]
+
+    def ecdf_gap(a, b):
+        import bisect
+        sa, sb = sorted(a), sorted(b)
+        best, at = -1.0, None
+        for v in sorted(set(sa) | set(sb)):
+            g = round(abs(bisect.bisect_right(sa, v) / len(sa)
+                          - bisect.bisect_right(sb, v) / len(sb)), 6)
+            if g > best:
+                best, at = g, v
+        return best, at
+
+    want_d, want_at = ecdf_gap(a, b)
+    r = ks_drift(docs.where("source = 'src0'"),
+                 docs.where("source <> 'src0'"), "n_chars").first()
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["d_stat"] == want_d
+    assert r["at_value"] == want_at
+
+
+def test_ks_drift_degenerate_cases(spark):
+    import pytest
+
+    from scardina_spark.operators.profile import ks_drift
+
+    same = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "x: long")
+    r = ks_drift(same, same, "x").first()
+    assert r["d_stat"] == 0.0
+    lo = spark.createDataFrame([(v,) for v in [1, 2]], "x: long")
+    hi = spark.createDataFrame([(v,) for v in [10, 11]], "x: long")
+    assert ks_drift(lo, hi, "x").first()["d_stat"] == 1.0
+    empty = spark.createDataFrame([], "x: long")
+    with pytest.raises(ValueError):
+        ks_drift(empty, lo, "x")
