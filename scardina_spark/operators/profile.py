@@ -101,3 +101,43 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
 def _sql_type(df: DataFrame, col: str) -> str:
     return dict((f.name, f.dataType.simpleString())
                 for f in df.schema.fields)[col]
+
+
+def chisq_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Pearson chi-square homogeneity statistic between two relations'
+    CATEGORICAL ``col`` distributions — the categorical sibling of
+    :func:`ks_drift` (continuous/ordinal).  Returns one row
+    ``(n_a, n_b, n_categories, dof, chi2)`` over the classic two-sample
+    contingency form: expected count of category c in sample s =
+    row_total(s) · col_total(c) / N.
+
+    Scale shape: one union + one groupBy(category) with two conditional
+    counts — map-side combinable, category-sized output; the statistic
+    folds category-sized rows.  Integer counts in, one IEEE expression
+    per category out (summed over the category relation — dust absorbed
+    by the 4-dp rounding, same as every aggregate oracle here).
+    Categories must number ≥ 2 (dof ≥ 1) — raises otherwise."""
+    a = df_a.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    b = df_b.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    n_a, n_b = a.count(), b.count()
+    if n_a == 0 or n_b == 0:
+        raise ValueError("both samples must be non-empty")
+    per = (a.withColumn("ca", F.lit(1)).withColumn("cb", F.lit(0))
+           .unionByName(
+               b.withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1)))
+           .groupBy("v")
+           .agg(F.sum("ca").alias("ka"), F.sum("cb").alias("kb")))
+    n = float(n_a + n_b)
+    ea = (F.col("ka") + F.col("kb")) * F.lit(n_a / n)
+    eb = (F.col("ka") + F.col("kb")) * F.lit(n_b / n)
+    term = ((F.col("ka") - ea) * (F.col("ka") - ea) / ea
+            + (F.col("kb") - eb) * (F.col("kb") - eb) / eb)
+    row = per.agg(F.count(F.lit(1)).alias("k"),
+                  F.sum(term).alias("chi2")).first()
+    if row["k"] < 2:
+        raise ValueError("need >= 2 categories for a chi-square test")
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, int(row["k"]), int(row["k"] - 1),
+          round(float(row["chi2"]), 4))],
+        "n_a long, n_b long, n_categories int, dof int, chi2 double")

@@ -6061,6 +6061,47 @@ select (select count(*)::BIGINT from a) as n_a,
 """
 
 
+def q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 (chi-square homogeneity drift — the categorical sibling of
+    x81's KS): event-type distribution of even-user events vs odd-user
+    events (`profile.chisq_drift`; two-sample contingency form,
+    category-sized aggregation)."""
+    from .operators.profile import chisq_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return chisq_drift(ev.where(F.col("user_id") % 2 == 0),
+                       ev.where(F.col("user_id") % 2 == 1),
+                       "event_type")
+
+
+SQL_CHISQ_DRIFT = """
+with a as (select event_type as v from events
+           where user_id % 2 = 0 and event_type is not null),
+b as (select event_type as v from events
+      where user_id % 2 = 1 and event_type is not null),
+na as (select count(*) as n from a),
+nb as (select count(*) as n from b),
+per as (
+  select v, sum(ca) as ka, sum(cb) as kb
+  from (select v, 1 as ca, 0 as cb from a
+        union all select v, 0, 1 from b)
+  group by v),
+t as (
+  select count(*) as k,
+         sum((ka - (ka + kb) * (na.n::DOUBLE / (na.n + nb.n)))
+             * (ka - (ka + kb) * (na.n::DOUBLE / (na.n + nb.n)))
+             / ((ka + kb) * (na.n::DOUBLE / (na.n + nb.n)))
+           + (kb - (ka + kb) * (nb.n::DOUBLE / (na.n + nb.n)))
+             * (kb - (ka + kb) * (nb.n::DOUBLE / (na.n + nb.n)))
+             / ((ka + kb) * (nb.n::DOUBLE / (na.n + nb.n)))) as chi2
+  from per cross join na cross join nb)
+select na.n::BIGINT as n_a, nb.n::BIGINT as n_b,
+       t.k::INT as n_categories, (t.k - 1)::INT as dof,
+       round(t.chi2, 4) as chi2
+from t cross join na cross join nb
+"""
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version dedup (beyond reference): each user's latest event as a
     single struct-max aggregation — map-side combinable, one row of
@@ -6635,6 +6676,7 @@ def queries() -> dict:
         "x79_ann_recall": q_ann_recall,
         "x80_event_anomalies": q_event_anomalies,
         "x81_ks_drift": q_ks_drift,
+        "x82_chisq_drift": q_chisq_drift,
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6899,6 +6941,7 @@ def oracle_sql() -> dict[str, str]:
         "x79_ann_recall": _sql_ann_recall(),
         "x80_event_anomalies": SQL_EVENT_ANOMALIES,
         "x81_ks_drift": SQL_KS_DRIFT,
+        "x82_chisq_drift": SQL_CHISQ_DRIFT,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,

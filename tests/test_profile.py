@@ -88,3 +88,45 @@ def test_ks_drift_degenerate_cases(spark):
     empty = spark.createDataFrame([], "x: long")
     with pytest.raises(ValueError):
         ks_drift(empty, lo, "x")
+
+
+def test_chisq_drift_matches_reference(spark, tables):
+    from collections import Counter
+
+    from scardina_spark.operators.profile import chisq_drift
+
+    ev = tables["events"]
+    a = [r["event_type"] for r in
+         ev.where("user_id % 2 = 0").select("event_type").collect()]
+    b = [r["event_type"] for r in
+         ev.where("user_id % 2 = 1").select("event_type").collect()]
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    n = float(na + nb)
+    chi2 = 0.0
+    for v in set(ca) | set(cb):
+        ka, kb = ca.get(v, 0), cb.get(v, 0)
+        ea = (ka + kb) * (na / n)
+        eb = (ka + kb) * (nb / n)
+        chi2 += (ka - ea) ** 2 / ea + (kb - eb) ** 2 / eb
+    r = chisq_drift(ev.where("user_id % 2 = 0"),
+                    ev.where("user_id % 2 = 1"), "event_type").first()
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["n_categories"] == len(set(ca) | set(cb))
+    assert r["chi2"] == round(chi2, 4)
+
+
+def test_chisq_drift_degenerate(spark):
+    import pytest
+
+    from scardina_spark.operators.profile import chisq_drift
+
+    same = spark.createDataFrame(
+        [("x",), ("y",), ("x",), ("y",)], "c: string")
+    assert chisq_drift(same, same, "c").first()["chi2"] == 0.0
+    one_cat = spark.createDataFrame([("x",), ("x",)], "c: string")
+    with pytest.raises(ValueError, match="categories"):
+        chisq_drift(one_cat, one_cat, "c")
+    empty = spark.createDataFrame([], "c: string")
+    with pytest.raises(ValueError):
+        chisq_drift(empty, same, "c")
