@@ -871,6 +871,22 @@ def main() -> None:
         extras["kn_mean_ppl"] = float(row["p"])
     timed("kneser_ney_ppl", run_kn)
 
+    from scardina_spark.operators.similarity import (
+        hyperplanes, ranking_metrics, topk_cosine, topk_cosine_lsh)
+
+    def run_ann_recall():
+        # measured ANN quality at bench scale: what recall does the
+        # LSH shortcut actually trade on this corpus?
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = topk_cosine(emb, qv, 10)
+        lsh = topk_cosine_lsh(emb, qv, 10,
+                              planes=hyperplanes(64, 8, seed=42))
+        r = ranking_metrics(lsh, exact, 10).first()
+        extras["ann_lsh_recall_at_10"] = float(r["recall_at_k"])
+        extras["ann_lsh_ndcg_at_10"] = float(r["ndcg_at_k"])
+    timed("ann_recall", run_ann_recall)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_bench_sec",

@@ -427,6 +427,32 @@ def cmd_scd2(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Distribution-drift check between two slices of a table: KS on a
+    numeric/ordinal column, chi-square on a categorical one."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.profile import chisq_drift, ks_drift
+    spark = _spark()
+    df = load_table(spark, args.sf_dir, args.table)
+    a = df.where(F.col(args.split_col) == F.lit(args.split_val))
+    b = df.where(F.col(args.split_col) != F.lit(args.split_val))
+    if args.test == "ks":
+        r = ks_drift(a, b, args.col).first()
+        print(json.dumps({
+            "test": "ks", "table": args.table, "col": args.col,
+            "n_a": r["n_a"], "n_b": r["n_b"],
+            "d_stat": r["d_stat"], "at_value": str(r["at_value"])}))
+    else:
+        r = chisq_drift(a, b, args.col).first()
+        print(json.dumps({
+            "test": "chisq", "table": args.table, "col": args.col,
+            "n_a": r["n_a"], "n_b": r["n_b"], "dof": r["dof"],
+            "chi2": r["chi2"]}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -706,6 +732,15 @@ def main(argv=None) -> int:
                    help="ingest boundary (timestamp literal) of the "
                         "delta; required with --merge-into")
     p.set_defaults(fn=cmd_scd2)
+
+    p = sub.add_parser("drift")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--table", default="documents")
+    p.add_argument("--col", required=True)
+    p.add_argument("--split-col", required=True)
+    p.add_argument("--split-val", required=True)
+    p.add_argument("--test", choices=["ks", "chisq"], default="ks")
+    p.set_defaults(fn=cmd_drift)
 
     p = sub.add_parser("semdedup")
     p.add_argument("--sf-dir", required=True)

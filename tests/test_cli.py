@@ -163,3 +163,17 @@ def test_cli_scd2_build_and_merge(capsys, spark, sf_dir, tmp_path):
         main(["scd2", "--sf-dir", sf_dir,
               "--out", str(tmp_path / "h2"),
               "--merge-into", hist_dir])
+
+
+def test_cli_drift_both_tests(capsys, spark, sf_dir):
+    rc = main(["drift", "--sf-dir", sf_dir, "--col", "n_chars",
+               "--split-col", "source", "--split-val", "src0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["test"] == "ks" and 0.0 <= out["d_stat"] <= 1.0
+    rc = main(["drift", "--sf-dir", sf_dir, "--table", "events",
+               "--col", "event_type", "--split-col", "user_id",
+               "--split-val", "0", "--test", "chisq"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["test"] == "chisq" and out["chi2"] >= 0.0
