@@ -50,21 +50,26 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
              .union(ew.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
-    srcs = trans.select("src").distinct()
+    srcs = trans.select("src").distinct().localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
-        dangling = (ranks.join(srcs, ranks["node"] == srcs["src"],
-                               "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
+        # the dangling mass rides the update plan as a broadcast 1-row
+        # relation — ONE job per iteration (the eager checkpoint), no
+        # extra driver sync
+        dang = (ranks.join(srcs, ranks["node"] == srcs["src"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
         contrib = (ranks.join(trans, ranks["node"] == trans["src"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("rank") * F.col("p")).alias("c")))
         ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"],
                             "left_outer")
+                 .crossJoin(F.broadcast(dang))
                  .select("node",
                          (F.lit((1.0 - damping) / n)
                           + F.lit(damping)
                           * (F.coalesce(F.col("c"), F.lit(0.0))
-                             + F.lit(dangling / n))).alias("rank"))
+                             + F.col("dm") / F.lit(float(n))))
+                         .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
