@@ -6653,30 +6653,15 @@ def queries() -> dict:
         "a2_group_agg": q_group_agg,
         "a3_dictionary": q_dictionary,
         "a4_join_group_topk": q_join_group_topk,
-        # --- past the cap (r09 schedule): new-this-round e13 leads,
-        # then the r06-green block stalest-first, then r07-green ---
-        "e13_tpe_search": q_tpe_search,
-        "x66_video_thumbnail": q_video_thumbnail,
-        "st13_stream_media": q_stream_media_decode,
-        "x67_unimax_plan": q_unimax_plan,
-        "e14_asha_async": q_asha_async,
-        "x68_bpe_apply": q_bpe_apply,
-        "x69_scd2_history": q_scd2_history,
-        "x70_hard_negatives": q_hard_negatives,
-        "x71_pagerank": q_pagerank,
-        "x72_edit_near_dup": q_edit_near_dup,
-        "st14_stream_tokens": q_stream_token_account,
-        "x73_scd2_merge": q_scd2_merge,
-        "x74_allpairs_sim_join": q_allpairs_sim_join,
-        "st15_stream_scd2": q_stream_scd2,
-        "x75_kneser_ney_ppl": q_kn_ppl,
-        "x76_pmi_collocations": q_pmi_collocations,
-        "x77_ivf_append_topk": q_ivf_append_topk,
-        "x78_exact_neardup_groups": q_exact_neardup_groups,
-        "x79_ann_recall": q_ann_recall,
-        "x80_event_anomalies": q_event_anomalies,
-        "x81_ks_drift": q_ks_drift,
-        "x82_chisq_drift": q_chisq_drift,
+        # --- past the cap: the r09 schedule.  Two populations compete
+        # for the next 50-row window: the r06-green block (46 keys,
+        # which would hit 3-round staleness if skipped) and this
+        # round's 22 NEW keys (e13/e14, x63-x82 additions, st13-st15 —
+        # no driver row yet, but every one pre-flighted green at
+        # sf0.01 this round, see ROADMAP).  r09 should gate the full
+        # r06 block FIRST (staleness invariant beats novelty) plus the
+        # 4 oldest new keys; the remaining new keys lead r10 with the
+        # r07-green block.  Order below already reflects that plan. ---
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6723,6 +6708,28 @@ def queries() -> dict:
         "o4_sampling_orderings": q_sampling_orderings,
         "x40_curate_corpus": q_curate_corpus,
         "x41_kmeans_iter": q_kmeans_iter,
+        "e13_tpe_search": q_tpe_search,
+        "x66_video_thumbnail": q_video_thumbnail,
+        "st13_stream_media": q_stream_media_decode,
+        "x67_unimax_plan": q_unimax_plan,
+        "e14_asha_async": q_asha_async,
+        "x68_bpe_apply": q_bpe_apply,
+        "x69_scd2_history": q_scd2_history,
+        "x70_hard_negatives": q_hard_negatives,
+        "x71_pagerank": q_pagerank,
+        "x72_edit_near_dup": q_edit_near_dup,
+        "st14_stream_tokens": q_stream_token_account,
+        "x73_scd2_merge": q_scd2_merge,
+        "x74_allpairs_sim_join": q_allpairs_sim_join,
+        "st15_stream_scd2": q_stream_scd2,
+        "x75_kneser_ney_ppl": q_kn_ppl,
+        "x76_pmi_collocations": q_pmi_collocations,
+        "x77_ivf_append_topk": q_ivf_append_topk,
+        "x78_exact_neardup_groups": q_exact_neardup_groups,
+        "x79_ann_recall": q_ann_recall,
+        "x80_event_anomalies": q_event_anomalies,
+        "x81_ks_drift": q_ks_drift,
+        "x82_chisq_drift": q_chisq_drift,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
         "e12_asha_search": q_asha_search,
