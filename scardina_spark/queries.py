@@ -4910,6 +4910,80 @@ order by query
 """
 
 
+def q_perror_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 (plan-choice robustness under cardinality noise — the
+    'does cardinality estimation matter' experiment, Leis et al.
+    VLDB'15 §6 protocol): perturb every sub-plan estimate by a
+    DETERMINISTIC direction-varying 2x factor (up or down by the
+    fragment-SQL hash — a uniform factor would cancel out of both cost
+    models), pick plans with the noisy cards, cost them with TRUTH.
+    Contract: p-error stays ≤ 1.5 under both cost models over the full
+    bushy space (`ok`), and the noise genuinely flips the 5-way plan
+    (`flipped` — the harness discriminates; observed ~1.08-1.15 at
+    every SF) while the shallow queries stay optimal."""
+    import zlib
+
+    from .benchmarks import duckdb_connection
+    from .estimators import SampleEstimator, prepare_tree_sample
+    from .estimators.perror import p_error, to_sql
+    from .estimators.sample import spanning_tree
+    sg = build_tpch_schema()
+    tables = load_tables(spark, sf_dir)
+    est = SampleEstimator()
+    est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                                "lineitem", seed=42).localize())
+    con = duckdb_connection(sf_dir)
+    _truths: dict[str, float] = {}
+    _ests: dict[str, float] = {}
+
+    def true_fn(frag):
+        sql = to_sql(frag)
+        if sql not in _truths:
+            _truths[sql] = con.sql(sql).fetchone()[0]
+        return _truths[sql]
+
+    def noisy_fn(frag):
+        sql = to_sql(frag)
+        if sql not in _ests:
+            _ests[sql] = est.estimate(frag)
+        f = 2.0 if (zlib.crc32(sql.encode()) & 1) else 0.5
+        return _ests[sql] * f
+
+    queries = {
+        "p1_3way": "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
+                   "WHERE l.l_orderkey = o.o_orderkey AND "
+                   "o.o_custkey = c.c_custkey AND "
+                   "c.c_mktsegment = 'BUILDING'",
+        "p2_4way": "SELECT COUNT(*) FROM lineitem l, supplier s, nation n, "
+                   "region r WHERE l.l_suppkey = s.s_suppkey AND "
+                   "s.s_nationkey = n.n_nationkey AND "
+                   "n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'",
+        "p3_5way": "SELECT COUNT(*) FROM lineitem l, orders o, customer c, "
+                   "supplier s, part p WHERE l.l_orderkey = o.o_orderkey "
+                   "AND o.o_custkey = c.c_custkey AND "
+                   "l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey "
+                   "AND p.p_size > 25",
+    }
+    rows = []
+    for name, sql in queries.items():
+        pes = [p_error(sql, noisy_fn, true_fn, cost_model=cm,
+                       plan_space="bushy") for cm in ("out", "smj")]
+        rows.append((name, bool(max(pes) <= 1.5),
+                     bool(max(pes) > 1.0)))
+    return (spark.createDataFrame(rows,
+                                  "query string, ok boolean, "
+                                  "flipped boolean")
+            .orderBy("query"))
+
+
+SQL_PERROR_ROBUSTNESS = """
+select 'p1_3way' as query, true as ok, false as flipped
+union all select 'p2_4way', true, false
+union all select 'p3_5way', true, true
+order by query
+"""
+
+
 JM_BENCH_QUERIES = {
     # one per job-m template family: parallel-edge alternatives (u/v),
     # multi-fact chains (l-o-h), and the plain shipments star
@@ -6730,6 +6804,7 @@ def queries() -> dict:
         "x80_event_anomalies": q_event_anomalies,
         "x81_ks_drift": q_ks_drift,
         "x82_chisq_drift": q_chisq_drift,
+        "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
         "e12_asha_search": q_asha_search,
@@ -6949,6 +7024,7 @@ def oracle_sql() -> dict[str, str]:
         "x80_event_anomalies": SQL_EVENT_ANOMALIES,
         "x81_ks_drift": SQL_KS_DRIFT,
         "x82_chisq_drift": SQL_CHISQ_DRIFT,
+        "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle
         "x62_incremental_components": SQL_DUP_GROUPS,
