@@ -386,3 +386,30 @@ def test_allpairs_validates(spark):
         allpairs_sim_join(df, threshold=0.0)
     with _pt.raises(ValueError):
         allpairs_sim_join(df, threshold=1.5)
+
+
+def test_edit_near_dup_layout_invariant(tables):
+    """Affix blocking and the DP are pure functions of the texts —
+    repartitioning the input must not change the pair set."""
+    from scardina_spark.operators.dedup import edit_near_dup
+    docs = tables["documents"]
+    base = {(r["id_a"], r["id_b"], r["dist"])
+            for r in edit_near_dup(docs).collect()}
+    shuffled = {(r["id_a"], r["id_b"], r["dist"])
+                for r in edit_near_dup(docs.repartition(13)).collect()}
+    assert base == shuffled and len(base) > 0
+
+
+def test_allpairs_threshold_monotone(tables):
+    """Raising the threshold can only shrink the result set, and every
+    surviving pair's jaccard clears the higher bar — the exactness
+    guarantee stated as monotonicity."""
+    from scardina_spark.operators.dedup import allpairs_sim_join
+    docs = tables["documents"]
+    lo = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in allpairs_sim_join(docs, threshold=0.5).collect()}
+    hi = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in allpairs_sim_join(docs, threshold=0.9).collect()}
+    assert set(hi) <= set(lo)
+    assert all(j >= 0.9 for j in hi.values())
+    assert all(lo[p] == j for p, j in hi.items())
