@@ -6666,76 +6666,19 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r07 each recorded exactly 50 rows).
-    # Round-8 order: the three NEW real-codec keys (x63/x64 PNG, x65
-    # AVI) plus x62 (its connected_components core gained per-iteration
-    # lineage truncation this round) lead, then the full r05-green
-    # block (46 keys, the stalest in the ledger) — exactly 50, so after
-    # this round no key's latest driver row is older than r06.
-    # Everything past the cap is the r09 schedule, stalest-first (the
-    # r06-green block, then the r07-green block), keeping the ≤2-round
-    # staleness invariant.  Key names are stable across rounds.
+    # first ~50 entries in order (r01-r08 each recorded exactly 50 rows).
+    # Round-9 order: the full r06-green block (46 keys, the stalest in
+    # the ledger) plus the 4 oldest driver-unchecked round-8 keys —
+    # exactly 50, so after this round no key's latest driver row is
+    # older than r07.  Everything past the cap is the r10 schedule,
+    # stalest-first (remaining round-8 keys owed a driver row, then the
+    # r07-green block, then the just-gated r08 window), keeping the
+    # <=2-round worst-case staleness invariant.  Key names are stable
+    # across rounds.
     return {
-        # --- window: new/changed this round + the r05-green refresh ---
-        "x63_png_decode": q_png_decode,
-        "x64_png_downsample": q_png_downsample,
-        "x65_avi_decode": q_avi_decode,
-        "x62_incremental_components": q_incremental_components,
-        "x47_semdedup": q_semdedup,
-        "x59_line_dedup": q_line_dedup,
-        "st11_stream_dsir": q_stream_dsir,
-        "x48_pareto_sample": q_pareto_sample,
-        "x49_token_budget": q_token_budget,
-        "x50_perplexity_band": q_perplexity_band,
-        "x51_chunk_docs": q_chunk_docs,
-        "x52_bigram_ppl": q_bigram_ppl,
-        "x45_text_classifier": q_text_classifier,
-        "x53_dsir_select": q_dsir_select,
-        "x55_ccnet_bands": q_ccnet_bands,
-        "x57_temperature_mix": q_temperature_mix,
-        "x58_canonical_dedup": q_canonical_dedup,
-        "a29_volume_shipping": q_volume_shipping,
-        "a30_product_profit": q_product_profit,
-        "a31_market_share": q_market_share,
-        "a32_order_count_dist": q_order_count_dist,
-        "a33_small_qty_revenue": q_small_qty_revenue,
-        "a34_excess_shippers": q_excess_shippers,
-        "x19_holdout_split": q_holdout_split,
-        "x36_mixture_sample": q_mixture_sample,
-        "a15_priority_orders": q_priority_orders,
-        "a16_large_orders": q_large_orders,
-        "a17_brand_supplier_count": q_brand_supplier_count,
-        "a18_disjunctive_revenue": q_disjunctive_revenue,
-        "a21_cheapest_supplier": q_cheapest_supplier,
-        "a22_idle_rich_customers": q_idle_rich_customers,
-        "a24_returned_revenue": q_returned_revenue,
-        "a26_sole_late_supplier": q_sole_late_supplier,
-        "a27_top_revenue_supplier": q_top_revenue_supplier,
-        "a28_nation_revenue_share": q_nation_revenue_share,
-        "st9_stream_quantiles": q_stream_quantiles,
-        "x37_decontam": q_decontam,
-        "x38_pii_scrub": q_pii_scrub,
-        "x39_pack_sequences": q_pack_sequences,
-        "s1_scan_project": q_scan_project,
-        "j1_fk_counts": q_fk_counts,
-        "j2_fanout_attach": q_fanout_attach,
-        "j3_weights": q_weights,
-        "j5_join_two": q_join_two,
-        "j6_join_tree": q_join_tree,
-        "j6_join_translated": q_join_translated,
-        "j9_join_size": q_join_size,
-        "a2_group_agg": q_group_agg,
-        "a3_dictionary": q_dictionary,
-        "a4_join_group_topk": q_join_group_topk,
-        # --- past the cap: the r09 schedule.  Two populations compete
-        # for the next 50-row window: the r06-green block (46 keys,
-        # which would hit 3-round staleness if skipped) and this
-        # round's 22 NEW keys (e13/e14, x63-x82 additions, st13-st15 —
-        # no driver row yet, but every one pre-flighted green at
-        # sf0.01 this round, see ROADMAP).  r09 should gate the full
-        # r06 block FIRST (staleness invariant beats novelty) plus the
-        # 4 oldest new keys; the remaining new keys lead r10 with the
-        # r07-green block.  Order below already reflects that plan. ---
+        # --- window: the r09 gate — the full r06-green block (46
+        # keys, 3-round staleness if skipped) plus the 4 oldest
+        # driver-unchecked round-8 keys (e13/x66/st13/x67). ---
         "st1_window_hourly": q_window_hourly,
         "st2_sessionize": q_sessionize,
         "st3_stream_window": q_stream_window,
@@ -6786,6 +6729,11 @@ def queries() -> dict:
         "x66_video_thumbnail": q_video_thumbnail,
         "st13_stream_media": q_stream_media_decode,
         "x67_unimax_plan": q_unimax_plan,
+        # --- past the cap: the r10 schedule, stalest-first.  First
+        # the remaining driver-unchecked round-8 keys (e14, x68-x82,
+        # st14/st15, e15 — judge-verified or suite-pinned in r8 but
+        # still owed a driver row), then the r07-green block, then
+        # the just-gated r08 window. ---
         "e14_asha_async": q_asha_async,
         "x68_bpe_apply": q_bpe_apply,
         "x69_scd2_history": q_scd2_history,
@@ -6854,6 +6802,58 @@ def queries() -> dict:
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
         "x60_incremental_neardup": q_incremental_neardup,
+        # (r08 window — gated 50/50 green in CORRECTNESS_r08; next
+        # due ~r11 under the stalest-first rotation)
+        "x63_png_decode": q_png_decode,
+        "x64_png_downsample": q_png_downsample,
+        "x65_avi_decode": q_avi_decode,
+        "x62_incremental_components": q_incremental_components,
+        "x47_semdedup": q_semdedup,
+        "x59_line_dedup": q_line_dedup,
+        "st11_stream_dsir": q_stream_dsir,
+        "x48_pareto_sample": q_pareto_sample,
+        "x49_token_budget": q_token_budget,
+        "x50_perplexity_band": q_perplexity_band,
+        "x51_chunk_docs": q_chunk_docs,
+        "x52_bigram_ppl": q_bigram_ppl,
+        "x45_text_classifier": q_text_classifier,
+        "x53_dsir_select": q_dsir_select,
+        "x55_ccnet_bands": q_ccnet_bands,
+        "x57_temperature_mix": q_temperature_mix,
+        "x58_canonical_dedup": q_canonical_dedup,
+        "a29_volume_shipping": q_volume_shipping,
+        "a30_product_profit": q_product_profit,
+        "a31_market_share": q_market_share,
+        "a32_order_count_dist": q_order_count_dist,
+        "a33_small_qty_revenue": q_small_qty_revenue,
+        "a34_excess_shippers": q_excess_shippers,
+        "x19_holdout_split": q_holdout_split,
+        "x36_mixture_sample": q_mixture_sample,
+        "a15_priority_orders": q_priority_orders,
+        "a16_large_orders": q_large_orders,
+        "a17_brand_supplier_count": q_brand_supplier_count,
+        "a18_disjunctive_revenue": q_disjunctive_revenue,
+        "a21_cheapest_supplier": q_cheapest_supplier,
+        "a22_idle_rich_customers": q_idle_rich_customers,
+        "a24_returned_revenue": q_returned_revenue,
+        "a26_sole_late_supplier": q_sole_late_supplier,
+        "a27_top_revenue_supplier": q_top_revenue_supplier,
+        "a28_nation_revenue_share": q_nation_revenue_share,
+        "st9_stream_quantiles": q_stream_quantiles,
+        "x37_decontam": q_decontam,
+        "x38_pii_scrub": q_pii_scrub,
+        "x39_pack_sequences": q_pack_sequences,
+        "s1_scan_project": q_scan_project,
+        "j1_fk_counts": q_fk_counts,
+        "j2_fanout_attach": q_fanout_attach,
+        "j3_weights": q_weights,
+        "j5_join_two": q_join_two,
+        "j6_join_tree": q_join_tree,
+        "j6_join_translated": q_join_translated,
+        "j9_join_size": q_join_size,
+        "a2_group_agg": q_group_agg,
+        "a3_dictionary": q_dictionary,
+        "a4_join_group_topk": q_join_group_topk,
     }
 
 
