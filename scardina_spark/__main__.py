@@ -402,17 +402,23 @@ def cmd_scd2(args) -> int:
     if args.merge_into:
         if not args.since:
             raise SystemExit("--merge-into requires --since TS: the "
-                             "history alone does not record its ingest "
-                             "boundary (max valid_from is the last "
-                             "STATE CHANGE, not the last event)")
+                             "boundary defines which events form the "
+                             "delta feed (a history built with "
+                             "--last-seen additionally upgrades the "
+                             "append-only gate to an exact per-key "
+                             "check)")
         hist = spark.read.parquet(args.merge_into)
         delta = ev.where(F.col(args.ts) >= F.lit(args.since)
                          .cast("timestamp"))
         out = scd2_merge(hist, delta, args.key, args.attr, args.ts,
-                         [args.tiebreak])
+                         [args.tiebreak], since=args.since)
     else:
+        if args.until:
+            ev = ev.where(F.col(args.ts) < F.lit(args.until)
+                          .cast("timestamp"))
         out = scd2_history(ev, args.key, args.attr, args.ts,
-                           [args.tiebreak])
+                           [args.tiebreak],
+                           with_last_seen=args.last_seen)
     out.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     stats = back.agg(
@@ -731,6 +737,15 @@ def main(argv=None) -> int:
     p.add_argument("--since", default=None,
                    help="ingest boundary (timestamp literal) of the "
                         "delta; required with --merge-into")
+    p.add_argument("--last-seen", action="store_true",
+                   help="record each interval's last observation "
+                        "timestamp so later --merge-into runs get an "
+                        "exact append-only gate")
+    p.add_argument("--until", default=None,
+                   help="build mode: only ingest events strictly "
+                        "before this boundary (pair with a later "
+                        "--merge-into --since at the same boundary "
+                        "for the CDC loop)")
     p.set_defaults(fn=cmd_scd2)
 
     p = sub.add_parser("drift")

@@ -97,14 +97,17 @@ def scd2_stream(events: DataFrame, key_col: str = "user_id",
 
     Contract (same as the batch ``scd2_merge``): per-key APPEND-ONLY
     arrival — events inside a micro-batch are sorted ``(ts, id)``
-    before folding, and later micro-batches must not carry events
-    earlier than a key's open interval (out-of-order backfill cannot
-    re-open an emitted interval; closed intervals are append-final,
-    which is what makes append output mode correct).  State is one
-    ``(attr, valid_from, n_events)`` triple per key;
-    ``state_timeout_ms`` bounds it at the ingest horizon (an evicted
-    key's open interval is silently dropped — the trade documented in
-    the module docstring)."""
+    before folding, and a later micro-batch's event that lands BEFORE
+    the key's last folded observation is DROPPED (watermark-style
+    late-data policy: out-of-order backfill cannot re-open an emitted
+    interval — closed intervals are append-final, which is what makes
+    append output mode correct — and silently folding it would corrupt
+    the open one; the state keeps the last observed timestamp exactly
+    so the regression is detectable, the streaming analogue of the
+    batch ``with_last_seen`` gate).  State is one ``(attr, valid_from,
+    n_events, last_ts)`` tuple per key; ``state_timeout_ms`` bounds it
+    at the ingest horizon (an evicted key's open interval is silently
+    dropped — the trade documented in the module docstring)."""
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
@@ -116,22 +119,25 @@ def scd2_stream(events: DataFrame, key_col: str = "user_id",
             return
         batch = pd.concat(frames).sort_values([ts_col, id_col])
         if state.exists:
-            cur_attr, vf_ns, n = state.get
+            cur_attr, vf_ns, n, last_ns = state.get
             has_cur = True
         else:
-            cur_attr, vf_ns, n, has_cur = None, 0, 0, False
+            cur_attr, vf_ns, n, last_ns, has_cur = None, 0, 0, None, False
         closed: list[tuple] = []
         for _, row in batch.iterrows():
             a = row[attr_col]
             a = None if pd.isna(a) else a
             t_ns = int(pd.Timestamp(row[ts_col]).value)
+            if has_cur and last_ns is not None and t_ns < last_ns:
+                continue    # late arrival: older than the last folded
+            last_ns = t_ns  # observation for this key -> drop
             if has_cur and a == cur_attr:
                 n += 1
             else:
                 if has_cur:
                     closed.append((cur_attr, vf_ns, t_ns, n))
                 cur_attr, vf_ns, n, has_cur = a, t_ns, 1, True
-        state.update((cur_attr, vf_ns, n))
+        state.update((cur_attr, vf_ns, n, last_ns))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         if closed:
@@ -146,7 +152,7 @@ def scd2_stream(events: DataFrame, key_col: str = "user_id",
     out_schema = (f"{key_col} bigint, {attr_col} string, "
                   f"valid_from timestamp, valid_to timestamp, "
                   f"n_events bigint")
-    state_schema = "attr string, vf_ns bigint, n bigint"
+    state_schema = "attr string, vf_ns bigint, n bigint, last_ns bigint"
     timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
                else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.groupBy(key_col)

@@ -165,6 +165,27 @@ def test_cli_scd2_build_and_merge(capsys, spark, sf_dir, tmp_path):
               "--merge-into", hist_dir])
 
 
+def test_cli_scd2_cdc_loop_matches_from_scratch(capsys, spark, sf_dir,
+                                                tmp_path):
+    """The full CLI CDC loop: --until truncated build (with the exact
+    --last-seen gate), --merge-into --since at the same boundary, and
+    the merged history equals a from-scratch build bit-for-bit."""
+    hist = str(tmp_path / "hist")
+    merged = str(tmp_path / "merged")
+    full = str(tmp_path / "full")
+    cut = "2024-01-20"
+    assert main(["scd2", "--sf-dir", sf_dir, "--out", hist,
+                 "--last-seen", "--until", cut]) == 0
+    assert main(["scd2", "--sf-dir", sf_dir, "--out", merged,
+                 "--merge-into", hist, "--since", cut]) == 0
+    assert main(["scd2", "--sf-dir", sf_dir, "--out", full,
+                 "--last-seen"]) == 0
+    capsys.readouterr()
+    a = sorted(tuple(r) for r in spark.read.parquet(merged).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(full).collect())
+    assert a == b and len(a) > 0
+
+
 def test_cli_drift_both_tests(capsys, spark, sf_dir):
     rc = main(["drift", "--sf-dir", sf_dir, "--col", "n_chars",
                "--split-col", "source", "--split-val", "src0"])

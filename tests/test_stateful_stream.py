@@ -173,3 +173,40 @@ def test_scd2_stream_multi_batch_folds_against_state(spark, tmp_path):
     assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "A", 3)
     assert r["valid_from"] == _m(0)
     assert r["valid_to"] == _m(3)
+
+
+def test_scd2_stream_drops_late_cross_batch_event(spark, tmp_path):
+    """Watermark-style late-data policy: a second-batch event OLDER
+    than the key's last folded observation is dropped instead of
+    corrupting the open interval (the streaming analogue of the batch
+    with_last_seen gate)."""
+    from datetime import datetime
+
+    from scardina_spark.streaming.stateful import scd2_stream
+
+    def _m(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    d = str(tmp_path / "scdlate")
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    b1 = [(1, "A", _m(0), 0), (1, "A", _m(5), 1)]
+    # b2: one late event (t3 < last folded t5, dropped) + one genuine
+    # state change at t7 that closes the A interval
+    b2 = [(1, "B", _m(3), 2), (1, "B", _m(7), 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        d, mode="overwrite")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (scd2_stream(st).writeStream.format("memory")
+         .queryName("scd2_late").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("scd2_late").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the late t3 B-event is gone: A closes at t7, not t3
+    assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "A", 2)
+    assert r["valid_from"] == _m(0)
+    assert r["valid_to"] == _m(7)
