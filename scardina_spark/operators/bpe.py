@@ -34,6 +34,17 @@ from .textstats import lower_words as _words
 
 END = "</w>"  # end-of-word marker (reference protocol, Sennrich §3.2)
 
+#: bpe_apply nests one merge_pair fold PER MERGE inside a transform, so
+#: the Catalyst expression tree grows linearly (with large per-merge
+#: constants) in the merge count — fine for the shipped-merges regime
+#: it exists for (dozens to a few hundred merges), but a production
+#: 32k-merge table would blow analysis/codegen limits long before the
+#: first task runs.  Above this cap, tokenize via bpe_encode instead:
+#: materialize the vocabulary once with bpe_learn (or replay the merge
+#: table over the corpus' word_counts) and broadcast-join it — O(1)
+#: expression size regardless of merge count.
+APPLY_PROJECTION_MERGE_CAP = 256
+
 
 def word_counts(df: DataFrame, col: str = "text") -> DataFrame:
     """``(word, cnt)`` over the whitespace-normalized lower-cased
@@ -249,9 +260,23 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     Merges may involve the END marker (trainers learn ``(x, </w>)``
     merges routinely — the duality test pins that applying
     ``bpe_learn``'s merge list reproduces ``bpe_encode`` exactly);
-    cross-word merges still cannot arise because the fold is per-word."""
+    cross-word merges still cannot arise because the fold is per-word.
+
+    The pure-projection trade: expression-tree size is LINEAR in the
+    merge count, so lists above :data:`APPLY_PROJECTION_MERGE_CAP` are
+    rejected — at that scale the broadcast-vocabulary join
+    (:func:`bpe_encode`) is the right tool, not a kilometer of nested
+    codegen."""
     if not merges:
         raise ValueError("merges must be a non-empty ordered list")
+    if len(merges) > APPLY_PROJECTION_MERGE_CAP:
+        raise ValueError(
+            f"{len(merges)} merges exceed the pure-projection cap "
+            f"({APPLY_PROJECTION_MERGE_CAP}): the nested-fold "
+            f"expression tree grows linearly in merge count and would "
+            f"blow Catalyst analysis/codegen limits — materialize a "
+            f"vocabulary (bpe_learn) and tokenize with bpe_encode's "
+            f"broadcast join instead")
     for m in merges:
         if len(m) != 2 or not m[0] or not m[1]:
             raise ValueError(f"invalid merge pair: {m!r}")

@@ -546,14 +546,21 @@ def edit_near_dup(df: DataFrame, max_rel_dist: float = 0.1,
 
     Scale story (100 TB): the quadratic DP never runs all-pairs —
     candidates come from AFFIX BLOCKING, the banding idiom of
-    ``lsh_candidate_pairs``: each doc emits two keys
-    ``(len//band_chars, prefix(affix))`` and ``(len//band_chars,
-    suffix(affix))``, candidates are equi-join collisions, so the
-    shuffle carries 2 rows/doc and the O(n·m) ``levenshtein`` (JVM
-    built-in) runs only on colliding pairs that also survive the free
-    length-difference prune (|len_a − len_b| bounds the distance from
-    below).  Recall is heuristic BY DESIGN (a near-dup mangled inside
-    the first AND last affix escapes — the standard blocking
+    ``lsh_candidate_pairs``: each doc emits four keys — ``(band,
+    prefix(affix))`` and ``(band, suffix(affix))`` for BOTH its own
+    length band ``len//band_chars`` and the adjacent band ``+1`` —
+    candidates are equi-join collisions, so the shuffle carries 4
+    rows/doc and the O(n·m) ``levenshtein`` (JVM built-in) runs only
+    on colliding pairs that also survive the free length-difference
+    prune (|len_a − len_b| bounds the distance from below).  The
+    adjacent-band emission removes the band-BOUNDARY cliff: any pair
+    whose normalized lengths differ by at most ``band_chars`` shares a
+    key (15 vs 17 chars with band_chars=16 straddles the boundary but
+    still collides), so the only length-driven miss is a pair whose
+    allowed budget ``max_rel_dist·len`` exceeds ``band_chars`` — size
+    ``band_chars >= max_rel_dist × your longest docs`` to rule that
+    out.  Recall is otherwise heuristic BY DESIGN (a near-dup mangled
+    inside the first AND last affix escapes — the standard blocking
     trade-off); raise ``affix=0``'s sibling knobs or add mid-affix keys
     for stricter recall.  Determinism: pure function of the texts.
     """
@@ -563,11 +570,13 @@ def edit_near_dup(df: DataFrame, max_rel_dist: float = 0.1,
         raise ValueError("affix and band_chars must be >= 1")
     n = (df.select(F.col(id_col).alias("id"), normalized(col).alias("t"))
          .where(F.length("t") > 0))
-    lb = F.floor(F.length("t") / band_chars).cast("long").cast("string")
-    keyed = n.select("id", "t", F.explode(F.array(
-        F.concat_ws("|", F.lit("p"), lb, F.left(F.col("t"), F.lit(affix))),
-        F.concat_ws("|", F.lit("s"), lb, F.right(F.col("t"), F.lit(affix))),
-    )).alias("bk"))
+    lb = F.floor(F.length("t") / band_chars).cast("long")
+    keyed = n.select("id", "t", F.explode(F.array(*[
+        F.concat_ws("|", F.lit(side), band.cast("string"), fix)
+        for band in (lb, lb + 1)
+        for side, fix in (("p", F.left(F.col("t"), F.lit(affix))),
+                          ("s", F.right(F.col("t"), F.lit(affix))))
+    ])).alias("bk"))
     a = keyed.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"),
                      "bk")
     b = keyed.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"),

@@ -1521,7 +1521,8 @@ def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X72 (edit-distance near-duplicates — the character-level dedup
     beside shingle-Jaccard x3 / MinHash x11 / SimHash x4): pairs within
     10% relative Levenshtein distance, candidates from affix blocking
-    (two keys per doc: length-band + 8-char prefix / suffix), the
+    (four keys per doc: own + adjacent length-band × 8-char prefix /
+    suffix — the adjacent band removes the boundary cliff), the
     quadratic DP only on colliding pairs surviving the free
     length-difference prune (`dedup.edit_near_dup`).  The oracle
     replays the identical blocking + DuckDB's levenshtein."""
@@ -1545,7 +1546,9 @@ with n as (
 b as (
   select id, t,
          unnest(['p|' || (len(t) // 16)::VARCHAR || '|' || left(t, 8),
-                 's|' || (len(t) // 16)::VARCHAR || '|' || right(t, 8)])
+                 's|' || (len(t) // 16)::VARCHAR || '|' || right(t, 8),
+                 'p|' || (len(t) // 16 + 1)::VARCHAR || '|' || left(t, 8),
+                 's|' || (len(t) // 16 + 1)::VARCHAR || '|' || right(t, 8)])
            as bk
   from n),
 c as (select distinct a.id as id_a, b2.id as id_b, a.t as ta, b2.t as tb
@@ -1666,8 +1669,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ann_recall(k: int = 10) -> str:
-    import math
-    ideal = sum(1.0 / math.log2(i + 2) for i in range(k))
     lits = _plane_lits()
     bucket = " + ".join(
         f"(case when list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
@@ -1716,11 +1717,18 @@ m as (
          count(*) filter (where e.vec_id is not null),
          coalesce(sum(1.0::DOUBLE / log2(r.rank + 1))
                   filter (where e.vec_id is not null), 0.0)
-  from ivf_r r left join exact e using (vec_id) where r.rank <= {k})
+  from ivf_r r left join exact e using (vec_id) where r.rank <= {k}),
+norm as (
+  -- recall and ideal DCG both normalize by min(k, |exact|), matching
+  -- ranking_metrics: a shorter exact result set must not deflate
+  -- (recall) or inflate (nDCG) the score
+  select count(*) as n_exact,
+         sum(1.0::DOUBLE / log2(rn + 1)) as ideal
+  from (select row_number() over () as rn from exact))
 select method, {k}::BIGINT as k, n_hits::BIGINT as n_hits,
-       round(n_hits / {float(k)!r}, 6) as recall_at_k,
-       round(dcg / {ideal!r}, 6) as ndcg_at_k
-from m order by method
+       round(n_hits / norm.n_exact::DOUBLE, 6) as recall_at_k,
+       round(dcg / norm.ideal, 6) as ndcg_at_k
+from m cross join norm order by method
 """
 
 

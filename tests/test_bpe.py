@@ -230,3 +230,16 @@ def test_bpe_apply_agrees_with_encode_on_learned_merges(spark, tables):
                   for r in bpe_apply(
                       docs, [(a, b) for a, b, _ in merges]).collect()}
     assert via_merges == via_vocab
+
+
+def test_bpe_apply_rejects_oversize_merge_table(spark):
+    """The pure-projection path's expression tree is linear in merge
+    count; past the cap the operator refuses and points at
+    bpe_encode's broadcast join."""
+    import pytest
+    from scardina_spark.operators.bpe import (
+        APPLY_PROJECTION_MERGE_CAP, bpe_apply)
+    df = spark.createDataFrame([(0, "hi")], "doc_id: long, text: string")
+    big = [(f"a{i}", f"b{i}") for i in range(APPLY_PROJECTION_MERGE_CAP + 1)]
+    with pytest.raises(ValueError, match="bpe_encode"):
+        bpe_apply(df, big)

@@ -413,3 +413,17 @@ def test_allpairs_threshold_monotone(tables):
     assert set(hi) <= set(lo)
     assert all(j >= 0.9 for j in hi.values())
     assert all(lo[p] == j for p, j in hi.items())
+
+
+def test_edit_near_dup_finds_band_boundary_pair(spark):
+    """Two near-identical texts whose lengths straddle a length-band
+    boundary (15 vs 17 chars, band_chars=16) still become candidates:
+    each doc also emits its adjacent band's keys, so a <= band_chars
+    length difference can never hide a pair."""
+    from scardina_spark.operators.dedup import edit_near_dup
+    rows = [(0, "abcdefgh1234567"),        # 15 chars -> band 0
+            (1, "abcdefgh123456789")]      # 17 chars -> band 1
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_near_dup(df, max_rel_dist=0.2).collect()}
+    assert got == {(0, 1): 2}

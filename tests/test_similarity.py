@@ -557,3 +557,18 @@ def test_ranking_metrics_rank_order_independent_of_layout(spark):
                                   "vec_id: long, cos_sim: double")
     r = S.ranking_metrics(approx, exact, k=3).first()
     assert (r["n_hits"], r["recall_at_k"], r["ndcg_at_k"]) == (3, 1.0, 1.0)
+
+
+def test_ranking_metrics_short_exact_set_normalizes_by_min(spark):
+    """When the exact result has fewer than k rows (small or filtered
+    corpus), recall and nDCG normalize by |exact|, not k: returning
+    every relevant item is a perfect score, not 2/5 of one."""
+    exact = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8)], "vec_id: long, cos_sim: double")
+    r = S.ranking_metrics(exact, exact, k=5).first()
+    assert (r["n_hits"], r["recall_at_k"], r["ndcg_at_k"]) == (2, 1.0, 1.0)
+    # one of the two found -> 1/2, not 1/5
+    half = S.ranking_metrics(
+        spark.createDataFrame([(1, 0.9)], "vec_id: long, cos_sim: double"),
+        exact, k=5).first()
+    assert half["recall_at_k"] == 0.5
