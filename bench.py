@@ -19,6 +19,16 @@ import os
 import sys
 import time
 
+# NAR serving is tiny-GEMM-bound ([1000, ~150] @ [~150, 64] per
+# progressive-sampling step): OpenBLAS's default one-thread-per-core
+# pool (32 here) spends more time spinning than multiplying while the
+# Spark JVM saturates the same cores — measured 11.7 -> 7.0 ms/q at 4
+# threads (r8's 29.5 ms reading was this oversubscription stacked on
+# the dense masked-column GEMM, since factored out in nar._hidden).
+# Must be set before numpy first loads; explicit env wins.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+    os.environ.setdefault(_v, "4")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402

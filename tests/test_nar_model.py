@@ -213,3 +213,65 @@ def test_smaller_emb_trains_and_roundtrips(tmp_path):
     lg1 = m.logits_for(codes[:5], np.zeros((5, 2), bool), 1)
     lg2 = m2.logits_for(codes[:5], np.zeros((5, 2), bool), 1)
     assert np.allclose(lg1, lg2)
+
+
+def test_serving_fast_path_matches_dense_trunk():
+    """The masked-column factoring in _hidden re-associates float32
+    sums but must agree with the dense trunk to float tolerance, for
+    every mix of fully-masked / active / mixed-mask columns."""
+    import numpy as np
+
+    from scardina_spark.model.nar import NarMLP, TrainConfig
+
+    rs = np.random.RandomState(7)
+    bins = [(f"c{j}", 6) for j in range(10)] + [("f", 2)]
+    m = NarMLP(bins, TrainConfig(d_word=8, d_ff=16, seed=3),
+               continuous=frozenset(["f"]))
+    codes = rs.randint(1, 6, size=(64, 11)).astype(np.float64)
+    codes[:, 10] = rs.randn(64)  # continuous slot holds a float value
+    for masked_cols in ([0, 1, 2, 3, 4, 5, 6, 7, 8],   # 2 active
+                        [3, 4, 5, 6, 7, 8, 9, 10],     # cont masked
+                        [],                             # all active
+                        list(range(11))):               # all masked
+        mask = np.zeros((64, 11), dtype=bool)
+        mask[:, masked_cols] = True
+        if len(masked_cols) < 11:
+            # make one column mixed-mask: half the rows masked
+            mixed = [j for j in range(10) if j not in masked_cols][0]
+            mask[:32, mixed] = True
+        for j in (9, 0):
+            if j in masked_cols or mask[:, j].any():
+                pass  # logits for a masked column are legitimate
+            fast = m.logits_for(codes, mask, j)
+            m.serving_dense = True
+            dense = m.logits_for(codes, mask, j)
+            m.serving_dense = False
+            assert np.allclose(fast, dense, atol=1e-4), (
+                masked_cols, j, np.abs(fast - dense).max())
+        fr = m.regress_for(codes, mask, 10)
+        m.serving_dense = True
+        dr = m.regress_for(codes, mask, 10)
+        m.serving_dense = False
+        assert np.allclose(fr, dr, atol=1e-4)
+
+
+def test_serving_fast_path_cache_invalidates_on_train():
+    """_masked_consts must refresh after a train step mutates W1."""
+    import numpy as np
+
+    from scardina_spark.model.nar import NarMLP, TrainConfig
+
+    rs = np.random.RandomState(11)
+    m = NarMLP([(f"c{j}", 5) for j in range(8)],
+               TrainConfig(d_word=4, d_ff=8, seed=5, batch_size=32))
+    codes = rs.randint(1, 5, size=(64, 8))
+    mask = np.ones((64, 8), dtype=bool)
+    mask[:, 0] = False
+    before = m.logits_for(codes, mask, 1).copy()
+    m.train_step(codes, rs)
+    after = m.logits_for(codes, mask, 1)
+    m.serving_dense = True
+    dense_after = m.logits_for(codes, mask, 1)
+    m.serving_dense = False
+    assert not np.allclose(before, after)          # training moved it
+    assert np.allclose(after, dense_after, atol=1e-4)  # cache refreshed
