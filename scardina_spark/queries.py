@@ -1732,6 +1732,99 @@ from m cross join norm order by method
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 (product-quantization ANN, Jégou et al. 2011 — the
+    compressed member of the ANN family: brute x8 → LSH x9 → IVF
+    x15/x16 → materialized/incremental x42/x77 → PQ): 64-dim vectors
+    quantized to 4 one-byte codes under seed codebooks (subvectors of
+    vec_id < 8 — iters=0, so training determinism rides the x41-pinned
+    ivf_train machinery), then asymmetric-distance top-10 for vec_id
+    0's un-quantized query.  The oracle replays the same subspace
+    argmax + lookup-table sum in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=4, k_codes=8, iters=0)
+    enc = SIM.pq_encode(emb, books)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return (SIM.pq_topk(enc, books, qv, 10)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "adc_sim"))
+
+
+SQL_PQ_TOPK = """
+with q as (select embedding::DOUBLE[] as v from embeddings
+           where vec_id = 0),
+sub as (select unnest(range(0, 4)) as j),
+seeds as (select vec_id as code, embedding::DOUBLE[] as sv
+          from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, s.j, c.code,
+         row_number() over (partition by e.vec_id, s.j
+             order by list_dot_product(
+                 list_slice(e.embedding::DOUBLE[], s.j*16+1, s.j*16+16),
+                 list_slice(c.sv, s.j*16+1, s.j*16+16)) desc,
+             c.code) as rn,
+         list_dot_product(list_slice(q.v, s.j*16+1, s.j*16+16),
+                          list_slice(c.sv, s.j*16+1, s.j*16+16))
+           as contrib
+  from embeddings e cross join sub s cross join seeds c, q),
+scored as (
+  select vec_id, sum(contrib) as adc from best where rn = 1
+  group by vec_id)
+select vec_id::BIGINT as vec_id, round(adc, 6) as adc_sim
+from scored order by adc_sim desc, vec_id limit 10
+"""
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 (PQ-with-refine, the FAISS IndexRefineFlat pattern): the x83
+    ADC search widened to a 50-candidate shortlist, then EXACT cosine
+    re-ranks only those rows — membership approximate, scores exact
+    (`similarity.pq_topk_rerank`).  At scale the corpus-sized scan
+    touches the m-byte codes; the raw vectors are read for 50 rows.
+    Oracle: the x83 replay's shortlist piped through the exact-cosine
+    top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=4, k_codes=8, iters=0)
+    enc = SIM.pq_encode(emb, books)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return (SIM.pq_topk_rerank(enc, emb, books, qv, 10, shortlist=50)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "cos_sim"))
+
+
+SQL_PQ_RERANK = """
+with q as (select embedding::DOUBLE[] as v from embeddings
+           where vec_id = 0),
+sub as (select unnest(range(0, 4)) as j),
+seeds as (select vec_id as code, embedding::DOUBLE[] as sv
+          from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, s.j, c.code,
+         row_number() over (partition by e.vec_id, s.j
+             order by list_dot_product(
+                 list_slice(e.embedding::DOUBLE[], s.j*16+1, s.j*16+16),
+                 list_slice(c.sv, s.j*16+1, s.j*16+16)) desc,
+             c.code) as rn,
+         list_dot_product(list_slice(q.v, s.j*16+1, s.j*16+16),
+                          list_slice(c.sv, s.j*16+1, s.j*16+16))
+           as contrib
+  from embeddings e cross join sub s cross join seeds c, q),
+shortlist as (
+  select vec_id, round(sum(contrib), 6) as adc from best where rn = 1
+  group by vec_id order by adc desc, vec_id limit 50)
+select e.vec_id::BIGINT as vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.v) /
+             greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.v, q.v)), 1e-12), 6)
+         as cos_sim
+from embeddings e join shortlist using (vec_id), q
+order by cos_sim desc, e.vec_id limit 10
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -6760,6 +6853,8 @@ def queries() -> dict:
         "x80_event_anomalies": q_event_anomalies,
         "x81_ks_drift": q_ks_drift,
         "x82_chisq_drift": q_chisq_drift,
+        "x83_pq_topk": q_pq_topk,
+        "x84_pq_rerank": q_pq_rerank,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7032,6 +7127,8 @@ def oracle_sql() -> dict[str, str]:
         "x80_event_anomalies": SQL_EVENT_ANOMALIES,
         "x81_ks_drift": SQL_KS_DRIFT,
         "x82_chisq_drift": SQL_CHISQ_DRIFT,
+        "x83_pq_topk": SQL_PQ_TOPK,
+        "x84_pq_rerank": SQL_PQ_RERANK,
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

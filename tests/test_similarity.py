@@ -572,3 +572,66 @@ def test_ranking_metrics_short_exact_set_normalizes_by_min(spark):
         spark.createDataFrame([(1, 0.9)], "vec_id: long, cos_sim: double"),
         exact, k=5).first()
     assert half["recall_at_k"] == 0.5
+
+
+def test_pq_roundtrip_and_recall(spark, tables):
+    """PQ codes are m small ints; ADC top-k recovers most of the exact
+    top-k on the synthetic corpus (the planted-cluster structure makes
+    even a seed quantizer informative)."""
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"]
+    books = S.pq_train(emb, m=8, k_codes=16, iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    enc = S.pq_encode(emb, books)
+    assert "embedding" not in enc.columns
+    rng = enc.agg(F.min(F.array_min("pq_codes")),
+                  F.max(F.array_max("pq_codes")),
+                  F.min(F.size("pq_codes"))).first()
+    assert rng[0] >= 0 and rng[1] <= 15 and rng[2] == 8
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    approx = S.pq_topk(enc, books, qv, 10).withColumnRenamed(
+        "adc_sim", "cos_sim")
+    exact = S.topk_cosine(emb, qv, 10)
+    m = S.ranking_metrics(approx, exact, k=10).first()
+    assert m["recall_at_k"] >= 0.4, m  # plain ADC trades recall...
+    rer = S.pq_topk_rerank(enc, emb, books, qv, 10, shortlist=50)
+    mr = S.ranking_metrics(rer, exact, k=10).first()
+    assert mr["recall_at_k"] >= 0.8, mr  # ...the refine pass buys it back
+    full = S.pq_topk_rerank(enc, emb, books, qv, 10,
+                            shortlist=emb.count())
+    mf = S.ranking_metrics(full, exact, k=10).first()
+    # full-corpus shortlist degenerates to the exact search
+    assert (mf["recall_at_k"], mf["ndcg_at_k"]) == (1.0, 1.0)
+
+
+def test_pq_topk_plan_shuffle_free(spark, tables):
+    """Scale pin: ADC search is scan -> codegen projection ->
+    TakeOrdered; no Exchange, no join, no Python in the plan."""
+    emb = tables["embeddings"]
+    books = S.pq_train(emb, m=4, k_codes=8, iters=0)
+    enc = S.pq_encode(emb, books)
+    qv = [1.0] * 64
+    plan = (S.pq_topk(enc, books, qv, 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert "Join" not in plan and "Python" not in plan, plan
+
+
+def test_pq_encode_layout_invariant(spark, tables):
+    """Codes are a pure function of the vector and codebooks — never of
+    partitioning."""
+    emb = tables["embeddings"]
+    books = S.pq_train(emb, m=4, k_codes=8, iters=1)
+    a = {r["vec_id"]: tuple(r["pq_codes"])
+         for r in S.pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: tuple(r["pq_codes"])
+         for r in S.pq_encode(emb.repartition(7), books).collect()}
+    assert a == b
+
+
+def test_pq_train_validates_divisibility(spark, tables):
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_train(tables["embeddings"], m=5)
