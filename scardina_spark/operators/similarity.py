@@ -741,3 +741,37 @@ def pq_topk_rerank(encoded: DataFrame, raw: DataFrame,
     ids = [r[id_col] for r in sl.select(id_col).collect()]
     cands = raw.where(F.col(id_col).isin(ids))
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 42
+                      ) -> list[list[float]]:
+    """Deterministic Gaussian Johnson-Lindenstrauss matrix, scaled by
+    1/sqrt(out_dim) so projected dot products estimate original ones
+    (E[p(u)·p(v)] = u·v).  Same seeding protocol as
+    :func:`hyperplanes` — a pure function of (dims, seed), so any task
+    or engine regenerates it bit-for-bit."""
+    rs = np.random.RandomState(seed)
+    s = 1.0 / float(np.sqrt(out_dim))
+    return [[float(v) * s for v in rs.randn(in_dim)]
+            for _ in range(out_dim)]
+
+
+def random_project(df: DataFrame, out_dim: int = 16, seed: int = 42,
+                   vec_col: str = "embedding", out_col: str = "proj",
+                   ) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: replace the
+    vector with its ``out_dim`` Gaussian projections — the standard
+    pre-ANN compression when the raw dimension is large (distances and
+    dot products are preserved within 1±eps for out_dim = O(log n /
+    eps^2), JL 1984).
+
+    Scale story (100 TB): the matrix is ``out_dim × in_dim`` literals
+    broadcast by construction; the projection is ``out_dim`` dot
+    products inside whole-stage codegen — no shuffle, no Python, and
+    every downstream family member (LSH x9, IVF x15/x16, PQ x83)
+    consumes the smaller vectors unchanged via their ``vec_col``
+    parameter."""
+    in_dim = len(df.select(vec_col).first()[0])
+    mat = projection_matrix(in_dim, out_dim, seed)
+    proj = F.array(*[dot(F.col(vec_col), _lit_vec(r)) for r in mat])
+    return df.withColumn(out_col, proj).drop(vec_col)

@@ -225,3 +225,86 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64,
         F.round(union_est, 4).alias("union_est"),
         F.round(jaccard * union_est, 4).alias("intersect_est"),
         F.round(jaccard, 4).alias("jaccard_est"))
+
+
+# -- HyperLogLog ------------------------------------------------------------
+#
+# (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007.)  The
+# fixed-size sibling of KMV: m = 2^p one-byte registers per group
+# regardless of cardinality, where KMV keeps k hashes.  Same portable
+# 32-bit hash (md5 prefix) so the DuckDB oracle replays bit-for-bit;
+# rho is derived from the BINARY-STRING length of the suffix — never
+# floor(log2(w)), whose last-ulp behavior at exact powers of two is
+# engine-dependent.
+
+HLL_P = 6                      # 2^6 = 64 registers
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}  # alpha_m below the
+# m >= 128 closed form 0.7213/(1 + 1.079/m) (Flajolet et al. §4)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = HLL_P,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group register relation ``(group..., idx, rho)`` — idx from
+    the hash's top ``p`` bits, rho = 1 + leading zeros of the remaining
+    ``32-p`` bits, maxed per register.
+
+    ONE map-side-combinable shuffle on (group, idx): the pre-shuffle
+    combine collapses each partition to <= m rows per group, so shuffle
+    volume is O(parts · m) however many rows went in — the property
+    that makes the register relation the mergeable/streamable form
+    (max is the semigroup op; see :func:`hll_fold`)."""
+    group_cols = group_cols or []
+    w_bits = 32 - p
+    kh = kmv_hash(col)
+    idx = (kh / F.lit(2 ** w_bits)).cast("long").alias("idx")
+    w = kh % F.lit(2 ** w_bits)
+    # bit length via base-2 string conv (exact integer arithmetic);
+    # w = 0 means all suffix bits are zero -> rho = w_bits + 1
+    blen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = (F.when(w == 0, F.lit(w_bits + 1))
+           .otherwise(F.lit(w_bits + 1) - blen)).cast("int")
+    return (df.select(*group_cols, idx, rho.alias("__rho__"))
+            .groupBy(*group_cols, "idx")
+            .agg(F.max("__rho__").alias("rho")))
+
+
+def hll_fold(registers: DataFrame, group_cols: list[str] | None = None
+             ) -> DataFrame:
+    """Union-merge any number of register relations per group: max per
+    (group, idx) — the HLL semigroup.  Feed it a unionByName of shard
+    sketches; the result is EXACTLY the sketch of the unioned inputs
+    (max is associative/commutative/idempotent), which is what makes
+    per-shard sketching + fold equal to one global pass."""
+    group_cols = group_cols or []
+    return (registers.groupBy(*group_cols, "idx")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Estimate per-group distinct counts from a register relation:
+    the raw HLL estimator alpha_m * m^2 / sum(2^-M[j]) with the
+    small-range linear-counting correction (E <= 2.5m with empty
+    registers -> m * ln(m / V)) — absent registers contribute 2^0 each
+    without materializing them."""
+    if p not in _HLL_ALPHA:
+        raise ValueError(f"p={p} unsupported; pick from {sorted(_HLL_ALPHA)}")
+    group_cols = group_cols or []
+    m = float(2 ** p)
+    alpha = _HLL_ALPHA[p]
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"))
+    zeros = F.lit(m) - F.col("__n__")
+    raw = F.lit(alpha * m * m) / (F.col("__s__") + zeros)
+    lin = F.lit(m) * F.log(F.lit(m) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("distinct_est"))
+
+
+def approx_distinct_hll(df: DataFrame, col: str, p: int = HLL_P,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """End-to-end: register sketch then estimate, per group."""
+    return hll_estimate(hll_registers(df, col, p, group_cols), p,
+                        group_cols)

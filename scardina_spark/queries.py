@@ -1825,6 +1825,125 @@ order by cos_sim desc, e.vec_id limit 10
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 (HyperLogLog, Flajolet et al. 2007 — the fixed-size sibling
+    of the KMV sketch x17: 64 one-byte registers per group however
+    large the cardinality): per-event-type distinct-user estimates from
+    the register relation (`sketches.hll_registers` — ONE map-side-
+    combinable shuffle — then `hll_estimate` with linear-counting
+    small-range correction).  Same portable md5-prefix hash as KMV, so
+    the oracle replays registers bit-for-bit; rho comes from binary
+    string length, never floor(log2) (engine-dependent at powers of
+    two)."""
+    from .operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    return (SK.approx_distinct_hll(ev, "user_id",
+                                   group_cols=["event_type"])
+            .orderBy("event_type"))
+
+
+def sql_hll_distinct(p: int = 6) -> str:
+    poly = " + ".join(
+        f"(instr('0123456789abcdef', substr(__h__, {i + 1}, 1)) - 1)"
+        f" * {16 ** (8 - i - 1)}"
+        for i in range(8))
+    wb = 32 - p
+    m = float(2 ** p)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
+    return f"""
+with h as (
+  select event_type, ({poly})::BIGINT as kh
+  from (select event_type,
+               substr(md5(user_id::VARCHAR), 1, 8) as __h__
+        from events)),
+regs as (
+  select event_type, kh // {2 ** wb} as idx,
+         max(case when kh % {2 ** wb} = 0 then {wb + 1}
+             else {wb + 1} - length(bin(kh % {2 ** wb})) end) as rho
+  from h group by event_type, kh // {2 ** wb}),
+agg as (
+  select event_type, count(*) as n,
+         sum(pow(2.0, -rho)) as s
+  from regs group by event_type)
+select event_type,
+       round(case when {alpha * m * m!r} / (s + ({m!r} - n)) <= {2.5 * m!r}
+                   and n < {2 ** p}
+             then {m!r} * ln({m!r} / ({m!r} - n))
+             else {alpha * m * m!r} / (s + ({m!r} - n)) end,
+             4) as distinct_est
+from agg order by event_type
+"""
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 (Johnson-Lindenstrauss random projection — the pre-ANN
+    compression: 64 dims → 16 Gaussian projections preserving dot
+    products within 1±eps): per vector, the first projected component
+    and the projected L2 norm (`similarity.random_project` — the
+    deterministic seed-42 matrix ships as literals, the projection is
+    16 in-codegen dot products, no shuffle).  The oracle carries the
+    SAME matrix as SQL literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pr = SIM.random_project(emb, out_dim=16, seed=42)
+    comp = F.element_at("proj", 1)
+    nrm = F.sqrt(F.aggregate("proj", F.lit(0.0),
+                             lambda a, x: a + x * x))
+    return (pr.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round(comp, 6).alias("p1"),
+                      F.round(nrm, 6).alias("pnorm"))
+            .orderBy("vec_id"))
+
+
+def sql_jl_project() -> str:
+    rows = SIM.projection_matrix(64, 16, seed=42)
+    lits = ",\n    ".join(
+        "[" + ",".join(repr(x) for x in r) + "]::DOUBLE[]" for r in rows)
+    return f"""
+with m as (
+  select unnest(range(1, 17)) as i,
+         unnest([
+    {lits}
+  ]) as row),
+p as (
+  select e.vec_id, m.i,
+         list_dot_product(e.embedding::DOUBLE[], m.row) as c
+  from embeddings e cross join m)
+select vec_id::BIGINT as vec_id,
+       round(max(case when i = 1 then c end), 6) as p1,
+       round(sqrt(sum(c * c)), 6) as pnorm
+from p group by vec_id order by vec_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 (streaming exact dedup — the ingest twin of batch x1):
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over the
+    events stream with a horizon covering the corpus, drained append-
+    mode, then counted per event_type.  Stream == batch because every
+    duplicate lands inside the horizon, so survivors are exactly the
+    distinct pairs — the oracle counts them directly; which physical
+    row survives is arrival-dependent, so the QUERY aggregates to the
+    pair level where the result is deterministic."""
+    from .streaming import read_events_stream
+    from .streaming.events import exact_dedup_stream, run_to_memory_sink
+
+    st = read_events_stream(spark, sf_dir)
+    dd = exact_dedup_stream(st, ["user_id", "event_type"],
+                            horizon="3650 days")
+    sunk = run_to_memory_sink(dd, f"st16_dedup_{abs(hash(sf_dir)) % 997}",
+                              output_mode="append")
+    return (sunk.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("event_type"))
+
+
+SQL_STREAM_DEDUP = """
+select event_type, count(distinct user_id)::BIGINT as n_pairs
+from events group by event_type order by event_type
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -6855,6 +6974,9 @@ def queries() -> dict:
         "x82_chisq_drift": q_chisq_drift,
         "x83_pq_topk": q_pq_topk,
         "x84_pq_rerank": q_pq_rerank,
+        "x85_hll_distinct": q_hll_distinct,
+        "x86_jl_project": q_jl_project,
+        "st16_stream_dedup": q_stream_dedup,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7129,6 +7251,9 @@ def oracle_sql() -> dict[str, str]:
         "x82_chisq_drift": SQL_CHISQ_DRIFT,
         "x83_pq_topk": SQL_PQ_TOPK,
         "x84_pq_rerank": SQL_PQ_RERANK,
+        "x85_hll_distinct": sql_hll_distinct(),
+        "x86_jl_project": sql_jl_project(),
+        "st16_stream_dedup": SQL_STREAM_DEDUP,
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

@@ -127,3 +127,24 @@ def run_to_memory_sink(stream: DataFrame, name: str,
     )
     q.awaitTermination(timeout_sec)
     return stream.sparkSession.table(name)
+
+
+def exact_dedup_stream(events: DataFrame, keys: list[str],
+                       ts_col: str = "ts",
+                       horizon: str = "30 days") -> DataFrame:
+    """Streaming exact deduplication: emit each key-tuple's FIRST
+    arrival, dropping later duplicates that land within ``horizon`` of
+    it — Spark's ``dropDuplicatesWithinWatermark``, the ingest-time
+    twin of the batch ``dedup.exact_dedup``.
+
+    The watermark bounds the state exactly the way the TTL knobs on the
+    stateful operators do: a key's fingerprint is held only until the
+    event-time watermark passes its timestamp + horizon, so state is
+    O(keys per horizon), not O(keys ever seen) — the property that
+    keeps an at-least-once ingest dedup running forever at 100 TB/day.
+    A duplicate arriving later than the horizon is re-emitted (the
+    documented trade: bound the state or catch stragglers, pick one;
+    the batch operator downstream catches the long tail).
+    """
+    return (events.withWatermark(ts_col, horizon)
+            .dropDuplicatesWithinWatermark(keys))

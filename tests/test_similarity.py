@@ -635,3 +635,42 @@ def test_pq_train_validates_divisibility(spark, tables):
     import pytest
     with pytest.raises(ValueError, match="divisible"):
         S.pq_train(tables["embeddings"], m=5)
+
+
+def test_random_project_preserves_dots_and_feeds_ann(spark, tables):
+    """JL property on sampled pairs (absolute dot error bounded at
+    out_dim=32), plus composition: the projected vectors drive
+    topk_cosine unchanged via vec_col."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"]
+    rows = emb.where(F.col("vec_id") < 40).orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pr = S.random_project(emb.where(F.col("vec_id") < 40), out_dim=32)
+    prows = pr.orderBy("vec_id").collect()
+    P = np.array([r["proj"] for r in prows], dtype=np.float64)
+    rs = np.random.RandomState(0)
+    errs = []
+    for _ in range(60):
+        i, j = rs.randint(0, 40, 2)
+        errs.append(abs(V[i] @ V[j] - P[i] @ P[j]))
+    scale = float(np.mean(np.linalg.norm(V, axis=1) ** 2))
+    assert np.mean(errs) <= 0.35 * scale, (np.mean(errs), scale)
+    # composition: projected relation is a drop-in vec_col
+    full = S.random_project(emb, out_dim=32)
+    qv = [float(x) for x in
+          full.where(F.col("vec_id") == 0).first()["proj"]]
+    top = S.topk_cosine(full, qv, 10, vec_col="proj")
+    assert top.count() == 10
+
+
+def test_random_project_deterministic_and_shuffle_free(spark, tables):
+    emb = tables["embeddings"]
+    a = {r["vec_id"]: tuple(r["proj"])
+         for r in S.random_project(emb, 16).collect()}
+    b = {r["vec_id"]: tuple(r["proj"])
+         for r in S.random_project(emb.repartition(9), 16).collect()}
+    assert a == b
+    plan = (S.random_project(emb, 16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan, plan

@@ -214,3 +214,78 @@ def test_quantile_sketch_ungrouped_plan_is_take_ordered(spark):
     sk = SK.quantile_sketch(df, "v", F.col("k"), k=16)
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_estimate_within_expected_error(spark, tables):
+    """m=64 registers -> ~1.04/sqrt(64) = 13% typical relative error;
+    assert a generous 25% on every event_type group."""
+    from scardina_spark.operators import sketches as SK
+    ev = tables["events"]
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    est = {r["event_type"]: r["distinct_est"] for r in
+           SK.approx_distinct_hll(ev, "user_id",
+                                  group_cols=["event_type"]).collect()}
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] <= 0.25, (k, e, exact[k])
+
+
+def test_hll_fold_equals_global_sketch(spark, tables):
+    """The semigroup property: per-shard registers folded == one global
+    pass, bit-for-bit (max is associative/commutative/idempotent) —
+    what makes HLL the 100 TB shard-then-merge sketch."""
+    from scardina_spark.operators import sketches as SK
+    ev = tables["events"]
+    whole = SK.hll_registers(ev, "user_id", group_cols=["event_type"])
+    s1 = SK.hll_registers(ev.where(F.col("user_id") % 3 == 0),
+                          "user_id", group_cols=["event_type"])
+    s2 = SK.hll_registers(ev.where(F.col("user_id") % 3 != 0),
+                          "user_id", group_cols=["event_type"])
+    folded = SK.hll_fold(s1.unionByName(s2), group_cols=["event_type"])
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in folded.collect())
+    assert a == b
+    # and the estimates therefore agree exactly
+    ea = sorted(tuple(r) for r in
+                SK.hll_estimate(whole, group_cols=["event_type"]).collect())
+    eb = sorted(tuple(r) for r in
+                SK.hll_estimate(folded, group_cols=["event_type"]).collect())
+    assert ea == eb
+
+
+def test_hll_layout_invariant_and_small_range(spark):
+    """Partitioning never changes registers; tiny cardinalities hit the
+    linear-counting branch and land near-exact."""
+    from scardina_spark.operators import sketches as SK
+    rows = [(i % 7, f"u{i % 13}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g: int, u: string")
+    a = sorted(tuple(r) for r in
+               SK.approx_distinct_hll(df, "u", group_cols=["g"]).collect())
+    b = sorted(tuple(r) for r in
+               SK.approx_distinct_hll(df.repartition(11), "u",
+                                      group_cols=["g"]).collect())
+    assert a == b
+    for _, est in a:
+        assert abs(est - 13) <= 2, est   # 13 true distinct per group
+
+
+def test_hll_register_plan_one_exchange(spark, tables):
+    """Scale pin: the register sketch is one hash-aggregate pair around
+    a single Exchange (map-side combine collapses to <= m rows/group
+    before the shuffle)."""
+    from scardina_spark.operators import sketches as SK
+    plan = (SK.hll_registers(tables["events"], "user_id",
+                             group_cols=["event_type"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hll_validates_p(spark, tables):
+    import pytest
+    from scardina_spark.operators import sketches as SK
+    regs = SK.hll_registers(tables["events"], "user_id",
+                            group_cols=["event_type"])
+    with pytest.raises(ValueError, match="unsupported"):
+        SK.hll_estimate(regs, p=12, group_cols=["event_type"])

@@ -145,3 +145,34 @@ def test_stream_media_decode_plan_is_stateless(spark, sf_dir):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" not in plan
     assert "Aggregate" not in plan
+
+
+def test_exact_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates split across micro-batches within the horizon are
+    dropped; the survivor set is exactly the distinct key set."""
+    from datetime import datetime
+
+    from scardina_spark.streaming.events import (
+        exact_dedup_stream, run_to_memory_sink)
+
+    def _m(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    d = str(tmp_path / "dd")
+    schema = ("user_id bigint, event_type string, ts timestamp, "
+              "event_id bigint")
+    b1 = [(1, "click", _m(0), 0), (1, "click", _m(1), 1),  # dup in-batch
+          (2, "view", _m(2), 2)]
+    b2 = [(1, "click", _m(3), 3),                          # dup cross-batch
+          (2, "click", _m(4), 4)]                          # new pair
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        d, mode="overwrite")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+    out = run_to_memory_sink(
+        exact_dedup_stream(st, ["user_id", "event_type"], horizon="1 hour"),
+        "dd_stream_test", output_mode="append")
+    pairs = sorted((r["user_id"], r["event_type"]) for r in out.collect())
+    assert pairs == [(1, "click"), (2, "click"), (2, "view")]
