@@ -318,3 +318,41 @@ def bpe_encode(df: DataFrame, vocab: DataFrame, col: str = "text",
                 F.collect_list(F.struct("pos", "s"))).getField("s"))
                 .alias("bpe_tokens"))
             .withColumn("n_bpe", F.size("bpe_tokens")))
+
+
+def vocab_coverage(df: DataFrame, vocab: DataFrame,
+                   col: str = "text", id_col: str = "doc_id",
+                   word_col: str = "word") -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: per document, how many word
+    tokens fall OUTSIDE the vocabulary — the QA gate run before
+    shipping a tokenizer (an OOV-heavy corpus slice means the vocab was
+    trained on the wrong distribution) and after ingesting a new source
+    (drift shows up as a coverage drop before it shows up in loss).
+
+    Returns ``(id, n_words, n_oov, oov_rate)``.  The vocabulary is the
+    ``word_counts``/``bpe_learn`` word relation (Zipf-bounded, so it
+    BROADCASTS — the join adds no shuffle; the only corpus-sized work
+    is the word explode, which the pre-aggregation to per-(doc, word)
+    counts keeps as one map-side-combinable groupBy).  Empty/NULL texts
+    audit as 0-word documents with ``oov_rate`` NULL, not a crash.
+    """
+    words = (df.select(F.col(id_col),
+                       F.explode(_words(col)).alias("__w__"))
+             .groupBy(id_col, "__w__")
+             .agg(F.count(F.lit(1)).alias("__n__")))
+    vocab_words = vocab.select(F.col(word_col).alias("__w__")).distinct()
+    hit = words.join(F.broadcast(vocab_words.withColumn("__in__", F.lit(1))),
+                     "__w__", "left_outer")
+    per_doc = (hit.groupBy(id_col).agg(
+        F.sum("__n__").alias("n_words"),
+        F.sum(F.when(F.col("__in__").isNull(), F.col("__n__"))
+              .otherwise(F.lit(0))).alias("n_oov")))
+    base = df.select(id_col).distinct()
+    return (base.join(per_doc, id_col, "left_outer")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"))
+            .withColumn(
+                "oov_rate",
+                F.when(F.col("n_words") > 0,
+                       F.round(F.col("n_oov") / F.col("n_words"), 6))))

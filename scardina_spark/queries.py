@@ -1944,6 +1944,93 @@ from events group by event_type order by event_type
 """
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 (per-key ordered feature engineering — lag / trailing-mean /
+    truncated-EWMA features over each user's event history,
+    `operators/features.rolling_features`): every feature rides ONE
+    partitionBy(user) window pass (single Exchange, plan-pinned in
+    tests).  The EWMA is the 8-term truncated form with head
+    renormalization — the exact recursion would need Python-per-key or
+    an overflowing prefix-sum; the oracle replays the identical lag
+    expansion with the same coefficient literals."""
+    from .operators.features import rolling_features
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_features(ev, "user_id", "ts", "value",
+                           tiebreak=["event_id"])
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("event_id").cast("long").alias("event_id"),
+                       F.round("lag1", 6).alias("lag1"),
+                       F.round("ma5", 6).alias("ma5"),
+                       F.round("ewma", 6).alias("ewma"))
+            .orderBy("user_id", "event_id"))
+
+
+def sql_rolling_features(alpha: float = 0.3, terms: int = 8) -> str:
+    cs = [alpha * (1.0 - alpha) ** i for i in range(terms)]
+    num = " + ".join(
+        f"coalesce({'value' if i == 0 else f'lag(value, {i}) over w'}"
+        f" * {c!r}, 0.0)"
+        for i, c in enumerate(cs))
+    den = " + ".join(
+        f"case when {'value' if i == 0 else f'lag(value, {i}) over w'}"
+        f" is not null then {c!r} else 0.0 end"
+        for i, c in enumerate(cs))
+    return f"""
+select user_id::BIGINT as user_id, event_id::BIGINT as event_id,
+       round(lag(value) over w, 6) as lag1,
+       round(avg(value) over (partition by user_id order by ts, event_id
+                              rows between 4 preceding and current row),
+             6) as ma5,
+       round(({num}) / ({den}), 6) as ewma
+from events
+window w as (partition by user_id order by ts, event_id)
+order by user_id, event_id
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 (tokenizer-vocabulary coverage audit — the QA gate before
+    shipping a tokenizer and the drift alarm after ingesting a new
+    source): vocabulary = corpus words with >= 20 occurrences
+    (`bpe.word_counts`), then per-document OOV counts via
+    `bpe.vocab_coverage` (broadcast vocab join over a map-side-combined
+    per-(doc, word) pre-aggregation — no corpus-sized shuffle beyond
+    the explode)."""
+    from .operators.bpe import vocab_coverage, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_counts(docs).where(F.col("cnt") >= 20)
+    return (vocab_coverage(docs, vocab)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_oov").cast("long").alias("n_oov"),
+                    "oov_rate")
+            .orderBy("doc_id"))
+
+
+SQL_VOCAB_COVERAGE = """
+with w as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) as w
+  from documents),
+vocab as (select w from w group by w having count(*) >= 20),
+per_doc as (
+  select w.doc_id, count(*) as n_words,
+         sum(case when v.w is null then 1 else 0 end) as n_oov
+  from w left join vocab v using (w)
+  group by w.doc_id)
+select d.doc_id::BIGINT as doc_id,
+       coalesce(p.n_words, 0)::BIGINT as n_words,
+       coalesce(p.n_oov, 0)::BIGINT as n_oov,
+       case when coalesce(p.n_words, 0) > 0
+            then round(p.n_oov / p.n_words::DOUBLE, 6) end as oov_rate
+from documents d left join per_doc p using (doc_id)
+order by d.doc_id
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -6977,6 +7064,8 @@ def queries() -> dict:
         "x85_hll_distinct": q_hll_distinct,
         "x86_jl_project": q_jl_project,
         "st16_stream_dedup": q_stream_dedup,
+        "x87_rolling_features": q_rolling_features,
+        "x88_vocab_coverage": q_vocab_coverage,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7254,6 +7343,8 @@ def oracle_sql() -> dict[str, str]:
         "x85_hll_distinct": sql_hll_distinct(),
         "x86_jl_project": sql_jl_project(),
         "st16_stream_dedup": SQL_STREAM_DEDUP,
+        "x87_rolling_features": sql_rolling_features(),
+        "x88_vocab_coverage": SQL_VOCAB_COVERAGE,
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

@@ -243,3 +243,34 @@ def test_bpe_apply_rejects_oversize_merge_table(spark):
     big = [(f"a{i}", f"b{i}") for i in range(APPLY_PROJECTION_MERGE_CAP + 1)]
     with pytest.raises(ValueError, match="bpe_encode"):
         bpe_apply(df, big)
+
+
+def test_vocab_coverage_crafted(spark):
+    """OOV accounting: repeated words count per occurrence; empty and
+    NULL texts audit as 0-word docs with NULL rate."""
+    from scardina_spark.operators.bpe import vocab_coverage
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "zorp the gnarf"),
+         (2, ""), (3, None)],
+        "doc_id: long, text: string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",)], "word: string")
+    got = {r["doc_id"]: (r["n_words"], r["n_oov"], r["oov_rate"])
+           for r in vocab_coverage(docs, vocab).collect()}
+    assert got[0] == (6, 0, 0.0)
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (0, 0, None) and got[3] == (0, 0, None)
+
+
+def test_vocab_coverage_broadcasts_and_single_wide_shuffle(spark, tables):
+    """Scale pin: the vocab join is a BroadcastHashJoin; the only wide
+    shuffles are the two aggregations (per-(doc,word) combine + per-doc
+    rollup) and the base-relation join, never a sort-merge on words."""
+    from pyspark.sql import functions as F
+    from scardina_spark.operators.bpe import vocab_coverage, word_counts
+    docs = tables["documents"]
+    vocab = word_counts(docs).where(F.col("cnt") >= 20)
+    plan = (vocab_coverage(docs, vocab)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
