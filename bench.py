@@ -207,6 +207,30 @@ def main() -> None:
         extras["asha_epochs_exhaustive"] = 9 * base.epochs
     timed("asha_train", run_asha)
 
+    # 2a''-pool: the SAME async-ASHA rule on a real 4-thread worker
+    # pool (BLAS releases the GIL, so trials genuinely overlap) — the
+    # physical execution the reference gets from Ray Tune.  Extras
+    # record the observed concurrency high-water mark and spend.
+    def run_asha_pool():
+        from scardina_spark.model import TrainConfig
+        from scardina_spark.model.bridge import training_matrix
+        from scardina_spark.model.search import asha_async_pool_search
+        cols = ["lineitem.l_returnflag", "lineitem.l_linestatus",
+                "lineitem.l_quantity", "orders.o_orderstatus"]
+        base = TrainConfig(epochs=8, batch_size=1024, seed=42)
+        codes, domains = training_matrix(
+            ts.sample, cols, max_rows=20_000, seed=base.seed,
+            id_cols=["__sample_id__"])
+        bins = [(c, domains[c].dom_size) for c in cols]
+        best, trials, infl = asha_async_pool_search(
+            bins, codes, base, d_words=(8, 16, 32), d_ffs=(32, 64, 96),
+            n_workers=4)
+        extras["asha_pool_max_inflight"] = infl
+        extras["asha_pool_jobs"] = len(trials)
+        extras["asha_pool_epochs_spent"] = sum(t.epochs for t in trials)
+        extras["asha_pool_chosen"] = f"{best.cfg.d_word}x{best.cfg.d_ff}"
+    timed("asha_pool_train", run_asha_pool)
+
     from scardina_spark.estimators import HybridEstimator
     nar_hyb = HybridEstimator(nar_ur, est)   # est: localized HT (2a)
     nar_ci = HybridEstimator(nar_ur, est, name="nar-ci", mode="ci")
@@ -896,6 +920,34 @@ def main() -> None:
         extras["ann_lsh_recall_at_10"] = float(r["recall_at_k"])
         extras["ann_lsh_ndcg_at_10"] = float(r["ndcg_at_k"])
     timed("ann_recall", run_ann_recall)
+
+    from scardina_spark.operators.similarity import (
+        pq_encode, pq_topk_rerank, pq_train, ranking_metrics as _rm,
+        topk_cosine as _tc)
+
+    def run_pq():
+        # the compressed ANN path end-to-end: train codebooks, encode
+        # the corpus to m one-byte codes, ADC-shortlist + exact refine;
+        # record the recall the compression trades
+        books = pq_train(emb, m=8, k_codes=16, iters=2)
+        enc = pq_encode(emb, books)
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = _tc(emb, qv, 10)
+        rer = pq_topk_rerank(enc, emb, books, qv, 10, shortlist=50)
+        r = _rm(rer, exact, 10).first()
+        extras["pq_rerank_recall_at_10"] = float(r["recall_at_k"])
+        extras["pq_rerank_ndcg_at_10"] = float(r["ndcg_at_k"])
+    timed("pq_train_encode_search", run_pq)
+
+    def run_hll():
+        from scardina_spark.operators.sketches import approx_distinct_hll
+        ev_b = load_table(spark, sf_dir, "events")
+        rows = approx_distinct_hll(ev_b, "user_id",
+                                   group_cols=["event_type"]).collect()
+        extras["hll_distinct_total"] = round(
+            sum(r["distinct_est"] for r in rows), 2)
+    timed("hll_distinct", run_hll)
 
     total = round(sum(timings.values()), 4)
     payload = {

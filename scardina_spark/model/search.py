@@ -358,3 +358,116 @@ def grid_search(input_bins: list[tuple[str, int]], codes: np.ndarray,
             if best is None or vl < best.val_loss:
                 best, best_model = t, model
     return best_model, trials
+
+
+def asha_async_pool_search(input_bins: list[tuple[str, int]],
+                           codes: np.ndarray,
+                           base: TrainConfig | None = None,
+                           d_words: tuple[int, ...] = (8, 16, 32),
+                           d_ffs: tuple[int, ...] = (32, 64, 96),
+                           eta: int = 2, min_epochs: int = 2,
+                           n_workers: int = 4,
+                           model_cls=NarMLP
+                           ) -> tuple[NarMLP, list[AsyncTrial], int]:
+    """Async ASHA on a REAL worker pool — the physical execution the
+    reference gets from Ray Tune (run.py:611-657), here a
+    ``ThreadPoolExecutor``: trials are NumPy training whose BLAS
+    kernels release the GIL, so ``n_workers`` trials genuinely train
+    concurrently on one box (the single-node stand-in for Ray's
+    cluster pool; the SCHEDULING rule is byte-for-byte
+    :func:`asha_async_search`'s get_job).
+
+    Each freed worker takes the scheduler lock, applies the get_job
+    rule to the results completed SO FAR (promotions fire on partial
+    rung information — the property that removes sync ASHA's straggler
+    barrier), and trains outside the lock.  A worker finding no
+    eligible job while others are in flight WAITS on the condition —
+    their completions can unlock promotions — and only exits when the
+    queue is empty with nothing in flight.
+
+    Trial ORDER (and therefore which jobs exist) depends on completion
+    timing with ``n_workers > 1`` — exactly as on Ray; with
+    ``n_workers=1`` the run is bit-identical to the serialized
+    :func:`asha_async_search` (test-pinned).  Invariants that hold for
+    every timing: each config starts at rung 0 at most once, each
+    (rung, config) promotes at most once, every promotion was in the
+    top ``floor(n_seen/eta)`` of its rung at decision time, and the
+    winner is the val-loss argmin of the highest rung.  Returns
+    ``(best_model, trials, max_inflight)`` — the last observed
+    concurrency high-water mark, so callers can assert the pool really
+    overlapped."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    grid = [(dw, dff) for dw in d_words for dff in d_ffs]
+
+    def rung_budget(r: int) -> int:
+        return min(min_epochs * eta ** r, base.epochs)
+
+    lock = threading.Condition()
+    results: dict[int, list[tuple[float, int, int]]] = {}
+    promoted: dict[int, set] = {}
+    models: dict[tuple[int, int, int], object] = {}
+    trials: list[AsyncTrial] = []
+    state = {"started": 0, "job": 0, "inflight": 0, "max_inflight": 0}
+
+    def get_job():
+        """get_job under the lock: Li et al.'s rule over completed
+        results; None = nothing eligible right now."""
+        for r in sorted(results, reverse=True):
+            if rung_budget(r) >= base.epochs:
+                continue
+            done = sorted(results[r])
+            k = len(done) // eta
+            cands = [t for t in done[:k]
+                     if (t[1], t[2]) not in promoted.get(r, set())]
+            if cands:
+                promoted.setdefault(r, set()).add(
+                    (cands[0][1], cands[0][2]))
+                return ("promote", r, cands[0][1], cands[0][2])
+        if state["started"] < len(grid):
+            cfg = grid[state["started"]]
+            state["started"] += 1
+            return ("start", None, *cfg)
+        return None
+
+    def worker():
+        while True:
+            with lock:
+                pick = get_job()
+                while pick is None and state["inflight"] > 0:
+                    lock.wait()
+                    pick = get_job()
+                if pick is None:
+                    return
+                state["inflight"] += 1
+                state["max_inflight"] = max(state["max_inflight"],
+                                            state["inflight"])
+                job = state["job"]
+                state["job"] += 1
+            kind, from_rung, dw, dff = pick
+            rung = 0 if kind == "start" else from_rung + 1
+            cfg = replace(base, d_word=dw, d_ff=dff,
+                          epochs=rung_budget(rung))
+            model = model_cls(input_bins, cfg)
+            losses = model.fit(train)
+            vl = masked_val_loss(model, val)
+            with lock:
+                results.setdefault(rung, []).append((vl, dw, dff))
+                models[(rung, dw, dff)] = model
+                trials.append(AsyncTrial(cfg, job, rung,
+                                         rung_budget(rung), vl,
+                                         losses[-1], from_rung))
+                state["inflight"] -= 1
+                lock.notify_all()
+
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        futs = [ex.submit(worker) for _ in range(max(1, n_workers))]
+        for f in futs:
+            f.result()   # surface worker exceptions
+    final_rung = max(results)
+    win = min(results[final_rung])
+    return (models[(final_rung, win[1], win[2])], trials,
+            state["max_inflight"])

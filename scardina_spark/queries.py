@@ -2031,6 +2031,56 @@ order by d.doc_id
 """
 
 
+def q_asha_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 (async ASHA on a REAL worker pool — the physical execution
+    the reference gets from Ray Tune, `search.asha_async_pool_search`
+    on a ThreadPoolExecutor whose NumPy trials overlap because BLAS
+    releases the GIL): returns ONE row of timing-independent invariant
+    checks — rung-0 starts cover the grid exactly once, every
+    (rung, config) promotion is unique, higher rungs are subsets of
+    the rung below, and the winner is the final-rung argmin — plus
+    whether the pool actually overlapped.  Job COUNT and order are
+    completion-timing-dependent (exactly as on Ray), which is why this
+    key is rows-only: the invariants are the deterministic surface.
+    Scheduling-rule correctness itself is e14's literal oracle (the
+    n_workers=1 run is bit-identical to e14's serialized driver,
+    test-pinned)."""
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import asha_async_pool_search
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    codes, domains = training_matrix(
+        li, cols, max_rows=20_000, seed=42,
+        id_cols=["l_orderkey", "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    base = TrainConfig(epochs=8, batch_size=1024, seed=42)
+    best, trials, infl = asha_async_pool_search(
+        bins, codes, base, d_words=(8, 16), d_ffs=(16, 32),
+        eta=2, min_epochs=2, n_workers=4)
+    grid = {(dw, dff) for dw in (8, 16) for dff in (16, 32)}
+    starts = [(t.cfg.d_word, t.cfg.d_ff) for t in trials if t.rung == 0]
+    promos = [(t.rung, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.promoted_from is not None]
+    by_rung: dict[int, set] = {}
+    for t in trials:
+        by_rung.setdefault(t.rung, set()).add(
+            (t.cfg.d_word, t.cfg.d_ff))
+    final = max(by_rung)
+    finals = [(t.val_loss, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.rung == final]
+    return spark.createDataFrame(
+        [(sorted(starts) == sorted(grid),
+          len(promos) == len(set(promos)),
+          all(by_rung[r] <= by_rung[r - 1] for r in by_rung if r > 0),
+          (best.cfg.d_word, best.cfg.d_ff) == min(finals)[1:],
+          bool(infl >= 2))],
+        "starts_complete boolean, promos_unique boolean, "
+        "rungs_nested boolean, winner_is_argmin boolean, "
+        "pool_overlapped boolean")
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -7066,6 +7116,7 @@ def queries() -> dict:
         "st16_stream_dedup": q_stream_dedup,
         "x87_rolling_features": q_rolling_features,
         "x88_vocab_coverage": q_vocab_coverage,
+        "e16_asha_pool": q_asha_pool,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
