@@ -664,3 +664,35 @@ def test_pagerank_wall_dominated_by_edge_build_not_iterations(spark):
     # 4x the iterations must cost well under 4x the wall (edge build +
     # fixed overheads dominate; iteration state is 25 rows)
     assert w12 < 3.0 * w3, (w3, w12)
+
+
+def test_pq_adc_search_scales_with_codes_not_vectors(spark):
+    """10x the corpus: ADC search wall grows sub-linearly (the scan is
+    m small ints per row inside codegen; fixed overheads dominate at
+    these sizes), and encode stays a shuffle-free projection."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding")
+    books = pq_train(emb, m=8, k_codes=16, iters=1)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    def run(mult):
+        big = emb
+        for i in range(mult - 1):
+            big = big.unionByName(
+                emb.select((F.col("vec_id") + 100000 * (i + 1))
+                           .alias("vec_id"), "embedding"))
+        enc = pq_encode(big, books).localCheckpoint()
+        t0 = _t.perf_counter()
+        pq_topk(enc, books, qv, 10).collect()
+        return _t.perf_counter() - t0
+
+    w1, w10 = run(1), run(10)
+    assert w10 < 5.0 * w1, (w1, w10)
