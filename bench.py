@@ -928,16 +928,24 @@ def main() -> None:
     def run_pq():
         # the compressed ANN path end-to-end: train codebooks, encode
         # the corpus to m one-byte codes, ADC-shortlist + exact refine;
-        # record the recall the compression trades
+        # record the recall the compression trades at a fixed-50 and a
+        # corpus-proportional (10%) refine set — this synthetic corpus
+        # is near-random (top-10 cosines ~0.3 vs bulk ~0.2, the hardest
+        # regime for any quantizer), so recall here is the FLOOR, not
+        # the clustered-real-corpus figure
         books = pq_train(emb, m=8, k_codes=16, iters=2)
-        enc = pq_encode(emb, books)
+        enc = pq_encode(emb, books).localCheckpoint()
         qv = [float(x) for x in
               emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = _tc(emb, qv, 10)
-        rer = pq_topk_rerank(enc, emb, books, qv, 10, shortlist=50)
-        r = _rm(rer, exact, 10).first()
-        extras["pq_rerank_recall_at_10"] = float(r["recall_at_k"])
-        extras["pq_rerank_ndcg_at_10"] = float(r["ndcg_at_k"])
+        n = emb.count()
+        for tag, sl in (("50", 50), ("10pct", max(50, n // 10))):
+            rer = pq_topk_rerank(enc, emb, books, qv, 10, shortlist=sl)
+            r = _rm(rer, exact, 10).first()
+            extras[f"pq_rerank_recall_at_10_sl{tag}"] = float(
+                r["recall_at_k"])
+        extras["pq_codes_bytes_per_vec"] = 8
+        extras["pq_raw_bytes_per_vec"] = 64 * 8
     timed("pq_train_encode_search", run_pq)
 
     def run_hll():
