@@ -27,10 +27,21 @@ def rolling_features(df: DataFrame, key: str, ts: str, value: str,
                      ewma_terms: int = 8) -> DataFrame:
     """Append ``lag1`` (previous observation), ``ma{ma_rows}``
     (trailing mean over the last ``ma_rows`` observations, current
-    included), and ``ewma`` (truncated exponential moving average,
-    weights ``alpha·(1-alpha)^i`` over the last ``ewma_terms``
-    observations, renormalized over the terms actually present so the
-    head of each key's history is unbiased) to every row.
+    included), and ``ewma`` (windowed exponential moving average) to
+    every row.
+
+    EWMA convention: the recursion ``s_i = alpha·x_i +
+    (1-alpha)·s_{i-1}`` seeded at the WINDOW START — lag ``i`` weighs
+    ``alpha·(1-alpha)^i`` except the oldest observation visible in the
+    ``ewma_terms`` window, which takes the full remaining mass
+    ``(1-alpha)^i`` (pandas ``ewm(adjust=False)`` seeding).  Weights
+    therefore sum to exactly 1 with no renormalization, and for keys
+    with at most ``ewma_terms`` observations the result is EXACTLY the
+    recursion — identical to the streaming twin
+    (``streaming/stateful.rolling_features_stream``, which carries the
+    state and is exact for any length; divergence beyond the window is
+    bounded by ``(1-alpha)^(ewma_terms-1)·2·max|x|``, the mass the
+    pretend-seed misassigns — both pinned in tests).
 
     Determinism: the caller-supplied ``(ts, *tiebreak)`` total order;
     every output is a pure function of the key's ordered prefix.
@@ -42,15 +53,18 @@ def rolling_features(df: DataFrame, key: str, ts: str, value: str,
     order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(key).orderBy(*order)
     v = F.col(value).cast("double")
-    num: Column = F.lit(0.0)
-    den: Column = F.lit(0.0)
+    ewma: Column = F.lit(0.0)
     for i in range(ewma_terms):
-        ci = float(alpha * (1.0 - alpha) ** i)
         xi = v if i == 0 else F.lag(v, i).over(w)
-        num = num + F.coalesce(xi * F.lit(ci), F.lit(0.0))
-        den = den + F.when(xi.isNotNull(), F.lit(ci)).otherwise(F.lit(0.0))
+        older = F.lag(v, i + 1).over(w)
+        seed = i == ewma_terms - 1  # window edge: always seed weight
+        ci = F.lit(float((1.0 - alpha) ** i)) if seed else F.when(
+            older.isNull(),
+            F.lit(float((1.0 - alpha) ** i))).otherwise(
+            F.lit(float(alpha * (1.0 - alpha) ** i)))
+        ewma = ewma + F.coalesce(xi * ci, F.lit(0.0))
     return (df
             .withColumn("lag1", F.lag(v).over(w))
             .withColumn(f"ma{ma_rows}",
                         F.avg(v).over(w.rowsBetween(-(ma_rows - 1), 0)))
-            .withColumn("ewma", num / den))
+            .withColumn("ewma", ewma))

@@ -1946,13 +1946,15 @@ from events group by event_type order by event_type
 
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X87 (per-key ordered feature engineering — lag / trailing-mean /
-    truncated-EWMA features over each user's event history,
+    windowed-EWMA features over each user's event history,
     `operators/features.rolling_features`): every feature rides ONE
     partitionBy(user) window pass (single Exchange, plan-pinned in
-    tests).  The EWMA is the 8-term truncated form with head
-    renormalization — the exact recursion would need Python-per-key or
-    an overflowing prefix-sum; the oracle replays the identical lag
-    expansion with the same coefficient literals."""
+    tests).  The EWMA is the 8-term WINDOW-SEEDED recursion (pandas
+    ewm(adjust=False) seeding — exact for histories within the window;
+    st17's stateful stream carries the exact recursion unboundedly) —
+    the unbounded form would need Python-per-key or an overflowing
+    prefix-sum; the oracle replays the identical lag expansion with
+    the same coefficient literals."""
     from .operators.features import rolling_features
 
     ev = load_table(spark, sf_dir, "events")
@@ -1967,22 +1969,30 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_rolling_features(alpha: float = 0.3, terms: int = 8) -> str:
-    cs = [alpha * (1.0 - alpha) ** i for i in range(terms)]
-    num = " + ".join(
-        f"coalesce({'value' if i == 0 else f'lag(value, {i}) over w'}"
-        f" * {c!r}, 0.0)"
-        for i, c in enumerate(cs))
-    den = " + ".join(
-        f"case when {'value' if i == 0 else f'lag(value, {i}) over w'}"
-        f" is not null then {c!r} else 0.0 end"
-        for i, c in enumerate(cs))
+    # the window-seeded convention: lag i weighs alpha*(1-alpha)^i,
+    # except the oldest visible observation (no older lag, or the
+    # window edge i = terms-1) which takes the full (1-alpha)^i mass —
+    # identical coefficient literals and summation order as the
+    # operator (0.0 + term_0 + term_1 + ...)
+    parts = []
+    for i in range(terms):
+        x = "value" if i == 0 else f"lag(value, {i}) over w"
+        full = float((1.0 - alpha) ** i)
+        part = float(alpha * (1.0 - alpha) ** i)
+        if i == terms - 1:
+            c = f"{full!r}"
+        else:
+            older = f"lag(value, {i + 1}) over w"
+            c = f"(case when {older} is null then {full!r} else {part!r} end)"
+        parts.append(f"coalesce({x} * {c}, 0.0)")
+    num = " + ".join(["0.0"] + parts)
     return f"""
 select user_id::BIGINT as user_id, event_id::BIGINT as event_id,
        round(lag(value) over w, 6) as lag1,
        round(avg(value) over (partition by user_id order by ts, event_id
                               rows between 4 preceding and current row),
              6) as ma5,
-       round(({num}) / ({den}), 6) as ewma
+       round({num}, 6) as ewma
 from events
 window w as (partition by user_id order by ts, event_id)
 order by user_id, event_id
@@ -2079,6 +2089,52 @@ def q_asha_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "starts_complete boolean, promos_unique boolean, "
         "rungs_nested boolean, winner_is_argmin boolean, "
         "pool_overlapped boolean")
+
+
+def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 (streaming rolling features — the ingest twin of x87, and
+    the half of the duality batch can't have: state carries the EWMA
+    forward, so the stream computes the EXACT recursion
+    s_i = a·x_i + (1-a)·s_{i-1} that the batch operator deliberately
+    truncates).  `streaming/stateful.rolling_features_stream`, drained
+    append-mode; the oracle replays the exact recursion as a recursive
+    CTE with the same coefficient literals and IEEE operand order."""
+    from .streaming import read_events_stream
+    from .streaming.events import run_to_memory_sink
+    from .streaming.stateful import rolling_features_stream
+
+    st = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        rolling_features_stream(st, alpha=0.3),
+        f"st17_feat_{abs(hash(sf_dir)) % 997}", output_mode="append")
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("event_id").cast("long").alias("event_id"),
+                       F.round("lag1", 6).alias("lag1"),
+                       F.round("ewma", 6).alias("ewma"))
+            .orderBy("user_id", "event_id"))
+
+
+def sql_stream_features(alpha: float = 0.3) -> str:
+    a, b = float(alpha), float(1.0 - alpha)
+    return f"""
+with recursive base as (
+  select user_id, event_id, value::DOUBLE as value,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn
+  from events),
+r as (
+  select user_id, event_id, value, rn,
+         cast(null as double) as lag1, value as ewma
+  from base where rn = 1
+  union all
+  select b2.user_id, b2.event_id, b2.value, b2.rn,
+         r.value as lag1,
+         {a!r} * b2.value + {b!r} * r.ewma as ewma
+  from base b2 join r on b2.user_id = r.user_id and b2.rn = r.rn + 1)
+select user_id::BIGINT as user_id, event_id::BIGINT as event_id,
+       round(lag1, 6) as lag1, round(ewma, 6) as ewma
+from r order by user_id, event_id
+"""
 
 
 NEAR_DUP_BANDS = 4
@@ -7117,6 +7173,7 @@ def queries() -> dict:
         "x87_rolling_features": q_rolling_features,
         "x88_vocab_coverage": q_vocab_coverage,
         "e16_asha_pool": q_asha_pool,
+        "st17_stream_features": q_stream_features,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7396,6 +7453,7 @@ def oracle_sql() -> dict[str, str]:
         "st16_stream_dedup": SQL_STREAM_DEDUP,
         "x87_rolling_features": sql_rolling_features(),
         "x88_vocab_coverage": SQL_VOCAB_COVERAGE,
+        "st17_stream_features": sql_stream_features(),
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

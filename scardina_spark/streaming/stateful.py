@@ -158,3 +158,73 @@ def scd2_stream(events: DataFrame, key_col: str = "user_id",
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", timeout))
+
+
+def rolling_features_stream(events: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", val_col: str = "value",
+                            id_col: str = "event_id",
+                            alpha: float = 0.3,
+                            state_timeout_ms: int | None = None
+                            ) -> DataFrame:
+    """Streaming per-key rolling features — the ingest-time twin of
+    ``operators/features.rolling_features``, and the half of the
+    duality the batch operator cannot have: the stream carries the
+    EWMA state forward, so it computes the EXACT recursion
+    ``s_i = alpha·x_i + (1-alpha)·s_{i-1}`` (seeded ``s_1 = x_1``, the
+    standard convention) that the batch form deliberately TRUNCATES
+    (a batch window can't see unboundedly far back without Python or
+    overflowing prefix sums; state makes "unboundedly far back" one
+    tuple per key).
+
+    Emits one row per event — ``(key, id, ts, value, lag1, ewma)``,
+    append mode (a row's features are final the moment its event is
+    folded).  Events inside a micro-batch are sorted ``(ts, id)``;
+    cross-batch regressions (an event older than the key's last folded
+    one) are DROPPED, the same watermark-style late policy as
+    ``scd2_stream`` — folding them would corrupt every later EWMA.
+    State is ``(last_ts, last_val, ewma)`` per key;
+    ``state_timeout_ms`` bounds it at the ingest horizon (an evicted
+    key restarts its recursion — the documented trade)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values([ts_col, id_col])
+        if state.exists:
+            last_ns, last_val, ewma = state.get
+            has = True
+        else:
+            last_ns, last_val, ewma, has = None, None, None, False
+        out: list[tuple] = []
+        for _, row in batch.iterrows():
+            t_ns = int(pd.Timestamp(row[ts_col]).value)
+            if has and t_ns < last_ns:
+                continue                      # late arrival: drop
+            x = float(row[val_col])
+            ewma = x if not has else alpha * x + (1.0 - alpha) * ewma
+            out.append((key[0], int(row[id_col]), row[ts_col], x,
+                        last_val, ewma))
+            last_ns, last_val, has = t_ns, x, True
+        state.update((last_ns, last_val, ewma))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if out:
+            yield pd.DataFrame(out, columns=[
+                key_col, id_col, ts_col, val_col, "lag1", "ewma"])
+
+    out_schema = (f"{key_col} bigint, {id_col} bigint, "
+                  f"{ts_col} timestamp, {val_col} double, "
+                  f"lag1 double, ewma double")
+    state_schema = "last_ns bigint, last_val double, ewma double"
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", timeout))

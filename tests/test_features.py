@@ -27,13 +27,13 @@ def test_crafted_lag_ma_ewma(spark):
     assert out[0]["lag1"] is None and out[1]["lag1"] == 10.0
     assert out[0]["ma2"] == 10.0 and out[1]["ma2"] == 15.0
     assert out[3]["ma2"] == 35.0
-    # ewma, alpha=.5, 3 terms, renormalized head:
-    # row0: just itself -> 10
+    # ewma, alpha=.5, 3 terms, window-seeded (= the exact recursion
+    # while the history fits the window)
     assert abs(out[0]["ewma"] - 10.0) < 1e-9
-    # row2: (.5*30 + .25*20 + .125*10) / .875
-    assert abs(out[2]["ewma"] - (15 + 5 + 1.25) / 0.875) < 1e-9
-    # row3 uses only the last 3 observations (truncation drops row0)
-    assert abs(out[3]["ewma"] - (20 + 7.5 + 2.5) / 0.875) < 1e-9
+    assert abs(out[1]["ewma"] - 15.0) < 1e-9           # .5*20 + .5*10
+    assert abs(out[2]["ewma"] - 22.5) < 1e-9           # .5*30+.25*20+.25*10
+    # row3: the window edge re-seeds at row1 (exact would be 31.25)
+    assert abs(out[3]["ewma"] - (20 + 7.5 + 5.0)) < 1e-9
 
 
 def test_layout_invariant_on_events(spark, tables):

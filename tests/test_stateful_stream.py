@@ -210,3 +210,68 @@ def test_scd2_stream_drops_late_cross_batch_event(spark, tmp_path):
     assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "A", 2)
     assert r["valid_from"] == _m(0)
     assert r["valid_to"] == _m(7)
+
+
+def test_rolling_features_stream_exact_across_batches(spark, tmp_path):
+    """The EWMA recursion continues ACROSS micro-batches from state
+    (exactly — not the batch operator's truncated form), lag1 carries
+    over, and a late cross-batch event is dropped."""
+    from datetime import datetime
+
+    from scardina_spark.streaming.events import run_to_memory_sink
+    from scardina_spark.streaming.stateful import rolling_features_stream
+
+    def _m(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    d = str(tmp_path / "feat")
+    schema = ("user_id bigint, event_type string, ts timestamp, "
+              "event_id bigint, value double")
+    b1 = [(1, "e", _m(0), 0, 10.0), (1, "e", _m(1), 1, 20.0)]
+    b2 = [(1, "e", _m(2), 2, 30.0),
+          (1, "e", _m(0), 9, 99.0)]        # late: older than last folded
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        d, mode="overwrite")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d))
+    out = run_to_memory_sink(
+        rolling_features_stream(st, alpha=0.5),
+        "feat_stream_test", output_mode="append")
+    rows = {r["event_id"]: (r["lag1"], r["ewma"])
+            for r in out.collect()}
+    assert set(rows) == {0, 1, 2}          # event 9 dropped as late
+    assert rows[0] == (None, 10.0)
+    assert rows[1] == (10.0, 15.0)         # .5*20 + .5*10
+    assert rows[2] == (20.0, 22.5)         # continues from state: .5*30+.5*15
+
+
+def test_rolling_features_stream_vs_batch_window_seeding(spark, tables):
+    """Duality pin on the real events table: within the first K
+    observations of a key, the batch window-seeded EWMA EQUALS the
+    stream's exact recursion (to the 6-dp rounding); beyond the window
+    they diverge by at most the pretend-seed's misassigned mass,
+    (1-alpha)^(K-1) * 2 * max|x|."""
+    from pyspark.sql import Window, functions as F
+
+    from scardina_spark.operators.features import rolling_features
+    from scardina_spark.queries import q_stream_features
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+    stream = {(r["user_id"], r["event_id"]): r["ewma"]
+              for r in q_stream_features(spark, sf).collect()}
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = rolling_features(tables["events"], "user_id", "ts", "value",
+                             tiebreak=["event_id"], alpha=0.3,
+                             ewma_terms=8
+                             ).withColumn("rn", F.row_number().over(w))
+    scale = batch.agg(F.max(F.abs("value"))).first()[0]
+    bound = (1 - 0.3) ** 7 * 2 * scale + 1e-6
+    for r in batch.collect():
+        d = abs(r["ewma"] - stream[(r["user_id"], r["event_id"])])
+        if r["rn"] <= 8:
+            assert d < 1e-5, (r["user_id"], r["event_id"], d)
+        else:
+            assert d <= bound, (r["user_id"], r["event_id"], d)
