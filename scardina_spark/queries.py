@@ -2137,6 +2137,54 @@ from r order by user_id, event_id
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 (robust per-group outlier scoring — median/MAD modified
+    z-scores + winsorized clipping, `profile.robust_outliers`: the
+    heavy-tail-safe complement to x80's mean/std battery — outliers
+    can't drag the scale estimate they're judged against).  Two exact
+    grouped percentiles + two broadcast joins of group-domain-sized
+    stat relations.  The oracle replays with quantile_cont (the same
+    linear interpolation as Spark's percentile) and the identical
+    0.6745 constant."""
+    from .operators.profile import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_outliers(ev, "user_id", "value",
+                          id_cols=["event_id"])
+    return (out.select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("event_id").cast("long").alias("event_id"),
+                       F.round("value", 6).alias("value"),
+                       F.round("robust_z", 6).alias("robust_z"),
+                       "is_outlier",
+                       F.round("clipped", 6).alias("clipped"))
+            .orderBy("user_id", "event_id"))
+
+
+SQL_ROBUST_OUTLIERS = """
+with med as (
+  select user_id,
+         quantile_cont(value, 0.5) as med,
+         quantile_cont(value, 0.05) as lo,
+         quantile_cont(value, 0.95) as hi
+  from events group by user_id),
+mad as (
+  select e.user_id,
+         quantile_cont(abs(e.value - m.med), 0.5) as mad
+  from events e join med m using (user_id) group by e.user_id),
+z as (
+  select e.user_id, e.event_id, e.value::DOUBLE as value,
+         case when d.mad > 0
+              then 0.6745 * (e.value - m.med) / d.mad end as rz,
+         greatest(least(e.value::DOUBLE, m.hi), m.lo) as clipped
+  from events e join med m using (user_id) join mad d using (user_id))
+select user_id::BIGINT as user_id, event_id::BIGINT as event_id,
+       round(value, 6) as value, round(rz, 6) as robust_z,
+       coalesce(abs(rz) > 3.5, false) as is_outlier,
+       round(clipped, 6) as clipped
+from z order by user_id, event_id
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -7174,6 +7222,7 @@ def queries() -> dict:
         "x88_vocab_coverage": q_vocab_coverage,
         "e16_asha_pool": q_asha_pool,
         "st17_stream_features": q_stream_features,
+        "x89_robust_outliers": q_robust_outliers,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7454,6 +7503,7 @@ def oracle_sql() -> dict[str, str]:
         "x87_rolling_features": sql_rolling_features(),
         "x88_vocab_coverage": SQL_VOCAB_COVERAGE,
         "st17_stream_features": sql_stream_features(),
+        "x89_robust_outliers": SQL_ROBUST_OUTLIERS,
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

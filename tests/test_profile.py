@@ -130,3 +130,44 @@ def test_chisq_drift_degenerate(spark):
     empty = spark.createDataFrame([], "c: string")
     with pytest.raises(ValueError):
         chisq_drift(empty, same, "c")
+
+
+def test_robust_outliers_crafted(spark):
+    """Median/MAD semantics: a planted spike is flagged, the spike
+    cannot drag the scale (unlike mean/std), zero-MAD groups yield
+    NULL z and no flags, winsorizing clips to the in-group quantiles."""
+    from scardina_spark.operators.profile import robust_outliers
+    rows = ([(1, i, 10.0 + (i % 5)) for i in range(20)]  # values 10..14
+            + [(1, 99, 1000.0)]                          # the spike
+            + [(2, i, 7.0) for i in range(10)])          # constant group
+    df = spark.createDataFrame(rows, "g: long, i: long, v: double")
+    out = {(r["g"], r["i"]): r for r in
+           robust_outliers(df, "g", "v", id_cols=["i"]).collect()}
+    assert out[(1, 99)]["is_outlier"]
+    flagged = [k for k, r in out.items() if r["is_outlier"]]
+    assert flagged == [(1, 99)]
+    # constant group: mad == 0 -> NULL z, no flags
+    assert out[(2, 0)]["robust_z"] is None
+    assert not out[(2, 0)]["is_outlier"]
+    # the spike is clipped to the group's 95th percentile
+    assert out[(1, 99)]["clipped"] < 1000.0
+    assert out[(1, 0)]["clipped"] >= 10.0
+
+
+def test_robust_outliers_broadcasts_stats(spark, tables):
+    """Scale pin: both stat relations join back via broadcast — no
+    sort-merge on the fact rows."""
+    from scardina_spark.operators.profile import robust_outliers
+    plan = (robust_outliers(tables["events"], "user_id", "value",
+                            id_cols=["event_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_robust_outliers_validates(spark, tables):
+    import pytest
+    from scardina_spark.operators.profile import robust_outliers
+    with pytest.raises(ValueError, match="winsor"):
+        robust_outliers(tables["events"], "user_id", "value",
+                        winsor=(0.9, 0.1))
