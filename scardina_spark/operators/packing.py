@@ -135,3 +135,36 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int,
         "chunk_id",
         F.array_join("__ctoks__", " ").alias("chunk_text"),
         F.size("__ctoks__").alias("n_chunk_toks"))
+
+
+def shard_plan(df: DataFrame, n_shards: int,
+               tokens_col: str = "n_toks", id_col: str = "doc_id",
+               ) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards with near-equal
+    token budgets — the corpus EXPORT step after selection/packing
+    (training jobs read one shard per data-parallel rank, so shard
+    imbalance is step-time imbalance).
+
+    Boustrophedon (serpentine) round-robin by global token rank: docs
+    sorted ``(tokens desc, id)`` deal out as ``0,1,..,S-1,S-1,..,1,0``
+    — each CONSECUTIVE 2S-block contributes one small+one large doc to
+    every shard, so shard totals differ by at most a few max-doc sizes
+    (the classic offline-balancing guarantee; exact bound asserted in
+    tests on real corpora).  The global rank comes from
+    ``prefix.with_global_index`` — partition-count prefix offsets, NOT
+    a one-partition window, so the sort scales.  Returns ``(id,
+    tokens, shard)``; the writer partitions by ``shard``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from .prefix import with_global_index
+
+    base = df.select(F.col(id_col), F.col(tokens_col).cast("long")
+                     .alias(tokens_col),
+                     (-F.col(tokens_col).cast("long")).alias("__neg__"))
+    idx = with_global_index(base, order_cols=["__neg__", id_col])
+    cycle = F.col("__idx__") % (2 * n_shards)
+    shard = F.when(cycle < n_shards, cycle).otherwise(
+        F.lit(2 * n_shards - 1) - cycle).cast("int")
+    return idx.select(F.col(id_col), F.col(tokens_col),
+                      shard.alias("shard"))

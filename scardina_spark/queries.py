@@ -2185,6 +2185,49 @@ from z order by user_id, event_id
 """
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 (balanced shard export — the corpus's LAST step: assign
+    docs to 8 output shards with near-equal token budgets, since
+    training ranks read one shard each and imbalance is step-time
+    imbalance).  `packing.shard_plan`: boustrophedon round-robin by
+    global token rank, the rank from `prefix.with_global_index`
+    (partition-offset prefix sums — never a one-partition window).
+    The oracle replays rank + the serpentine formula."""
+    from .operators.bpe import word_counts  # noqa: F401 (doc xref)
+    from .operators.packing import shard_plan
+    from .operators.textstats import lower_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.coalesce(lower_words("text"),
+                          F.array().cast("array<string>")))
+        .alias("n_toks"))
+    return (shard_plan(toks, n_shards=8)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_toks").cast("long").alias("n_toks"),
+                    "shard")
+            .orderBy("doc_id"))
+
+
+SQL_SHARD_PLAN = """
+with t as (
+  select doc_id,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                            '\\s+'),
+                         x -> x <> '')) as n_toks
+  from documents),
+r as (
+  select doc_id, n_toks,
+         row_number() over (order by n_toks desc, doc_id) - 1 as idx
+  from t)
+select doc_id::BIGINT as doc_id, n_toks::BIGINT as n_toks,
+       (case when idx % 16 < 8 then idx % 16
+             else 15 - idx % 16 end)::INT as shard
+from r order by doc_id
+"""
+
+
 NEAR_DUP_BANDS = 4
 NEAR_DUP_ROWS_PER_BAND = 8
 
@@ -7223,6 +7266,7 @@ def queries() -> dict:
         "e16_asha_pool": q_asha_pool,
         "st17_stream_features": q_stream_features,
         "x89_robust_outliers": q_robust_outliers,
+        "x90_shard_plan": q_shard_plan,
         "e15_perror_robustness": q_perror_robustness,
         "st12_stream_neardup": q_stream_neardup,
         "x61_wav_decode": q_wav_decode,
@@ -7504,6 +7548,7 @@ def oracle_sql() -> dict[str, str]:
         "x88_vocab_coverage": SQL_VOCAB_COVERAGE,
         "st17_stream_features": sql_stream_features(),
         "x89_robust_outliers": SQL_ROBUST_OUTLIERS,
+        "x90_shard_plan": SQL_SHARD_PLAN,
         "e15_perror_robustness": SQL_PERROR_ROBUSTNESS,
         # the incremental merge must reproduce x13's from-scratch
         # closure bit for bit — same oracle

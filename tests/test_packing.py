@@ -173,3 +173,36 @@ def test_chunk_overlap_invariants_across_lengths(spark):
             assert last["n_chunk_toks"] > 0 or n == 0
         else:
             assert len(got) == 1 and got[0]["n_chunk_toks"] == 0
+
+
+def test_shard_plan_balance_and_partition_layout(spark, tables):
+    """The serpentine deal's balance guarantee on the real corpus:
+    shard token totals differ by at most 2x the largest doc; every doc
+    lands in exactly one shard; assignment is layout-invariant."""
+    from pyspark.sql import functions as F
+
+    from scardina_spark.operators.packing import shard_plan
+    from scardina_spark.operators.textstats import lower_words
+    docs = tables["documents"].select(
+        "doc_id",
+        F.size(F.coalesce(lower_words("text"),
+                          F.array().cast("array<string>")))
+        .alias("n_toks"))
+    plan = shard_plan(docs, n_shards=8)
+    tot = {r["shard"]: r["t"] for r in
+           plan.groupBy("shard").agg(F.sum("n_toks").alias("t")).collect()}
+    assert set(tot) == set(range(8))
+    mx = docs.agg(F.max("n_toks")).first()[0]
+    assert max(tot.values()) - min(tot.values()) <= 2 * mx, (tot, mx)
+    assert plan.count() == docs.count()
+    a = {r["doc_id"]: r["shard"] for r in plan.collect()}
+    b = {r["doc_id"]: r["shard"] for r in
+         shard_plan(docs.repartition(11), n_shards=8).collect()}
+    assert a == b
+
+
+def test_shard_plan_validates(spark, tables):
+    import pytest
+    from scardina_spark.operators.packing import shard_plan
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_plan(tables["documents"], n_shards=0)
