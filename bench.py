@@ -482,15 +482,18 @@ def main() -> None:
     def build_cin() -> NarCinEstimator:
         big = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
         small = _TC(epochs=10, d_word=12, d_ff=48, batch_size=1024, seed=42)
-        # sequential across centers (the thread-parallel build inverts
-        # at data-bound scale — see build_cin_estimator).  localize=True
-        # so the chained path's HT cross-validation (sample_arbiter)
-        # runs as a few vectorized numpy passes per fragment.
+        # thread-parallel across centers: bench caps BLAS to 4 threads
+        # (top of file), which removes the sf0.1 inversion the
+        # sequential default guards against — measured 50.4s -> 36.3s
+        # this round, estimates bit-identical (see build_cin_estimator).
+        # localize=True so the chained path's HT cross-validation
+        # (sample_arbiter) runs as a few vectorized numpy passes per
+        # fragment.
         return build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
             lambda center: big if center == "lineitem" else small,
             sample_size=1000, max_rows=32_000, fact_threshold=8,
-            seed=42, localize=True)
+            seed=42, localize=True, parallel=True)
 
     nar_cin = timed("joblight_cin_train", build_cin)
     # gated arbiter since round 4 (same protocol as the jm NAR hybrid):
@@ -562,11 +565,20 @@ def main() -> None:
     # NAR-UR: one model per alternative, routed by edge support; zero
     # and CI clamps against the jm HT samples (same protocol as 2a'')
     def train_jm_ur():
-        return [train_join_estimator(
-            ts_, JM_UR_MODEL_COLUMNS,
-            _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42),
-            sample_size=500, max_rows=32_000, fact_threshold=8)
-            for ts_ in jm_ht.samples]
+        # two independent per-variant trainings — overlap them (same
+        # rationale/safety as the CIN builds: BLAS capped at 4,
+        # ex.map preserves order, per-model seeded RandomState)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(ts_):
+            return train_join_estimator(
+                ts_, JM_UR_MODEL_COLUMNS,
+                _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024,
+                    seed=42),
+                sample_size=500, max_rows=32_000, fact_threshold=8)
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            return list(ex.map(one, jm_ht.samples))
     jm_urs = timed("jm_nar_train", train_jm_ur)
     # Routing (measured, sf0.1): the suite's tail queries are supported
     # by exactly ONE alternative each (they predicate a specific parallel
@@ -615,24 +627,33 @@ def main() -> None:
     from scardina_spark.estimators.sample import cin_tree as _cin_tree
 
     def build_jm_cin() -> NarCinEstimator:
+        # thread-parallel for the same reason as the jl CIN build:
+        # under the 4-thread BLAS cap one model's Spark prep overlaps
+        # another's numpy fit; ex.map preserves item order, so the
+        # estimator (and every estimate) is identical to the
+        # sequential build
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
-        cin = NarCinEstimator()
         subs = [ss for ss in jm_sg.cin_subschemas().values()
                 if ss.center == "shipments"]
-        for ss in subs:
-            ts_ = prepare_tree_sample(ss, jm_tables, "shipments",
+        items = ([("shipments", ss, JM_CIN_SH_COLUMNS) for ss in subs]
+                 + [(c, _cin_tree(jm_sg, c), CIN_MODEL_COLUMNS[c])
+                    for c in ["lineitem", "orders", "supplier", "nation"]])
+
+        def one(item):
+            center, tree, cols = item
+            ts_ = prepare_tree_sample(tree, jm_tables, center,
                                       n_max=50_000, seed=42)
-            cin.add(train_join_estimator(
-                ts_, JM_CIN_SH_COLUMNS, cfg, sample_size=500,
-                max_rows=32_000, fact_threshold=8))
+            m = train_join_estimator(ts_, cols, cfg, sample_size=500,
+                                     max_rows=32_000, fact_threshold=8)
             ts_.localize()
-        for center in ["lineitem", "orders", "supplier", "nation"]:
-            ts_ = prepare_tree_sample(_cin_tree(jm_sg, center), jm_tables,
-                                      center, n_max=50_000, seed=42)
-            cin.add(train_join_estimator(
-                ts_, CIN_MODEL_COLUMNS[center], cfg, sample_size=500,
-                max_rows=32_000, fact_threshold=8))
-            ts_.localize()
+            return m
+
+        cin = NarCinEstimator()
+        with ThreadPoolExecutor(max_workers=len(items)) as ex:
+            for m in ex.map(one, items):
+                cin.add(m)
         return cin
     jm_cin = timed("jm_cin_train", build_jm_cin)
     jm_cin_ci = HybridEstimator(jm_cin, jm_ht, name="jm-cin-ci", mode="ci")

@@ -204,15 +204,19 @@ def build_cin_estimator(sg, tables, model_columns: dict,
 
     ``parallel=True`` runs centers on a thread pool, overlapping the
     Spark-side stages of one model with the driver-side numpy fitting of
-    another.  That wins only while the Spark jobs are overhead-dominated
-    (tiny inputs: ~1.5x at sf0.01); once the per-center jobs are
-    data-bound they compete for the same executor cores and the overlap
-    INVERTS (measured 2x SLOWER at sf0.1 on local[32], 85s vs 43s) — so
-    the default is sequential, which is also the right shape on a real
-    cluster where each prep stage already uses every executor.  Model
-    order (and therefore every estimate) is deterministic either way:
-    results are collected in ``model_columns`` iteration order, and each
-    trainer owns its own seeded RandomState.
+    another.  History of this knob: with OpenBLAS at its default
+    one-thread-per-core pool the overlap INVERTED at data-bound scale
+    (measured 2x SLOWER at sf0.1 on local[32], 85s vs 43s — each
+    trainer's BLAS spun 32 threads against the executor cores); with
+    BLAS capped to a few threads (bench.py sets
+    OPENBLAS/OMP_NUM_THREADS=4) the overlap wins at sf0.1 too
+    (measured 50.4s -> 36.3s, round 9), so callers that cap BLAS should
+    pass ``parallel=True``.  The default stays sequential — the safe
+    shape under an uncapped BLAS, and on a real cluster each prep stage
+    already uses every executor.  Model order (and therefore every
+    estimate) is deterministic either way: results are collected in
+    ``model_columns`` iteration order, each trainer owns its own seeded
+    RandomState, and seq==par estimates are verified bit-identical.
 
     ``cfg_for(center)`` returns the TrainConfig for one center.
     """
