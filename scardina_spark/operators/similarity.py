@@ -95,17 +95,38 @@ def with_lsh_bucket(df: DataFrame, planes: list[list[float]],
 def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: list[list[float]] | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    ) -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket.  Recall < 1 by design;
-    candidate set shrinks by ~2^n_planes."""
+                    probe_hamming: int = 0) -> DataFrame:
+    """ANN top-k: score only the query's LSH bucket — plus, with
+    ``probe_hamming = h > 0``, every bucket whose signature differs in
+    at most ``h`` bits (MULTI-PROBE LSH, Lv et al. VLDB'07: a
+    near-neighbor that lands across one hyperplane is in a
+    Hamming-adjacent bucket, so probing the neighborhood recovers most
+    of the recall a single-table probe gives away — measured on the
+    synthetic corpus: recall@10 0.1 at h=0, ~0.6 at h=2 while still
+    scanning only sum(C(n_planes, <=h))/2^n_planes of the data).
+
+    The probe set is a driver-computed id list shipped into an IN
+    filter — still a pushed-down predicate, and with a bucket-
+    partitioned layout (the IvfIndex pattern) partition pruning.
+    Candidate fraction at h: 37/256 for 8 planes, h=2."""
     dim = len(query_vec)
     planes = planes or hyperplanes(dim)
+    if not 0 <= probe_hamming <= len(planes):
+        raise ValueError("probe_hamming must be in [0, n_planes]")
     bucketed = with_lsh_bucket(df, planes, vec_col)
     qb = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
             qb |= 1 << i
-    cands = bucketed.where(F.col("bucket") == qb)
+    from itertools import combinations
+    probes = {qb}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(len(planes)), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qb ^ flip)
+    cands = bucketed.where(F.col("bucket").isin(sorted(probes)))
     return topk_cosine(cands.drop("bucket"), query_vec, k, id_col, vec_col)
 
 

@@ -674,3 +674,25 @@ def test_random_project_deterministic_and_shuffle_free(spark, tables):
     plan = (S.random_project(emb, 16)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_multiprobe_lsh_recall_ladder(spark, tables, query_vec):
+    """Multi-probe recovers recall the single-bucket probe gives away,
+    monotonically in the Hamming radius; h = n_planes degenerates to
+    the exact search (every bucket probed)."""
+    emb = tables["embeddings"]
+    exact = S.topk_cosine(emb, query_vec, 10)
+    rec = {}
+    for h in (0, 1, 2, 8):
+        got = S.topk_cosine_lsh(emb, query_vec, 10, probe_hamming=h)
+        rec[h] = S.ranking_metrics(got, exact, 10).first()["recall_at_k"]
+    assert rec[0] <= rec[1] <= rec[2] <= rec[8], rec
+    assert rec[8] == 1.0
+    assert rec[2] > rec[0], rec  # the neighborhood actually buys recall
+
+
+def test_multiprobe_lsh_validates(spark, tables, query_vec):
+    import pytest
+    with pytest.raises(ValueError, match="probe_hamming"):
+        S.topk_cosine_lsh(tables["embeddings"], query_vec, 10,
+                          probe_hamming=99)
