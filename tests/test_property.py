@@ -344,3 +344,78 @@ def test_scd2_merge_identity_on_random_streams(spark, events, cut):
         "k", "s", "valid_from", "valid_to", "n_events",
         "is_current").collect())
     assert got == full, (events, cut)
+
+
+@given(toks=st.lists(st.integers(0, 10_000), min_size=1, max_size=400),
+       s=st.integers(1, 16))
+@settings(max_examples=150, deadline=None)
+def test_serpentine_shard_balance_bound(toks, s):
+    """Driver twin of packing.shard_plan's serpentine deal: for ANY
+    token multiset and shard count, totals differ by at most 2 max-doc
+    sizes and every doc is dealt exactly once."""
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    shard = {}
+    for idx, doc in enumerate(order):
+        c = idx % (2 * s)
+        shard[doc] = c if c < s else 2 * s - 1 - c
+    assert len(shard) == len(toks)
+    tot = [0] * s
+    for doc, sh in shard.items():
+        tot[sh] += toks[doc]
+    if len(toks) >= s:      # fewer docs than shards: some stay empty
+        assert max(tot) - min(tot) <= 2 * max(toks), (tot, max(toks))
+
+
+@given(n=st.integers(1, 4000), pre=st.sampled_from("abc"))
+@settings(max_examples=80, deadline=None)
+def test_hll_driver_twin_error_band(n, pre):
+    """Driver twin of sketches.hll_registers/hll_estimate over the same
+    md5-prefix hash: relative error stays under 0.45 across the whole
+    cardinality range INCLUDING the linear-counting -> raw estimator
+    transition region (~2m, the classic HLL weak spot that HLL++'s
+    bias table shaves; 1.04/sqrt(64) = 13% is the asymptotic sigma)."""
+    import hashlib
+    import math as m
+
+    ALPHA, M, WB = 0.709, 64, 26
+    regs: dict[int, int] = {}
+    for i in range(n):
+        h = int(hashlib.md5(f"{pre}{i}".encode()).hexdigest()[:8], 16)
+        idx, w = h >> WB, h % (1 << WB)
+        rho = WB + 1 if w == 0 else WB + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    zeros = M - len(regs)
+    raw = ALPHA * M * M / (sum(2.0 ** -r for r in regs.values()) + zeros)
+    est = M * m.log(M / zeros) if (raw <= 2.5 * M and zeros > 0) else raw
+    assert abs(est - n) / n <= 0.45, (n, pre, est)
+
+
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
+                     max_size=40),
+       alpha=st.floats(0.05, 1.0), k=st.integers(1, 12))
+@settings(max_examples=150, deadline=None)
+def test_window_seeded_ewma_twin(vals, alpha, k):
+    """The window-seeded EWMA coefficients (features.rolling_features)
+    equal the exact recursion RE-SEEDED at the window start — and the
+    plain exact recursion whenever the history fits the window."""
+    outs = []
+    for n in range(1, len(vals) + 1):
+        lo = max(0, n - k)
+        s = vals[lo]                       # seed = oldest in window
+        for x in vals[lo + 1:n]:
+            s = alpha * x + (1.0 - alpha) * s
+        outs.append(s)
+        # closed-form coefficient replay (the operator's expression)
+        acc = 0.0
+        for i in range(min(k, n)):
+            xi = vals[n - 1 - i]
+            oldest = (i == k - 1) or (n - 1 - i == 0)
+            ci = (1.0 - alpha) ** i if oldest else \
+                alpha * (1.0 - alpha) ** i
+            acc += xi * ci
+        assert math.isclose(acc, s, rel_tol=1e-9, abs_tol=1e-9), (n, acc, s)
+    # full-history agreement while n <= k
+    s = vals[0]
+    for j, x in enumerate(vals[1:min(len(vals), k)], start=1):
+        s = alpha * x + (1.0 - alpha) * s
+        assert math.isclose(outs[j], s, rel_tol=1e-9, abs_tol=1e-9)
