@@ -459,6 +459,87 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN search over the embeddings table by any family member:
+    exact / LSH (optionally multi-probe) / IVF / PQ (ADC + refine)."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators import similarity as SIM
+    spark = _spark()
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(
+        F.col("vec_id") == args.query_id).first()["embedding"]]
+    if args.method == "exact":
+        out = SIM.topk_cosine(emb, qv, args.k)
+    elif args.method == "lsh":
+        out = SIM.topk_cosine_lsh(emb, qv, args.k,
+                                  probe_hamming=args.probe_hamming)
+    elif args.method == "ivf":
+        out = SIM.topk_cosine_ivf(emb, qv, args.k, nprobe=args.nprobe)
+    else:  # pq
+        books = SIM.pq_train(emb, m=args.pq_m, k_codes=args.pq_codes,
+                             iters=2)
+        enc = SIM.pq_encode(emb, books)
+        out = SIM.pq_topk_rerank(enc, emb, books, qv, args.k,
+                                 shortlist=args.shortlist)
+    rows = out.collect()
+    score = [c for c in out.columns if c != "vec_id"][0]
+    print(json.dumps({"method": args.method, "k": args.k,
+                      "hits": [{"vec_id": r["vec_id"],
+                                score: r[score]} for r in rows]}))
+    return 0
+
+
+def cmd_shard(args) -> int:
+    """Plan balanced output shards by token budget and write the corpus
+    partitioned by shard."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.packing import shard_plan
+    from .operators.textstats import lower_words
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.size(F.coalesce(lower_words("text"),
+                                         F.array().cast("array<string>")))
+                       .alias("n_toks"))
+    plan = shard_plan(toks, n_shards=args.n_shards)
+    (docs.join(plan.select("doc_id", "shard"), "doc_id")
+     .write.partitionBy("shard").mode("overwrite").parquet(args.out))
+    stats = (spark.read.parquet(args.out)
+             .join(plan.select("doc_id", "n_toks"), "doc_id")
+             .groupBy("shard").agg(F.sum("n_toks").alias("toks"),
+                                   F.count(F.lit(1)).alias("docs"))
+             .orderBy("shard").collect())
+    print(json.dumps({"out": args.out, "n_shards": args.n_shards,
+                      "shards": [{"shard": r["shard"],
+                                  "docs": r["docs"],
+                                  "tokens": int(r["toks"])}
+                                 for r in stats]}))
+    return 0
+
+
+def cmd_outliers(args) -> int:
+    """Robust per-group outlier report (median/MAD modified z)."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+    from .operators.profile import robust_outliers
+    spark = _spark()
+    df = load_table(spark, args.sf_dir, args.table)
+    out = robust_outliers(df, args.key, args.col, z_cut=args.z_cut)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).alias("flagged")).first()
+    print(json.dumps({"table": args.table, "key": args.key,
+                      "col": args.col, "z_cut": args.z_cut,
+                      "n_rows": row["n"],
+                      "n_outliers": int(row["flagged"])}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators import ExactEstimator, SampleEstimator, prepare_tree_sample
@@ -747,6 +828,35 @@ def main(argv=None) -> int:
                         "--merge-into --since at the same boundary "
                         "for the CDC loop)")
     p.set_defaults(fn=cmd_scd2)
+
+    p = sub.add_parser("ann")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--query-id", type=int, default=0)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--method", default="exact",
+                   choices=["exact", "lsh", "ivf", "pq"])
+    p.add_argument("--probe-hamming", type=int, default=0,
+                   help="lsh: probe buckets within this Hamming radius")
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--pq-m", type=int, default=8)
+    p.add_argument("--pq-codes", type=int, default=16)
+    p.add_argument("--shortlist", type=int, default=50,
+                   help="pq: ADC shortlist size before exact refine")
+    p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser("shard")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-shards", type=int, default=8)
+    p.set_defaults(fn=cmd_shard)
+
+    p = sub.add_parser("outliers")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--table", default="events")
+    p.add_argument("--key", default="user_id")
+    p.add_argument("--col", default="value")
+    p.add_argument("--z-cut", type=float, default=3.5)
+    p.set_defaults(fn=cmd_outliers)
 
     p = sub.add_parser("drift")
     p.add_argument("--sf-dir", required=True)

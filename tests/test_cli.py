@@ -198,3 +198,35 @@ def test_cli_drift_both_tests(capsys, spark, sf_dir):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["test"] == "chisq" and out["chi2"] >= 0.0
+
+
+def test_cli_ann_methods(capsys, spark, sf_dir):
+    for method, extra in (("exact", []), ("lsh", ["--probe-hamming", "2"]),
+                          ("pq", ["--shortlist", "50"])):
+        rc = main(["ann", "--sf-dir", sf_dir, "--method", method] + extra)
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["method"] == method and len(out["hits"]) == 10
+        assert out["hits"][0]["vec_id"] == 0  # the query vector itself
+
+
+def test_cli_shard_balanced_write(capsys, spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "shards")
+    rc = main(["shard", "--sf-dir", sf_dir, "--out", out_dir,
+               "--n-shards", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    toks = [s["tokens"] for s in out["shards"]]
+    assert len(toks) == 4 and max(toks) - min(toks) < 200
+    # the write is really partitioned by shard
+    import os
+    assert sorted(d for d in os.listdir(out_dir)
+                  if d.startswith("shard=")) == [f"shard={i}"
+                                                 for i in range(4)]
+
+
+def test_cli_outliers(capsys, spark, sf_dir):
+    rc = main(["outliers", "--sf-dir", sf_dir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] > 0 and 0 <= out["n_outliers"] < out["n_rows"]
