@@ -796,3 +796,24 @@ def random_project(df: DataFrame, out_dim: int = 16, seed: int = 42,
     mat = projection_matrix(in_dim, out_dim, seed)
     proj = F.array(*[dot(F.col(vec_col), _lit_vec(r)) for r in mat])
     return df.withColumn(out_col, proj).drop(vec_col)
+
+
+def derive_pq_params(n_rows: int, dim: int) -> tuple[int, int, int]:
+    """Pick ``(m, k_codes, shortlist)`` from corpus size and dimension —
+    the PQ sibling of :func:`derive_ivf_params`.
+
+    m = dim/8 subspaces (8-dim subvectors, the FAISS-default
+    granularity: fine enough that per-subspace k-means stays
+    informative, coarse enough that codes stay a few bytes); k_codes
+    = 16 below 100k vectors (seeded k-means needs members per cell)
+    else 256 (the one-byte ceiling — and at that size each subspace
+    quantizer is trained on plenty); refine shortlist = max(100,
+    n/1000) capped at 10k — a fixed multiple of k on clustered real
+    corpora per the FAISS refine guidance, with the floor sized for
+    adversarially unclustered data (this repo's synthetic corpus needs
+    ~10% at tiny n, which the floor covers; the FRACTION needed shrinks
+    as codebooks grow into their budget at real scale)."""
+    m = max(4, dim // 8)
+    k_codes = 16 if n_rows < 100_000 else 256
+    shortlist = min(10_000, max(100, n_rows // 1000))
+    return m, k_codes, shortlist

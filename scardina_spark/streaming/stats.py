@@ -294,3 +294,40 @@ def token_account_stream(docs: DataFrame, merges: list[tuple[str, str]],
     return (toks.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_bpe").alias("total_bpe")))
+
+
+def maintain_hll_registers(stream: DataFrame, col: str, state_dir: str,
+                           p: int | None = None,
+                           group_cols: list[str] | None = None,
+                           timeout_sec: int = 120) -> None:
+    """Drain ``stream`` (availableNow) maintaining per-group HyperLogLog
+    registers under ``state_dir`` — the fixed-size sibling of
+    :func:`maintain_kmv_sketch`, same exactly-once shape: each
+    micro-batch overwrites only its own ``batch_id=`` delta, and because
+    registers are a max-semigroup (`sketches.hll_fold`) the current
+    sketch is a read-time fold of the deltas.  Each delta is
+    O(groups × 2^p) regardless of batch size."""
+    from ..operators.sketches import HLL_P, hll_registers
+
+    pp = HLL_P if p is None else p
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (hll_registers(batch_df, col, pp, group_cols)
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch_id={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{state_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    _await_drained(q, timeout_sec)
+
+
+def read_hll_registers(spark: SparkSession, state_dir: str,
+                       group_cols: list[str] | None = None) -> DataFrame:
+    """Current registers: max-fold of every batch delta — identical to
+    the registers of the union of all batches (test-pinned)."""
+    from ..operators.sketches import hll_fold
+
+    deltas = _read_deltas(spark, state_dir)
+    return hll_fold(deltas, group_cols)

@@ -696,3 +696,12 @@ def test_multiprobe_lsh_validates(spark, tables, query_vec):
     with pytest.raises(ValueError, match="probe_hamming"):
         S.topk_cosine_lsh(tables["embeddings"], query_vec, 10,
                           probe_hamming=99)
+
+
+def test_derive_pq_params_shapes(spark):
+    m, k, sl = S.derive_pq_params(500, 64)
+    assert (m, k, sl) == (8, 16, 100)
+    m, k, sl = S.derive_pq_params(10**9, 1024)
+    assert m == 128 and k == 256 and sl == 10_000
+    # derived params actually run end-to-end on the corpus shape
+    assert 64 % S.derive_pq_params(500, 64)[0] == 0

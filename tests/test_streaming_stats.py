@@ -324,3 +324,30 @@ def test_token_account_stream_single_stateful_op(spark, sf_dir):
     assert st.isStreaming
     plan = st._jdf.queryExecution().analyzed().toString()
     assert plan.count("Aggregate") == 1, plan
+
+
+def test_streamed_hll_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Streamed register maintenance == one batch pass, bit-for-bit,
+    and therefore the estimates agree exactly (the max-semigroup
+    property, the HLL leg of the st8 pattern)."""
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.sketches import (
+        approx_distinct_hll, hll_estimate, hll_registers)
+    from scardina_spark.streaming import read_events_stream
+    from scardina_spark.streaming.stats import (
+        maintain_hll_registers, read_hll_registers)
+
+    state = str(tmp_path / "hll_state")
+    maintain_hll_registers(read_events_stream(spark, sf_dir), "user_id",
+                           state, group_cols=["event_type"])
+    streamed = read_hll_registers(spark, state,
+                                  group_cols=["event_type"])
+    ev = load_table(spark, sf_dir, "events")
+    batch = hll_registers(ev, "user_id", group_cols=["event_type"])
+    assert (sorted(tuple(r) for r in streamed.collect())
+            == sorted(tuple(r) for r in batch.collect()))
+    a = sorted(tuple(r) for r in hll_estimate(
+        streamed, group_cols=["event_type"]).collect())
+    b = sorted(tuple(r) for r in approx_distinct_hll(
+        ev, "user_id", group_cols=["event_type"]).collect())
+    assert a == b
