@@ -7175,10 +7175,12 @@ def queries() -> dict:
     # the ledger) plus the 4 oldest driver-unchecked round-8 keys —
     # exactly 50, so after this round no key's latest driver row is
     # older than r07.  Everything past the cap is the r10 schedule,
-    # stalest-first (remaining round-8 keys owed a driver row, then the
-    # r07-green block, then the just-gated r08 window), keeping the
+    # stalest-first (round-8 then round-9 keys owed a driver row, then
+    # the r07-green block, then the just-gated r08 window), keeping the
     # <=2-round worst-case staleness invariant.  Key names are stable
-    # across rounds.
+    # across rounds.  Registry growth is ~11 keys/round against a
+    # 50-row window — if it keeps growing, widen the window or retire
+    # redundant keys before the staleness math breaks (~r12).
     return {
         # --- window: the r09 gate — the full r06-green block (46
         # keys, 3-round staleness if skipped) plus the 4 oldest
@@ -7234,10 +7236,13 @@ def queries() -> dict:
         "st13_stream_media": q_stream_media_decode,
         "x67_unimax_plan": q_unimax_plan,
         # --- past the cap: the r10 schedule, stalest-first.  First
-        # the remaining driver-unchecked round-8 keys (e14, x68-x82,
-        # st14/st15, e15 — judge-verified or suite-pinned in r8 but
-        # still owed a driver row), then the r07-green block, then
-        # the just-gated r08 window. ---
+        # the driver-unchecked keys: the round-8 additions (e14,
+        # x68-x82, st14/st15, e15 — judge-verified or suite-pinned in
+        # r8 but still owed a driver row) interleaved with the round-9
+        # additions (x83-x90, st16/st17, e16 — every one pre-flighted
+        # green against its oracle at sf0.001 AND sf0.01 this round;
+        # e16 rows-only by design, see its docstring), then the
+        # r07-green block, then the just-gated r08 window. ---
         "e14_asha_async": q_asha_async,
         "x68_bpe_apply": q_bpe_apply,
         "x69_scd2_history": q_scd2_history,
