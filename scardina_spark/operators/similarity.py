@@ -817,3 +817,80 @@ def derive_pq_params(n_rows: int, dim: int) -> tuple[int, int, int]:
     k_codes = 16 if n_rows < 100_000 else 256
     shortlist = min(10_000, max(100, n_rows // 1000))
     return m, k_codes, shortlist
+
+
+@dataclass
+class LshIndex:
+    """Materialized sign-LSH index: the bucketed vectors written
+    PARTITIONED BY bucket plus the plane seed/shape — the layout that
+    turns :func:`topk_cosine_lsh`'s probe filter (single-bucket or
+    multi-probe Hamming neighborhood) into PARTITION PRUNING: a
+    Hamming-2 probe at 8 planes reads 37 of 256 partitions' files and
+    none of the rest.  Planes persist as (dim, n_planes, seed) — they
+    are a pure function of those three ints (:func:`hyperplanes`), so
+    the metadata is one JSON row, not a matrix."""
+
+    bucketed: "DataFrame"
+    planes: list[list[float]]
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def save(self, path: str) -> None:
+        import os
+        (self.bucketed.write.partitionBy("bucket")
+         .mode("overwrite").parquet(os.path.join(path, "buckets")))
+        spark = self.bucketed.sparkSession
+        meta = spark.createDataFrame(
+            [(len(self.planes[0]), len(self.planes), self._seed,
+              self.id_col, self.vec_col)], _LSH_META_SCHEMA)
+        meta.coalesce(1).write.mode("overwrite") \
+            .json(os.path.join(path, "meta"))
+
+    _seed: int = 42
+
+
+_LSH_META_SCHEMA = ("dim int, n_planes int, seed int, id_col string, "
+                    "vec_col string")
+
+
+def lsh_build_index(df: DataFrame, n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> LshIndex:
+    """Bucket the corpus under the seeded planes — one shuffle-free
+    projection; the partitioned write happens in :meth:`LshIndex.save`."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return LshIndex(with_lsh_bucket(df, planes, vec_col), planes,
+                    id_col, vec_col, _seed=seed)
+
+
+def lsh_load_index(spark, path: str) -> LshIndex:
+    import os
+    r = (spark.read.schema(_LSH_META_SCHEMA)
+         .json(os.path.join(path, "meta")).first())
+    planes = hyperplanes(r["dim"], r["n_planes"], r["seed"])
+    return LshIndex(spark.read.parquet(os.path.join(path, "buckets")),
+                    planes, r["id_col"], r["vec_col"], _seed=r["seed"])
+
+
+def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
+                            k: int = 10, probe_hamming: int = 0
+                            ) -> DataFrame:
+    """Top-k over the materialized LSH index: the same probe-set
+    construction as :func:`topk_cosine_lsh`, landing on the partition
+    column — the scan touches only the probed buckets' files."""
+    from itertools import combinations
+    qb = 0
+    for i, p in enumerate(index.planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qb |= 1 << i
+    probes = {qb}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(len(index.planes)), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qb ^ flip)
+    cands = index.bucketed.where(F.col("bucket").isin(sorted(probes)))
+    return topk_cosine(cands.drop("bucket"), query_vec, k,
+                       index.id_col, index.vec_col)

@@ -705,3 +705,30 @@ def test_derive_pq_params_shapes(spark):
     assert m == 128 and k == 256 and sl == 10_000
     # derived params actually run end-to-end on the corpus shape
     assert 64 % S.derive_pq_params(500, 64)[0] == 0
+
+
+def test_lsh_index_roundtrip_and_partition_pruning(spark, tables,
+                                                   tmp_path, query_vec):
+    """Materialized LSH index: save/load round-trip answers exactly the
+    in-memory probe (single-bucket AND Hamming-2 multi-probe), and the
+    probe filter lands on the bucket PARTITION column — directory
+    pruning, not a data filter."""
+    import os
+    emb = tables["embeddings"]
+    idx = S.lsh_build_index(emb, n_planes=8, seed=42)
+    path = str(tmp_path / "lshidx")
+    idx.save(path)
+    assert any(d.startswith("bucket=")
+               for d in os.listdir(os.path.join(path, "buckets")))
+    loaded = S.lsh_load_index(spark, path)
+    for h in (0, 2):
+        mem = S.topk_cosine_lsh(emb, query_vec, 10, probe_hamming=h)
+        ind = S.topk_cosine_lsh_indexed(loaded, query_vec, 10,
+                                        probe_hamming=h)
+        assert (sorted(tuple(r) for r in mem.collect())
+                == sorted(tuple(r) for r in ind.collect())), h
+    plan = (S.topk_cosine_lsh_indexed(loaded, query_vec, 10,
+                                      probe_hamming=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf and "IN" in pf.upper()
