@@ -894,3 +894,74 @@ def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
     cands = index.bucketed.where(F.col("bucket").isin(sorted(probes)))
     return topk_cosine(cands.drop("bucket"), query_vec, k,
                        index.id_col, index.vec_col)
+
+
+@dataclass
+class PqIndex:
+    """Materialized PQ index: the CODES relation as parquet plus the
+    codebooks as JSON rows — the trio-completing sibling of
+    :class:`IvfIndex` (partition-pruned probes) and :class:`LshIndex`
+    (bucket partitions).  PQ's scan is deliberately whole-relation (ADC
+    reads every code — that's the point: m bytes/vector), so the layout
+    optimizes SIZE, not pruning; pair with :class:`IvfIndex` cells for
+    a pruned+compressed hybrid when both matter."""
+
+    codes: "DataFrame"
+    codebooks: list[list[list[float]]]
+    id_col: str = "vec_id"
+    codes_col: str = "pq_codes"
+
+    def save(self, path: str) -> None:
+        import os
+        self.codes.write.mode("overwrite").parquet(
+            os.path.join(path, "codes"))
+        spark = self.codes.sparkSession
+        meta = spark.createDataFrame(
+            [(j, [[float(x) for x in c] for c in book],
+              self.id_col, self.codes_col)
+             for j, book in enumerate(self.codebooks)], _PQ_META_SCHEMA)
+        meta.coalesce(1).write.mode("overwrite") \
+            .json(os.path.join(path, "codebooks"))
+
+
+_PQ_META_SCHEMA = ("subspace int, book array<array<double>>, "
+                   "id_col string, codes_col string")
+
+
+def pq_build_index(df: DataFrame, m: int = 8, k_codes: int = 16,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> PqIndex:
+    """Train codebooks and encode the corpus — the index is the codes
+    relation (raw vectors are NOT stored; keep the source table for the
+    refine pass)."""
+    books = pq_train(df, m=m, k_codes=k_codes, iters=iters,
+                     vec_col=vec_col)
+    enc = pq_encode(df.select(id_col, vec_col), books, vec_col=vec_col)
+    return PqIndex(enc, books, id_col)
+
+
+def pq_load_index(spark, path: str) -> PqIndex:
+    import os
+    rows = (spark.read.schema(_PQ_META_SCHEMA)
+            .json(os.path.join(path, "codebooks"))
+            .orderBy("subspace").collect())
+    books = [[[float(x) for x in c] for c in r["book"]] for r in rows]
+    return PqIndex(spark.read.parquet(os.path.join(path, "codes")),
+                   books, rows[0]["id_col"], rows[0]["codes_col"])
+
+
+def pq_append_saved(spark, path: str, new_df: DataFrame,
+                    vec_col: str = "embedding") -> int:
+    """FAISS-add semantics for the saved PQ index (the x77 pattern):
+    the FROZEN codebooks encode only the delta, whose code files APPEND
+    under codes/ — existing files byte-untouched, work delta-sized.
+    Returns the number of appended vectors.  Retrain trigger: monitor
+    reconstruction drift (e.g. mean ADC self-score of a sample) exactly
+    as FAISS documents for add-heavy workloads."""
+    import os
+    idx = pq_load_index(spark, path)
+    delta = pq_encode(new_df.select(idx.id_col, vec_col), idx.codebooks,
+                      vec_col=vec_col, out_col=idx.codes_col)
+    n = delta.count()
+    delta.write.mode("append").parquet(os.path.join(path, "codes"))
+    return n

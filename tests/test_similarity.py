@@ -732,3 +732,36 @@ def test_lsh_index_roundtrip_and_partition_pruning(spark, tables,
             ._jdf.queryExecution().executedPlan().toString())
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "bucket" in pf and "IN" in pf.upper()
+
+
+def test_pq_index_roundtrip_and_append(spark, tables, tmp_path,
+                                       query_vec):
+    """PQ index save/load answers exactly the in-memory ADC search;
+    appending under frozen codebooks == encoding the unioned corpus,
+    and existing code files stay byte-untouched (FAISS-add, x77
+    pattern)."""
+    import os
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    idx = S.pq_build_index(old, m=8, k_codes=16, iters=1)
+    path = str(tmp_path / "pqidx")
+    idx.save(path)
+    loaded = S.pq_load_index(spark, path)
+    mem = S.pq_topk(idx.codes, idx.codebooks, query_vec, 10)
+    ind = S.pq_topk(loaded.codes, loaded.codebooks, query_vec, 10)
+    assert (sorted(tuple(r) for r in mem.collect())
+            == sorted(tuple(r) for r in ind.collect()))
+    files_before = {f: os.path.getmtime(os.path.join(path, "codes", f))
+                    for f in os.listdir(os.path.join(path, "codes"))
+                    if f.endswith(".parquet")}
+    n = S.pq_append_saved(spark, path, new)
+    assert n == new.count()
+    for f, mt in files_before.items():
+        assert os.path.getmtime(os.path.join(path, "codes", f)) == mt
+    after = S.pq_load_index(spark, path)
+    whole = S.pq_encode(emb, idx.codebooks)
+    a = {r["vec_id"]: tuple(r["pq_codes"]) for r in after.codes.collect()}
+    b = {r["vec_id"]: tuple(r["pq_codes"]) for r in whole.collect()}
+    assert a == b
