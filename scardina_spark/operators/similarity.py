@@ -965,3 +965,51 @@ def pq_append_saved(spark, path: str, new_df: DataFrame,
     n = delta.count()
     delta.write.mode("append").parquet(os.path.join(path, "codes"))
     return n
+
+
+def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
+                      k_codes: int = 16, iters: int = 1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding"
+                      ) -> tuple[IvfIndex, PqIndex]:
+    """IVF-PQ hybrid — the production 100 TB ANN layout: the coarse
+    quantizer PRUNES (probe filter → cell partitions) and the product
+    quantizer COMPRESSES (the scanned partitions hold m-byte codes, not
+    raw vectors).  This is the non-residual form: ONE global PQ
+    codebook set over the raw vectors, cells only routing — simpler
+    than FAISS's per-cell residual encoding and fully expressible as a
+    composition of the two audited quantizers (the residual form's
+    extra accuracy matters when cells are tight; measure with
+    :func:`ranking_metrics` before paying for it).
+
+    Returns ``(ivf_index, pq_index)`` where the PQ codes relation
+    CARRIES the cell column — persist with
+    ``codes.write.partitionBy("cell")`` and a probe scans only the
+    probed cells' code files."""
+    cents = ivf_train(df.select(id_col, vec_col), k=n_cells,
+                      iters=iters, vec_col=vec_col)
+    books = pq_train(df.select(id_col, vec_col), m=m, k_codes=k_codes,
+                     iters=iters, vec_col=vec_col)
+    assigned = ivf_assign(df.select(id_col, vec_col), cents,
+                          vec_col=vec_col)
+    codes = pq_encode(assigned, books, vec_col=vec_col)  # keeps cell
+    return (IvfIndex(assigned, cents, id_col, vec_col),
+            PqIndex(codes, books, id_col))
+
+
+def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,
+                      query_vec: list[float], raw: DataFrame,
+                      k: int = 10, nprobe: int = 2,
+                      shortlist: int = 50) -> DataFrame:
+    """Probe → ADC → refine: the probed cells' CODES shortlist
+    candidates (pruned AND compressed scan), exact cosine re-ranks the
+    shortlist against the raw vectors.  Scores exact, membership
+    approximate on two axes (cells probed, quantization) — measure the
+    recall trade with :func:`ranking_metrics`."""
+    probe = _probe_cells(ivf.centroids, query_vec, nprobe)
+    cands = pq.codes.where(F.col("cell").isin(probe))
+    sl = pq_topk(cands, pq.codebooks, query_vec, k=shortlist,
+                 id_col=pq.id_col, codes_col=pq.codes_col)
+    ids = [r[pq.id_col] for r in sl.select(pq.id_col).collect()]
+    return topk_cosine(raw.where(F.col(pq.id_col).isin(ids)),
+                       query_vec, k, pq.id_col, ivf.vec_col)

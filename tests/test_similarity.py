@@ -765,3 +765,31 @@ def test_pq_index_roundtrip_and_append(spark, tables, tmp_path,
     a = {r["vec_id"]: tuple(r["pq_codes"]) for r in after.codes.collect()}
     b = {r["vec_id"]: tuple(r["pq_codes"]) for r in whole.collect()}
     assert a == b
+
+
+def test_ivfpq_hybrid_prunes_and_recovers_recall(spark, tables,
+                                                 query_vec):
+    """The prune x compress hybrid: candidates come only from probed
+    cells (strictly fewer code rows than the corpus), and the refined
+    top-10 recall on this corpus matches the IVF-alone path at the
+    same nprobe (the PQ shortlist inside probed cells is wide enough
+    to keep every IVF candidate that matters)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    ivf, pq = S.ivfpq_build_index(emb, n_cells=8, m=8, k_codes=16)
+    from pyspark.sql import functions as F
+    n = emb.count()
+    probe = S._probe_cells(ivf.centroids, query_vec, 2)
+    probed_rows = pq.codes.where(F.col("cell").isin(probe)).count()
+    assert 0 < probed_rows < n
+    got = S.topk_cosine_ivfpq(ivf, pq, query_vec, emb, 10, nprobe=2,
+                              shortlist=probed_rows)  # full probed set
+    ivf_only = S.topk_cosine_ivf(emb, query_vec, 10,
+                                 centroids=ivf.centroids, nprobe=2)
+    assert (sorted(tuple(r) for r in got.collect())
+            == sorted(tuple(r) for r in ivf_only.collect()))
+    # and at a realistic shortlist the result is still k rows of
+    # exact-cosine scores
+    small = S.topk_cosine_ivfpq(ivf, pq, query_vec, emb, 10, nprobe=2,
+                                shortlist=50)
+    rows = small.collect()
+    assert len(rows) == 10 and rows[0]["vec_id"] == 0
