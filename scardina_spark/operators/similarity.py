@@ -760,8 +760,20 @@ def pq_topk_rerank(encoded: DataFrame, raw: DataFrame,
     sl = pq_topk(encoded, codebooks, query_vec, k=shortlist,
                  id_col=id_col, codes_col=codes_col)
     ids = [r[id_col] for r in sl.select(id_col).collect()]
-    cands = raw.where(F.col(id_col).isin(ids))
+    cands = _rows_for_ids(raw, id_col, ids)
     return topk_cosine(cands, query_vec, k, id_col, vec_col)
+
+
+def _rows_for_ids(raw: DataFrame, id_col: str, ids: list) -> DataFrame:
+    """Select the shortlist rows: an IN literal while the list is
+    small (pushed-down filter), a broadcast semi join past ~1k ids
+    (Catalyst's analysis cost on giant IN lists grows faster than the
+    join it replaces)."""
+    if len(ids) <= 1000:
+        return raw.where(F.col(id_col).isin(ids))
+    spark = raw.sparkSession
+    iddf = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    return raw.join(F.broadcast(iddf), id_col, "left_semi")
 
 
 def projection_matrix(in_dim: int, out_dim: int, seed: int = 42
@@ -1011,5 +1023,5 @@ def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,
     sl = pq_topk(cands, pq.codebooks, query_vec, k=shortlist,
                  id_col=pq.id_col, codes_col=pq.codes_col)
     ids = [r[pq.id_col] for r in sl.select(pq.id_col).collect()]
-    return topk_cosine(raw.where(F.col(pq.id_col).isin(ids)),
+    return topk_cosine(_rows_for_ids(raw, pq.id_col, ids),
                        query_vec, k, pq.id_col, ivf.vec_col)
