@@ -974,6 +974,15 @@ def main() -> None:
                 r["recall_at_k"])
         extras["pq_codes_bytes_per_vec"] = 8
         extras["pq_raw_bytes_per_vec"] = 64 * 8
+        # the prune x compress hybrid at the same refine budget
+        from scardina_spark.operators.similarity import (
+            ivfpq_build_index, topk_cosine_ivfpq)
+        e2 = emb.select("vec_id", "embedding")
+        ivfx, pqx = ivfpq_build_index(e2, n_cells=8, m=8, k_codes=16)
+        hyb = topk_cosine_ivfpq(ivfx, pqx, qv, e2, 10, nprobe=2,
+                                shortlist=max(50, n // 10))
+        rh = _rm(hyb, exact, 10).first()
+        extras["ivfpq_recall_at_10"] = float(rh["recall_at_k"])
     timed("pq_train_encode_search", run_pq)
 
     def run_hll():
