@@ -477,12 +477,19 @@ def cmd_ann(args) -> int:
                                   probe_hamming=args.probe_hamming)
     elif args.method == "ivf":
         out = SIM.topk_cosine_ivf(emb, qv, args.k, nprobe=args.nprobe)
-    else:  # pq
+    elif args.method == "pq":
         books = SIM.pq_train(emb, m=args.pq_m, k_codes=args.pq_codes,
                              iters=2)
         enc = SIM.pq_encode(emb, books)
         out = SIM.pq_topk_rerank(enc, emb, books, qv, args.k,
                                  shortlist=args.shortlist)
+    else:  # ivfpq: pruned cells scanning compressed codes
+        e2 = emb.select("vec_id", "embedding")
+        ivfx, pqx = SIM.ivfpq_build_index(
+            e2, n_cells=8, m=args.pq_m, k_codes=args.pq_codes)
+        out = SIM.topk_cosine_ivfpq(ivfx, pqx, qv, e2, args.k,
+                                    nprobe=args.nprobe,
+                                    shortlist=args.shortlist)
     rows = out.collect()
     score = [c for c in out.columns if c != "vec_id"][0]
     print(json.dumps({"method": args.method, "k": args.k,
@@ -834,7 +841,7 @@ def main(argv=None) -> int:
     p.add_argument("--query-id", type=int, default=0)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--method", default="exact",
-                   choices=["exact", "lsh", "ivf", "pq"])
+                   choices=["exact", "lsh", "ivf", "pq", "ivfpq"])
     p.add_argument("--probe-hamming", type=int, default=0,
                    help="lsh: probe buckets within this Hamming radius")
     p.add_argument("--nprobe", type=int, default=2)

@@ -202,7 +202,8 @@ def test_cli_drift_both_tests(capsys, spark, sf_dir):
 
 def test_cli_ann_methods(capsys, spark, sf_dir):
     for method, extra in (("exact", []), ("lsh", ["--probe-hamming", "2"]),
-                          ("pq", ["--shortlist", "50"])):
+                          ("pq", ["--shortlist", "50"]),
+                          ("ivfpq", ["--shortlist", "50"])):
         rc = main(["ann", "--sf-dir", sf_dir, "--method", method] + extra)
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
