@@ -399,6 +399,8 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    if n_workers < 1:
+        raise ValueError("n_workers must be >= 1")
     base = base or TrainConfig()
     train, val = train_val_split(codes, base.seed)
     grid = [(dw, dff) for dw in d_words for dff in d_ffs]
@@ -464,7 +466,7 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
                 lock.notify_all()
 
     with ThreadPoolExecutor(max_workers=n_workers) as ex:
-        futs = [ex.submit(worker) for _ in range(max(1, n_workers))]
+        futs = [ex.submit(worker) for _ in range(n_workers)]
         for f in futs:
             f.result()   # surface worker exceptions
     final_rung = max(results)

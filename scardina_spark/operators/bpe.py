@@ -237,7 +237,8 @@ def bpe_learn(df: DataFrame, n_merges: int = 8, col: str = "text",
 
 def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
               col: str = "text", id_col: str = "doc_id",
-              keep_cols: tuple[str, ...] = ()) -> DataFrame:
+              keep_cols: tuple[str, ...] = (),
+              cap: int = APPLY_PROJECTION_MERGE_CAP) -> DataFrame:
     """Tokenize documents with an EXPLICIT ordered merge list — the
     inference half of the tokenizer when the merge table is *shipped*
     (the standard deployment: train once, apply the frozen
@@ -263,16 +264,23 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     cross-word merges still cannot arise because the fold is per-word.
 
     The pure-projection trade: expression-tree size is LINEAR in the
-    merge count, so lists above :data:`APPLY_PROJECTION_MERGE_CAP` are
-    rejected — at that scale the broadcast-vocabulary join
-    (:func:`bpe_encode`) is the right tool, not a kilometer of nested
-    codegen."""
+    merge count, so lists above ``cap`` (default
+    :data:`APPLY_PROJECTION_MERGE_CAP`) are rejected — at that scale
+    the broadcast-vocabulary join (:func:`bpe_encode`) or the Arrow
+    tokenizer (:func:`bpe_apply_arrow`) is the right tool, not a
+    kilometer of nested codegen.  Callers who accept the slow analysis
+    on a one-off larger table can raise ``cap`` explicitly (an opt-in
+    knob, not a default — Catalyst analysis time grows superlinearly
+    past a few hundred nested folds, and the analyzer's own
+    ``maxIterations`` limit is the hard wall shortly past the default
+    cap; for genuinely large tables use :func:`bpe_apply_arrow` or
+    :func:`bpe_encode`)."""
     if not merges:
         raise ValueError("merges must be a non-empty ordered list")
-    if len(merges) > APPLY_PROJECTION_MERGE_CAP:
+    if len(merges) > cap:
         raise ValueError(
             f"{len(merges)} merges exceed the pure-projection cap "
-            f"({APPLY_PROJECTION_MERGE_CAP}): the nested-fold "
+            f"({cap}): the nested-fold "
             f"expression tree grows linearly in merge count and would "
             f"blow Catalyst analysis/codegen limits — materialize a "
             f"vocabulary (bpe_learn) and tokenize with bpe_encode's "
@@ -294,6 +302,129 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
                       F.size(words).alias("n_words"),
                       toks.alias("bpe_tokens"))
             .withColumn("n_bpe", F.size("bpe_tokens")))
+
+
+def _sequential_merge_passes(word: str, merges: list[tuple[str, str]],
+                             ranks: dict[tuple[str, str], int]
+                             ) -> tuple[str, ...]:
+    """Driver/executor-side tokenizer with EXACTLY :func:`bpe_apply`'s
+    sequential-pass semantics — each merge applied leftmost-greedily
+    ONCE, at its own turn, in merge order — but lazily: a rank-ordered
+    heap of merges whose pair is (or becomes) adjacent, so cost is
+    O(len + fired·len) instead of O(n_merges·len) per word.
+
+    The lazy schedule is exact, not approximate: adjacency only changes
+    when a merge fires, so a pair adjacent at its turn was either
+    adjacent initially (pushed by the opening scan) or created by an
+    earlier-rank merge (pushed by that merge's rescan).  Pairs a LATER
+    merge creates for an EARLIER rank are deliberately NOT pushed —
+    that turn has passed, which is where these semantics differ from
+    the GPT-2-style min-rank-first loop (test-pinned)."""
+    import heapq
+
+    syms: list[str] = list(word) + [END]
+    heap: list[int] = []
+    seen: set[int] = set()
+    for i in range(len(syms) - 1):
+        r = ranks.get((syms[i], syms[i + 1]))
+        if r is not None and r not in seen:
+            seen.add(r)
+            heapq.heappush(heap, r)
+    while heap:
+        r = heapq.heappop(heap)
+        a, b = merges[r]
+        out: list[str] = []
+        changed = False
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+                changed = True
+            else:
+                out.append(x)
+        if not changed:
+            continue
+        syms = out
+        for i in range(len(syms) - 1):
+            nr = ranks.get((syms[i], syms[i + 1]))
+            if nr is not None and nr > r and nr not in seen:
+                seen.add(nr)
+                heapq.heappush(heap, nr)
+    return tuple(syms)
+
+
+def bpe_apply_arrow(df: DataFrame, merges: list[tuple[str, str]],
+                    col: str = "text", id_col: str = "doc_id",
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Tokenize with a LARGE shipped merge table — the Arrow
+    ``mapInPandas`` twin of :func:`bpe_apply` for the regime past
+    :data:`APPLY_PROJECTION_MERGE_CAP` (production 32k-merge
+    tokenizers), where nesting one fold per merge would blow Catalyst
+    analysis limits.  Same output shape and BIT-IDENTICAL tokens
+    (parity test-pinned, including the later-merge-creates-earlier-pair
+    edge where these semantics differ from the GPT-2 min-rank loop).
+
+    Scale story (100 TB): words are split JVM-side (the same
+    ``lower_words`` expression as every learned-text operator — Python
+    never re-implements the normalization), then ONE corpus-sized
+    ``mapInPandas`` projection tokenizes Arrow batches with a
+    per-partition distinct-word cache (Zipf: most lookups hit), a
+    rank-heap per cache miss (O(len + fired·len), independent of the
+    merge-table size), and the ranks dict shipped once per task in the
+    closure (~MBs for 32k merges).  No shuffle, no driver round-trip;
+    the stage parallelizes with the scan exactly like
+    :func:`bpe_apply`'s codegen path.
+
+    Duplicate pairs in ``merges`` are rejected: the lazy schedule keys
+    merges by pair, and no real merge table repeats one (bpe_learn
+    cannot emit one — merging a pair destroys it)."""
+    if not merges:
+        raise ValueError("merges must be a non-empty ordered list")
+    for m in merges:
+        if len(m) != 2 or not m[0] or not m[1]:
+            raise ValueError(f"invalid merge pair: {m!r}")
+    pairs = [(str(a), str(b)) for a, b in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    if len(ranks) != len(pairs):
+        raise ValueError("duplicate merge pairs are not supported")
+
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[id_col]] + [in_fields[c] for c in keep_cols]
+        + [T.StructField("n_words", T.IntegerType()),
+           T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+           T.StructField("n_bpe", T.IntegerType())])
+    cols = [id_col, *keep_cols]
+    words = F.coalesce(_words(col), F.array().cast("array<string>"))
+    src = df.select(*[F.col(c) for c in cols], words.alias("__words"))
+
+    def fn(batches):
+        import pandas as pd
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in batches:
+            toks: list[list[str]] = []
+            nw: list[int] = []
+            for ws in pdf["__words"]:
+                ws = [] if ws is None else list(ws)
+                doc: list[str] = []
+                for w in ws:
+                    t = cache.get(w)
+                    if t is None:
+                        t = _sequential_merge_passes(w, pairs, ranks)
+                        cache[w] = t
+                    doc.extend(t)
+                toks.append(doc)
+                nw.append(len(ws))
+            out = pdf[cols].copy()
+            out["n_words"] = pd.array(nw, dtype="int32")
+            out["bpe_tokens"] = pd.Series(toks, index=pdf.index,
+                                          dtype=object)
+            out["n_bpe"] = pd.array([len(t) for t in toks],
+                                    dtype="int32")
+            yield out
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def bpe_encode(df: DataFrame, vocab: DataFrame, col: str = "text",

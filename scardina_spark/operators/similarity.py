@@ -754,8 +754,15 @@ def pq_topk_rerank(encoded: DataFrame, raw: DataFrame,
     m-bytes-per-vector codes; the raw vectors are read for only
     ``shortlist`` rows via a broadcast semi join on the driver-collected
     id list (shortlist ≈ 10–100 rows — collecting it is a k-row top,
-    not a localization).  Measured on the synthetic corpus: plain ADC
-    recall@10 ≈ 0.5, shortlist=50 refine ≈ 0.9, shortlist=100 ≈ 1.0.
+    not a localization).
+
+    Recall depends on shortlist/corpus RATIO, not the absolute number:
+    measured at 500 vectors (the sf0.001 synthetic corpus), plain ADC
+    recall@10 ≈ 0.5, shortlist=50 (10 % of corpus) refine ≈ 0.9,
+    shortlist=100 ≈ 1.0 — but the same fixed 50 at sf0.1 (5 000
+    vectors, 1 %) measured only ≈ 0.4 (bench
+    ``pq_rerank_recall_at_10_sl50``).  Size the shortlist with
+    :func:`derive_pq_params`, which scales it with the corpus.
     """
     sl = pq_topk(encoded, codebooks, query_vec, k=shortlist,
                  id_col=id_col, codes_col=codes_col)

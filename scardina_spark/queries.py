@@ -1018,6 +1018,68 @@ order by doc_id
 """
 
 
+# x91's merge table leads with ("er", "s") — a pair whose LEFT symbol
+# can only exist after the LATER ("e", "r") merge, so at its own turn
+# it is a guaranteed no-op: the corpus is full of raw 'ers' character
+# runs ("users", "others") that a min-rank-style tokenizer WOULD merge.
+# The oracle simply omits that replace (sequentially, nothing matches
+# at its turn), which pins the sequential-pass semantics on real data.
+BPE_ARROW_MERGES = [("er", "s"), ("e", "r"), ("o", "n"), ("on", "g")]
+
+
+def q_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 (BPE inference on the Arrow path — `bpe.bpe_apply_arrow`,
+    the mapInPandas twin of x68's codegen fold for merge tables past
+    the projection cap; here value-checked against an independent
+    DuckDB replay rather than against bpe_apply itself).  One
+    corpus-sized Arrow projection with a per-partition distinct-word
+    cache and a rank-heap per miss; no shuffle.  The merge chain leads
+    with a pair whose turn precedes its left symbol's existence
+    (BPE_ARROW_MERGES note) — the edge where sequential passes differ
+    from a min-rank loop."""
+    from .operators.bpe import bpe_apply_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (bpe_apply_arrow(docs, BPE_ARROW_MERGES)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_bpe").cast("long").alias("n_bpe"))
+            .orderBy("doc_id"))
+
+
+SQL_BPE_APPLY_ARROW = """
+with guard as (
+  select case when count(*) > 0 then error(
+           'corpus violates byte-level oracle assumptions')
+         else 0 end as ok
+  from documents
+  where length(coalesce(text, '')) <> octet_length(coalesce(text, '')::BLOB)
+     or regexp_matches(text, '[\\x01-\\x04]')),
+w as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> len(x) > 0)) as word
+  from documents cross join guard),
+m as (
+  -- merge 0 ("er","s") is a deliberate no-op at its turn: symbol "er"
+  -- cannot exist yet, so sequentially nothing matches — omitted.
+  select doc_id,
+         replace(replace(replace(word,
+                 'er', chr(1)),
+                 'on', chr(2)),
+                 chr(2) || 'g', chr(3)) as mw
+  from w),
+agg as (select doc_id, count(*) as n_words,
+               sum(len(mw) + 1) as n_bpe
+        from m group by doc_id)
+select d.doc_id::BIGINT as doc_id,
+       coalesce(a.n_words, 0)::BIGINT as n_words,
+       coalesce(a.n_bpe, 0)::BIGINT as n_bpe
+from documents d left join agg a using (doc_id)
+order by doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -2048,10 +2110,13 @@ def q_asha_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     releases the GIL): returns ONE row of timing-independent invariant
     checks — rung-0 starts cover the grid exactly once, every
     (rung, config) promotion is unique, higher rungs are subsets of
-    the rung below, and the winner is the final-rung argmin — plus
-    whether the pool actually overlapped.  Job COUNT and order are
-    completion-timing-dependent (exactly as on Ray), which is why this
-    key is rows-only: the invariants are the deterministic surface.
+    the rung below, and the winner is the final-rung argmin — plus the
+    observed concurrency high-water mark (INFORMATIONAL: whether the
+    pool overlapped is a scheduling-timing fact, not an invariant, so
+    it is reported as a number rather than gated as a boolean).  Job
+    COUNT and order are completion-timing-dependent (exactly as on
+    Ray), which is why this key is rows-only: the invariants are the
+    deterministic surface.
     Scheduling-rule correctness itself is e14's literal oracle (the
     n_workers=1 run is bit-identical to e14's serialized driver,
     test-pinned)."""
@@ -2085,10 +2150,10 @@ def q_asha_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
           len(promos) == len(set(promos)),
           all(by_rung[r] <= by_rung[r - 1] for r in by_rung if r > 0),
           (best.cfg.d_word, best.cfg.d_ff) == min(finals)[1:],
-          bool(infl >= 2))],
+          int(infl))],
         "starts_complete boolean, promos_unique boolean, "
         "rungs_nested boolean, winner_is_argmin boolean, "
-        "pool_overlapped boolean")
+        "max_inflight bigint")
 
 
 def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2098,12 +2163,22 @@ def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_i = a·x_i + (1-a)·s_{i-1} that the batch operator deliberately
     truncates).  `streaming/stateful.rolling_features_stream`, drained
     append-mode; the oracle replays the exact recursion as a recursive
-    CTE with the same coefficient literals and IEEE operand order."""
+    CTE with the same coefficient literals and IEEE operand order.
+
+    The stream is drained in ONE micro-batch (max_files_per_trigger
+    covers the whole table): rolling_features_stream drops cross-batch
+    out-of-order events (watermark-style late policy), and the oracle
+    folds every event, so a per-file micro-batch schedule would
+    silently diverge on any events layout whose per-key rows are not
+    globally ts-ordered across files.  Single-batch drain makes the
+    in-batch (ts, id) sort total, so parity holds for ANY file layout;
+    test_streaming_stateful.py pins the divergence-and-fix pair on a
+    deliberately out-of-order two-file table."""
     from .streaming import read_events_stream
     from .streaming.events import run_to_memory_sink
     from .streaming.stateful import rolling_features_stream
 
-    st = read_events_stream(spark, sf_dir)
+    st = read_events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
     out = run_to_memory_sink(
         rolling_features_stream(st, alpha=0.3),
         f"st17_feat_{abs(hash(sf_dir)) % 997}", output_mode="append")
@@ -7170,79 +7245,20 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r08 each recorded exactly 50 rows).
-    # Round-9 order: the full r06-green block (46 keys, the stalest in
-    # the ledger) plus the 4 oldest driver-unchecked round-8 keys —
-    # exactly 50, so after this round no key's latest driver row is
-    # older than r07.  Everything past the cap is the r10 schedule,
-    # stalest-first (round-8 then round-9 keys owed a driver row, then
-    # the r07-green block, then the just-gated r08 window), keeping the
-    # <=2-round worst-case staleness invariant.  Key names are stable
-    # across rounds.  Registry growth is ~11 keys/round against a
+    # first ~50 entries in order (r01-r09 each recorded exactly 50 rows).
+    # Round-10 order: the 30 keys that had never had a driver row
+    # (round-8 additions e14, x68-x82, st14/st15, e15 and round-9
+    # additions x83-x90, st16/st17, e16) plus the 20 stalest r07-green
+    # keys — exactly 50.  Everything past the cap is the r11 schedule,
+    # stalest-first.  Key names are stable across rounds.  Registry growth is ~11 keys/round against a
     # 50-row window — if it keeps growing, widen the window or retire
     # redundant keys before the staleness math breaks (~r12).
     return {
-        # --- window: the r09 gate — the full r06-green block (46
-        # keys, 3-round staleness if skipped) plus the 4 oldest
-        # driver-unchecked round-8 keys (e13/x66/st13/x67). ---
-        "st1_window_hourly": q_window_hourly,
-        "st2_sessionize": q_sessionize,
-        "st3_stream_window": q_stream_window,
-        "st4_stream_sessions": q_stream_sessions,
-        "st5_stream_first_seen": q_stream_first_seen,
-        "st6_stream_join": q_stream_join,
-        "st7_stream_fk_counts": q_stream_fk_counts,
-        "st8_stream_kmv": q_stream_kmv,
-        "x1_dedup_exact": q_dedup_exact,
-        "x2_minhash_sigs": q_minhash_sigs,
-        "x3_ngram_jaccard": q_ngram_jaccard,
-        "x4_simhash": q_simhash,
-        "x5_text_stats": q_text_stats,
-        "x6_lang_id": q_lang_id,
-        "x7_fingerprint": q_fingerprint,
-        "x8_sim_topk": q_sim_topk,
-        "x9_lsh_buckets": q_lsh_buckets,
-        "x15_ivf_cells": q_ivf_cells,
-        "x16_ivf_topk": q_ivf_topk,
-        "x17_kmv_distinct": q_kmv_distinct,
-        "x18_stratified_sample": q_stratified_sample,
-        "x21_time_rollup": q_time_rollup,
-        "x24_training_corpus": q_training_corpus,
-        "x25_bloom_semi": q_bloom_semi_join,
-        "x28_kmv_setops": q_kmv_setops,
-        "x33_simsel_card": q_simsel_card,
-        "a5_quantiles": q_quantiles,
-        "a7_entropy": q_entropy,
-        "a25_late_shipment_priority": q_late_shipment_priority,
-        "e7_trm_qerror": q_trm_qerror,
-        "e8_search": q_grid_search,
-        "f1_scalar_funcs": q_scalar_funcs,
-        "f2_json_extract": q_json_extract,
-        "m1_encode": q_encode,
-        "m2_factorize": q_factorize,
-        "o1_topk": q_topk,
-        "p1_filter_ops": q_filter_ops,
-        "p2_filter_like": q_filter_like,
-        "p9_or_filters": q_or_filters,
-        "s2_stage_sinks": q_stage_sinks,
-        "s3_benchmark_csv": q_benchmark_csv,
-        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
-        "o3_stitch_chain": q_stitch_chain,
-        "o4_sampling_orderings": q_sampling_orderings,
-        "x40_curate_corpus": q_curate_corpus,
-        "x41_kmeans_iter": q_kmeans_iter,
-        "e13_tpe_search": q_tpe_search,
-        "x66_video_thumbnail": q_video_thumbnail,
-        "st13_stream_media": q_stream_media_decode,
-        "x67_unimax_plan": q_unimax_plan,
-        # --- past the cap: the r10 schedule, stalest-first.  First
-        # the driver-unchecked keys: the round-8 additions (e14,
-        # x68-x82, st14/st15, e15 — judge-verified or suite-pinned in
-        # r8 but still owed a driver row) interleaved with the round-9
-        # additions (x83-x90, st16/st17, e16 — every one pre-flighted
-        # green against its oracle at sf0.001 AND sf0.01 this round;
-        # e16 rows-only by design, see its docstring), then the
-        # r07-green block, then the just-gated r08 window. ---
+        # --- window: the r10 gate — the 30 keys that have never had
+        # a driver row (round-8 additions e14/x68-x82/st14/st15/e15 and
+        # round-9 additions x83-x90/st16/st17/e16; every one judge- or
+        # locally-verified green but owed driver ground truth), plus the
+        # head of the r07-green block (st12..o2) to fill 50. ---
         "e14_asha_async": q_asha_async,
         "x68_bpe_apply": q_bpe_apply,
         "x69_scd2_history": q_scd2_history,
@@ -7293,6 +7309,12 @@ def queries() -> dict:
         "a9_cube": q_cube_agg,
         "a10_window_funcs": q_window_funcs,
         "o2_set_ops": q_set_ops,
+        # --- past the cap: the r11 schedule, stalest-first — the
+        # remainder of the r07-green block, then the r08 window (gated
+        # green in CORRECTNESS_r08), then the r09 window (just gated
+        # 50/50 green in CORRECTNESS_r09, freshest).  New r10 keys are
+        # inserted at the top of this section as they land. ---
+        "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7322,8 +7344,6 @@ def queries() -> dict:
         "x20_range_join": q_range_join,
         "x26_heavy_hitters": q_heavy_hitters,
         "x60_incremental_neardup": q_incremental_neardup,
-        # (r08 window — gated 50/50 green in CORRECTNESS_r08; next
-        # due ~r11 under the stalest-first rotation)
         "x63_png_decode": q_png_decode,
         "x64_png_downsample": q_png_downsample,
         "x65_avi_decode": q_avi_decode,
@@ -7374,6 +7394,56 @@ def queries() -> dict:
         "a2_group_agg": q_group_agg,
         "a3_dictionary": q_dictionary,
         "a4_join_group_topk": q_join_group_topk,
+        "st1_window_hourly": q_window_hourly,
+        "st2_sessionize": q_sessionize,
+        "st3_stream_window": q_stream_window,
+        "st4_stream_sessions": q_stream_sessions,
+        "st5_stream_first_seen": q_stream_first_seen,
+        "st6_stream_join": q_stream_join,
+        "st7_stream_fk_counts": q_stream_fk_counts,
+        "st8_stream_kmv": q_stream_kmv,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_minhash_sigs": q_minhash_sigs,
+        "x3_ngram_jaccard": q_ngram_jaccard,
+        "x4_simhash": q_simhash,
+        "x5_text_stats": q_text_stats,
+        "x6_lang_id": q_lang_id,
+        "x7_fingerprint": q_fingerprint,
+        "x8_sim_topk": q_sim_topk,
+        "x9_lsh_buckets": q_lsh_buckets,
+        "x15_ivf_cells": q_ivf_cells,
+        "x16_ivf_topk": q_ivf_topk,
+        "x17_kmv_distinct": q_kmv_distinct,
+        "x18_stratified_sample": q_stratified_sample,
+        "x21_time_rollup": q_time_rollup,
+        "x24_training_corpus": q_training_corpus,
+        "x25_bloom_semi": q_bloom_semi_join,
+        "x28_kmv_setops": q_kmv_setops,
+        "x33_simsel_card": q_simsel_card,
+        "a5_quantiles": q_quantiles,
+        "a7_entropy": q_entropy,
+        "a25_late_shipment_priority": q_late_shipment_priority,
+        "e7_trm_qerror": q_trm_qerror,
+        "e8_search": q_grid_search,
+        "f1_scalar_funcs": q_scalar_funcs,
+        "f2_json_extract": q_json_extract,
+        "m1_encode": q_encode,
+        "m2_factorize": q_factorize,
+        "o1_topk": q_topk,
+        "p1_filter_ops": q_filter_ops,
+        "p2_filter_like": q_filter_like,
+        "p9_or_filters": q_or_filters,
+        "s2_stage_sinks": q_stage_sinks,
+        "s3_benchmark_csv": q_benchmark_csv,
+        "s5_jdbc_roundtrip": q_jdbc_roundtrip,
+        "o3_stitch_chain": q_stitch_chain,
+        "o4_sampling_orderings": q_sampling_orderings,
+        "x40_curate_corpus": q_curate_corpus,
+        "x41_kmeans_iter": q_kmeans_iter,
+        "e13_tpe_search": q_tpe_search,
+        "x66_video_thumbnail": q_video_thumbnail,
+        "st13_stream_media": q_stream_media_decode,
+        "x67_unimax_plan": q_unimax_plan,
     }
 
 
@@ -7523,6 +7593,7 @@ def oracle_sql() -> dict[str, str]:
         "x67_unimax_plan": SQL_UNIMAX_PLAN,
         "e14_asha_async": _sql_asha_async(),
         "x68_bpe_apply": SQL_BPE_APPLY,
+        "x91_bpe_apply_arrow": SQL_BPE_APPLY_ARROW,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),

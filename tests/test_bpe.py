@@ -274,3 +274,69 @@ def test_vocab_coverage_broadcasts_and_single_wide_shuffle(spark, tables):
     plan = (vocab_coverage(docs, vocab)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_apply_arrow_parity_on_learned_merges(spark, tables):
+    """The Arrow tokenizer is BIT-IDENTICAL to bpe_apply's codegen fold
+    on the real documents table with real learned merges."""
+    from scardina_spark.operators.bpe import bpe_apply_arrow
+    docs = tables["documents"]
+    merges, _ = bpe_learn(docs, n_merges=8, min_count=2)
+    pairs = [(a, b) for a, b, _ in merges]
+    want = {r["doc_id"]: (r["n_words"], tuple(r["bpe_tokens"]), r["n_bpe"])
+            for r in bpe_apply(docs, pairs).collect()}
+    got = {r["doc_id"]: (r["n_words"], tuple(r["bpe_tokens"]), r["n_bpe"])
+           for r in bpe_apply_arrow(docs, pairs).collect()}
+    assert got == want
+
+
+def test_bpe_apply_arrow_sequential_not_min_rank(spark):
+    """The semantics edge that distinguishes sequential passes from the
+    GPT-2 min-rank loop: merges=[(ab,c),(a,b)] on 'abc' must yield
+    [ab, c, </w>] — merge 0's pair only becomes adjacent AFTER merge
+    1's turn, so it never fires (min-rank-first would give [abc,</w>]).
+    Pinned on both paths."""
+    from scardina_spark.operators.bpe import bpe_apply_arrow
+    df = spark.createDataFrame([(0, "abc")], "doc_id: long, text: string")
+    pairs = [("ab", "c"), ("a", "b")]
+    for op in (bpe_apply, bpe_apply_arrow):
+        toks = op(df, pairs).first()["bpe_tokens"]
+        assert toks == ["ab", "c", END], (op.__name__, toks)
+
+
+def test_bpe_apply_arrow_large_table_nulls_and_keeps(spark):
+    """Above the projection cap the Arrow path just works (that's its
+    reason to exist): a 300-merge table, NULL text to the empty doc,
+    keep_cols carried through, duplicate pairs rejected."""
+    import pytest
+    from scardina_spark.operators.bpe import (
+        APPLY_PROJECTION_MERGE_CAP, bpe_apply_arrow)
+    n = APPLY_PROJECTION_MERGE_CAP + 44
+    pairs = [("q", "z")] + [(f"a{i}", f"b{i}") for i in range(n - 1)]
+    df = spark.createDataFrame(
+        [(0, "qz qq", "en"), (1, None, "fr")],
+        "doc_id: long, text: string, lang: string")
+    rows = {r["doc_id"]: r for r in
+            bpe_apply_arrow(df, pairs, keep_cols=("lang",)).collect()}
+    assert rows[0]["bpe_tokens"] == ["qz", END, "q", "q", END]
+    assert (rows[0]["n_words"], rows[0]["n_bpe"]) == (2, 5)
+    assert rows[0]["lang"] == "en" and rows[1]["lang"] == "fr"
+    assert rows[1]["bpe_tokens"] == [] and rows[1]["n_words"] == 0
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_apply_arrow(df, [("a", "b"), ("a", "b")])
+
+
+def test_bpe_apply_cap_is_an_opt_in_knob(spark):
+    """The projection cap is a keyword argument: lowering it rejects a
+    table the default accepts, raising it admits one a lower cap
+    rejects — so callers control the trade explicitly.  (Raising it far
+    past the default hits Spark's own analyzer iteration limit — the
+    very wall the cap fronts for — so the knob is exercised at small
+    scale.)"""
+    import pytest
+    df = spark.createDataFrame([(0, "xy")], "doc_id: long, text: string")
+    pairs = [("x", "y"), ("a", "b"), ("c", "d")]
+    with pytest.raises(ValueError, match="bpe_encode"):
+        bpe_apply(df, pairs, cap=2)
+    out = bpe_apply(df, pairs, cap=3).first()
+    assert out["bpe_tokens"] == ["xy", END]

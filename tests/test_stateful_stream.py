@@ -275,3 +275,47 @@ def test_rolling_features_stream_vs_batch_window_seeding(spark, tables):
             assert d < 1e-5, (r["user_id"], r["event_id"], d)
         else:
             assert d <= bound, (r["user_id"], r["event_id"], d)
+
+
+def test_rolling_features_single_batch_drain_is_layout_proof(spark, tmp_path):
+    """The st17 gate convention (queries.q_stream_features): draining in
+    ONE micro-batch makes the in-batch (ts, id) sort total, so the
+    stream folds EVERY event — matching the oracle's recursive CTE —
+    even when the file layout is per-key out of order across files.
+    With per-file micro-batches the same table silently drops the
+    late-file rows (the watermark-style policy), which is exactly the
+    divergence the single-batch drain exists to prevent."""
+    from datetime import datetime
+
+    from scardina_spark.streaming.events import run_to_memory_sink
+    from scardina_spark.streaming.stateful import rolling_features_stream
+
+    def _m(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    d = str(tmp_path / "ooo")
+    schema = ("user_id bigint, event_type string, ts timestamp, "
+              "event_id bigint, value double")
+    # file 1 holds the LATER events, file 2 the earlier ones: any
+    # per-file schedule sees them out of order.
+    f1 = [(1, "e", _m(2), 2, 30.0), (1, "e", _m(3), 3, 40.0)]
+    f2 = [(1, "e", _m(0), 0, 10.0), (1, "e", _m(1), 1, 20.0)]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+        d, mode="overwrite")
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    def drain(max_files, name):
+        st = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files).parquet(d))
+        out = run_to_memory_sink(
+            rolling_features_stream(st, alpha=0.5), name,
+            output_mode="append")
+        return {r["event_id"]: r["ewma"] for r in out.collect()}
+
+    # per-file: whichever file lands second loses rows (late policy)
+    per_file = drain(1, "ooo_per_file")
+    assert len(per_file) < 4
+    # single-batch: all four events folded in exact recursion order
+    whole = drain(1_000_000, "ooo_single_batch")
+    assert whole == {0: 10.0, 1: 15.0, 2: 22.5, 3: 31.25}
