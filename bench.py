@@ -935,18 +935,21 @@ def main() -> None:
         qv = [float(x) for x in
               emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = topk_cosine(emb, qv, 10)
+        # DEFAULT arguments: probe radius derived from the flip model
+        # (h=2 for 8 planes) — the headline number is what a user gets
+        # out of the box
         lsh = topk_cosine_lsh(emb, qv, 10,
                               planes=hyperplanes(64, 8, seed=42))
         r = ranking_metrics(lsh, exact, 10).first()
         extras["ann_lsh_recall_at_10"] = float(r["recall_at_k"])
         extras["ann_lsh_ndcg_at_10"] = float(r["ndcg_at_k"])
-        # multi-probe (Lv et al.): Hamming-2 neighborhood scans
-        # 37/256 of the data and recovers most of the given-away recall
-        mp = topk_cosine_lsh(emb, qv, 10,
+        # single-bucket probe kept for the ledger: the cheapest scan,
+        # and the recall it gives away vs the derived default
+        sp = topk_cosine_lsh(emb, qv, 10,
                              planes=hyperplanes(64, 8, seed=42),
-                             probe_hamming=2)
-        r2 = ranking_metrics(mp, exact, 10).first()
-        extras["ann_lsh_mp2_recall_at_10"] = float(r2["recall_at_k"])
+                             probe_hamming=0)
+        r2 = ranking_metrics(sp, exact, 10).first()
+        extras["ann_lsh_sp_recall_at_10"] = float(r2["recall_at_k"])
     timed("ann_recall", run_ann_recall)
 
     from scardina_spark.operators.similarity import (
@@ -974,15 +977,31 @@ def main() -> None:
                 r["recall_at_k"])
         extras["pq_codes_bytes_per_vec"] = 8
         extras["pq_raw_bytes_per_vec"] = 64 * 8
-        # the prune x compress hybrid at the same refine budget
+        # the prune x compress hybrid — residual encoding (the FAISS
+        # IndexIVFPQ default, r10): m=16 residual codes (16 B/vec,
+        # 32x compression) + nprobe=3 reach recall 0.9+ at a 5%
+        # refine shortlist, HALF the raw-code config's 10%
         from scardina_spark.operators.similarity import (
             ivfpq_build_index, topk_cosine_ivfpq)
         e2 = emb.select("vec_id", "embedding")
-        ivfx, pqx = ivfpq_build_index(e2, n_cells=8, m=8, k_codes=16)
-        hyb = topk_cosine_ivfpq(ivfx, pqx, qv, e2, 10, nprobe=2,
-                                shortlist=max(50, n // 10))
+        ivfx, pqx = ivfpq_build_index(e2, n_cells=8, m=16, k_codes=16,
+                                      iters=2, residual=True)
+        sl = max(50, n // 20)
+        hyb = topk_cosine_ivfpq(ivfx, pqx, qv, e2, 10, nprobe=3,
+                                shortlist=sl)
         rh = _rm(hyb, exact, 10).first()
         extras["ivfpq_recall_at_10"] = float(rh["recall_at_k"])
+        extras["ivfpq_shortlist_frac"] = round(sl / max(n, 1), 4)
+        # the honest multi-query number (vec-0 alone is high-variance):
+        # mean recall over the first 10 query vectors
+        tot = 0.0
+        for r0 in emb.where(F.col("vec_id") < 10).collect():
+            q2 = [float(x) for x in r0["embedding"]]
+            ex2 = topk_cosine(emb, q2, 10)
+            h2 = topk_cosine_ivfpq(ivfx, pqx, q2, e2, 10, nprobe=3,
+                                   shortlist=sl)
+            tot += float(_rm(h2, ex2, 10).first()["recall_at_k"])
+        extras["ivfpq_mean10_recall_at_10"] = round(tot / 10.0, 3)
     timed("pq_train_encode_search", run_pq)
 
     def run_hll():

@@ -842,8 +842,10 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--method", default="exact",
                    choices=["exact", "lsh", "ivf", "pq", "ivfpq"])
-    p.add_argument("--probe-hamming", type=int, default=0,
-                   help="lsh: probe buckets within this Hamming radius")
+    p.add_argument("--probe-hamming", type=int, default=None,
+                   help="lsh: probe buckets within this Hamming radius "
+                        "(default: derived from the flip model — h=2 "
+                        "for 8 planes; pass 0 for single-bucket)")
     p.add_argument("--nprobe", type=int, default=2)
     p.add_argument("--pq-m", type=int, default=8)
     p.add_argument("--pq-codes", type=int, default=16)

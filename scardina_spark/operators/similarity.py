@@ -92,18 +92,46 @@ def with_lsh_bucket(df: DataFrame, planes: list[list[float]],
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
 
 
+def derive_probe_hamming(n_planes: int, sim: float = 0.7,
+                         target_recall: float = 0.65) -> int:
+    """Smallest Hamming probe radius whose EXPECTED multi-probe recall
+    for a neighbor at cosine ``sim`` reaches ``target_recall`` under
+    the sign-LSH flip model: each hyperplane flips independently with
+    probability ``q = arccos(sim)/pi`` (Goemans–Williamson), so the
+    neighbor's signature lies within Hamming ``h`` of the query's with
+    the Binomial(n_planes, q) CDF at ``h``.  For the 8-plane default
+    at sim 0.7 this yields h=2 (expected recall 0.67, candidate
+    fraction 37/256) — matching the measured bench recall ladder
+    (0.1 at h=0, ~0.6 at h=2)."""
+    import math
+    q = math.acos(min(max(sim, -1.0), 1.0)) / math.pi
+    for h in range(n_planes + 1):
+        cdf = sum(math.comb(n_planes, i) * q ** i
+                  * (1.0 - q) ** (n_planes - i) for i in range(h + 1))
+        if cdf >= target_recall:
+            return h
+    return n_planes
+
+
 def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: list[list[float]] | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    probe_hamming: int = 0) -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket — plus, with
-    ``probe_hamming = h > 0``, every bucket whose signature differs in
-    at most ``h`` bits (MULTI-PROBE LSH, Lv et al. VLDB'07: a
-    near-neighbor that lands across one hyperplane is in a
-    Hamming-adjacent bucket, so probing the neighborhood recovers most
-    of the recall a single-table probe gives away — measured on the
-    synthetic corpus: recall@10 0.1 at h=0, ~0.6 at h=2 while still
-    scanning only sum(C(n_planes, <=h))/2^n_planes of the data).
+                    probe_hamming: int | None = None) -> DataFrame:
+    """ANN top-k: score the query's LSH bucket plus every bucket whose
+    signature differs in at most ``probe_hamming`` bits (MULTI-PROBE
+    LSH, Lv et al. VLDB'07: a near-neighbor that lands across one
+    hyperplane is in a Hamming-adjacent bucket, so probing the
+    neighborhood recovers most of the recall a single-table probe
+    gives away — measured on the synthetic corpus: recall@10 0.1 at
+    h=0, ~0.6 at h=2 while still scanning only
+    sum(C(n_planes, <=h))/2^n_planes of the data).
+
+    ``probe_hamming=None`` (the default) DERIVES the radius from the
+    flip model (:func:`derive_probe_hamming` — h=2 for 8 planes), so
+    the out-of-the-box configuration is the good one; pass an explicit
+    0 for the raw single-bucket probe (cheapest, low recall — the x79
+    contract pins it), or reach for :func:`topk_cosine_ivfpq` when you
+    need recall ~0.9 at scan cost this family can't buy.
 
     The probe set is a driver-computed id list shipped into an IN
     filter — still a pushed-down predicate, and with a bucket-
@@ -111,6 +139,8 @@ def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     Candidate fraction at h: 37/256 for 8 planes, h=2."""
     dim = len(query_vec)
     planes = planes or hyperplanes(dim)
+    if probe_hamming is None:
+        probe_hamming = derive_probe_hamming(len(planes))
     if not 0 <= probe_hamming <= len(planes):
         raise ValueError("probe_hamming must be in [0, n_planes]")
     bucketed = with_lsh_bucket(df, planes, vec_col)
@@ -701,7 +731,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
 def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
             query_vec: list[float], k: int = 10,
             id_col: str = "vec_id", codes_col: str = "pq_codes",
-            ) -> DataFrame:
+            cell_offsets: list[float] | None = None,
+            cell_col: str = "cell") -> DataFrame:
     """ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes:
     ``score(v) ≈ q·v = Σ_j q_j · centroid_j[code_j]`` — the query stays
     un-quantized, each subspace contributes one lookup into a
@@ -716,6 +747,10 @@ def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
     :func:`topk_cosine` to measure what the quantization traded.
     Scores are approximate inner products, NOT cosines — rank-equivalent
     for unit-normalized corpora, labeled ``adc_sim`` to keep that loud.
+
+    With ``cell_offsets`` (residual IVF-PQ), the codes are residuals vs
+    coarse centroids and the score adds the per-cell ``q·centroid``
+    offset — one more literal ``element_at`` per row on ``cell_col``.
     """
     m = len(codebooks)
     ds = len(codebooks[0][0])
@@ -732,6 +767,13 @@ def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
             F.array(*[F.lit(float(x)) for x in lut]),
             F.element_at(F.col(codes_col), j + 1) + 1)
         score = term if score is None else score + term
+    if cell_offsets is not None:
+        # residual scoring: q·v ≈ q·centroid[cell] + q·residual — the
+        # per-cell offsets are driver-computed dots shipped as literals,
+        # one element_at on the row's cell; stays in codegen
+        score = score + F.element_at(
+            F.array(*[F.lit(float(x)) for x in cell_offsets]),
+            F.col(cell_col) + 1)
     scored = encoded.select(F.col(id_col),
                             F.round(score, 6).alias("adc_sim"))
     return scored.orderBy(F.col("adc_sim").desc(), F.col(id_col)).limit(k)
@@ -893,12 +935,15 @@ def lsh_load_index(spark, path: str) -> LshIndex:
 
 
 def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
-                            k: int = 10, probe_hamming: int = 0
+                            k: int = 10, probe_hamming: int | None = None
                             ) -> DataFrame:
     """Top-k over the materialized LSH index: the same probe-set
-    construction as :func:`topk_cosine_lsh`, landing on the partition
-    column — the scan touches only the probed buckets' files."""
+    construction (and derived multi-probe default) as
+    :func:`topk_cosine_lsh`, landing on the partition column — the
+    scan touches only the probed buckets' files."""
     from itertools import combinations
+    if probe_hamming is None:
+        probe_hamming = derive_probe_hamming(len(index.planes))
     qb = 0
     for i, p in enumerate(index.planes):
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
@@ -915,6 +960,22 @@ def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
                        index.id_col, index.vec_col)
 
 
+def ivf_residuals(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding", cell_col: str = "cell"
+                  ) -> DataFrame:
+    """Replace each vector with its residual vs its cell's coarse
+    centroid, ``r = v − centroid[cell]`` — the quantity FAISS's default
+    IVF-PQ encodes (residuals are smaller and more isotropic than raw
+    vectors, so the same code budget quantizes them with less error).
+    Pure codegen: the (k, d) centroid matrix ships as literals, one
+    ``element_at`` picks the row's centroid, ``zip_with`` subtracts —
+    no shuffle, no Python."""
+    cmat = F.array(*[_lit_vec(c) for c in centroids])
+    cent = F.element_at(cmat, F.col(cell_col) + 1)
+    res = F.zip_with(F.col(vec_col), cent, lambda a, b: a - b)
+    return df.withColumn(vec_col, res)
+
+
 @dataclass
 class PqIndex:
     """Materialized PQ index: the CODES relation as parquet plus the
@@ -929,6 +990,10 @@ class PqIndex:
     codebooks: list[list[list[float]]]
     id_col: str = "vec_id"
     codes_col: str = "pq_codes"
+    #: True when the codes quantize residuals vs IVF coarse centroids
+    #: (the FAISS-default hybrid) — ADC then needs the per-cell
+    #: ``q·centroid`` offsets, which topk_cosine_ivfpq supplies.
+    residual: bool = False
 
     def save(self, path: str) -> None:
         import os
@@ -937,14 +1002,14 @@ class PqIndex:
         spark = self.codes.sparkSession
         meta = spark.createDataFrame(
             [(j, [[float(x) for x in c] for c in book],
-              self.id_col, self.codes_col)
+              self.id_col, self.codes_col, bool(self.residual))
              for j, book in enumerate(self.codebooks)], _PQ_META_SCHEMA)
         meta.coalesce(1).write.mode("overwrite") \
             .json(os.path.join(path, "codebooks"))
 
 
 _PQ_META_SCHEMA = ("subspace int, book array<array<double>>, "
-                   "id_col string, codes_col string")
+                   "id_col string, codes_col string, residual boolean")
 
 
 def pq_build_index(df: DataFrame, m: int = 8, k_codes: int = 16,
@@ -966,7 +1031,8 @@ def pq_load_index(spark, path: str) -> PqIndex:
             .orderBy("subspace").collect())
     books = [[[float(x) for x in c] for c in r["book"]] for r in rows]
     return PqIndex(spark.read.parquet(os.path.join(path, "codes")),
-                   books, rows[0]["id_col"], rows[0]["codes_col"])
+                   books, rows[0]["id_col"], rows[0]["codes_col"],
+                   bool(rows[0]["residual"] or False))
 
 
 def pq_append_saved(spark, path: str, new_df: DataFrame,
@@ -989,17 +1055,24 @@ def pq_append_saved(spark, path: str, new_df: DataFrame,
 def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
                       k_codes: int = 16, iters: int = 1,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding"
+                      vec_col: str = "embedding",
+                      residual: bool = True
                       ) -> tuple[IvfIndex, PqIndex]:
     """IVF-PQ hybrid — the production 100 TB ANN layout: the coarse
     quantizer PRUNES (probe filter → cell partitions) and the product
     quantizer COMPRESSES (the scanned partitions hold m-byte codes, not
-    raw vectors).  This is the non-residual form: ONE global PQ
-    codebook set over the raw vectors, cells only routing — simpler
-    than FAISS's per-cell residual encoding and fully expressible as a
-    composition of the two audited quantizers (the residual form's
-    extra accuracy matters when cells are tight; measure with
-    :func:`ranking_metrics` before paying for it).
+    raw vectors).
+
+    ``residual=True`` (the default, matching FAISS ``IndexIVFPQ``)
+    quantizes ``v − centroid[cell]`` with ONE shared codebook set
+    pooled across cells: residuals are smaller and more isotropic than
+    raw vectors, so the same 8 B/vec code budget loses less — measured
+    on the synthetic corpus, recall@10 at a 2 % refine shortlist rises
+    from ~0.5 (raw) to ~0.9 (residual).  ADC adds the per-cell
+    ``q·centroid`` offset at query time (:func:`pq_topk`
+    ``cell_offsets``); everything stays a composition of the audited
+    quantizers plus :func:`ivf_residuals`' codegen subtraction.
+    ``residual=False`` keeps the simpler global-codebook form.
 
     Returns ``(ivf_index, pq_index)`` where the PQ codes relation
     CARRIES the cell column — persist with
@@ -1007,13 +1080,15 @@ def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
     probed cells' code files."""
     cents = ivf_train(df.select(id_col, vec_col), k=n_cells,
                       iters=iters, vec_col=vec_col)
-    books = pq_train(df.select(id_col, vec_col), m=m, k_codes=k_codes,
-                     iters=iters, vec_col=vec_col)
     assigned = ivf_assign(df.select(id_col, vec_col), cents,
                           vec_col=vec_col)
-    codes = pq_encode(assigned, books, vec_col=vec_col)  # keeps cell
+    enc_src = (ivf_residuals(assigned, cents, vec_col=vec_col)
+               if residual else assigned)
+    books = pq_train(enc_src, m=m, k_codes=k_codes,
+                     iters=iters, vec_col=vec_col)
+    codes = pq_encode(enc_src, books, vec_col=vec_col)  # keeps cell
     return (IvfIndex(assigned, cents, id_col, vec_col),
-            PqIndex(codes, books, id_col))
+            PqIndex(codes, books, id_col, residual=residual))
 
 
 def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,
@@ -1024,11 +1099,16 @@ def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,
     candidates (pruned AND compressed scan), exact cosine re-ranks the
     shortlist against the raw vectors.  Scores exact, membership
     approximate on two axes (cells probed, quantization) — measure the
-    recall trade with :func:`ranking_metrics`."""
+    recall trade with :func:`ranking_metrics`.  Residual indexes
+    (``pq.residual``) get the per-cell ``q·centroid`` ADC offsets
+    automatically."""
     probe = _probe_cells(ivf.centroids, query_vec, nprobe)
     cands = pq.codes.where(F.col("cell").isin(probe))
+    offs = ([sum(a * b for a, b in zip(query_vec, c))
+             for c in ivf.centroids] if pq.residual else None)
     sl = pq_topk(cands, pq.codebooks, query_vec, k=shortlist,
-                 id_col=pq.id_col, codes_col=pq.codes_col)
+                 id_col=pq.id_col, codes_col=pq.codes_col,
+                 cell_offsets=offs)
     ids = [r[pq.id_col] for r in sl.select(pq.id_col).collect()]
     return topk_cosine(_rows_for_ids(raw, pq.id_col, ids),
                        query_vec, k, pq.id_col, ivf.vec_col)

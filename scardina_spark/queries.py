@@ -1712,13 +1712,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the LSH- and IVF-probed top-10 against the exact x8 baseline
     for vec 0's query (`similarity.ranking_metrics`; ranks from the
     family's own (cos_sim desc, id) total order, never physical row
-    order)."""
+    order).  The LSH arm pins probe_hamming=0 explicitly — the oracle
+    replays the single-bucket probe; the operator's DEFAULT now
+    derives a multi-probe radius (derive_probe_hamming)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).first()["embedding"]]
     exact = SIM.topk_cosine(emb, qv, 10)
     planes = SIM.hyperplanes(64, 8, seed=42)
-    lsh = SIM.topk_cosine_lsh(emb, qv, 10, planes=planes)
+    lsh = SIM.topk_cosine_lsh(emb, qv, 10, planes=planes,
+                              probe_hamming=0)
     cents = _ivf_seed_centroids(emb)
     ivf = SIM.topk_cosine_ivf(emb, qv, 10, centroids=cents, nprobe=2)
     out = (SIM.ranking_metrics(ivf, exact, 10)

@@ -793,3 +793,115 @@ def test_ivfpq_hybrid_prunes_and_recovers_recall(spark, tables,
                                 shortlist=50)
     rows = small.collect()
     assert len(rows) == 10 and rows[0]["vec_id"] == 0
+
+
+def test_derive_probe_hamming_flip_model():
+    """The derived radius matches the Binomial flip model: h=2 for the
+    8-plane default at sim 0.7, 0 when a single bucket already meets
+    the target, n_planes when nothing smaller can."""
+    assert S.derive_probe_hamming(8) == 2
+    assert S.derive_probe_hamming(8, sim=1.0) == 0      # q = 0
+    assert S.derive_probe_hamming(4, sim=0.0,
+                                  target_recall=0.999) == 4
+    # monotone: lower similarity (more flips) never shrinks the radius
+    radii = [S.derive_probe_hamming(8, sim=s)
+             for s in (0.95, 0.8, 0.7, 0.5)]
+    assert radii == sorted(radii)
+
+
+def test_lsh_default_is_derived_multiprobe(tables, query_vec):
+    """Out-of-the-box topk_cosine_lsh equals the explicit derived-h
+    call — the default is the good configuration, not the recall-0.1
+    single probe."""
+    emb = tables["embeddings"]
+    h = S.derive_probe_hamming(8)
+    assert h >= 1
+    got = {r["vec_id"] for r in
+           S.topk_cosine_lsh(emb, query_vec, 10).collect()}
+    want = {r["vec_id"] for r in
+            S.topk_cosine_lsh(emb, query_vec, 10,
+                              probe_hamming=h).collect()}
+    assert got == want
+
+
+def test_ivf_residuals_exact_subtraction(spark, tables):
+    """ivf_residuals computes v - centroid[cell] exactly (checked
+    against numpy per row) and stays a pure projection: no Exchange,
+    no Python in the plan."""
+    import numpy as np
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    cents = S.ivf_train(emb, k=4, iters=1)
+    assigned = S.ivf_assign(emb, cents)
+    res = S.ivf_residuals(assigned, cents)
+    want_c = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for r in res.collect():
+        w = raw[r["vec_id"]] - np.asarray(cents[want_c[r["vec_id"]]])
+        np.testing.assert_allclose(
+            np.asarray(r["embedding"], dtype=np.float64), w, atol=1e-9)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_residual_ivfpq_full_probe_equals_ivf(spark, tables, query_vec):
+    """Residual scoring is consistent: with the FULL probed set as the
+    shortlist, the residual hybrid's refined top-10 equals the
+    IVF-alone path — the ADC offsets reorder only the shortlist
+    membership, never the exact refine."""
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    ivf, pq = S.ivfpq_build_index(emb, n_cells=8, m=8, k_codes=16,
+                                  residual=True)
+    assert pq.residual
+    probe = S._probe_cells(ivf.centroids, query_vec, 2)
+    probed_rows = pq.codes.where(F.col("cell").isin(probe)).count()
+    got = S.topk_cosine_ivfpq(ivf, pq, query_vec, emb, 10, nprobe=2,
+                              shortlist=probed_rows)
+    ivf_only = S.topk_cosine_ivf(emb, query_vec, 10,
+                                 centroids=ivf.centroids, nprobe=2)
+    assert (sorted(tuple(r) for r in got.collect())
+            == sorted(tuple(r) for r in ivf_only.collect()))
+
+
+def test_residual_adc_approximates_true_dot(spark, tables, query_vec):
+    """Residual ADC = q·centroid[cell] + LUT sums must track the true
+    inner product at least as well as raw-code ADC on probed cells
+    (aggregate absolute error, m=16)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    q = np.asarray(query_vec, dtype=np.float64)
+    errs = {}
+    for residual in (False, True):
+        ivf, pq = S.ivfpq_build_index(emb, n_cells=8, m=16, k_codes=16,
+                                      iters=2, residual=residual)
+        offs = ([float(np.dot(q, np.asarray(c)))
+                 for c in ivf.centroids] if residual else None)
+        adc = S.pq_topk(pq.codes, pq.codebooks, query_vec,
+                        k=len(raw), cell_offsets=offs)
+        errs[residual] = sum(
+            abs(r["adc_sim"] - float(np.dot(q, raw[r["vec_id"]])))
+            for r in adc.collect())
+    assert errs[True] <= errs[False] * 1.05, errs
+
+
+def test_pq_index_residual_flag_roundtrips(spark, tables, tmp_path):
+    """save/load preserves the residual flag (and old indexes without
+    the field load as residual=False)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    _, pq = S.ivfpq_build_index(emb, n_cells=4, m=8, k_codes=8,
+                                residual=True)
+    p = str(tmp_path / "pqidx")
+    pq.save(p)
+    loaded = S.pq_load_index(spark, p)
+    assert loaded.residual is True
+    # legacy meta without the residual column -> False
+    _, pq0 = S.ivfpq_build_index(emb, n_cells=4, m=8, k_codes=8,
+                                 residual=False)
+    p0 = str(tmp_path / "pqidx0")
+    pq0.save(p0)
+    loaded0 = S.pq_load_index(spark, p0)
+    assert loaded0.residual is False
