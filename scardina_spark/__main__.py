@@ -25,17 +25,51 @@ def _spark():
     return s
 
 
+
+def _resolve_schema_tables(spark, args):
+    """Schema registry for the CLI: tpch (testdata), jobm (derived
+    shipments fact), imdb / imdb-full (the shipped reference schemas,
+    datasets_imdb.py — point --sf-dir at the JOB CSV export or its
+    staged parquet).  Returns (sg, tables, default_root)."""
+    name = getattr(args, "schema", "tpch")
+    if name == "jobm":
+        from .jobm import build_jobm_schema, load_jobm_tables
+        return (build_jobm_schema(), load_jobm_tables(spark, args.sf_dir),
+                "shipments")
+    if name in ("imdb", "imdb-full"):
+        from .datasets_imdb import (build_imdb_schema,
+                                    build_job_light_schema,
+                                    load_imdb_tables)
+        sg = (build_job_light_schema() if name == "imdb"
+              else build_imdb_schema())
+        return sg, load_imdb_tables(spark, args.sf_dir, schema=sg), \
+            "cast_info"
+    from .catalog import build_tpch_schema, load_tables
+    return (build_tpch_schema(), load_tables(spark, args.sf_dir),
+            "lineitem")
+
+
+def _schema_root(args, default_root: str) -> str:
+    """The --root default is the tpch fact table; swap it for the
+    schema's own fact root unless the user overrode it."""
+    root = getattr(args, "root", None)
+    if root is None or (root == "lineitem"
+                        and default_root != "lineitem"):
+        return default_root
+    return root
+
+
 def cmd_prep(args) -> int:
     from .catalog import build_tpch_schema, load_tables
     from .estimators.sample import spanning_tree
     from .operators.pipeline import PrepPipeline
     spark = _spark()
-    tables = load_tables(spark, args.sf_dir)
-    sg = build_tpch_schema()
+    sg, tables, default_root = _resolve_schema_tables(spark, args)
+    root = _schema_root(args, default_root)
     pipe = PrepPipeline(spark, args.cache_dir)
     out = pipe.tables_with_fanouts(sg, tables)
-    tree = spanning_tree(sg, args.root)
-    samp = pipe.weighted_sample(tree, out, args.root, args.sample_size)
+    tree = spanning_tree(sg, root)
+    samp = pipe.weighted_sample(tree, out, root, args.sample_size)
     print(json.dumps({"stages": ["base_tables_with_fanouts", "joined_samples"],
                       "sample_rows": samp.count(),
                       "cache_dir": args.cache_dir}))
@@ -62,13 +96,9 @@ def cmd_estimate(args) -> int:
         return 0
     spark = _spark()
     jobm = getattr(args, "schema", "tpch") == "jobm"
-    if jobm:
-        from .jobm import build_jobm_schema, load_jobm_tables
-        tables = load_jobm_tables(spark, args.sf_dir)
-        sg = build_jobm_schema()
-    else:
-        tables = load_tables(spark, args.sf_dir)
-        sg = build_tpch_schema()
+    imdb = getattr(args, "schema", "tpch").startswith("imdb")
+    sg, tables, default_root = _resolve_schema_tables(spark, args)
+    root = _schema_root(args, default_root)
     t0 = time.perf_counter()
     if args.estimator == "exact":
         est = ExactEstimator(sg, tables)
@@ -82,18 +112,22 @@ def cmd_estimate(args) -> int:
                                             n_max=JM_HT_N_MAX,
                                             seed=args.seed).localize())
         else:
-            est.add(prepare_tree_sample(spanning_tree(sg, args.root), tables,
-                                        args.root, seed=args.seed).localize())
+            est.add(prepare_tree_sample(spanning_tree(sg, root), tables,
+                                        root, seed=args.seed).localize())
         if args.estimator == "stitch":
-            for center in ("customer", "nation", "supplier"):
+            stitch_centers = (
+                ("movie_companies", "movie_info", "movie_keyword",
+                 "movie_info_idx") if imdb
+                else ("customer", "nation", "supplier"))
+            for center in stitch_centers:
                 est.add(prepare_tree_sample(cin_tree(sg, center), tables,
                                             center, seed=args.seed).localize())
     elif args.estimator == "nar-ur":
         from .benchmarks import UR_MODEL_COLUMNS
         from .model import TrainConfig
         from .model.join_bridge import train_join_estimator
-        ts = prepare_tree_sample(spanning_tree(sg, args.root), tables,
-                                 args.root, seed=args.seed)
+        ts = prepare_tree_sample(spanning_tree(sg, root), tables,
+                                 root, seed=args.seed)
         est = train_join_estimator(
             ts, UR_MODEL_COLUMNS,
             TrainConfig(epochs=args.epochs, seed=args.seed,
@@ -554,13 +588,7 @@ def cmd_bench(args) -> int:
     from .queries import BENCH_QUERIES
     from .runner import load_benchmark_csv, run_benchmark
     spark = _spark()
-    if getattr(args, "schema", "tpch") == "jobm":
-        from .jobm import build_jobm_schema, load_jobm_tables
-        tables = load_jobm_tables(spark, args.sf_dir)
-        sg = build_jobm_schema()
-    else:
-        tables = load_tables(spark, args.sf_dir)
-        sg = build_tpch_schema()
+    sg, tables, default_root = _resolve_schema_tables(spark, args)
     if args.model:
         # the reference's eval workflow (run.py:770-788): load a trained
         # checkpoint and run the whole benchmark against it
@@ -580,8 +608,9 @@ def cmd_bench(args) -> int:
                                         seed=args.seed).localize())
     else:
         est = SampleEstimator()
-        est.add(prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
-                                    "lineitem", seed=args.seed).localize())
+        root = _schema_root(args, default_root)
+        est.add(prepare_tree_sample(spanning_tree(sg, root), tables,
+                                    root, seed=args.seed).localize())
     if args.benchmark_csv:
         # reference benchmark format: ``true_cardinality,sql`` rows
         # (scardina/run.py:791-794); empty truth fields are computed exactly
@@ -726,6 +755,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("prep")
     p.add_argument("--sf-dir", required=True)
+    p.add_argument("--schema", default="tpch",
+                   choices=["tpch", "jobm", "imdb", "imdb-full"])
     p.add_argument("--cache-dir", required=True)
     p.add_argument("--root", default="lineitem")
     p.add_argument("--sample-size", type=int, default=100_000)
@@ -734,9 +765,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("estimate")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--sql", required=True)
-    p.add_argument("--schema", default="tpch", choices=["tpch", "jobm"],
+    p.add_argument("--schema", default="tpch",
+                   choices=["tpch", "jobm", "imdb", "imdb-full"],
                    help="jobm adds the derived shipments fact table and "
-                        "(for sample/stitch) both parallel-edge samples")
+                        "(for sample/stitch) both parallel-edge samples; "
+                        "imdb / imdb-full load the shipped JOB-light / "
+                        "full-IMDB schema from --sf-dir (CSV export or "
+                        "staged parquet, datasets_imdb.py)")
     p.add_argument("--hybrid", default=None, choices=["zero", "ci"],
                    help="clamp a learned (nar-*) estimate against the "
                         "materialized sample: zero short-circuit or "
@@ -895,10 +930,16 @@ def main(argv=None) -> int:
     p.add_argument("--perror", action="store_true",
                    help="additionally report C_out plan-quality p-error "
                         "over the benchmark's multi-join queries")
-    p.add_argument("--schema", default="tpch", choices=["tpch", "jobm"],
+    p.add_argument("--schema", default="tpch",
+                   choices=["tpch", "jobm", "imdb", "imdb-full"],
                    help="jobm adds the derived shipments fact table "
                         "(parallel FK edges) and samples both "
-                        "alternatives — for job-m-sf*.csv benchmarks")
+                        "alternatives — for job-m-sf*.csv benchmarks; "
+                        "imdb loads the shipped JOB-light schema from "
+                        "--sf-dir for the reference's own job-light.csv")
+    p.add_argument("--root", default="lineitem",
+                   help="HT sample root (defaults to the schema's fact "
+                        "table: lineitem / shipments / cast_info)")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_bench)
 

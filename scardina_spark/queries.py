@@ -1027,6 +1027,61 @@ order by doc_id
 BPE_ARROW_MERGES = [("er", "s"), ("e", "r"), ("o", "n"), ("on", "g")]
 
 
+def q_imdb_schema_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (shipped IMDB/JOB-light schema declarations,
+    `datasets_imdb.py` — reference datasets.py:585-782/:812-890): build
+    the JOB-light SchemaGraph, register an IMDB-SHAPED slice derived
+    deterministically from the testdata relations (title := orders ids,
+    movie_keyword := lineitem (orderkey, partkey%97), movie_companies
+    := orders (orderkey%~2/3·N, custkey%50, custkey%4)), and compute
+    two reference sub-join sizes (movie_keyword:movie_id=title.id and
+    movie_companies:movie_id=title.id) through the SAME
+    fanout→weights aggregation path as j9 — proving the shipped schema
+    drives the engine's join machinery end-to-end.  The oracle replays
+    the derivations and the inner-join counts in SQL."""
+    from .datasets_imdb import build_job_light_schema
+    from .estimators.sample import cin_tree
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_t = orders.count()
+    title = orders.select(F.col("o_orderkey").alias("id"),
+                          (F.col("o_custkey") % 7 + 1).alias("kind_id"),
+                          (F.lit(1900) + F.col("o_orderkey") % 120)
+                          .alias("production_year"))
+    mk = li.select(F.col("l_orderkey").alias("movie_id"),
+                   (F.col("l_partkey") % 97).alias("keyword_id"))
+    mc = orders.select((F.col("o_orderkey") % F.lit(max(n_t * 2 // 3, 1)))
+                       .alias("movie_id"),
+                       (F.col("o_custkey") % 50).alias("company_id"),
+                       (F.col("o_custkey") % 4).alias("company_type_id"))
+    sg = build_job_light_schema()
+    tables = {"title": title, "movie_keyword": mk,
+              "movie_companies": mc}
+    out = []
+    for center in ("movie_keyword", "movie_companies"):
+        tree = cin_tree(sg, center)
+        w = compute_weights(tree, tables, center)
+        n = w[center].agg(F.sum(WEIGHT).cast("long")).first()[0]
+        out.append((center, int(n)))
+    return spark.createDataFrame(out, "subschema string, join_size long") \
+        .orderBy("subschema")
+
+
+SQL_IMDB_SCHEMA_JOINSIZE = """
+with title as (select o_orderkey as id from orders),
+mk as (select l_orderkey as movie_id from lineitem),
+mc as (select o_orderkey % (select greatest(2 * count(*) // 3, 1)
+                            from orders) as movie_id
+       from orders),
+a as (select 'movie_companies' as subschema, count(*)::BIGINT as join_size
+      from mc join title on mc.movie_id = title.id),
+b as (select 'movie_keyword' as subschema, count(*)::BIGINT as join_size
+      from mk join title on mk.movie_id = title.id)
+select * from a union all select * from b order by subschema
+"""
+
+
 def q_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X91 (BPE inference on the Arrow path — `bpe.bpe_apply_arrow`,
     the mapInPandas twin of x68's codegen fold for merge tables past
@@ -7318,6 +7373,7 @@ def queries() -> dict:
         # 50/50 green in CORRECTNESS_r09, freshest).  New r10 keys are
         # inserted at the top of this section as they land. ---
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
+        "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7597,6 +7653,7 @@ def oracle_sql() -> dict[str, str]:
         "e14_asha_async": _sql_asha_async(),
         "x68_bpe_apply": SQL_BPE_APPLY,
         "x91_bpe_apply_arrow": SQL_BPE_APPLY_ARROW,
+        "s7_imdb_joblight": SQL_IMDB_SCHEMA_JOINSIZE,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),

@@ -43,12 +43,17 @@ def pct_nearest(xs: list[float], p: float) -> float:
 
 
 def load_benchmark_csv(path: str) -> list[tuple[float | None, str]]:
-    """``true_cardinality,sql`` rows (S3); truth may be empty → computed."""
+    """``true_cardinality,sql`` rows (S3); truth may be empty → computed.
+    The reference's shipped benchmarks (imdb/job-light.csv, job-m.csv)
+    lead with a ``true_cardinality,sql`` header row — skipped here so
+    those files load verbatim."""
     out = []
     with open(path) as f:
         for row in csv.reader(f):
             if not row or row[0].startswith("#"):
                 continue
+            if row[0].strip().lower() == "true_cardinality":
+                continue  # reference header row
             truth = float(row[0]) if row[0].strip() else None
             out.append((truth, row[1]))
     return out
