@@ -726,6 +726,24 @@ def main() -> None:
     timed("minhash_dedup_xx", lambda: DD.minhash_dedup(
         docs, threshold=0.5, hash_fn="xxhash64").count())
 
+    def run_dedup_candidate_ratio():
+        # the scale ledger for the banded LSH: how many candidate pairs
+        # does the bucketing actually surface per corpus row?  A ratio
+        # that tracks the true near-dup density (not n^2/2) is what
+        # makes the operator viable at 100 TB — the 10x scale smoke
+        # (test_scale_smoke.py) pins the growth LAW; this records the
+        # measured POINT at bench scale.
+        n_docs = docs.count()
+        sigs = DD.minhash_signatures(docs, hash_fn="xxhash64")
+        n_cands = DD.lsh_candidate_pairs(sigs).count()
+        extras["dedup_corpus_docs"] = int(n_docs)
+        extras["dedup_lsh_candidates"] = int(n_cands)
+        extras["dedup_candidates_per_doc"] = round(
+            n_cands / max(n_docs, 1), 4)
+        extras["dedup_candidate_frac_of_quadratic"] = round(
+            n_cands / max(n_docs * (n_docs - 1) / 2, 1), 6)
+    timed("dedup_candidate_ratio", run_dedup_candidate_ratio)
+
     # 5. similarity: brute-force cosine top-10 over embeddings
     emb = load_table(spark, sf_dir, "embeddings").cache()
     emb.count()

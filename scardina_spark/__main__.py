@@ -671,6 +671,51 @@ def cmd_bench(args) -> int:
     return 0
 
 
+
+def cmd_refresh(args) -> int:
+    """One ingest step of the streaming→model loop: an arriving root
+    shard updates the fanout statistics (through the standing streaming
+    count state), the weighted join sample (exact mixture refresh), and
+    — with --model/--out — the NAR join model (warm-start fine-tune),
+    all without rescanning the base fact table for counts.  The
+    reference re-runs its whole prep pipeline on any append
+    (scardina/datasets.py:68-380) and parses but never implements
+    --incremental (run.py:118,192)."""
+    from .estimators.sample import (SampleEstimator, prepare_tree_sample,
+                                    spanning_tree)
+    from .operators.incremental import streaming_refresh_tree_sample
+    spark = _spark()
+    sg, tables, default_root = _resolve_schema_tables(spark, args)
+    root = _schema_root(args, default_root)
+    tree = spanning_tree(sg, root)
+    ts = prepare_tree_sample(tree, tables, root,
+                             n_min=args.sample_size,
+                             n_max=args.sample_size, seed=args.seed)
+    ts2, merged = streaming_refresh_tree_sample(
+        ts, tables, args.delta_dir, args.counts_state,
+        n_min=args.sample_size, n_max=args.sample_size, seed=args.seed)
+    out = {"root": root, "join_size_before": ts.join_size,
+           "join_size": ts2.join_size, "sample_rows": ts2.n_sample,
+           "edges_merged": sorted(merged)}
+    if getattr(args, "model", None):
+        from .model.join_bridge import (fine_tune_join_estimator,
+                                        load_join_estimator,
+                                        save_join_estimator)
+        est = load_join_estimator(args.model, sg=sg)
+        est = fine_tune_join_estimator(est, ts2, epochs=args.epochs,
+                                       seed=args.seed)
+        out["model_rows"] = est.n_rows
+        if getattr(args, "out", None):
+            save_join_estimator(est, args.out)
+            out["model_out"] = args.out
+    if getattr(args, "sql", None):
+        ht = SampleEstimator()
+        ht.add(ts2.localize())
+        out["estimate"] = ht.estimate(args.sql)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_train(args) -> int:
     from .catalog import load_table
     from .model import TrainConfig
@@ -761,6 +806,32 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="lineitem")
     p.add_argument("--sample-size", type=int, default=100_000)
     p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser("refresh")
+    p.add_argument("--sf-dir", required=True,
+                   help="BASE tables (pre-append)")
+    p.add_argument("--delta-dir", required=True,
+                   help="parquet directory holding the arriving root "
+                        "shard")
+    p.add_argument("--counts-state", required=True,
+                   help="standing streaming fk-count state root "
+                        "(streaming/stats layout; one subdir per edge)")
+    p.add_argument("--schema", default="tpch",
+                   choices=["tpch", "jobm", "imdb", "imdb-full"])
+    p.add_argument("--root", default="lineitem")
+    p.add_argument("--sample-size", type=int, default=20_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epochs", type=int, default=4,
+                   help="fine-tune epochs when --model is given")
+    p.add_argument("--model", default=None,
+                   help="train-join checkpoint to warm-start fine-tune "
+                        "on the refreshed mixture")
+    p.add_argument("--out", default=None,
+                   help="directory to save the fine-tuned model")
+    p.add_argument("--sql", default=None,
+                   help="probe COUNT(*) query answered from the "
+                        "refreshed sample")
+    p.set_defaults(fn=cmd_refresh)
 
     p = sub.add_parser("estimate")
     p.add_argument("--sf-dir", required=True)

@@ -414,6 +414,38 @@ def train_join_estimator(ts: TreeSample, data_columns: list[str],
         groups=groups or None)
 
 
+def fine_tune_join_estimator(est: NarJoinEstimator,
+                             refreshed_ts: "TreeSample",
+                             epochs: int | None = None,
+                             max_rows: int = 200_000,
+                             seed: int = 43) -> NarJoinEstimator:
+    """Incremental JOIN-model refresh — the model leg of the
+    streaming→model loop (the sample leg is
+    ``operators/incremental.streaming_refresh_tree_sample``): continue
+    training the fitted UR model on the REFRESHED mixture sample.
+
+    The mixture is an iid draw of the grown join (old and delta rows in
+    exact proportion — the binomial split in append_refresh), so
+    warm-starting on it adapts the model toward the post-append
+    distribution without overweighting the shard; dictionaries stay
+    frozen (OOD delta values encode as NULL — a domain-growing append
+    warrants re-prep, same contract as ``fine_tune_single_table``).
+    ``n_rows`` — the COUNT(*) scale factor — is set to the refreshed
+    join size EXACTLY (maintained incrementally by the refresh, root
+    count for fact-rooted trees), and the estimator's sample handle is
+    swapped so hybrid clamping sees the fresh mixture too."""
+    if est.continuous:
+        raise ValueError(
+            "cont-fanout join models regress log2 fanouts whose codes "
+            "are not re-derivable under frozen domains — retrain instead")
+    from .bridge import fine_tune_single_table
+    est = fine_tune_single_table(est, refreshed_ts.sample, epochs=epochs,
+                                 max_rows=max_rows, seed=seed)
+    est.n_rows = refreshed_ts.join_size
+    est.ts = refreshed_ts
+    return est
+
+
 # -- persistence (the reference's checkpoint-eval workflow: train once,
 # -- load + estimate many times; scardina/run.py:659-708, 770-788) ---------
 

@@ -101,6 +101,7 @@ def append_refresh_tree_sample(
     old_fk_counts: dict[str, DataFrame] | None = None,
     n_min: int = 100_000, n_max: int = 500_000, seed: int = 43,
     cache: bool = True,
+    merged_fk_counts: dict[str, DataFrame] | None = None,
 ) -> TreeSample:
     """Refresh ``ts`` after appending ``delta_root`` rows to its root table.
 
@@ -109,6 +110,13 @@ def append_refresh_tree_sample(
     maps fk_col → the root's per-key count table from the original prep
     (e.g. a PrepPipeline checkpoint); providing it makes the refresh
     old-fact-scan-free.  Only valid for fact-rooted trees.
+
+    ``merged_fk_counts`` short-circuits step 1 entirely: pass the
+    ALREADY-merged (base ∪ every delta so far) per-key count tables —
+    e.g. base counts ⊎ the streaming state maintained by
+    ``streaming/stats.maintain_fk_counts`` — and the refresh touches
+    neither the old root nor the delta for counting (the delta rows are
+    then read only by the Δ-join sampler).
     """
     tree, root = ts.tree, ts.root
     if not all(rel.pk_table == child for _, child, rel in tree.join_tree(root)):
@@ -127,6 +135,10 @@ def append_refresh_tree_sample(
     merged: dict[str, DataFrame] = {}
     for rel in tree.rels:
         if rel.fk_table != root:
+            continue
+        pre = (merged_fk_counts or {}).get(rel.fk_col)
+        if pre is not None:
+            merged[rel.fk_col] = pre
             continue
         old = (old_fk_counts or {}).get(rel.fk_col)
         if old is None:
@@ -176,3 +188,70 @@ def append_refresh_tree_sample(
         ts.sample.unpersist()
     delta_root.unpersist()
     return TreeSample(tree, root, samp, new_join_size, n_new)
+
+
+def streaming_refresh_tree_sample(
+    ts: TreeSample, tables: dict[str, DataFrame], delta_dir: str,
+    state_root: str,
+    base_fk_counts: dict[str, DataFrame] | None = None,
+    n_min: int = 100_000, n_max: int = 500_000, seed: int = 43,
+    cache: bool = True, timeout_sec: int = 120,
+) -> tuple[TreeSample, dict[str, DataFrame]]:
+    """ONE ingest step of the streaming→model loop: an arriving root
+    shard (parquet under ``delta_dir``) updates the fanout statistics
+    THROUGH the standing streaming count state, then the sample mixture
+    — closing the r9 gap where ``streaming/stats`` maintained counts
+    nobody downstream consumed.
+
+    Per root FK edge the shard is drained (availableNow) into
+    ``state_root/<fk_col>`` by ``streaming/stats.maintain_fk_counts``
+    (idempotent per-batch snapshots, restart-safe); the CURRENT merged
+    counts are then ``base_counts ⊎ read_fk_counts(state)`` — a pure
+    count-table merge, so across MANY shards neither the base root nor
+    any previous shard is ever rescanned (the streaming state already
+    accumulates them).  Those merged tables feed
+    :func:`append_refresh_tree_sample` via ``merged_fk_counts``.
+
+    ``tables`` must hold the ORIGINAL base tables and ``ts`` the sample
+    current through the previous shard — the invariant is
+    ``merged = base ⊎ state`` where the state holds every streamed
+    shard including this one.  Returns ``(refreshed_ts, merged_counts)``
+    so the caller can also feed the counts into a model refresh
+    (``model/bridge.fine_tune_single_table`` consumes the delta rows
+    themselves — see the CLI ``refresh`` composition).
+
+    Exactly-once: the foreachBatch checkpoint under each state dir
+    means a re-run of the same shard directory is a no-op (files
+    already consumed), so driving this function twice with the same
+    ``delta_dir`` cannot double-count — the test pins that."""
+    import os
+
+    from ..streaming.stats import (KEY, maintain_fk_counts,
+                                   read_fk_counts)
+
+    spark = delta_spark = ts.sample.sparkSession
+    schema = spark.read.parquet(delta_dir).schema
+    root = ts.root
+    merged: dict[str, DataFrame] = {}
+    for rel in ts.tree.rels:
+        if rel.fk_table != root:
+            continue
+        stream = delta_spark.readStream.schema(schema).parquet(delta_dir)
+        sdir = os.path.join(state_root, rel.fk_col)
+        maintain_fk_counts(stream, rel.fk_col, sdir,
+                           timeout_sec=timeout_sec)
+        state = (read_fk_counts(spark, sdir)
+                 .select(F.col(KEY).alias(rel.fk_col),
+                         F.col("cnt").alias(COUNT)))
+        base = (base_fk_counts or {}).get(rel.fk_col)
+        if base is None:
+            base = fk_counts(tables[root], rel.fk_col)
+        merged[rel.fk_col] = (base.unionByName(state)
+                              .groupBy(F.col(f"`{rel.fk_col}`")
+                                       .alias(rel.fk_col))
+                              .agg(F.sum(COUNT).alias(COUNT)))
+    delta_root = spark.read.parquet(delta_dir)
+    out = append_refresh_tree_sample(
+        ts, tables, delta_root, n_min=n_min, n_max=n_max, seed=seed,
+        cache=cache, merged_fk_counts=merged)
+    return out, merged

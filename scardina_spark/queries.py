@@ -1027,6 +1027,64 @@ order by doc_id
 BPE_ARROW_MERGES = [("er", "s"), ("e", "r"), ("o", "n"), ("on", "g")]
 
 
+def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 (streaming→model loop, the r9 verdict's item 8 — beyond
+    reference, which re-runs its whole prep on any append): split
+    lineitem 90/10 at a hash cutoff, drive the 10% shard through the
+    STANDING streaming count state (`streaming/stats.maintain_fk_counts`,
+    idempotent per-batch snapshots) into
+    `incremental.streaming_refresh_tree_sample` — fanouts, mixture
+    sample and join-size metadata all refresh without rescanning the
+    base fact rows for counts.  Output: one row per root FK edge with
+    the MERGED (base ⊎ streamed-shard) count-table invariants, plus the
+    refreshed join size and the clamped sample size; the oracle replays
+    every number from the full table."""
+    import tempfile
+
+    from .estimators.sample import prepare_tree_sample, spanning_tree
+    from .operators.incremental import streaming_refresh_tree_sample
+
+    tables = load_tables(spark, sf_dir)
+    li = tables["lineitem"]
+    h = F.abs(F.hash(F.col("l_orderkey"), F.col("l_linenumber"))) % 10
+    base, delta = li.where(h != 0), li.where(h == 0)
+    t_base = {**tables, "lineitem": base}
+    work = tempfile.mkdtemp(prefix="x92_")
+    delta_dir = f"{work}/shard"
+    delta.write.parquet(delta_dir)
+
+    sg = build_tpch_schema()
+    tree = spanning_tree(sg, "lineitem")
+    ts0 = prepare_tree_sample(tree, t_base, "lineitem",
+                              n_min=2_000, n_max=2_000, seed=7)
+    ts, merged = streaming_refresh_tree_sample(
+        ts0, t_base, delta_dir, f"{work}/state",
+        n_min=2_000, n_max=2_000, seed=13)
+    rows = [("join_size", int(ts.n_sample), int(ts.join_size))]
+    for fk, cnts in merged.items():
+        agg = cnts.agg(F.count(F.lit(1)).alias("k"),
+                       F.sum("count").alias("t")).first()
+        rows.append((fk, int(agg["k"]), int(agg["t"])))
+    return spark.createDataFrame(
+        rows, "edge string, n_keys long, total long").orderBy("edge")
+
+
+SQL_STREAMING_REFRESH = """
+select 'join_size' as edge, 2000::BIGINT as n_keys,
+       count(*)::BIGINT as total from lineitem
+union all
+select 'l_orderkey', count(distinct l_orderkey)::BIGINT,
+       count(l_orderkey)::BIGINT from lineitem
+union all
+select 'l_partkey', count(distinct l_partkey)::BIGINT,
+       count(l_partkey)::BIGINT from lineitem
+union all
+select 'l_suppkey', count(distinct l_suppkey)::BIGINT,
+       count(l_suppkey)::BIGINT from lineitem
+order by edge
+"""
+
+
 def q_imdb_schema_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 (shipped IMDB/JOB-light schema declarations,
     `datasets_imdb.py` — reference datasets.py:585-782/:812-890): build
@@ -7374,6 +7432,7 @@ def queries() -> dict:
         # inserted at the top of this section as they land. ---
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "s7_imdb_joblight": q_imdb_schema_joinsize,
+        "x92_streaming_refresh": q_streaming_refresh,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7654,6 +7713,7 @@ def oracle_sql() -> dict[str, str]:
         "x68_bpe_apply": SQL_BPE_APPLY,
         "x91_bpe_apply_arrow": SQL_BPE_APPLY_ARROW,
         "s7_imdb_joblight": SQL_IMDB_SCHEMA_JOINSIZE,
+        "x92_streaming_refresh": SQL_STREAMING_REFRESH,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),
