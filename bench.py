@@ -954,13 +954,23 @@ def main() -> None:
               emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = topk_cosine(emb, qv, 10)
         # DEFAULT arguments: probe radius derived from the flip model
-        # (h=2 for 8 planes) — the headline number is what a user gets
-        # out of the box
+        # (h=3 for 8 planes under the moderate-similarity prior) — the
+        # headline number is what a user gets out of the box
         lsh = topk_cosine_lsh(emb, qv, 10,
                               planes=hyperplanes(64, 8, seed=42))
         r = ranking_metrics(lsh, exact, 10).first()
         extras["ann_lsh_recall_at_10"] = float(r["recall_at_k"])
         extras["ann_lsh_ndcg_at_10"] = float(r["ndcg_at_k"])
+        # the honest multi-query number for the same default config
+        tot = 0.0
+        for r0 in emb.where(F.col("vec_id") < 10).collect():
+            q2 = [float(x) for x in r0["embedding"]]
+            l2 = topk_cosine_lsh(emb, q2, 10,
+                                 planes=hyperplanes(64, 8, seed=42))
+            e2x = topk_cosine(emb, q2, 10)
+            tot += float(ranking_metrics(l2, e2x, 10)
+                         .first()["recall_at_k"])
+        extras["ann_lsh_mean10_recall_at_10"] = round(tot / 10.0, 3)
         # single-bucket probe kept for the ledger: the cheapest scan,
         # and the recall it gives away vs the derived default
         sp = topk_cosine_lsh(emb, qv, 10,

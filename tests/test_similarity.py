@@ -796,10 +796,12 @@ def test_ivfpq_hybrid_prunes_and_recovers_recall(spark, tables,
 
 
 def test_derive_probe_hamming_flip_model():
-    """The derived radius matches the Binomial flip model: h=2 for the
-    8-plane default at sim 0.7, 0 when a single bucket already meets
-    the target, n_planes when nothing smaller can."""
-    assert S.derive_probe_hamming(8) == 2
+    """The derived radius matches the Binomial flip model: h=3 for the
+    8-plane default at the moderate-similarity prior (sim 0.5), h=2 at
+    an optimistic sim 0.7, 0 when a single bucket already meets the
+    target, n_planes when nothing smaller can."""
+    assert S.derive_probe_hamming(8) == 3
+    assert S.derive_probe_hamming(8, sim=0.7) == 2
     assert S.derive_probe_hamming(8, sim=1.0) == 0      # q = 0
     assert S.derive_probe_hamming(4, sim=0.0,
                                   target_recall=0.999) == 4
