@@ -519,11 +519,21 @@ def cmd_ann(args) -> int:
                                  shortlist=args.shortlist)
     else:  # ivfpq: pruned cells scanning compressed codes
         e2 = emb.select("vec_id", "embedding")
-        ivfx, pqx = SIM.ivfpq_build_index(
-            e2, n_cells=8, m=args.pq_m, k_codes=args.pq_codes)
-        out = SIM.topk_cosine_ivfpq(ivfx, pqx, qv, e2, args.k,
-                                    nprobe=args.nprobe,
-                                    shortlist=args.shortlist)
+        if getattr(args, "index", None):
+            import os
+            if not os.path.exists(os.path.join(args.index, "codes")):
+                ivfx, pqx = SIM.ivfpq_build_index(
+                    e2, n_cells=8, m=args.pq_m, k_codes=args.pq_codes)
+                SIM.ivfpq_save_index(ivfx, pqx, args.index)
+            out = SIM.topk_cosine_ivfpq_indexed(
+                spark, args.index, qv, e2, args.k,
+                nprobe=args.nprobe, shortlist=args.shortlist)
+        else:
+            ivfx, pqx = SIM.ivfpq_build_index(
+                e2, n_cells=8, m=args.pq_m, k_codes=args.pq_codes)
+            out = SIM.topk_cosine_ivfpq(ivfx, pqx, qv, e2, args.k,
+                                        nprobe=args.nprobe,
+                                        shortlist=args.shortlist)
     rows = out.collect()
     score = [c for c in out.columns if c != "vec_id"][0]
     print(json.dumps({"method": args.method, "k": args.k,
@@ -957,6 +967,10 @@ def main(argv=None) -> int:
     p.add_argument("--pq-codes", type=int, default=16)
     p.add_argument("--shortlist", type=int, default=50,
                    help="pq: ADC shortlist size before exact refine")
+    p.add_argument("--index", default=None,
+                   help="ivfpq: saved hybrid index directory — built "
+                        "and saved on first use, probed with partition "
+                        "pruning afterwards")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("shard")

@@ -134,11 +134,12 @@ def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     sum(C(n_planes, <=h))/2^n_planes of the data).
 
     ``probe_hamming=None`` (the default) DERIVES the radius from the
-    flip model (:func:`derive_probe_hamming` — h=2 for 8 planes), so
-    the out-of-the-box configuration is the good one; pass an explicit
-    0 for the raw single-bucket probe (cheapest, low recall — the x79
-    contract pins it), or reach for :func:`topk_cosine_ivfpq` when you
-    need recall ~0.9 at scan cost this family can't buy.
+    flip model (:func:`derive_probe_hamming` — h=3 for 8 planes under
+    the moderate-similarity prior), so the out-of-the-box configuration
+    is the good one; pass an explicit 0 for the raw single-bucket probe
+    (cheapest, low recall — the x79 contract pins it), or reach for
+    :func:`topk_cosine_ivfpq` when you need recall ~0.9 at scan cost
+    this family can't buy.
 
     The probe set is a driver-computed id list shipped into an IN
     filter — still a pushed-down predicate, and with a bucket-
@@ -1107,6 +1108,88 @@ def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
     codes = pq_encode(enc_src, books, vec_col=vec_col)  # keeps cell
     return (IvfIndex(assigned, cents, id_col, vec_col),
             PqIndex(codes, books, id_col, residual=residual))
+
+
+def ivfpq_save_index(ivf: IvfIndex, pq: PqIndex, path: str) -> None:
+    """Persist the IVF-PQ hybrid as ONE production layout: the codes
+    relation written PARTITIONED BY cell (a probe's ``cell IN (...)``
+    becomes partition pruning over files holding m-byte codes — the
+    pruned AND compressed scan in its on-disk form), plus the coarse
+    centroids and PQ codebooks as JSON metadata (residual flag
+    included).  Raw vectors are deliberately NOT stored — keep the
+    source table for the exact refine, exactly like :class:`PqIndex`.
+    """
+    import os
+    (pq.codes.write.partitionBy("cell")
+     .mode("overwrite").parquet(os.path.join(path, "codes")))
+    spark = pq.codes.sparkSession
+    cmeta = spark.createDataFrame(
+        [(i, [float(x) for x in c], ivf.id_col, ivf.vec_col)
+         for i, c in enumerate(ivf.centroids)], _IVF_META_SCHEMA)
+    cmeta.coalesce(1).write.mode("overwrite") \
+        .json(os.path.join(path, "centroids"))
+    bmeta = spark.createDataFrame(
+        [(j, [[float(x) for x in c] for c in book],
+          pq.id_col, pq.codes_col, bool(pq.residual))
+         for j, book in enumerate(pq.codebooks)], _PQ_META_SCHEMA)
+    bmeta.coalesce(1).write.mode("overwrite") \
+        .json(os.path.join(path, "codebooks"))
+
+
+def ivfpq_load_index(spark, path: str) -> tuple[IvfIndex, PqIndex]:
+    """Load the saved hybrid.  The returned :class:`IvfIndex` carries
+    the CODES relation in its ``assigned`` slot — it exists to route
+    probes (centroids + column names); the hybrid search never scans
+    raw vectors through it."""
+    import os
+    crows = (spark.read.schema(_IVF_META_SCHEMA)
+             .json(os.path.join(path, "centroids"))
+             .orderBy("cell").collect())
+    cents = [[float(x) for x in r["centroid"]] for r in crows]
+    brows = (spark.read.schema(_PQ_META_SCHEMA)
+             .json(os.path.join(path, "codebooks"))
+             .orderBy("subspace").collect())
+    books = [[[float(x) for x in c] for c in r["book"]] for r in brows]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    pq = PqIndex(codes, books, brows[0]["id_col"], brows[0]["codes_col"],
+                 bool(brows[0]["residual"] or False))
+    return (IvfIndex(codes, cents, crows[0]["id_col"],
+                     crows[0]["vec_col"]), pq)
+
+
+def ivfpq_append_saved(spark, path: str, new_df: DataFrame,
+                       vec_col: str = "embedding") -> int:
+    """FAISS-add for the saved hybrid: FROZEN centroids route the
+    delta's cells, FROZEN codebooks encode its (residual) codes, and
+    the new code files APPEND under the touched cell partitions —
+    existing files byte-untouched, work delta-sized.  Returns the
+    number of appended vectors.  Retrain trigger: same reconstruction-
+    drift monitoring as :func:`pq_append_saved`."""
+    import os
+    ivf, pq = ivfpq_load_index(spark, path)
+    assigned = ivf_assign(new_df.select(pq.id_col, vec_col), ivf.centroids,
+                          vec_col=vec_col)
+    enc_src = (ivf_residuals(assigned, ivf.centroids, vec_col=vec_col)
+               if pq.residual else assigned)
+    delta = pq_encode(enc_src, pq.codebooks, vec_col=vec_col,
+                      out_col=pq.codes_col)
+    n = delta.count()
+    (delta.write.partitionBy("cell").mode("append")
+     .parquet(os.path.join(path, "codes")))
+    return n
+
+
+def topk_cosine_ivfpq_indexed(spark, path: str, query_vec: list[float],
+                              raw: DataFrame, k: int = 10,
+                              nprobe: int = 2, shortlist: int = 50
+                              ) -> DataFrame:
+    """Probe → ADC → refine over the SAVED hybrid: the cell filter
+    lands on the partition column, so the ADC scan reads only the
+    probed cells' code files (partition pruning, plan-pinned in
+    tests); the exact refine reads ``shortlist`` raw rows."""
+    ivf, pq = ivfpq_load_index(spark, path)
+    return topk_cosine_ivfpq(ivf, pq, query_vec, raw, k=k,
+                             nprobe=nprobe, shortlist=shortlist)
 
 
 def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,

@@ -907,3 +907,50 @@ def test_pq_index_residual_flag_roundtrips(spark, tables, tmp_path):
     pq0.save(p0)
     loaded0 = S.pq_load_index(spark, p0)
     assert loaded0.residual is False
+
+
+def test_ivfpq_saved_index_roundtrip_prunes_and_appends(spark, tables,
+                                                        tmp_path,
+                                                        query_vec):
+    """The saved hybrid completes the index trio: save/load reproduces
+    the in-memory search exactly, the ADC probe over the saved layout
+    shows PartitionFilters on cell (pruned file scan), and FAISS-add
+    appends encode with FROZEN centroids+codebooks so the grown index
+    equals a from-scratch encode of the union."""
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    ivf, pq = S.ivfpq_build_index(half, n_cells=8, m=8, k_codes=16,
+                                  residual=True)
+    p = str(tmp_path / "hybrid")
+    S.ivfpq_save_index(ivf, pq, p)
+
+    # roundtrip: loaded search == in-memory search
+    mem = S.topk_cosine_ivfpq(ivf, pq, query_vec, half, 10, nprobe=2,
+                              shortlist=60)
+    disk = S.topk_cosine_ivfpq_indexed(spark, p, query_vec, half, 10,
+                                       nprobe=2, shortlist=60)
+    assert (sorted(tuple(r) for r in mem.collect())
+            == sorted(tuple(r) for r in disk.collect()))
+
+    # plan pin: the probed ADC scan reads only the probed cells' files
+    ivf2, pq2 = S.ivfpq_load_index(spark, p)
+    assert pq2.residual is True
+    probe = S._probe_cells(ivf2.centroids, query_vec, 2)
+    scan = pq2.codes.where(F.col("cell").isin(probe))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    # FAISS-add: appended codes == from-scratch encode of the union
+    n = S.ivfpq_append_saved(spark, p, rest)
+    assert n == rest.count()
+    _, pq_grown = S.ivfpq_load_index(spark, p)
+    assigned = S.ivf_assign(emb, ivf2.centroids)
+    enc_src = S.ivf_residuals(assigned, ivf2.centroids)
+    whole = S.pq_encode(enc_src, pq2.codebooks)
+    a = {r["vec_id"]: tuple(r["pq_codes"])
+         for r in pq_grown.codes.collect()}
+    b = {r["vec_id"]: tuple(r["pq_codes"]) for r in whole.collect()}
+    assert a == b
