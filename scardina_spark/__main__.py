@@ -402,17 +402,29 @@ def cmd_tokenize(args) -> int:
     from pyspark.sql import functions as F
 
     from .catalog import load_table
-    from .operators.bpe import bpe_apply, bpe_learn
+    from .operators.bpe import (APPLY_PROJECTION_MERGE_CAP, bpe_apply,
+                                bpe_apply_arrow, bpe_learn, load_merges,
+                                save_merges)
     spark = _spark()
     docs = load_table(spark, args.sf_dir, "documents")
-    if args.merges:
+    if getattr(args, "merges_file", None):
+        merges = load_merges(args.merges_file)
+        learned = 0
+    elif args.merges:
         merges = [tuple(m.split(",", 1)) for m in args.merges.split(";")]
         learned = 0
     else:
         pairs, _ = bpe_learn(docs, n_merges=args.n_merges)
         merges = [(a, b) for a, b, _ in pairs]
         learned = len(merges)
-    out = bpe_apply(docs, merges, keep_cols=("source",))
+    if getattr(args, "merges_out", None):
+        save_merges(merges, args.merges_out)
+    # large shipped tables take the Arrow tokenizer automatically (the
+    # codegen projection is capped; semantics are parity-pinned)
+    apply_fn = (bpe_apply_arrow
+                if len(merges) > APPLY_PROJECTION_MERGE_CAP
+                else bpe_apply)
+    out = apply_fn(docs, merges, keep_cols=("source",))
     out.write.mode("overwrite").parquet(args.out)
     stats = spark.read.parquet(args.out).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -420,7 +432,9 @@ def cmd_tokenize(args) -> int:
     print(json.dumps({
         "out": args.out, "n_docs": int(stats["n_docs"]),
         "total_tokens": int(stats["total_tokens"]),
-        "n_merges": len(merges), "learned": learned}))
+        "n_merges": len(merges), "learned": learned,
+        "tokenizer": apply_fn.__name__,
+        "merges_out": getattr(args, "merges_out", None)}))
     return 0
 
 
@@ -926,6 +940,13 @@ def main(argv=None) -> int:
     p.add_argument("--merges", default=None,
                    help="frozen merge table 'a,r;t,h;th,e' "
                         "(skips learning)")
+    p.add_argument("--merges-file", default=None,
+                   help="apply a frozen merges.txt (standard Sennrich/"
+                        "HF line format); tables past the projection "
+                        "cap route through the Arrow tokenizer")
+    p.add_argument("--merges-out", default=None,
+                   help="save the (learned or given) merge table as "
+                        "merges.txt")
     p.set_defaults(fn=cmd_tokenize)
 
     p = sub.add_parser("scd2")

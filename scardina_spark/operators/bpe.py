@@ -487,3 +487,43 @@ def vocab_coverage(df: DataFrame, vocab: DataFrame,
                 "oov_rate",
                 F.when(F.col("n_words") > 0,
                        F.round(F.col("n_oov") / F.col("n_words"), 6))))
+
+
+def save_merges(merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+                path: str) -> None:
+    """Write a merge table in the standard ``merges.txt`` format
+    (Sennrich's ``apply_bpe``/HuggingFace convention: a ``#version``
+    header, then one space-separated pair per line, in learned order).
+    Accepts bpe_learn's (left, right, count) triples or bare pairs;
+    counts are not part of the format and are dropped.
+
+    Symbols containing space or newline are refused — the line format
+    cannot represent them (our whitespace word-splitter can never emit
+    one, but a hand-built table could)."""
+    lines = ["#version: 0.2 (scardina_spark)"]
+    for m in merges:
+        a, b = m[0], m[1]
+        if any(ch in s for s in (a, b) for ch in (" ", "\n", "\t")):
+            raise ValueError(f"merge pair {(a, b)!r} contains "
+                             f"whitespace — not representable in "
+                             f"merges.txt")
+        lines.append(f"{a} {b}")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a standard ``merges.txt`` (``#``-prefixed header/comment
+    lines skipped, one space-separated pair per line, order
+    preserved)."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(f"malformed merges.txt line: {line!r}")
+            out.append((parts[0], parts[1]))
+    return out

@@ -340,3 +340,52 @@ def test_bpe_apply_cap_is_an_opt_in_knob(spark):
         bpe_apply(df, pairs, cap=2)
     out = bpe_apply(df, pairs, cap=3).first()
     assert out["bpe_tokens"] == ["xy", END]
+
+
+def test_merges_txt_roundtrip(tmp_path, spark, tables):
+    """save_merges/load_merges speak the standard merges.txt line
+    format (header skipped, order preserved), round-trip bpe_learn's
+    triples, and reject unrepresentable symbols."""
+    import pytest
+    from scardina_spark.operators.bpe import (
+        bpe_apply, load_merges, save_merges)
+    docs = tables["documents"]
+    triples, _ = bpe_learn(docs, n_merges=6)
+    p = str(tmp_path / "merges.txt")
+    save_merges(triples, p)
+    loaded = load_merges(p)
+    assert loaded == [(a, b) for a, b, _ in triples]
+    with open(p) as f:
+        assert f.readline().startswith("#version")
+    # tokenization through the file == tokenization from the triples
+    a = bpe_apply(docs, loaded).orderBy("doc_id").limit(5).collect()
+    b = bpe_apply(docs, [(x, y) for x, y, _ in triples]) \
+        .orderBy("doc_id").limit(5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError, match="whitespace"):
+        save_merges([("a b", "c")], str(tmp_path / "bad.txt"))
+    with pytest.raises(ValueError, match="malformed"):
+        (tmp_path / "m2.txt").write_text("a b c\n")
+        load_merges(str(tmp_path / "m2.txt"))
+
+
+def test_cli_tokenize_merges_file_roundtrip(capsys, spark, sf_dir,
+                                            tmp_path):
+    """tokenize --merges-out saves merges.txt; a second run with
+    --merges-file reproduces the same token accounting without
+    relearning."""
+    import json as _json
+    from scardina_spark.__main__ import main
+
+    mf = str(tmp_path / "merges.txt")
+    rc = main(["tokenize", "--sf-dir", sf_dir, "--n-merges", "6",
+               "--out", str(tmp_path / "tok1"), "--merges-out", mf])
+    assert rc == 0
+    o1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o1["learned"] == 6 and o1["merges_out"] == mf
+    rc = main(["tokenize", "--sf-dir", sf_dir, "--merges-file", mf,
+               "--out", str(tmp_path / "tok2")])
+    assert rc == 0
+    o2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o2["learned"] == 0
+    assert o2["total_tokens"] == o1["total_tokens"]
