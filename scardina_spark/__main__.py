@@ -765,7 +765,9 @@ def cmd_search(args) -> int:
     from .catalog import load_table
     from .model import TrainConfig
     from .model.bridge import training_matrix
-    from .model.search import asha_search, grid_search, tpe_search
+    from .model.search import (asha_search, asha_search_spark,
+                               grid_search, grid_search_spark,
+                               tpe_search)
     spark = _spark()
     df = load_table(spark, args.sf_dir, args.table)
     cols = [c.strip() for c in args.columns.split(",")]
@@ -777,8 +779,14 @@ def cmd_search(args) -> int:
     if args.driver == "grid":
         model, trials = grid_search(bins, codes, base)
         spent = len(trials) * args.epochs
+    elif args.driver == "grid-spark":
+        model, trials = grid_search_spark(spark, bins, codes, base)
+        spent = len(trials) * args.epochs
     elif args.driver == "asha":
         model, trials = asha_search(bins, codes, base)
+        spent = sum(t.epochs for t in trials)
+    elif args.driver == "asha-spark":
+        model, trials = asha_search_spark(spark, bins, codes, base)
         spent = sum(t.epochs for t in trials)
     else:
         model, trials = tpe_search(bins, codes, base,
@@ -1094,7 +1102,10 @@ def main(argv=None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--columns", required=True)
     p.add_argument("--driver", default="asha",
-                   choices=["grid", "asha", "tpe"])
+                   choices=["grid", "asha", "tpe", "grid-spark",
+                            "asha-spark"],
+                   help="*-spark distributes trials (grid) or rungs "
+                        "(sync ASHA) as Spark jobs across the cluster")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--n-trials", type=int, default=6)
     p.add_argument("--max-rows", type=int, default=20_000)

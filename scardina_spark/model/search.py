@@ -473,3 +473,126 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
     win = min(results[final_rung])
     return (models[(final_rung, win[1], win[2])], trials,
             state["max_inflight"])
+
+
+# -- cluster-distributed drivers (the reference's Ray Tune leg,
+# -- scardina/run.py:643-657, re-expressed as Spark jobs) -------------------
+
+def _run_trial(input_bins, cfg, train, val, model_cls):
+    """One trial = construct, fit, validate.  Runs identically on the
+    driver or inside a Spark task (pure NumPy, seeded by cfg)."""
+    model = model_cls(input_bins, cfg)
+    losses = model.fit(train)
+    return masked_val_loss(model, val), losses[-1], model
+
+
+def grid_search_spark(spark, input_bins: list[tuple[str, int]],
+                      codes: np.ndarray, base: TrainConfig | None = None,
+                      d_words: tuple[int, ...] = (16, 32),
+                      d_ffs: tuple[int, ...] = (64, 96),
+                      model_cls=NarMLP) -> tuple[NarMLP, list[TrialResult]]:
+    """:func:`grid_search` distributed over the CLUSTER: one Spark task
+    per (d_word, d_ff) config — the multi-machine leg the reference
+    gets from Ray Tune, here plain ``parallelize(configs).map(train)``.
+
+    The train/val matrices broadcast once (sample-scale: bounded by the
+    500k-row sample clamp times the column count, independent of data
+    scale); each task trains its NumPy model from the config's seed and
+    ships back (val_loss, train_loss, pickled model) — grid-size
+    models, MBs.  Trials are re-sorted into grid order on the driver:
+    distribution changes WHERE a trial runs, never the schedule or the
+    arithmetic SEMANTICS — losses match the serial driver to float32
+    BLAS kernel noise (~1e-6 relative; executor Python workers are
+    separate processes whose GEMM kernels may re-associate, the same
+    caveat as any cross-process float reduction — test-pinned)."""
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    grid = [(dw, dff) for dw in d_words for dff in d_ffs]
+    b_train = spark.sparkContext.broadcast(train)
+    b_val = spark.sparkContext.broadcast(val)
+    try:
+        def run(pair):
+            dw, dff = pair
+            cfg = replace(base, d_word=dw, d_ff=dff)
+            vl, tl, model = _run_trial(input_bins, cfg,
+                                       b_train.value, b_val.value,
+                                       model_cls)
+            return dw, dff, vl, tl, model
+
+        got = {(dw, dff): (vl, tl, m)
+               for dw, dff, vl, tl, m in
+               spark.sparkContext.parallelize(grid, len(grid)).map(run)
+               .collect()}
+    finally:
+        b_train.unpersist()
+        b_val.unpersist()
+    trials: list[TrialResult] = []
+    best, best_model = None, None
+    for dw, dff in grid:                       # serial driver's order
+        vl, tl, model = got[(dw, dff)]
+        t = TrialResult(replace(base, d_word=dw, d_ff=dff), vl, tl)
+        trials.append(t)
+        if best is None or vl < best.val_loss:
+            best, best_model = t, model
+    return best_model, trials
+
+
+def asha_search_spark(spark, input_bins: list[tuple[str, int]],
+                      codes: np.ndarray, base: TrainConfig | None = None,
+                      d_words: tuple[int, ...] = (8, 16, 32),
+                      d_ffs: tuple[int, ...] = (32, 64, 96),
+                      eta: int = 2, min_epochs: int = 2,
+                      model_cls=NarMLP) -> tuple[NarMLP, list[AshaTrial]]:
+    """:func:`asha_search` (synchronous successive halving) with each
+    RUNG's trainings distributed as one Spark job — the rung barrier IS
+    sync ASHA's semantics, so a per-rung job loses nothing the serial
+    driver had.  Promotion decisions run on the driver over the
+    collected (val_loss, config) rows with the identical
+    (val_loss, d_word, d_ff) total order, so the trial SCHEDULE and
+    promotion structure are identical to the serial driver, with losses
+    equal to float32 BLAS kernel noise (cross-process GEMM
+    re-association; a promotion could flip only on a near-tie at that
+    scale, and the trial table records what happened — test-pinned to
+    1e-5 relative).  For the
+    barrier-free variant on one box, use :func:`asha_async_pool_search`;
+    a cluster-wide async pool needs a shared scheduler service, which
+    is Ray's leg (documented gap)."""
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    alive = [replace(base, d_word=dw, d_ff=dff)
+             for dw in d_words for dff in d_ffs]
+    rungs = asha_schedule(len(alive), base.epochs, eta, min_epochs)
+    trials: list[AshaTrial] = []
+    best_model = None
+    b_train = spark.sparkContext.broadcast(train)
+    b_val = spark.sparkContext.broadcast(val)
+    try:
+        for rung_idx, (budget, keep) in enumerate(rungs):
+            cfgs = [replace(cfg, epochs=budget) for cfg in alive]
+
+            def run(cfg):
+                vl, tl, model = _run_trial(input_bins, cfg,
+                                           b_train.value, b_val.value,
+                                           model_cls)
+                return cfg.d_word, cfg.d_ff, vl, tl, model
+
+            got = {(dw, dff): (vl, tl, m)
+                   for dw, dff, vl, tl, m in
+                   spark.sparkContext.parallelize(cfgs, len(cfgs))
+                   .map(run).collect()}
+            scored = []
+            for cfg in alive:
+                vl, tl, model = got[(cfg.d_word, cfg.d_ff)]
+                scored.append((vl, cfg.d_word, cfg.d_ff, cfg, model, tl))
+            scored.sort(key=lambda t: (t[0], t[1], t[2]))
+            kept = {(t[1], t[2]) for t in scored[:keep]}
+            for vl, dw, dff, cfg, model, tl in scored:
+                trials.append(AshaTrial(replace(cfg, epochs=budget),
+                                        rung_idx, budget, vl, tl,
+                                        (dw, dff) in kept))
+            alive = [t[3] for t in scored[:keep]]
+            best_model = scored[0][4]
+    finally:
+        b_train.unpersist()
+        b_val.unpersist()
+    return best_model, trials

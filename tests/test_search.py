@@ -303,3 +303,59 @@ def test_asha_pool_rejects_bad_n_workers():
     with pytest.raises(ValueError, match="n_workers"):
         asha_async_pool_search([("x", 10), ("y", 10)], codes,
                                n_workers=0)
+
+
+def _spark_codes():
+    return _pool_codes()
+
+
+def test_grid_search_spark_matches_serial(spark):
+    """Distribution changes WHERE a trial runs, never the schedule or
+    semantics: the Spark-distributed grid runs the same trials in the
+    same order with losses equal to float32 BLAS kernel noise
+    (executor workers are separate processes whose GEMM kernels may
+    re-associate), and picks the same winner."""
+    import math
+
+    import numpy as np
+
+    from scardina_spark.model.search import grid_search_spark
+    codes = _spark_codes()
+    bins = [("x", 10), ("y", 10)]
+    base = TrainConfig(epochs=4, batch_size=512, seed=2)
+    kw = dict(d_words=(8, 16), d_ffs=(16, 32))
+    m_s, t_s = grid_search(bins, codes, base, **kw)
+    m_d, t_d = grid_search_spark(spark, bins, codes, base, **kw)
+    assert [(t.cfg.d_word, t.cfg.d_ff) for t in t_s] == \
+           [(t.cfg.d_word, t.cfg.d_ff) for t in t_d]
+    for a, b in zip(t_s, t_d):
+        assert math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
+        assert math.isclose(a.train_loss, b.train_loss, rel_tol=1e-5)
+    assert (m_s.cfg.d_word, m_s.cfg.d_ff) == (m_d.cfg.d_word,
+                                              m_d.cfg.d_ff)
+    # the shipped-back winner is the same trained model to kernel noise
+    np.testing.assert_allclose(m_s.W1, m_d.W1, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(m_s.W2, m_d.W2, rtol=1e-4, atol=1e-6)
+
+
+def test_asha_search_spark_matches_serial(spark):
+    """Per-rung Spark jobs + the identical driver-side promotion rule
+    == the serial sync-ASHA run: same (config, rung, budget, promoted)
+    trial table, losses to kernel noise, same winner."""
+    import math
+
+    from scardina_spark.model.search import (asha_search,
+                                             asha_search_spark)
+    codes = _spark_codes()
+    bins = [("x", 10), ("y", 10)]
+    base = TrainConfig(epochs=8, batch_size=512, seed=2)
+    kw = dict(d_words=(8, 16), d_ffs=(16, 32), eta=2, min_epochs=2)
+    m_s, t_s = asha_search(bins, codes, base, **kw)
+    m_d, t_d = asha_search_spark(spark, bins, codes, base, **kw)
+    key = lambda t: (t.cfg.d_word, t.cfg.d_ff, t.rung, t.epochs,
+                     t.promoted)
+    assert [key(t) for t in t_s] == [key(t) for t in t_d]
+    for a, b in zip(t_s, t_d):
+        assert math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
+    assert (m_s.cfg.d_word, m_s.cfg.d_ff) == (m_d.cfg.d_word,
+                                              m_d.cfg.d_ff)
