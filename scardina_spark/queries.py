@@ -5305,6 +5305,54 @@ def _sql_grid_search(d_words=(8, 16), d_ffs=(32, 64)) -> str:
     return "\nunion all\n".join(parts) + "\norder by d_word, d_ff"
 
 
+def q_spark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 (cluster-distributed hyperparameter search — the reference's
+    Ray Tune DISTRIBUTION leg, run.py:643-657, as Spark jobs:
+    `search.grid_search_spark`): one row per grid config with booleans
+    certifying Spark-side that the distributed run (a) executed the
+    identical trial schedule as the serial driver, (b) reproduced every
+    loss to float32 cross-process BLAS kernel noise (1e-5 relative —
+    executor GEMMs may re-associate), and (c) picked the same winner,
+    whose shipped-back weights match to the same tolerance.  The oracle
+    emits the literal grid; correctness is carried by the booleans
+    (e8's protocol)."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import grid_search, grid_search_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=4, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    d_words, d_ffs = (8, 16), (32, 64)
+    m_s, t_s = grid_search(bins, codes, base, d_words=d_words,
+                           d_ffs=d_ffs)
+    m_d, t_d = grid_search_spark(spark, bins, codes, base,
+                                 d_words=d_words, d_ffs=d_ffs)
+    sched = ([(t.cfg.d_word, t.cfg.d_ff) for t in t_s]
+             == [(t.cfg.d_word, t.cfg.d_ff) for t in t_d])
+    close = all(math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
+                and math.isclose(a.train_loss, b.train_loss,
+                                 rel_tol=1e-5)
+                for a, b in zip(t_s, t_d))
+    winner = ((m_s.cfg.d_word, m_s.cfg.d_ff)
+              == (m_d.cfg.d_word, m_d.cfg.d_ff))
+    import numpy as np
+    weights = (np.allclose(m_s.W1, m_d.W1, rtol=1e-4, atol=1e-6)
+               and np.allclose(m_s.W2, m_d.W2, rtol=1e-4, atol=1e-6))
+    ok = bool(sched and close and winner and weights)
+    rows = [(t.cfg.d_word, t.cfg.d_ff, ok) for t in t_s]
+    return (spark.createDataFrame(rows,
+                                  "d_word int, d_ff int, ok boolean")
+            .orderBy("d_word", "d_ff"))
+
+
 def q_stage_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 stage sinks + S2 checkpoint-resume: a lineitem projection
     round-trips through parquet/CSV/JSON writers (reference: the cache
@@ -7433,6 +7481,7 @@ def queries() -> dict:
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x92_streaming_refresh": q_streaming_refresh,
+        "e17_spark_search": q_spark_search,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7714,6 +7763,7 @@ def oracle_sql() -> dict[str, str]:
         "x91_bpe_apply_arrow": SQL_BPE_APPLY_ARROW,
         "s7_imdb_joblight": SQL_IMDB_SCHEMA_JOINSIZE,
         "x92_streaming_refresh": SQL_STREAMING_REFRESH,
+        "e17_spark_search": _sql_grid_search(),
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),
