@@ -953,6 +953,23 @@ def lsh_load_index(spark, path: str) -> LshIndex:
                     planes, r["id_col"], r["vec_col"], _seed=r["seed"])
 
 
+def lsh_append_saved(spark, path: str, new_df: DataFrame) -> int:
+    """FAISS-add for the saved LSH index — completes the append trio
+    beside :func:`ivf_append_saved` and :func:`pq_append_saved`: the
+    FROZEN seed-derived planes bucket the delta (signatures are a pure
+    function of (dim, n_planes, seed), so old and new rows hash
+    identically by construction) and the new files APPEND under the
+    touched bucket partitions only.  Returns the appended row count."""
+    import os
+    idx = lsh_load_index(spark, path)
+    nb = with_lsh_bucket(new_df.select(idx.id_col, idx.vec_col),
+                         idx.planes, idx.vec_col)
+    n = nb.count()
+    (nb.write.partitionBy("bucket").mode("append")
+     .parquet(os.path.join(path, "buckets")))
+    return n
+
+
 def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
                             k: int = 10, probe_hamming: int | None = None
                             ) -> DataFrame:

@@ -954,3 +954,29 @@ def test_ivfpq_saved_index_roundtrip_prunes_and_appends(spark, tables,
          for r in pq_grown.codes.collect()}
     b = {r["vec_id"]: tuple(r["pq_codes"]) for r in whole.collect()}
     assert a == b
+
+
+def test_lsh_append_saved_equals_from_scratch(spark, tables, tmp_path,
+                                              query_vec):
+    """The LSH append leg: frozen seed-derived planes bucket the delta
+    identically to a from-scratch build, so the grown index's buckets
+    and probed top-k equal the whole-corpus build's."""
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "lshidx")
+    S.lsh_build_index(half, n_planes=8, seed=42).save(p)
+    n = S.lsh_append_saved(spark, p, rest)
+    assert n == rest.count()
+    grown = S.lsh_load_index(spark, p)
+    whole = S.lsh_build_index(emb, n_planes=8, seed=42)
+    a = {r["vec_id"]: r["bucket"] for r in grown.bucketed.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in whole.bucketed.collect()}
+    assert a == b
+    got = S.topk_cosine_lsh_indexed(grown, query_vec, 10,
+                                    probe_hamming=2).collect()
+    want = S.topk_cosine_lsh(emb, query_vec, 10,
+                             probe_hamming=2).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
