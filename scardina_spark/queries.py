@@ -7414,7 +7414,14 @@ def queries() -> dict:
     # (round-8 additions e14, x68-x82, st14/st15, e15 and round-9
     # additions x83-x90, st16/st17, e16) plus the 20 stalest r07-green
     # keys — exactly 50.  Everything past the cap is the r11 schedule,
-    # stalest-first.  Key names are stable across rounds.  Registry growth is ~11 keys/round against a
+    # stalest-first.  Key names are stable across rounds.
+    # Staleness math (r10): registry 185 keys vs the 50-row driver
+    # window -> worst-case revisit ~4 rounds.  If growth continues,
+    # retire REDUNDANT keys first (candidates: the TPC-H analytics
+    # block a11-a34 overlaps heavily with a2/a4/a9/a10 on operator
+    # coverage — e.g. a15/a16/a21/a22/a26/a27 each pin one join+agg
+    # shape already covered; dropping ~8 of them buys 2 rounds) before
+    # asking for a wider window.  Registry growth is ~11 keys/round against a
     # 50-row window — if it keeps growing, widen the window or retire
     # redundant keys before the staleness math breaks (~r12).
     return {
