@@ -419,3 +419,57 @@ def test_window_seeded_ewma_twin(vals, alpha, k):
     for j, x in enumerate(vals[1:min(len(vals), k)], start=1):
         s = alpha * x + (1.0 - alpha) * s
         assert math.isclose(outs[j], s, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _naive_sequential_passes(word, merges):
+    """The definitional semantics: every merge applied leftmost-greedily
+    ONCE, at its own turn, in merge order — O(n_merges · len), the spec
+    the rank-heap scheduler must reproduce exactly."""
+    from scardina_spark.operators.bpe import END, _apply_merge
+    syms = tuple(word) + (END,)
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms
+
+
+@given(st.text(alphabet="abc", min_size=0, max_size=12),
+       st.lists(st.tuples(st.text(alphabet="abc", min_size=1, max_size=3),
+                          st.text(alphabet="abc", min_size=1, max_size=3)),
+                min_size=0, max_size=12))
+@settings(max_examples=400, deadline=None)
+def test_bpe_rank_heap_equals_naive_sequential(word, merges):
+    """bpe_apply_arrow's lazy rank-heap scheduler is EXACTLY the naive
+    one-pass-per-merge fold for every word and merge table (tiny
+    alphabet maximizes merge interactions: chains, later-merge-creates-
+    earlier-pair, END-touching merges)."""
+    from scardina_spark.operators.bpe import (END,
+                                              _sequential_merge_passes)
+    # duplicates unsupported by the heap path (documented); dedup keeps
+    # first occurrence, preserving order
+    seen, uniq = set(), []
+    for m in merges:
+        if m not in seen:
+            seen.add(m)
+            uniq.append(m)
+    ranks = {p: i for i, p in enumerate(uniq)}
+    got = _sequential_merge_passes(word, uniq, ranks)
+    want = _naive_sequential_passes(word, uniq)
+    assert got == want, (word, uniq, got, want)
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=8),
+       st.lists(st.tuples(st.sampled_from(["a", "b", "ab", "ba", "aa",
+                                           "bb", "</w>"]),
+                          st.sampled_from(["a", "b", "ab", "ba", "aa",
+                                           "bb", "</w>"])),
+                min_size=1, max_size=10, unique=True))
+@settings(max_examples=400, deadline=None)
+def test_bpe_rank_heap_with_multichar_and_end_merges(word, merges):
+    """Same exactness under merge tables whose symbols are themselves
+    merge OUTPUTS or the END marker — the regime where the lazy
+    schedule's created-pair bookkeeping actually fires."""
+    from scardina_spark.operators.bpe import _sequential_merge_passes
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = _sequential_merge_passes(word, merges, ranks)
+    want = _naive_sequential_passes(word, merges)
+    assert got == want, (word, merges, got, want)
