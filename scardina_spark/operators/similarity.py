@@ -970,6 +970,46 @@ def lsh_append_saved(spark, path: str, new_df: DataFrame) -> int:
     return n
 
 
+def pq_reconstruction_error(df: DataFrame,
+                            codebooks: list[list[list[float]]],
+                            vec_col: str = "embedding",
+                            codes_col: str | None = None) -> DataFrame:
+    """Mean squared PQ reconstruction error over a corpus —
+    ``E[ Σ_j ‖v_j − book_j[code_j]‖² ]`` — the RETRAIN TRIGGER the
+    append paths (:func:`pq_append_saved`, :func:`ivfpq_append_saved`)
+    document: frozen codebooks drift as the data distribution moves, and
+    FAISS's guidance for add-heavy indexes is to monitor exactly this
+    quantity on (a sample of) newly added vectors against the
+    build-time baseline.  Returns one row ``(n, mean_sq_err, rmse)``.
+
+    Pure codegen: with ``codes_col`` the stored codes are used directly
+    (one ``element_at`` per subspace into the literal codebook, a
+    ``zip_with`` squared difference, an ``aggregate`` fold — no
+    shuffle but the final scalar agg); without it the corpus is
+    re-encoded first (same cost shape as :func:`pq_encode`).  For
+    residual indexes pass the RESIDUAL relation
+    (:func:`ivf_residuals`) — the error is defined on what the codes
+    quantize."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    if codes_col is None:
+        df = pq_encode(df, codebooks, vec_col=vec_col, drop_vec=False)
+        codes_col = "pq_codes"
+    err = None
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * ds + 1, ds)
+        bk = F.array(*[_lit_vec(c) for c in book])
+        rec = F.element_at(bk, F.element_at(F.col(codes_col), j + 1) + 1)
+        diff = F.zip_with(sub, rec,
+                          lambda a, b: (a.cast("double") - b)
+                          * (a.cast("double") - b))
+        term = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        err = term if err is None else err + term
+    return df.agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg(err), 6).alias("mean_sq_err"),
+                  F.round(F.sqrt(F.avg(err)), 6).alias("rmse"))
+
+
 def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
                             k: int = 10, probe_hamming: int | None = None
                             ) -> DataFrame:

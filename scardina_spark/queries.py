@@ -5353,6 +5353,60 @@ def q_spark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d_word", "d_ff"))
 
 
+def q_pq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 (PQ reconstruction-error monitor — the retrain trigger the
+    FAISS-add append paths document: frozen codebooks drift as the
+    distribution moves; `similarity.pq_reconstruction_error`): mean
+    squared quantization error over the corpus under the x83 seed
+    codebooks, plus the same statistic over the vec_id>=250 half —
+    the pair a production monitor compares (baseline vs newly-added).
+    Pure codegen decode (literal codebooks, element_at + zip_with +
+    fold); the oracle replays the subspace argmax and the squared
+    slice distance in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=4, k_codes=8, iters=0)
+    whole = SIM.pq_reconstruction_error(emb, books) \
+        .withColumn("cohort", F.lit("all"))
+    tail = SIM.pq_reconstruction_error(
+        emb.where(F.col("vec_id") >= 250), books) \
+        .withColumn("cohort", F.lit("tail"))
+    return (whole.unionByName(tail)
+            .select("cohort", F.col("n").cast("long").alias("n"),
+                    "mean_sq_err", "rmse")
+            .orderBy("cohort"))
+
+
+SQL_PQ_DRIFT = """
+with sub as (select unnest(range(0, 4)) as j),
+seeds as (select vec_id as code, embedding::DOUBLE[] as sv
+          from embeddings where vec_id < 8),
+best as (
+  select e.vec_id, s.j,
+         row_number() over (partition by e.vec_id, s.j
+             order by list_dot_product(
+                 list_slice(e.embedding::DOUBLE[], s.j*16+1, s.j*16+16),
+                 list_slice(c.sv, s.j*16+1, s.j*16+16)) desc,
+             c.code) as rn,
+         power(list_distance(
+             list_slice(e.embedding::DOUBLE[], s.j*16+1, s.j*16+16),
+             list_slice(c.sv, s.j*16+1, s.j*16+16)), 2) as sqerr
+  from embeddings e cross join sub s cross join seeds c),
+per_vec as (
+  select vec_id, sum(sqerr) as err from best where rn = 1
+  group by vec_id),
+stats as (
+  select 'all' as cohort, count(*)::BIGINT as n,
+         round(avg(err), 6) as mean_sq_err,
+         round(sqrt(avg(err)), 6) as rmse
+  from per_vec
+  union all
+  select 'tail', count(*)::BIGINT, round(avg(err), 6),
+         round(sqrt(avg(err)), 6)
+  from per_vec where vec_id >= 250)
+select * from stats order by cohort
+"""
+
+
 def q_stage_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 stage sinks + S2 checkpoint-resume: a lineitem projection
     round-trips through parquet/CSV/JSON writers (reference: the cache
@@ -7489,6 +7543,7 @@ def queries() -> dict:
         "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x92_streaming_refresh": q_streaming_refresh,
         "e17_spark_search": q_spark_search,
+        "x93_pq_drift": q_pq_drift,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7771,6 +7826,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_imdb_joblight": SQL_IMDB_SCHEMA_JOINSIZE,
         "x92_streaming_refresh": SQL_STREAMING_REFRESH,
         "e17_spark_search": _sql_grid_search(),
+        "x93_pq_drift": SQL_PQ_DRIFT,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
         "x71_pagerank": _sql_pagerank(),

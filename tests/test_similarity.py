@@ -980,3 +980,40 @@ def test_lsh_append_saved_equals_from_scratch(spark, tables, tmp_path,
     want = S.topk_cosine_lsh(emb, query_vec, 10,
                              probe_hamming=2).collect()
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_pq_reconstruction_error_matches_numpy(spark, tables):
+    """The codegen decode reproduces numpy's quantization error exactly,
+    stored codes and re-encode paths agree, and a FINER quantizer never
+    reconstructs worse (more codes -> error can only shrink on the
+    argmax assignment)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    books = S.pq_train(emb, m=4, k_codes=8, iters=0)
+    got = S.pq_reconstruction_error(emb, books).first()
+    # numpy replay
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    ds = 16
+    errs = []
+    for v in raw.values():
+        e = 0.0
+        for j, book in enumerate(books):
+            sub = v[j * ds:(j + 1) * ds]
+            bk = np.asarray(book)
+            code = int((bk @ sub).argmax())
+            e += float(((sub - bk[code]) ** 2).sum())
+        errs.append(e)
+    assert abs(got["mean_sq_err"] - np.mean(errs)) < 1e-4
+    assert got["n"] == len(raw)
+    # stored-codes path agrees
+    enc = S.pq_encode(emb, books, drop_vec=False)
+    got2 = S.pq_reconstruction_error(enc, books,
+                                     codes_col="pq_codes").first()
+    assert got2["mean_sq_err"] == got["mean_sq_err"]
+    # finer quantizer reconstructs at least as well
+    finer = S.pq_train(emb, m=4, k_codes=16, iters=1)
+    g3 = S.pq_reconstruction_error(emb, finer).first()
+    assert g3["mean_sq_err"] <= got["mean_sq_err"] * 1.0 + 1e-9
