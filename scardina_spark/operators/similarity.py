@@ -696,9 +696,10 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
     The ``m`` subspace trainings are INDEPENDENT Spark jobs, so they
     submit from a small thread pool and run concurrently (each job is
     far narrower than the cluster; serial submission left most
-    executors idle — measured 102 s → ~30 s for m=16 at bench scale).
-    Results are collected by subspace index, so the output is
-    bit-identical to the serial loop.
+    executors idle — the bench stage containing this training measured
+    102.6 s serial vs 74.0 s pooled on clean runs).  Results are
+    collected by subspace index, so the output is bit-identical to the
+    serial loop.
     """
     d = len(df.select(vec_col).first()[0])
     if d % m:
