@@ -7469,7 +7469,7 @@ def queries() -> dict:
     # additions x83-x90, st16/st17, e16) plus the 20 stalest r07-green
     # keys — exactly 50.  Everything past the cap is the r11 schedule,
     # stalest-first.  Key names are stable across rounds.
-    # Staleness math (r10): registry 185 keys vs the 50-row driver
+    # Staleness math (r10): registry 184 keys vs the 50-row driver
     # window -> worst-case revisit ~4 rounds.  If growth continues,
     # retire REDUNDANT keys first (candidates: the TPC-H analytics
     # block a11-a34 overlaps heavily with a2/a4/a9/a10 on operator
