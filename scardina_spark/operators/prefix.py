@@ -64,41 +64,69 @@ def with_prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     ``cache_out`` (a list) to receive the persisted handle — callers
     that eagerly materialize the result should then ``unpersist()`` it;
     without it the cached projection lives until session end."""
+    out = with_prefix_sums(df, [weight_col], order_cols,
+                           n_partitions=n_partitions, cache_out=cache_out)
+    return out.withColumnRenamed(cum_col(0), CUM)
+
+
+def cum_col(i: int) -> str:
+    """Name of the i-th prefix-sum column added by :func:`with_prefix_sums`."""
+    return f"__cum{i}__"
+
+
+def with_prefix_sums(df: DataFrame, weight_cols: list[str],
+                     order_cols: list[str],
+                     n_partitions: int | None = None,
+                     cache_out: list | None = None) -> DataFrame:
+    """Add ``__cum0__``, ``__cum1__``, ...: the EXCLUSIVE prefix sums of
+    each of ``weight_cols`` in the global order of ``order_cols`` —
+    several running totals over ONE range-partitioned sort, one tiny
+    per-partition-totals aggregate and one Arrow pass (the multi-column
+    generalization of :func:`with_prefix_sum`; `ks_drift` folds both
+    ECDFs through this in a single pass)."""
     d = _with_sorted_partitions(df, order_cols, n_partitions).persist()
     if cache_out is not None:
         cache_out.append(d)
-    part_sums = {
-        r[PID]: r["s"]
-        for r in d.groupBy(PID).agg(F.sum(F.col(f"`{weight_col}`")).alias("s")).collect()
-    }
+    part_rows = (d.groupBy(PID)
+                 .agg(*[F.sum(F.col(f"`{w}`")).alias(f"s{i}")
+                        for i, w in enumerate(weight_cols)])
+                 .collect())
+    part_sums = {r[PID]: [float(r[f"s{i}"] or 0.0)
+                          for i in range(len(weight_cols))]
+                 for r in part_rows}
     offsets = {}
-    running = 0.0
+    running = [0.0] * len(weight_cols)
     for pid in sorted(part_sums):
-        offsets[pid] = running
-        running += float(part_sums[pid] or 0.0)
+        offsets[pid] = tuple(running)
+        running = [a + b for a, b in zip(running, part_sums[pid])]
 
     boff = d.sparkSession.sparkContext.broadcast(offsets)
     safe, mapping = _safe_names(d)
-    w_safe, pid_safe = mapping[weight_col], mapping[PID]
-    schema = StructType(safe.schema.fields + [StructField(CUM, DoubleType())])
+    w_safe = [mapping[w] for w in weight_cols]
+    pid_safe = mapping[PID]
+    cum_names = [cum_col(i) for i in range(len(weight_cols))]
+    schema = StructType(safe.schema.fields
+                        + [StructField(c, DoubleType()) for c in cum_names])
 
-    def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def add_cums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
         for pdf in batches:
             if len(pdf) == 0:
-                pdf[CUM] = pd.Series([], dtype="float64")
+                for c in cum_names:
+                    pdf[c] = pd.Series([], dtype="float64")
                 yield pdf
                 continue
             if acc is None:
-                acc = float(boff.value.get(int(pdf[pid_safe].iloc[0]), 0.0))
-            w = pdf[w_safe].astype("float64").fillna(0.0)
-            cum = w.cumsum().shift(fill_value=0.0) + acc
-            acc += float(w.sum())
+                acc = list(boff.value.get(int(pdf[pid_safe].iloc[0]),
+                                          (0.0,) * len(weight_cols)))
             pdf = pdf.copy()
-            pdf[CUM] = cum
+            for i, (ws, cn) in enumerate(zip(w_safe, cum_names)):
+                w = pdf[ws].astype("float64").fillna(0.0)
+                pdf[cn] = w.cumsum().shift(fill_value=0.0) + acc[i]
+                acc[i] += float(w.sum())
             yield pdf
 
-    out = safe.mapInPandas(add_cum, schema)
+    out = safe.mapInPandas(add_cums, schema)
     for orig, s in mapping.items():
         out = out.withColumnRenamed(s, orig)
     return out

@@ -66,15 +66,40 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     and the smallest value where it is attained.
 
     Scale shape: one union + one groupBy(value) count (map-side
-    combinable, distinct-value-sized output) + one window over the
-    value order for the cumulative counts — the ECDFs never
-    materialize per-row, only per-distinct-value.  The single-partition
-    window over the DISTINCT-VALUE relation is deliberate: that
-    relation is domain-sized, not corpus-sized (range-partition it for
-    huge domains).  Determinism: counts are integers, the ECDF gap is
-    one IEEE expression per distinct value — no summation-order dust.
+    combinable, distinct-value-sized output), then BOTH cumulative
+    counts via ONE range-partitioned prefix-sum pass
+    (`prefix.with_prefix_sums` — per-partition totals + broadcast
+    offsets + an Arrow cumsum, the same machinery `shard_plan` uses for
+    global rank).  No single-partition window anywhere: continuous
+    columns at 100 TB have corpus-sized distinct-value relations, and
+    the ECDF sort parallelism matches the cluster.  Determinism: counts
+    are integers (exact in float64 to 2^53), the ECDF gap is one IEEE
+    expression per distinct value — no summation-order dust.
     """
-    from pyspark.sql import Window
+    cached: list = []
+    gaps, n_a, n_b = ks_ecdf_gaps(df_a, df_b, col, cache_out=cached)
+    gaps = gaps.persist()
+    try:
+        best = gaps.agg(F.max("g").alias("d")).first()["d"]
+        at = gaps.where(F.col("g") == best).agg(F.min("v")).first()[0]
+    finally:
+        gaps.unpersist()
+        for c in cached:
+            c.unpersist()
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, float(best), at)],
+        f"n_a long, n_b long, d_stat double, at_value {_sql_type(df_a, col)}")
+
+
+def ks_ecdf_gaps(df_a: DataFrame, df_b: DataFrame, col: str,
+                 cache_out: list | None = None
+                 ) -> tuple[DataFrame, int, int]:
+    """The lazy per-distinct-value ECDF-gap relation ``(v, g)`` behind
+    :func:`ks_drift`, plus the two sample sizes — exposed so plan-pin
+    tests can assert the distributed shape (no Window, no
+    single-partition Exchange) before any action runs."""
+    from .prefix import cum_col, with_prefix_sums
 
     a = df_a.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
     b = df_b.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
@@ -86,16 +111,11 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
                   b.withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1))))
     per_v = (tagged.groupBy("v")
              .agg(F.sum("ca").alias("ka"), F.sum("cb").alias("kb")))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.abs(F.sum("ka").over(w) / F.lit(float(n_a))
-                - F.sum("kb").over(w) / F.lit(float(n_b)))
-    gaps = per_v.select("v", F.round(gap, 6).alias("g"))
-    best = gaps.agg(F.max("g").alias("d")).first()["d"]
-    at = gaps.where(F.col("g") == best).agg(F.min("v")).first()[0]
-    spark = df_a.sparkSession
-    return spark.createDataFrame(
-        [(n_a, n_b, float(best), at)],
-        f"n_a long, n_b long, d_stat double, at_value {_sql_type(df_a, col)}")
+    cum = with_prefix_sums(per_v, ["ka", "kb"], ["v"], cache_out=cache_out)
+    # inclusive ECDF = exclusive prefix + the value's own count
+    gap = F.abs((F.col(cum_col(0)) + F.col("ka")) / F.lit(float(n_a))
+                - (F.col(cum_col(1)) + F.col("kb")) / F.lit(float(n_b)))
+    return cum.select("v", F.round(gap, 6).alias("g")), n_a, n_b
 
 
 def _sql_type(df: DataFrame, col: str) -> str:

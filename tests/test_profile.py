@@ -90,6 +90,26 @@ def test_ks_drift_degenerate_cases(spark):
         ks_drift(empty, lo, "x")
 
 
+def test_ks_gaps_plan_is_distributed(spark, tables):
+    """Scale pin: the ECDF relation is built with the prefix-sum
+    machinery over a range-partitioned sort — NO Window operator and NO
+    single-partition Exchange anywhere (continuous columns at 100 TB
+    have corpus-sized distinct-value relations; an
+    ``Window.orderBy(v)`` ECDF would funnel the corpus through one
+    task)."""
+    from scardina_spark.operators.profile import ks_ecdf_gaps
+
+    docs = tables["documents"]
+    gaps, n_a, n_b = ks_ecdf_gaps(docs.where("source = 'src0'"),
+                                  docs.where("source <> 'src0'"),
+                                  "n_chars")
+    plan = gaps._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan  # the distributed sort
+    assert n_a > 0 and n_b > 0
+
+
 def test_chisq_drift_matches_reference(spark, tables):
     from collections import Counter
 

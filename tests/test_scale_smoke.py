@@ -696,3 +696,41 @@ def test_pq_adc_search_scales_with_codes_not_vectors(spark):
 
     w1, w10 = run(1), run(10)
     assert w10 < 5.0 * w1, (w1, w10)
+
+
+def test_ks_drift_replication_invariant_and_subquadratic(spark):
+    """KS on a CONTINUOUS column (events.value — distinct-value relation
+    is corpus-sized, the shape the old single-partition-window ECDF
+    degraded on): 10x-replicating BOTH samples leaves d_stat exactly
+    unchanged (ECDFs are replication-invariant) and wall grows far
+    sub-quadratically."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from scardina_spark.catalog import load_table
+    from scardina_spark.operators.profile import ks_drift
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id",
+                                                    "value")
+
+    def replicate(df, k):
+        out = df
+        for i in range(k - 1):
+            out = out.unionByName(
+                df.withColumn("event_id",
+                              F.col("event_id") + 10_000_000 * (i + 1)))
+        return out
+
+    def run(k):
+        big = replicate(ev, k).localCheckpoint()
+        a = big.where("user_id % 2 = 0")
+        b = big.where("user_id % 2 = 1")
+        t0 = _t.perf_counter()
+        r = ks_drift(a, b, "value").first()
+        return r, _t.perf_counter() - t0
+
+    r1, w1 = run(1)
+    r10, w10 = run(10)
+    assert r10["n_a"] == 10 * r1["n_a"] and r10["n_b"] == 10 * r1["n_b"]
+    assert r10["d_stat"] == r1["d_stat"], (r1, r10)
+    assert w10 < 6.0 * w1, (w1, w10)
