@@ -7463,87 +7463,32 @@ BENCH_QUERIES = {
 
 def queries() -> dict:
     # Registry order matters: the driver's correctness gate checks the
-    # first ~50 entries in order (r01-r09 each recorded exactly 50 rows).
-    # Round-10 order: the 30 keys that had never had a driver row
-    # (round-8 additions e14, x68-x82, st14/st15, e15 and round-9
-    # additions x83-x90, st16/st17, e16) plus the 20 stalest r07-green
-    # keys — exactly 50.  Everything past the cap is the r11 schedule,
-    # stalest-first.  Key names are stable across rounds.
-    # Staleness math (r10): registry 184 keys vs the 50-row driver
+    # first ~50 entries in order (r01-r10 each recorded exactly 50 rows).
+    # The window is generated by staleness math — never-driver-checked
+    # keys first, then keys whose code was rewritten this round, then
+    # ascending latest-driver-round; audit with
+    # ``python tools/preflight.py --stalest 50`` (warns when a stalest
+    # key falls outside the window prefix).  Key names are stable
+    # across rounds.
+    # Staleness math (r11): registry 184 keys vs the 50-row driver
     # window -> worst-case revisit ~4 rounds.  If growth continues,
     # retire REDUNDANT keys first (candidates: the TPC-H analytics
     # block a11-a34 overlaps heavily with a2/a4/a9/a10 on operator
     # coverage — e.g. a15/a16/a21/a22/a26/a27 each pin one join+agg
     # shape already covered; dropping ~8 of them buys 2 rounds) before
-    # asking for a wider window.  Registry growth is ~11 keys/round against a
-    # 50-row window — if it keeps growing, widen the window or retire
-    # redundant keys before the staleness math breaks (~r12).
+    # asking for a wider window.
     return {
-        # --- window: the r10 gate — the 30 keys that have never had
-        # a driver row (round-8 additions e14/x68-x82/st14/st15/e15 and
-        # round-9 additions x83-x90/st16/st17/e16; every one judge- or
-        # locally-verified green but owed driver ground truth), plus the
-        # head of the r07-green block (st12..o2) to fill 50. ---
-        "e14_asha_async": q_asha_async,
-        "x68_bpe_apply": q_bpe_apply,
-        "x69_scd2_history": q_scd2_history,
-        "x70_hard_negatives": q_hard_negatives,
-        "x71_pagerank": q_pagerank,
-        "x72_edit_near_dup": q_edit_near_dup,
-        "st14_stream_tokens": q_stream_token_account,
-        "x73_scd2_merge": q_scd2_merge,
-        "x74_allpairs_sim_join": q_allpairs_sim_join,
-        "st15_stream_scd2": q_stream_scd2,
-        "x75_kneser_ney_ppl": q_kn_ppl,
-        "x76_pmi_collocations": q_pmi_collocations,
-        "x77_ivf_append_topk": q_ivf_append_topk,
-        "x78_exact_neardup_groups": q_exact_neardup_groups,
-        "x79_ann_recall": q_ann_recall,
-        "x80_event_anomalies": q_event_anomalies,
-        "x81_ks_drift": q_ks_drift,
-        "x82_chisq_drift": q_chisq_drift,
-        "x83_pq_topk": q_pq_topk,
-        "x84_pq_rerank": q_pq_rerank,
-        "x85_hll_distinct": q_hll_distinct,
-        "x86_jl_project": q_jl_project,
-        "st16_stream_dedup": q_stream_dedup,
-        "x87_rolling_features": q_rolling_features,
-        "x88_vocab_coverage": q_vocab_coverage,
-        "e16_asha_pool": q_asha_pool,
-        "st17_stream_features": q_stream_features,
-        "x89_robust_outliers": q_robust_outliers,
-        "x90_shard_plan": q_shard_plan,
-        "e15_perror_robustness": q_perror_robustness,
-        "st12_stream_neardup": q_stream_neardup,
-        "x61_wav_decode": q_wav_decode,
-        "e12_asha_search": q_asha_search,
-        "e5_perror": q_perror,
-        "e11_pg_plan_cost": q_pg_plan_cost,
-        "x56_repetition_battery": q_repetition_battery,
-        "x54_gopher_rules": q_gopher_rules,
-        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
-        "st10_stream_curate": q_stream_curate,
-        "p10_timestamp_preds": q_timestamp_preds,
-        "e9_subquery_truths": q_subquery_truths,
-        "e10_ppc_inject": q_ppc_inject,
-        "x43_substring_spans": q_substring_spans,
-        "x44_knn_classify": q_knn_classify,
-        "x46_bpe_pairs": q_bpe_pairs,
-        "x27_repetition": q_repetition_stats,
-        "j10_semi_anti": q_semi_anti_join,
-        "a9_cube": q_cube_agg,
-        "a10_window_funcs": q_window_funcs,
-        "o2_set_ops": q_set_ops,
-        # --- past the cap: the r11 schedule, stalest-first — the
-        # remainder of the r07-green block, then the r08 window (gated
-        # green in CORRECTNESS_r08), then the r09 window (just gated
-        # 50/50 green in CORRECTNESS_r09, freshest).  New r10 keys are
-        # inserted at the top of this section as they land. ---
+        # --- window: the r11 gate (first 50, driver-checked in order) —
+        # the 5 never-driver-checked round-10 keys, x81 (ks_drift ECDF
+        # rewritten to prefix sums this round, owed a regate), then the
+        # stalest driver-green keys (the 29 r07 keys + the oldest r08
+        # block).  Generated from tools/preflight.py --stalest math. ---
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x92_streaming_refresh": q_streaming_refresh,
         "e17_spark_search": q_spark_search,
         "x93_pq_drift": q_pq_drift,
+        "x81_ks_drift": q_ks_drift,
         "x10_media_meta": q_media_meta,
         "x22_frame_sample": q_frame_sample,
         "x23_resize_batch": q_resize_batch,
@@ -7588,6 +7533,10 @@ def queries() -> dict:
         "x45_text_classifier": q_text_classifier,
         "x53_dsir_select": q_dsir_select,
         "x55_ccnet_bands": q_ccnet_bands,
+        # --- past the cap: the r12 schedule, stalest-first (rest of the
+        # r08 block, then the r09 window, then the r10 window, freshest
+        # last).  New r11 keys are inserted into the window above as
+        # they land; run tools/preflight.py --stalest 50 to re-audit. ---
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
         "a29_volume_shipping": q_volume_shipping,
@@ -7673,6 +7622,55 @@ def queries() -> dict:
         "x66_video_thumbnail": q_video_thumbnail,
         "st13_stream_media": q_stream_media_decode,
         "x67_unimax_plan": q_unimax_plan,
+        "e14_asha_async": q_asha_async,
+        "x68_bpe_apply": q_bpe_apply,
+        "x69_scd2_history": q_scd2_history,
+        "x70_hard_negatives": q_hard_negatives,
+        "x71_pagerank": q_pagerank,
+        "x72_edit_near_dup": q_edit_near_dup,
+        "st14_stream_tokens": q_stream_token_account,
+        "x73_scd2_merge": q_scd2_merge,
+        "x74_allpairs_sim_join": q_allpairs_sim_join,
+        "st15_stream_scd2": q_stream_scd2,
+        "x75_kneser_ney_ppl": q_kn_ppl,
+        "x76_pmi_collocations": q_pmi_collocations,
+        "x77_ivf_append_topk": q_ivf_append_topk,
+        "x78_exact_neardup_groups": q_exact_neardup_groups,
+        "x79_ann_recall": q_ann_recall,
+        "x80_event_anomalies": q_event_anomalies,
+        "x82_chisq_drift": q_chisq_drift,
+        "x83_pq_topk": q_pq_topk,
+        "x84_pq_rerank": q_pq_rerank,
+        "x85_hll_distinct": q_hll_distinct,
+        "x86_jl_project": q_jl_project,
+        "st16_stream_dedup": q_stream_dedup,
+        "x87_rolling_features": q_rolling_features,
+        "x88_vocab_coverage": q_vocab_coverage,
+        "e16_asha_pool": q_asha_pool,
+        "st17_stream_features": q_stream_features,
+        "x89_robust_outliers": q_robust_outliers,
+        "x90_shard_plan": q_shard_plan,
+        "e15_perror_robustness": q_perror_robustness,
+        "st12_stream_neardup": q_stream_neardup,
+        "x61_wav_decode": q_wav_decode,
+        "e12_asha_search": q_asha_search,
+        "e5_perror": q_perror,
+        "e11_pg_plan_cost": q_pg_plan_cost,
+        "x56_repetition_battery": q_repetition_battery,
+        "x54_gopher_rules": q_gopher_rules,
+        "x42_ivf_indexed_topk": q_ivf_indexed_topk,
+        "st10_stream_curate": q_stream_curate,
+        "p10_timestamp_preds": q_timestamp_preds,
+        "e9_subquery_truths": q_subquery_truths,
+        "e10_ppc_inject": q_ppc_inject,
+        "x43_substring_spans": q_substring_spans,
+        "x44_knn_classify": q_knn_classify,
+        "x46_bpe_pairs": q_bpe_pairs,
+        "x27_repetition": q_repetition_stats,
+        "j10_semi_anti": q_semi_anti_join,
+        "a9_cube": q_cube_agg,
+        "a10_window_funcs": q_window_funcs,
+        "o2_set_ops": q_set_ops,
     }
 
 

@@ -5,6 +5,14 @@ oracle, reporting row-count / schema / value matches per key.
 Usage: python tools/preflight.py [sf_dir] [n_keys] [key ...]
   With explicit key names, checks exactly those keys instead of the
   window prefix.
+
+Staleness audit (no Spark started):
+  python tools/preflight.py --stalest N [--check]
+    Reads every CORRECTNESS_r*.json, prints the N registry keys with the
+    oldest (or no) driver row, and warns about any of them NOT inside
+    the current 50-key window prefix — the rotation-debt self-audit the
+    builder runs before the driver window lands.  With --check, also
+    runs those N keys against the oracle (requires Spark).
 """
 import math
 import os
@@ -39,7 +47,61 @@ def _rows_close(g, w):
     return True
 
 
+WINDOW = 50  # the driver gates the first WINDOW registry keys
+
+
+def staleness(registry_keys):
+    """(key -> latest driver round or None), from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    return {k: latest.get(k) for k in registry_keys}
+
+
+def stalest_keys(n):
+    """The n registry keys owed a driver row soonest: never-checked
+    first (registry order), then ascending latest-round."""
+    import __spark_entry__ as entry_mod
+
+    keys = list(entry_mod.queries())
+    rounds = staleness(keys)
+    pos = {k: i for i, k in enumerate(keys)}
+    ranked = sorted(keys, key=lambda k: (rounds[k] is not None,
+                                         rounds[k] or 0, pos[k]))
+    window = set(keys[:WINDOW])
+    print(f"registry {len(keys)} keys, window {WINDOW}; "
+          f"{sum(1 for k in keys if rounds[k] is None)} never checked")
+    out = ranked[:n]
+    for k in out:
+        r = rounds[k]
+        tag = "NEVER" if r is None else f"r{r:02d}"
+        note = "" if k in window else "  <-- NOT in current window"
+        print(f"  {tag}  {k}{note}")
+    missing = [k for k in out if k not in window]
+    if missing:
+        print(f"\nWARNING: {len(missing)}/{n} stalest keys are outside "
+              f"the window prefix — rotate queries() before the driver "
+              f"runs.")
+    else:
+        print(f"\nOK: all {n} stalest keys are inside the window prefix.")
+    return out, bool(missing)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--stalest":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else WINDOW
+        keys, missing = stalest_keys(n)
+        if "--check" not in sys.argv:
+            sys.exit(1 if missing else 0)
+        sys.argv = [sys.argv[0], "/root/testdata/sf0.01", str(n)] + keys
+
     import duckdb
     import __spark_entry__ as entry_mod
     from scardina_spark.session import get_spark
