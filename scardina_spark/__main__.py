@@ -788,6 +788,11 @@ def cmd_search(args) -> int:
     elif args.driver == "asha-spark":
         model, trials = asha_search_spark(spark, bins, codes, base)
         spent = sum(t.epochs for t in trials)
+    elif args.driver == "asha-async-spark":
+        from .model.search import asha_async_spark_search
+        model, trials, _infl = asha_async_spark_search(
+            spark, bins, codes, base, n_workers=args.n_workers)
+        spent = sum(t.epochs for t in trials)
     else:
         model, trials = tpe_search(bins, codes, base,
                                    n_trials=args.n_trials)
@@ -1103,11 +1108,16 @@ def main(argv=None) -> int:
     p.add_argument("--columns", required=True)
     p.add_argument("--driver", default="asha",
                    choices=["grid", "asha", "tpe", "grid-spark",
-                            "asha-spark"],
-                   help="*-spark distributes trials (grid) or rungs "
-                        "(sync ASHA) as Spark jobs across the cluster")
+                            "asha-spark", "asha-async-spark"],
+                   help="*-spark distributes trials (grid), rungs "
+                        "(sync ASHA), or an async job pool "
+                        "(asha-async-spark, barrier-free promotions) "
+                        "as Spark jobs across the cluster")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--n-trials", type=int, default=6)
+    p.add_argument("--n-workers", type=int, default=4,
+                   help="driver-side scheduler pool width for "
+                        "asha-async-spark")
     p.add_argument("--max-rows", type=int, default=20_000)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_search)

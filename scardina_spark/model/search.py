@@ -367,7 +367,8 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
                            d_ffs: tuple[int, ...] = (32, 64, 96),
                            eta: int = 2, min_epochs: int = 2,
                            n_workers: int = 4,
-                           model_cls=NarMLP
+                           model_cls=NarMLP,
+                           trial_runner=None
                            ) -> tuple[NarMLP, list[AsyncTrial], int]:
     """Async ASHA on a REAL worker pool — the physical execution the
     reference gets from Ray Tune (run.py:611-657), here a
@@ -395,7 +396,13 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
     winner is the val-loss argmin of the highest rung.  Returns
     ``(best_model, trials, max_inflight)`` — the last observed
     concurrency high-water mark, so callers can assert the pool really
-    overlapped."""
+    overlapped.
+
+    ``trial_runner`` (cfg -> (val_loss, train_loss, model)) swaps WHERE
+    a trial trains while this function stays the scheduler: the default
+    trains on the calling thread (one-box pool); pass a closure that
+    submits a Spark job to get the cluster-wide async pool
+    (:func:`asha_async_spark_search`)."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -403,6 +410,9 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
         raise ValueError("n_workers must be >= 1")
     base = base or TrainConfig()
     train, val = train_val_split(codes, base.seed)
+    if trial_runner is None:
+        def trial_runner(cfg):
+            return _run_trial(input_bins, cfg, train, val, model_cls)
     grid = [(dw, dff) for dw in d_words for dff in d_ffs]
 
     def rung_budget(r: int) -> int:
@@ -453,15 +463,13 @@ def asha_async_pool_search(input_bins: list[tuple[str, int]],
             rung = 0 if kind == "start" else from_rung + 1
             cfg = replace(base, d_word=dw, d_ff=dff,
                           epochs=rung_budget(rung))
-            model = model_cls(input_bins, cfg)
-            losses = model.fit(train)
-            vl = masked_val_loss(model, val)
+            vl, tl, model = trial_runner(cfg)
             with lock:
                 results.setdefault(rung, []).append((vl, dw, dff))
                 models[(rung, dw, dff)] = model
                 trials.append(AsyncTrial(cfg, job, rung,
                                          rung_budget(rung), vl,
-                                         losses[-1], from_rung))
+                                         tl, from_rung))
                 state["inflight"] -= 1
                 lock.notify_all()
 
@@ -555,8 +563,8 @@ def asha_search_spark(spark, input_bins: list[tuple[str, int]],
     scale, and the trial table records what happened — test-pinned to
     1e-5 relative).  For the
     barrier-free variant on one box, use :func:`asha_async_pool_search`;
-    a cluster-wide async pool needs a shared scheduler service, which
-    is Ray's leg (documented gap)."""
+    for the barrier-free variant across the CLUSTER (Ray's actual
+    semantics), :func:`asha_async_spark_search`."""
     base = base or TrainConfig()
     train, val = train_val_split(codes, base.seed)
     alive = [replace(base, d_word=dw, d_ff=dff)
@@ -596,3 +604,59 @@ def asha_search_spark(spark, input_bins: list[tuple[str, int]],
         b_train.unpersist()
         b_val.unpersist()
     return best_model, trials
+
+
+def asha_async_spark_search(spark, input_bins: list[tuple[str, int]],
+                            codes: np.ndarray,
+                            base: TrainConfig | None = None,
+                            d_words: tuple[int, ...] = (8, 16, 32),
+                            d_ffs: tuple[int, ...] = (32, 64, 96),
+                            eta: int = 2, min_epochs: int = 2,
+                            n_workers: int = 4,
+                            model_cls=NarMLP
+                            ) -> tuple[NarMLP, list[AsyncTrial], int]:
+    """Cluster-wide ASYNC ASHA — the reference's actual Ray Tune
+    semantics (scardina/run.py:643-657: trials run asynchronously
+    across machines, promotions fire on partial rung information): a
+    driver-side scheduler (the VERBATIM get_job rule of
+    :func:`asha_async_pool_search`) feeds a pool of ``n_workers``
+    driver threads, each of which submits its trial as ONE concurrent
+    Spark job (``parallelize([cfg], 1).map(train)`` — Spark's scheduler
+    spreads simultaneous jobs across executor slots, the cluster-wide
+    job pool) and reports completion back through the shared condition
+    variable, unblocking promotions that need only partial rung
+    results — no rung barrier anywhere.
+
+    Train/val matrices broadcast ONCE for all trials (sample-scale,
+    bounded by the 500k-row sample clamp — independent of base-data
+    scale); each task ships back (val_loss, train_loss, pickled model),
+    grid-size small.  With ``n_workers=1`` the schedule is identical to
+    the serialized :func:`asha_async_search` driver, with losses equal
+    to float32 cross-process BLAS kernel noise (the grid_search_spark
+    caveat; contract-pinned by e18); with ``n_workers>1`` job order is
+    completion-timing-dependent exactly as on Ray, and the e16
+    invariants (unique starts/promotions, nested rungs, final-rung
+    argmin winner) hold for every timing."""
+    b_train = None
+    b_val = None
+    base = base or TrainConfig()
+    train, val = train_val_split(codes, base.seed)
+    b_train = spark.sparkContext.broadcast(train)
+    b_val = spark.sparkContext.broadcast(val)
+    try:
+        def submit(cfg):
+            def run(c):
+                return _run_trial(input_bins, c, b_train.value,
+                                  b_val.value, model_cls)
+            [(vl, tl, model)] = (spark.sparkContext
+                                 .parallelize([cfg], 1).map(run)
+                                 .collect())
+            return vl, tl, model
+
+        return asha_async_pool_search(
+            input_bins, codes, base, d_words=d_words, d_ffs=d_ffs,
+            eta=eta, min_epochs=min_epochs, n_workers=n_workers,
+            model_cls=model_cls, trial_runner=submit)
+    finally:
+        b_train.unpersist()
+        b_val.unpersist()

@@ -5353,6 +5353,85 @@ def q_spark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d_word", "d_ff"))
 
 
+def q_spark_asha_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 (cluster-wide ASYNC ASHA — the reference's actual Ray Tune
+    semantics, run.py:643-657: trials asynchronous across machines,
+    promotions on partial rung information; the last M8 search delta):
+    `search.asha_async_spark_search` drives the VERBATIM
+    asha_async_pool_search get_job rule from a driver-side scheduler
+    whose workers submit trials as concurrent single-task Spark jobs
+    against once-broadcast train/val matrices.
+
+    One row of booleans (e17's literal-oracle protocol): at
+    n_workers=1 the cluster run's trial schedule — (job, rung, budget,
+    config, promoted_from) per trial — EQUALS the serialized
+    `asha_async_search` driver's, losses match to float32
+    cross-process BLAS noise (1e-5 rel) and the winner agrees; at
+    n_workers=4 the timing-independent e16 invariants hold (rung-0
+    starts cover the grid once, promotions unique, rungs nested,
+    winner is the final-rung argmin)."""
+    import math
+
+    from .model import TrainConfig
+    from .model.bridge import training_matrix
+    from .model.search import asha_async_search, asha_async_spark_search
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    base = TrainConfig(epochs=8, batch_size=1024, seed=42)
+    codes, domains = training_matrix(li, cols, max_rows=20_000,
+                                     seed=base.seed,
+                                     id_cols=["l_orderkey",
+                                              "l_linenumber"])
+    bins = [(c, domains[c].dom_size) for c in cols]
+    d_words, d_ffs = (8, 16), (16, 32)
+    kw = dict(d_words=d_words, d_ffs=d_ffs, eta=2, min_epochs=2)
+    m_s, t_s = asha_async_search(bins, codes, base, **kw)
+    m_1, t_1, _ = asha_async_spark_search(spark, bins, codes, base,
+                                          n_workers=1, **kw)
+
+    def sched(ts):
+        return [(t.job, t.rung, t.epochs, t.cfg.d_word, t.cfg.d_ff,
+                 t.promoted_from) for t in ts]
+
+    sched_eq = sched(t_s) == sched(t_1)
+    losses_close = len(t_s) == len(t_1) and all(
+        math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
+        and math.isclose(a.train_loss, b.train_loss, rel_tol=1e-5)
+        for a, b in zip(t_s, t_1))
+    winner_eq = ((m_s.cfg.d_word, m_s.cfg.d_ff)
+                 == (m_1.cfg.d_word, m_1.cfg.d_ff))
+
+    best, trials, _infl = asha_async_spark_search(spark, bins, codes,
+                                                  base, n_workers=4, **kw)
+    grid = {(dw, dff) for dw in d_words for dff in d_ffs}
+    starts = [(t.cfg.d_word, t.cfg.d_ff) for t in trials if t.rung == 0]
+    promos = [(t.rung, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.promoted_from is not None]
+    by_rung: dict[int, set] = {}
+    for t in trials:
+        by_rung.setdefault(t.rung, set()).add((t.cfg.d_word, t.cfg.d_ff))
+    final = max(by_rung)
+    finals = [(t.val_loss, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.rung == final]
+    return spark.createDataFrame(
+        [(bool(sched_eq), bool(losses_close), bool(winner_eq),
+          sorted(starts) == sorted(grid),
+          len(promos) == len(set(promos)),
+          all(by_rung[r] <= by_rung[r - 1] for r in by_rung if r > 0),
+          (best.cfg.d_word, best.cfg.d_ff) == min(finals)[1:])],
+        "sched_eq boolean, losses_close boolean, winner_eq boolean, "
+        "starts_complete boolean, promos_unique boolean, "
+        "rungs_nested boolean, winner_is_argmin boolean")
+
+
+SQL_SPARK_ASHA_ASYNC = """
+select true as sched_eq, true as losses_close, true as winner_eq,
+       true as starts_complete, true as promos_unique,
+       true as rungs_nested, true as winner_is_argmin
+"""
+
+
 def q_pq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X93 (PQ reconstruction-error monitor — the retrain trigger the
     FAISS-add append paths document: frozen codebooks drift as the
@@ -7483,6 +7562,7 @@ def queries() -> dict:
         # rewritten to prefix sums this round, owed a regate), then the
         # stalest driver-green keys (the 29 r07 keys + the oldest r08
         # block).  Generated from tools/preflight.py --stalest math. ---
+        "e18_spark_asha_async": q_spark_asha_async,
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x92_streaming_refresh": q_streaming_refresh,
@@ -7532,11 +7612,11 @@ def queries() -> dict:
         "x52_bigram_ppl": q_bigram_ppl,
         "x45_text_classifier": q_text_classifier,
         "x53_dsir_select": q_dsir_select,
-        "x55_ccnet_bands": q_ccnet_bands,
         # --- past the cap: the r12 schedule, stalest-first (rest of the
         # r08 block, then the r09 window, then the r10 window, freshest
         # last).  New r11 keys are inserted into the window above as
         # they land; run tools/preflight.py --stalest 50 to re-audit. ---
+        "x55_ccnet_bands": q_ccnet_bands,
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
         "a29_volume_shipping": q_volume_shipping,
@@ -7824,6 +7904,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_imdb_joblight": SQL_IMDB_SCHEMA_JOINSIZE,
         "x92_streaming_refresh": SQL_STREAMING_REFRESH,
         "e17_spark_search": _sql_grid_search(),
+        "e18_spark_asha_async": SQL_SPARK_ASHA_ASYNC,
         "x93_pq_drift": SQL_PQ_DRIFT,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,

@@ -359,3 +359,62 @@ def test_asha_search_spark_matches_serial(spark):
         assert math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
     assert (m_s.cfg.d_word, m_s.cfg.d_ff) == (m_d.cfg.d_word,
                                               m_d.cfg.d_ff)
+
+
+def test_asha_async_spark_matches_serialized_at_one_worker(spark):
+    """The cluster-wide async pool at n_workers=1 IS the serialized
+    async-ASHA driver: identical (job, rung, budget, config,
+    promoted_from) schedule, losses to cross-process kernel noise,
+    same winner — distribution changes WHERE a trial trains, never a
+    scheduling decision."""
+    import math
+
+    from scardina_spark.model.search import (asha_async_search,
+                                             asha_async_spark_search)
+    codes = _spark_codes()
+    bins = [("x", 10), ("y", 10)]
+    base = TrainConfig(epochs=8, batch_size=512, seed=2)
+    kw = dict(d_words=(8, 16), d_ffs=(16, 32), eta=2, min_epochs=2)
+    m_s, t_s = asha_async_search(bins, codes, base, **kw)
+    m_d, t_d, infl = asha_async_spark_search(spark, bins, codes, base,
+                                             n_workers=1, **kw)
+    assert infl == 1
+    key = lambda t: (t.job, t.rung, t.epochs, t.cfg.d_word,
+                     t.cfg.d_ff, t.promoted_from)
+    assert [key(t) for t in t_s] == [key(t) for t in t_d]
+    for a, b in zip(t_s, t_d):
+        assert math.isclose(a.val_loss, b.val_loss, rel_tol=1e-5)
+        assert math.isclose(a.train_loss, b.train_loss, rel_tol=1e-5)
+    assert (m_s.cfg.d_word, m_s.cfg.d_ff) == (m_d.cfg.d_word,
+                                              m_d.cfg.d_ff)
+
+
+def test_asha_async_spark_concurrent_invariants(spark):
+    """n_workers=4 across the cluster: trial order is
+    completion-timing-dependent (as on Ray), but the e16 invariants
+    hold for every timing — grid-covering unique rung-0 starts, unique
+    promotions, nested rungs, final-rung argmin winner — and the
+    driver pool genuinely overlapped submissions."""
+    from scardina_spark.model.search import asha_async_spark_search
+    codes = _spark_codes()
+    bins = [("x", 10), ("y", 10)]
+    base = TrainConfig(epochs=8, batch_size=512, seed=2)
+    best, trials, infl = asha_async_spark_search(
+        spark, bins, codes, base, d_words=(8, 16), d_ffs=(16, 32),
+        eta=2, min_epochs=2, n_workers=4)
+    grid = {(dw, dff) for dw in (8, 16) for dff in (16, 32)}
+    starts = [(t.cfg.d_word, t.cfg.d_ff) for t in trials if t.rung == 0]
+    assert sorted(starts) == sorted(grid)
+    promos = [(t.rung, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.promoted_from is not None]
+    assert len(promos) == len(set(promos))
+    by_rung = {}
+    for t in trials:
+        by_rung.setdefault(t.rung, set()).add(
+            (t.cfg.d_word, t.cfg.d_ff))
+    assert all(by_rung[r] <= by_rung[r - 1] for r in by_rung if r > 0)
+    final = max(by_rung)
+    finals = [(t.val_loss, t.cfg.d_word, t.cfg.d_ff)
+              for t in trials if t.rung == final]
+    assert (best.cfg.d_word, best.cfg.d_ff) == min(finals)[1:]
+    assert infl >= 1
