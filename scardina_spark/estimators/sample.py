@@ -179,8 +179,12 @@ def spanning_tree(sg: SchemaGraph, root: str) -> Subschema:
     for rel in sg.relationships():
         rels_by_pair.setdefault(frozenset((rel.pk_table, rel.fk_table)), rel)
     rels = []
-    for u, v in nx.bfs_edges(und, root):
-        rels.append(rels_by_pair[frozenset((u, v))])
+    if root in und:
+        for u, v in nx.bfs_edges(und, root):
+            rels.append(rels_by_pair[frozenset((u, v))])
+    # else: a one-table schema (dmv / flight-delays, reference
+    # datasets.py:425-571) — the UR tree is edgeless: all weights 1,
+    # join size = row count, the single-table fallback downstream.
     return Subschema(f"{sg.name}__ur__{root}", root, tuple(rels))
 
 

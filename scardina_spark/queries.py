@@ -1140,6 +1140,129 @@ select * from a union all select * from b order by subschema
 """
 
 
+def q_single_table_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (shipped one-table dataset declarations, `datasets_single.py`
+    — reference datasets.py:425-455 dmv + :457-542 keep-list variants +
+    :544-571 flight-delays): register dmv-SHAPED and
+    flight-delays-SHAPED slices derived deterministically from the
+    testdata relations under every declared schema variant, and drive
+    the engine end-to-end on each: the predicate machinery + planner
+    through `ExactEstimator` (two counts per variant), and — for the
+    full dmv and flight_delays — the single-table UR fallback
+    (`spanning_tree` with no edges → all weights 1 → uniform
+    with-replacement sample) through `SampleEstimator`, whose estimate
+    must land within 20 % of exact (n=20k draws: stderr is ~1 %, the
+    band is pure anti-flake margin; NULL for variants not re-sampled).
+    The oracle replays the derivations and counts in SQL."""
+    from .datasets_single import (DMV_VARIANTS, FLIGHT_DELAYS_COLUMNS,
+                                  build_dmv_schema,
+                                  build_flight_delays_schema)
+    from .estimators import ExactEstimator, SampleEstimator
+    from .estimators.sample import prepare_tree_sample, spanning_tree
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dmv = orders.select(
+        F.col("o_orderstatus").alias("Record Type"),
+        F.concat(F.lit("CL"), (F.col("o_custkey") % 5).cast("string"))
+        .alias("Registration Class"),
+        F.concat(F.lit("S"), (F.col("o_custkey") % 30).cast("string"))
+        .alias("State"),
+        (F.col("o_custkey") % 60).cast("string").alias("County"),
+        F.col("o_orderpriority").alias("Body Type"),
+        F.substring("o_orderstatus", 1, 1).alias("Fuel Type"),
+        F.col("o_orderdate").cast("timestamp").alias("Reg Valid Date"),
+        F.concat(F.lit("C"), (F.col("o_orderkey") % 8).cast("string"))
+        .alias("Color"),
+        (F.col("o_orderkey") % 7 == 0).cast("string")
+        .alias("Scofflaw Indicator"),
+        (F.col("o_orderkey") % 11 == 0).cast("string")
+        .alias("Suspension Indicator"),
+        (F.col("o_orderkey") % 13 == 0).cast("string")
+        .alias("Revocation Indicator"))
+    fl = li.select(
+        (F.lit(1990.0) + (F.col("l_orderkey") % 25).cast("float"))
+        .alias("YEAR_DATE"),
+        F.concat(F.lit("CA"), (F.col("l_suppkey") % 10).cast("string"))
+        .alias("UNIQUE_CARRIER"),
+        F.concat(F.lit("A"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("ORIGIN"),
+        F.lit("XX").alias("ORIGIN_STATE_ABR"),
+        F.concat(F.lit("B"), (F.col("l_suppkey") % 50).cast("string"))
+        .alias("DEST"),
+        F.lit("YY").alias("DEST_STATE_ABR"),
+        F.col("l_quantity").cast("double").alias("DEP_DELAY"),
+        F.lit(10.0).alias("TAXI_OUT"), F.lit(5.0).alias("TAXI_IN"),
+        (F.col("l_quantity") - 5).cast("double").alias("ARR_DELAY"),
+        F.lit(120.0).alias("AIR_TIME"),
+        (F.col("l_orderkey") % 3000).cast("double").alias("DISTANCE"))
+
+    def drive(dataset, variant, sg, table_name, frame, q1, q2,
+              run_sampler):
+        keep = (DMV_VARIANTS[variant] if dataset == "dmv"
+                else FLIGHT_DELAYS_COLUMNS)
+        frame = frame.select(*[F.col(f"`{c}`") for c in keep])
+        ex = ExactEstimator(sg, {table_name: frame})
+        c1, c2 = ex.estimate(q1), ex.estimate(q2)
+        ok = None
+        if run_sampler:
+            ts = prepare_tree_sample(spanning_tree(sg, table_name),
+                                     {table_name: frame}, table_name,
+                                     n_min=20_000, n_max=20_000, seed=42)
+            se = SampleEstimator()
+            se.add(ts)
+            e1 = se.estimate(q1)
+            ok = bool(abs(e1 - c1) <= max(10.0, 0.2 * c1))
+            ts.sample.unpersist()
+        return (dataset, variant, len(keep), frame.count(),
+                int(c1), int(c2), ok)
+
+    rows = [drive("dmv", v, build_dmv_schema(v), "dmv", dmv,
+                  "SELECT COUNT(*) FROM dmv WHERE Color = 'C3'",
+                  "SELECT COUNT(*) FROM dmv WHERE Color <> 'C3'",
+                  run_sampler=(v == "dmv"))
+            for v in sorted(DMV_VARIANTS)]
+    rows.append(drive(
+        "flight_delays", "flight-delays", build_flight_delays_schema(),
+        "flight_delays", fl,
+        "SELECT COUNT(*) FROM flight_delays WHERE ORIGIN = 'A7'",
+        "SELECT COUNT(*) FROM flight_delays WHERE DEP_DELAY > 30",
+        run_sampler=True))
+    return spark.createDataFrame(
+        rows, "dataset string, variant string, n_cols int, n_rows long,"
+              " q1_cnt long, q2_cnt long, sample_ok boolean") \
+        .orderBy("dataset", "variant")
+
+
+SQL_SINGLE_TABLE_DATASETS = """
+with dmv as (select 'C' || (o_orderkey % 8)::VARCHAR as color
+             from orders),
+fl as (select 'A' || (l_partkey % 50)::VARCHAR as origin,
+              l_quantity::DOUBLE as dep_delay
+       from lineitem),
+d1 as (select count(*) filter (color = 'C3')::BIGINT as q1,
+              count(*) filter (color <> 'C3')::BIGINT as q2,
+              count(*)::BIGINT as n
+       from dmv),
+f1 as (select count(*) filter (origin = 'A7')::BIGINT as q1,
+              count(*) filter (dep_delay > 30)::BIGINT as q2,
+              count(*)::BIGINT as n
+       from fl)
+select * from (
+  select 'dmv' as dataset, 'dmv' as variant, 11 as n_cols, n as n_rows,
+         q1 as q1_cnt, q2 as q2_cnt, true as sample_ok from d1
+  union all
+  select 'dmv', 'dmv-1', 10, n, q1, q2, NULL from d1
+  union all
+  select 'dmv', 'dmv-2', 9, n, q1, q2, NULL from d1
+  union all
+  select 'dmv', 'dmv-5', 6, n, q1, q2, NULL from d1
+  union all
+  select 'flight_delays', 'flight-delays', 12, n, q1, q2, true from f1
+) order by dataset, variant
+"""
+
+
 def q_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X91 (BPE inference on the Arrow path — `bpe.bpe_apply_arrow`,
     the mapInPandas twin of x68's codegen fold for merge tables past
@@ -7563,6 +7686,7 @@ def queries() -> dict:
         # stalest driver-green keys (the 29 r07 keys + the oldest r08
         # block).  Generated from tools/preflight.py --stalest math. ---
         "e18_spark_asha_async": q_spark_asha_async,
+        "s8_single_table_datasets": q_single_table_datasets,
         "x91_bpe_apply_arrow": q_bpe_apply_arrow,
         "s7_imdb_joblight": q_imdb_schema_joinsize,
         "x92_streaming_refresh": q_streaming_refresh,
@@ -7611,11 +7735,11 @@ def queries() -> dict:
         "x51_chunk_docs": q_chunk_docs,
         "x52_bigram_ppl": q_bigram_ppl,
         "x45_text_classifier": q_text_classifier,
-        "x53_dsir_select": q_dsir_select,
         # --- past the cap: the r12 schedule, stalest-first (rest of the
         # r08 block, then the r09 window, then the r10 window, freshest
         # last).  New r11 keys are inserted into the window above as
         # they land; run tools/preflight.py --stalest 50 to re-audit. ---
+        "x53_dsir_select": q_dsir_select,
         "x55_ccnet_bands": q_ccnet_bands,
         "x57_temperature_mix": q_temperature_mix,
         "x58_canonical_dedup": q_canonical_dedup,
@@ -7905,6 +8029,7 @@ def oracle_sql() -> dict[str, str]:
         "x92_streaming_refresh": SQL_STREAMING_REFRESH,
         "e17_spark_search": _sql_grid_search(),
         "e18_spark_asha_async": SQL_SPARK_ASHA_ASYNC,
+        "s8_single_table_datasets": SQL_SINGLE_TABLE_DATASETS,
         "x93_pq_drift": SQL_PQ_DRIFT,
         "x69_scd2_history": SQL_SCD2_HISTORY,
         "x70_hard_negatives": SQL_HARD_NEGATIVES,
