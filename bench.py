@@ -134,7 +134,12 @@ def main() -> None:
         out = fn()
         dt = time.perf_counter() - t0
         band = bands.get(name)
-        if band is not None and dt > band and rerun_budget[0] > 0:
+        # re-run only when the overrun is worth a retry: a marginal
+        # excess on a small stage must not drain the budget the big
+        # stages need (the first live run spent 2 of 4 retries on
+        # <2 s overruns and had none left for a 45 s one)
+        if (band is not None and dt > band and dt - band > 5.0
+                and rerun_budget[0] > 0):
             rerun_budget[0] -= 1
             try:
                 load1 = round(os.getloadavg()[0], 2)
@@ -744,6 +749,102 @@ def main() -> None:
     extras["jm_cin_hybrid_protocol"] = "gated-arbiter-2x"
     extras["jm_cin_hybrid_qerror_max"] = round(max(jch), 4)
 
+    # 2d. the reference's FLAGSHIP workload end-to-end: the actual
+    # job-light.csv 70-query suite (shipped verbatim,
+    # benchmarks/imdb/job-light.csv) over a synthetic JOB-light-shaped
+    # IMDB at ~sf0.1 scale (datasets_imdb_synth: Zipf-ish correlated FK
+    # fanouts, heavy-value categorical mixtures on the query literals) —
+    # prep (UR sample rooted at cast_info, real weight computation over
+    # 5 one-to-many edges) -> HT + NAR estimation -> q-error vs exact
+    # DuckDB truth on the same relations.
+    import shutil
+    import tempfile
+
+    from scardina_spark.datasets_imdb import build_job_light_schema
+    from scardina_spark.datasets_imdb_synth import synth_job_light_tables
+    from scardina_spark.runner import load_benchmark_csv
+
+    imdb_td = tempfile.mkdtemp(prefix="imdb_synth_")
+    try:
+        def gen_imdb():
+            out = {}
+            for nme, df in synth_job_light_tables(spark, scale=1.0,
+                                                  seed=42).items():
+                p = os.path.join(imdb_td, f"{nme}.parquet")
+                df.write.parquet(p)
+                out[nme] = spark.read.parquet(p)
+            return out
+        imdb_tables = timed("imdb_jl_gen", gen_imdb)
+        # exact truths: harness, not engine — untimed (2a' protocol)
+        import duckdb as _duck
+        icon = _duck.connect()
+        for nme in imdb_tables:
+            icon.sql(f"create view {nme} as select * from "
+                     f"'{os.path.join(imdb_td, nme + '.parquet')}"
+                     f"/*.parquet'")
+        imdb_suite = {
+            f"imdb_jl_{i}": sql.rstrip(";")
+            for i, (_, sql) in enumerate(
+                load_benchmark_csv(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benchmarks", "imdb", "job-light.csv")))}
+        imdb_truths = {nme: float(icon.sql(sql).fetchone()[0])
+                       for nme, sql in imdb_suite.items()}
+        icon.close()
+        imdb_sg = build_job_light_schema()
+        imdb_ts = timed("imdb_jl_prep", lambda: prepare_tree_sample(
+            spanning_tree(imdb_sg, "cast_info"), imdb_tables,
+            "cast_info", n_max=200_000, seed=42))
+        extras["imdb_jl_join_size"] = float(imdb_ts.join_size)
+        extras["imdb_jl_fanout_ratio"] = round(
+            imdb_ts.join_size / max(imdb_tables["cast_info"].count(), 1),
+            1)
+        imdb_ts.localize()
+        imdb_ht = SampleEstimator(name="imdb-ht")
+        imdb_ht.add(imdb_ts)
+        rep_im = timed("imdb_jl_est_ht", lambda: run_benchmark(
+            imdb_ht, imdb_suite, truths=imdb_truths))
+        s_im = rep_im.summary
+        extras["imdb_jl_n_queries"] = s_im["n_queries"]
+        for p in (50, 90, 100):
+            extras[f"imdb_jl_ht_qerror_p{p}"] = round(s_im[f"q_p{p}"], 4)
+        extras["imdb_jl_ht_mean_ms_per_query"] = round(s_im["mean_ms"], 2)
+
+        IMDB_MODEL_COLUMNS = [
+            "title.kind_id", "title.production_year",
+            "movie_companies.company_id",
+            "movie_companies.company_type_id",
+            "movie_info.info_type_id", "movie_info_idx.info_type_id",
+            "movie_keyword.keyword_id", "cast_info.role_id"]
+        imdb_nar = timed("imdb_jl_nar_train", lambda: train_join_estimator(
+            imdb_ts, IMDB_MODEL_COLUMNS,
+            _TC(epochs=8, d_word=24, d_ff=64, batch_size=1024, seed=42),
+            sample_size=1000, max_rows=64_000, fact_threshold=8))
+        imdb_arb = HybridEstimator(imdb_nar, imdb_ht, name="imdb-arbiter",
+                                   mode="arbiter")
+        extras["imdb_nar_protocol"] = "gated-arbiter-2x"
+        iq, ihq = [], []
+        t0 = time.perf_counter()
+        for nme, sql in imdb_suite.items():
+            try:
+                e = imdb_nar.estimate(sql)
+                pair = ht_pair(imdb_ht, sql)
+                h = imdb_arb.clamp(sql, e, ht_se=pair)
+            except (UnsupportedQueryError, ValueError):
+                continue
+            iq.append(qerr(e, imdb_truths[nme]))
+            ihq.append(qerr(h, imdb_truths[nme]))
+        timings["imdb_jl_nar_est"] = round(time.perf_counter() - t0, 4)
+        extras["imdb_nar_n_supported"] = len(iq)
+        extras["imdb_nar_qerror_p50"] = round(pct(iq, 0.5), 4)
+        extras["imdb_nar_qerror_p90"] = round(pct(iq, 0.9), 4)
+        extras["imdb_nar_qerror_max"] = round(max(iq), 4)
+        extras["imdb_nar_hybrid_qerror_p90"] = round(pct(ihq, 0.9), 4)
+        extras["imdb_nar_hybrid_qerror_max"] = round(max(ihq), 4)
+        imdb_ts.sample.unpersist()
+    finally:
+        shutil.rmtree(imdb_td, ignore_errors=True)
+
     # free the cluster-side sample caches: every remaining clamp reads
     # the localized (driver) copies, and holding ~3M cached rows through
     # the dedup/analytics sections causes GC-driven timing variance
@@ -1046,6 +1147,38 @@ def main() -> None:
         r2 = ranking_metrics(sp, exact, 10).first()
         extras["ann_lsh_sp_recall_at_10"] = float(r2["recall_at_k"])
     timed("ann_recall", run_ann_recall)
+
+    def run_lsh_index_fraction():
+        # the saved-index probe ledger: the r10 multi-probe default
+        # (Hamming-3) changed the scan shape — record what fraction of
+        # the partitioned index's FILES a default-probe query actually
+        # touches (partition pruning is plan-pinned in
+        # test_similarity.py; this is the measured point, the way
+        # dedup_candidate_ratio records the LSH candidate fraction).
+        import glob
+        import tempfile
+
+        from scardina_spark.operators.similarity import (
+            lsh_build_index, lsh_load_index, lsh_probe_set,
+            topk_cosine_lsh_indexed)
+        with tempfile.TemporaryDirectory() as td:
+            idx = lsh_build_index(emb, n_planes=8, seed=42)
+            idx.save(td)
+            loaded = lsh_load_index(spark, td)
+            got = topk_cosine_lsh_indexed(loaded, qv, 10)  # h=3 default
+            extras["lsh_index_topk_rows"] = got.count()
+            probes = lsh_probe_set(loaded.planes, qv)
+            all_files = glob.glob(
+                os.path.join(td, "buckets", "bucket=*", "*.parquet"))
+            probed = [f for f in all_files
+                      if int(f.split("bucket=")[1].split("/")[0])
+                      in probes]
+            extras["lsh_index_files_total"] = len(all_files)
+            extras["lsh_index_files_probed"] = len(probed)
+            extras["lsh_index_probe_file_frac"] = round(
+                len(probed) / max(len(all_files), 1), 4)
+            extras["lsh_index_buckets_probed"] = len(probes)
+    timed("lsh_index_probe_fraction", run_lsh_index_fraction)
 
     from scardina_spark.operators.similarity import (
         pq_encode, pq_topk_rerank, pq_train, ranking_metrics as _rm,

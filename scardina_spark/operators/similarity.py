@@ -1011,6 +1011,30 @@ def pq_reconstruction_error(df: DataFrame,
                   F.round(F.sqrt(F.avg(err)), 6).alias("rmse"))
 
 
+def lsh_probe_set(planes: list[list[float]], query_vec: list[float],
+                  probe_hamming: int | None = None) -> set[int]:
+    """The multi-probe bucket set for a query under ``planes``: the
+    query's own bucket plus every bucket within ``probe_hamming`` sign
+    flips (default: :func:`derive_probe_hamming`).  Exposed so callers
+    can audit the scan fraction a probe radius buys — the
+    files-pruned/files-total ledger the bench records."""
+    from itertools import combinations
+    if probe_hamming is None:
+        probe_hamming = derive_probe_hamming(len(planes))
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qb |= 1 << i
+    probes = {qb}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(len(planes)), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qb ^ flip)
+    return probes
+
+
 def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
                             k: int = 10, probe_hamming: int | None = None
                             ) -> DataFrame:
@@ -1018,20 +1042,7 @@ def topk_cosine_lsh_indexed(index: LshIndex, query_vec: list[float],
     construction (and derived multi-probe default) as
     :func:`topk_cosine_lsh`, landing on the partition column — the
     scan touches only the probed buckets' files."""
-    from itertools import combinations
-    if probe_hamming is None:
-        probe_hamming = derive_probe_hamming(len(index.planes))
-    qb = 0
-    for i, p in enumerate(index.planes):
-        if sum(a * b for a, b in zip(query_vec, p)) > 0:
-            qb |= 1 << i
-    probes = {qb}
-    for h in range(1, probe_hamming + 1):
-        for bits in combinations(range(len(index.planes)), h):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            probes.add(qb ^ flip)
+    probes = lsh_probe_set(index.planes, query_vec, probe_hamming)
     cands = index.bucketed.where(F.col("bucket").isin(sorted(probes)))
     return topk_cosine(cands.drop("bucket"), query_vec, k,
                        index.id_col, index.vec_col)
