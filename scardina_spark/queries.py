@@ -7672,7 +7672,7 @@ def queries() -> dict:
     # ``python tools/preflight.py --stalest 50`` (warns when a stalest
     # key falls outside the window prefix).  Key names are stable
     # across rounds.
-    # Staleness math (r11): registry 184 keys vs the 50-row driver
+    # Staleness math (r11): registry 186 keys vs the 50-row driver
     # window -> worst-case revisit ~4 rounds.  If growth continues,
     # retire REDUNDANT keys first (candidates: the TPC-H analytics
     # block a11-a34 overlaps heavily with a2/a4/a9/a10 on operator
