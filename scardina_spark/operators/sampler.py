@@ -8,15 +8,29 @@ matches (reference semantics: scardina/join.py:73-245 — per-key Python
 dict loops, single-node).  This module re-derives the operator as pure
 DataFrame algebra so it scales:
 
-* Root sampling: exact multinomial-with-replacement, shuffle-free.  One
-  tiny job collects per-partition weight totals (one row per partition);
-  the driver splits the n draws across partitions with a single
-  multinomial draw (exactly proportional to each partition's weight
-  mass), and every partition then draws its quota locally with numpy over
-  Arrow batches.  No global sort, no prefix sum, no join — the two-level
-  factorization Multinomial(n, partition masses) × per-partition weighted
-  choice IS the row-level multinomial, and it scales as O(#partitions)
-  driver state.
+* Root sampling, uniform fast path (fact-rooted trees, all weights 1):
+  exact multinomial-with-replacement, shuffle-free.  One tiny job
+  collects per-partition counts plus a CONTENT fingerprint (min row
+  hash) per partition; the driver splits the n draws across partitions
+  with a single multinomial draw in FINGERPRINT order (so the draw is
+  invariant under partition renumbering — two writes of the same data
+  can list identical files in different orders, permuting
+  spark_partition_id), and every partition draws its quota locally with
+  numpy over Arrow batches, seeded by its fingerprint.  O(#partitions)
+  driver state, zero shuffles — the 100 TB path.
+
+* Root sampling, weighted path: a content-deterministic INTERVAL draw
+  over the global exclusive prefix sum of weights in the total order of
+  the row's own columns (``prefix.with_prefix_sum``: one
+  range-partitioned sort + broadcast offsets + an Arrow cumsum).  The
+  driver draws n sorted uniforms scaled to the total weight; each Arrow
+  batch binary-searches the targets falling in its [first cum,
+  last cum + w) span and emits the covered rows.  Join-multiplicity
+  weights are integer-valued counts (< 2^53), so every partial sum is
+  EXACT in float64 in any grouping — the draw is bit-identical for any
+  physical layout of the same logical relation (fractional weights
+  degrade gracefully: a target within 1 ulp of an interval edge may
+  shift by one row).
 
 * Per-edge weighted pick: Efraimidis–Spirakis A-Res weighted reservoir —
   join samples to candidate children on the key, give every candidate an
@@ -63,55 +77,57 @@ def weighted_sample_with_replacement(
     Returns the sampled rows (original columns + ``__sample_id__``); a row
     drawn k times appears k times with distinct sample ids (dense 0..n-1).
 
-    Two jobs, zero shuffles: per-partition weight totals → driver-side
-    multinomial split of ``n`` → per-partition local weighted draws
-    (Arrow-batched numpy).  A partition is materialized in pandas to draw
-    from it, so partition sizing (``spark.sql.files.maxPartitionBytes``)
-    bounds executor memory exactly as for any other Arrow exchange.
-    ``order_cols`` stabilizes the draw: each partition batch is sorted by
-    these columns before indexing, so the seeded draw is independent of
-    within-partition ARRIVAL order — a partition recomputed after cache
-    loss (shuffle outputs replay rows in nondeterministic order) yields
-    the same rows.  Partition MEMBERSHIP is deterministic by itself
-    (hash shuffles + scan splits).  ``n_buckets`` is accepted for API
-    stability.
-
     ``uniform=True`` asserts every weight is the same positive constant
-    (the fact-rooted fast path, where all weights are 1): the per-partition
-    totals collapse to row counts (a column-pruned count job — for a
-    parquet-backed table no data columns are read), the draw skips weight
-    normalization, and no persist is needed because the caller guarantees
-    deterministic partition membership (a scan, optionally behind the
-    loader's sort-stabilized round-robin rebalance — no joins or
-    aggregations upstream), so both passes see the same partition
-    contents; the ``order_cols`` sort neutralizes any within-partition
-    order difference between the passes.
+    (the fact-rooted fast path, where all weights are 1): two jobs, zero
+    shuffles — per-partition (count, content fingerprint) → driver-side
+    multinomial split of ``n`` in FINGERPRINT order → per-partition local
+    draws (Arrow-batched numpy) seeded by the fingerprint.  Keying
+    everything on a content fingerprint (min row hash over
+    ``order_cols``) instead of ``spark_partition_id`` makes the draw
+    invariant under partition RENUMBERING: two writes of identical data
+    produce identically-sized files that the scan may list — and number —
+    in a different order (measured: the synthetic-IMDB bench stage drew
+    different samples at identical seed before this change).  The
+    ``order_cols`` sort additionally neutralizes within-partition arrival
+    order (shuffle replay after cache loss).
 
-    The weighted path persists the filtered input so the totals pass and
-    the draw pass share one materialization (a performance choice — with
-    the ``order_cols`` sort the draw is correct under recompute too).
-    Pass ``cache_out`` (a list) to receive that handle — the caller
-    should ``unpersist()`` it once the draw has materialized, or the
-    (root-table-sized) cache lives for the session (the
-    ``prefix.with_prefix_sum`` pattern).
+    The weighted path is a content-deterministic INTERVAL draw: the
+    global exclusive prefix sum of weights in ``order_cols`` total order
+    (``prefix.with_prefix_sum`` — one range shuffle), n sorted uniform
+    targets scaled to the total weight on the driver, and an Arrow pass
+    where each batch binary-searches the targets its [cum_first,
+    cum_last + w_last) span covers.  Join-multiplicity weights are
+    integer-valued counts (< 2^53): every partial sum is exact in
+    float64 under ANY grouping, so the draw is bit-identical for any
+    physical layout of the same logical relation — including the
+    weight-attach lineage, whose post-join partitioning this function
+    cannot control.  (Fractional weights degrade gracefully: a target
+    within 1 ulp of an interval edge may shift by one row.)
+
+    Pass ``cache_out`` (a list) to receive the weighted path's persist
+    handle (the sorted relation is read twice) — the caller should
+    ``unpersist()`` it once the sample is materialized.  ``n_buckets``
+    is accepted for API stability.
     """
-    if uniform:
-        pos = df.withColumn(PID, F.spark_partition_id())
-        part = pos.groupBy(PID).agg(F.count(F.lit(1)).alias("s")).collect()
-    else:
-        pos = (df.where(_q(weight_col) > 0)
-                 .withColumn(PID, F.spark_partition_id())
-                 .persist())
-        if cache_out is not None:
-            cache_out.append(pos)
-        part = pos.groupBy(PID).agg(
-            F.sum(_q(weight_col).cast("double")).alias("s")).collect()
+    sc = df.sparkSession.sparkContext
+    order_cols = list(order_cols or df.columns)
+    if not uniform:
+        return _interval_draw(df, weight_col, order_cols, n, seed,
+                              cache_out)
+
+    fp_expr = F.min(F.xxhash64(*[_q(c) for c in order_cols])).alias("fp")
+    pos = df.withColumn(PID, F.spark_partition_id())
+    part = pos.groupBy(PID).agg(F.count(F.lit(1)).alias("s"),
+                                fp_expr).collect()
     sums = {int(r[PID]): float(r["s"] or 0.0) for r in part}
+    fps = {int(r[PID]): int(r["fp"]) for r in part if r["s"]}
     total = sum(sums.values())
     if not total or total <= 0:
         raise ValueError("weighted_sample_with_replacement: no positive weight")
 
-    pids = sorted(sums)
+    # fingerprint order (ties broken by count then pid — pid only
+    # matters when two partitions hold identical minimal rows)
+    pids = sorted(fps, key=lambda p: (fps[p], sums[p], p))
     rs = np.random.RandomState(seed)
     counts = rs.multinomial(n, [sums[p] / total for p in pids])
     quota = {p: int(c) for p, c in zip(pids, counts)}
@@ -120,13 +136,13 @@ def weighted_sample_with_replacement(
         offsets[p] = running
         running += quota[p]
 
-    sc = df.sparkSession.sparkContext
     b_quota = sc.broadcast(quota)
     b_off = sc.broadcast(offsets)
+    b_fp = sc.broadcast(fps)
 
     safe, mapping = _safe_names(pos)
-    w_safe, pid_safe = mapping[weight_col], mapping[PID]
-    sort_safe = [mapping[c] for c in (order_cols or []) if c in mapping]
+    pid_safe = mapping[PID]
+    sort_safe = [mapping[c] for c in order_cols if c in mapping]
     schema = StructType(safe.schema.fields + [StructField(SAMPLE_ID, LongType())])
 
     def draw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,12 +158,10 @@ def weighted_sample_with_replacement(
         k = b_quota.value.get(pid, 0)
         if k <= 0:
             return
-        prs = np.random.RandomState((seed * 1_000_003 + 7919 * pid) % (2**32))
-        if uniform:
-            idx = prs.randint(len(pdf), size=k)
-        else:
-            w = pdf[w_safe].to_numpy(dtype="float64")
-            idx = prs.choice(len(pdf), size=k, replace=True, p=w / w.sum())
+        fp = b_fp.value[pid]
+        prs = np.random.RandomState(
+            (seed * 1_000_003 + 7919 * fp) % (2 ** 32))
+        idx = prs.randint(len(pdf), size=k)
         out = pdf.iloc[idx].copy()
         out[SAMPLE_ID] = np.arange(b_off.value[pid], b_off.value[pid] + k,
                                    dtype="int64")
@@ -157,6 +171,57 @@ def weighted_sample_with_replacement(
     for orig, s in mapping.items():
         out = out.withColumnRenamed(s, orig)
     return out.drop(PID)
+
+
+def _interval_draw(df: DataFrame, weight_col: str, order_cols: list[str],
+                   n: int, seed: int,
+                   cache_out: list | None) -> DataFrame:
+    """Weighted multinomial-with-replacement via interval search over the
+    global exclusive prefix sum (see weighted_sample_with_replacement)."""
+    from .prefix import CUM, with_prefix_sum
+
+    pos = df.where(_q(weight_col) > 0)
+    cached: list = []
+    cum = with_prefix_sum(pos, weight_col, order_cols, cache_out=cached)
+    if cache_out is not None:
+        cache_out.extend(cached)
+    # exact for integer-valued weights below 2^53 in any grouping
+    total = float(cached[0].agg(
+        F.sum(_q(weight_col).cast("double"))).first()[0] or 0.0)
+    if not total or total <= 0:
+        for h in cached:
+            h.unpersist()
+        raise ValueError("weighted_sample_with_replacement: no positive weight")
+
+    rs = np.random.RandomState(seed)
+    targets = np.sort(rs.random_sample(n)) * total
+    sc = df.sparkSession.sparkContext
+    b_t = sc.broadcast(targets)
+
+    safe, mapping = _safe_names(cum)
+    w_safe, cum_safe = mapping[weight_col], mapping[CUM]
+    schema = StructType(safe.schema.fields + [StructField(SAMPLE_ID, LongType())])
+
+    def draw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = b_t.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c0 = pdf[cum_safe].to_numpy(dtype="float64")
+            w = pdf[w_safe].to_numpy(dtype="float64")
+            lo = int(np.searchsorted(t, c0[0], side="left"))
+            hi = int(np.searchsorted(t, c0[-1] + w[-1], side="left"))
+            if lo >= hi:
+                continue
+            idx = np.searchsorted(c0, t[lo:hi], side="right") - 1
+            out = pdf.iloc[idx].copy()
+            out[SAMPLE_ID] = np.arange(lo, hi, dtype="int64")
+            yield out
+
+    out = safe.mapInPandas(draw, schema)
+    for orig, s in mapping.items():
+        out = out.withColumnRenamed(s, orig)
+    return out.drop(PID, CUM)
 
 
 def pick_one_child_per_sample(
@@ -231,7 +296,15 @@ def join_sample(
     once the sample is materialized.
     """
     root_df = weighted_tables[root]
-    order = [root_df.columns[0]]
+    # order by ALL root columns, not just the first: the draw's
+    # within-partition sort must be a TOTAL order up to full-duplicate
+    # rows, or ties under the first column resolve by arrival order —
+    # stable for a fixed parquet layout (the cross-session determinism
+    # pin) but NOT across freshly-written file sets (the synthetic-IMDB
+    # bench stage regenerates parquet per run and drew different
+    # samples at identical seed).  Remaining ties are content-identical
+    # rows, which are interchangeable in every downstream pick.
+    order = list(root_df.columns)
     agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed,
                                            uniform=uniform_root,
                                            cache_out=cache_out)

@@ -157,3 +157,51 @@ def test_join_sample_marginal_depth2_weighted_root(spark, tables, duck):
         tol = 6 * math.sqrt(n * frac * (1 - frac)) + 1
         assert abs(got.get(p, 0) - n * frac) < tol, (p, got.get(p, 0),
                                                      n * frac)
+
+
+def test_draw_invariant_under_layout_changes(spark, tmp_path):
+    """Layout independence (the r11 synthetic-IMDB lesson — the scan
+    may list, and number, the same files differently across writes):
+
+    * WEIGHTED path: the prefix-sum interval draw is content-exact for
+      ANY physical layout — assert the identical sample multiset from
+      two copies written with different partition counts.
+    * UNIFORM path: invariant under partition RENUMBERING — assert the
+      identical multiset when the same per-partition files are
+      enumerated in opposite orders (multi-path read, order flipped).
+    """
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(1 + i % 7)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k: long, w: double")
+
+    def fingerprint(s):
+        h = F.pmod(F.xxhash64("k", "w", SAMPLE_ID), F.lit(1_000_003))
+        return tuple(s.agg(F.count(F.lit(1)), F.sum("k"),
+                           F.sum(h)).first())
+
+    # weighted: arbitrary relayout (8 files vs 5 files)
+    df.repartition(8).write.parquet(str(tmp_path / "a"))
+    df.repartition(5).write.parquet(str(tmp_path / "b"))
+    fa = fingerprint(weighted_sample_with_replacement(
+        spark.read.parquet(str(tmp_path / "a")), "w", ["k", "w"],
+        2000, seed=11))
+    fb = fingerprint(weighted_sample_with_replacement(
+        spark.read.parquet(str(tmp_path / "b")), "w", ["k", "w"],
+        2000, seed=11))
+    assert fa == fb, (fa, fb)
+
+    # uniform: same partition sets, flipped enumeration order
+    lo = df.where("k < 2500")
+    hi = df.where("k >= 2500")
+    lo.coalesce(1).write.parquet(str(tmp_path / "p_lo"))
+    hi.coalesce(1).write.parquet(str(tmp_path / "p_hi"))
+    fwd = spark.read.parquet(str(tmp_path / "p_lo"),
+                             str(tmp_path / "p_hi"))
+    rev = spark.read.parquet(str(tmp_path / "p_hi"),
+                             str(tmp_path / "p_lo"))
+    ff = fingerprint(weighted_sample_with_replacement(
+        fwd, "w", ["k", "w"], 2000, seed=11, uniform=True))
+    fr = fingerprint(weighted_sample_with_replacement(
+        rev, "w", ["k", "w"], 2000, seed=11, uniform=True))
+    assert ff == fr, (ff, fr)
