@@ -616,10 +616,23 @@ def main() -> None:
     # keeps at most one supplier edge), rooted at shipments so both its
     # join edges survive BFS; together they cover every suite query
     def prep_jm():
+        # the two parallel-edge alternatives are INDEPENDENT Spark
+        # pipelines — overlap them from a thread pool (guide-standard
+        # back-fill: one tree's shuffle tail no longer idles the
+        # cluster while the other waits; each tree's draw/picks are
+        # seed-deterministic, and ex.map preserves order, so the
+        # estimator is identical to the sequential build)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(t):
+            return prepare_tree_sample(t, jm_tables, "shipments",
+                                       n_max=JM_HT_N_MAX,
+                                       seed=42).localize()
+
         se = SampleEstimator(name="jm-ht")
-        for t in jm_sample_trees():
-            se.add(prepare_tree_sample(t, jm_tables, "shipments",
-                                       n_max=JM_HT_N_MAX, seed=42).localize())
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for ts_ in ex.map(one, jm_sample_trees()):
+                se.add(ts_)
         return se
     jm_ht = timed("jm_prep_samples", prep_jm)
     rep_jm = timed("jm_est_ht", lambda: run_benchmark(
@@ -1126,18 +1139,26 @@ def main() -> None:
         extras["ann_lsh_recall_at_10"] = float(r["recall_at_k"])
         extras["ann_lsh_ndcg_at_10"] = float(r["ndcg_at_k"])
         # the honest multi-query number for the same default config.
-        # The PROBED path (the product code) runs on Spark per query;
-        # the exact baselines for all 10 queries are computed in one
-        # driver-side numpy pass (bench instrumentation only — recall
-        # needs the truth SETS, not a timed Spark run, and 20 extra
-        # tiny jobs here were pure scheduler overhead).
+        # The PROBED path (the product code) runs on Spark; the exact
+        # baselines for all 10 queries are computed in one driver-side
+        # numpy pass (bench instrumentation only — recall needs the
+        # truth SETS, not a timed Spark run, and 20 extra tiny jobs
+        # here were pure scheduler overhead).  The 10 probes batch into
+        # ONE corpus pass (topk_cosine_lsh_many, r11 — per-query
+        # results test-pinned equal to the sequential loop, so the
+        # recall value is unchanged; the 10 sequential jobs were ~90%
+        # plan-compile overhead at this scale).
+        from scardina_spark.operators.similarity import topk_cosine_lsh_many
         exact_sets = _exact_topk_sets_np(emb, range(10), 10)
-        tot = 0.0
-        for qid, (q2, truth) in exact_sets.items():
-            l2 = topk_cosine_lsh(emb, q2, 10,
-                                 planes=hyperplanes(64, 8, seed=42))
-            got = {r["vec_id"] for r in l2.collect()}
-            tot += len(got & truth) / 10.0
+        qids = sorted(exact_sets)
+        many = topk_cosine_lsh_many(
+            emb, [exact_sets[q][0] for q in qids], 10,
+            planes=hyperplanes(64, 8, seed=42)).collect()
+        by_q: dict[int, set] = {}
+        for r in many:
+            by_q.setdefault(r["q_idx"], set()).add(r["vec_id"])
+        tot = sum(len(by_q.get(i, set()) & exact_sets[q][1]) / 10.0
+                  for i, q in enumerate(qids))
         extras["ann_lsh_mean10_recall_at_10"] = round(tot / 10.0, 3)
         # single-bucket probe kept for the ledger: the cheapest scan,
         # and the recall it gives away vs the derived default
@@ -1222,14 +1243,24 @@ def main() -> None:
         extras["ivfpq_shortlist_frac"] = round(sl / max(n, 1), 4)
         # the honest multi-query number (vec-0 alone is high-variance):
         # mean recall over the first 10 query vectors — probes on
-        # Spark, exact truth sets from one driver-side numpy pass
+        # Spark, exact truth sets from one driver-side numpy pass.
+        # Batched (topk_cosine_ivfpq_many, r11): one ADC pass + one
+        # refine pass answer all 10 queries; per-query results are
+        # test-pinned equal to the sequential topk_cosine_ivfpq loop
+        # (~2 s/query of re-planning at this scale), so the recall
+        # value is unchanged.
+        from scardina_spark.operators.similarity import (
+            topk_cosine_ivfpq_many)
         exact_sets = _exact_topk_sets_np(emb, range(10), 10)
-        tot = 0.0
-        for qid, (q2, truth) in exact_sets.items():
-            h2 = topk_cosine_ivfpq(ivfx, pqx, q2, e2, 10, nprobe=3,
-                                   shortlist=sl)
-            got = {r["vec_id"] for r in h2.collect()}
-            tot += len(got & truth) / 10.0
+        qids = sorted(exact_sets)
+        many = topk_cosine_ivfpq_many(
+            ivfx, pqx, [exact_sets[q][0] for q in qids], e2, 10,
+            nprobe=3, shortlist=sl).collect()
+        by_q: dict[int, set] = {}
+        for r in many:
+            by_q.setdefault(r["q_idx"], set()).add(r["vec_id"])
+        tot = sum(len(by_q.get(i, set()) & exact_sets[q][1]) / 10.0
+                  for i, q in enumerate(qids))
         extras["ivfpq_mean10_recall_at_10"] = round(tot / 10.0, 3)
     timed("pq_train_encode_search", run_pq)
 

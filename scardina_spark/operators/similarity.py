@@ -168,6 +168,76 @@ def topk_cosine_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     return topk_cosine(cands.drop("bucket"), query_vec, k, id_col, vec_col)
 
 
+def _lsh_probe_buckets(planes: list[list[float]], query_vec: list[float],
+                       probe_hamming: int) -> list[int]:
+    """The sorted multi-probe bucket set for one query (query bucket +
+    every bucket within Hamming ``probe_hamming``)."""
+    from itertools import combinations
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qb |= 1 << i
+    probes = {qb}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(len(planes)), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qb ^ flip)
+    return sorted(probes)
+
+
+def topk_cosine_lsh_many(df: DataFrame, query_vecs: list[list[float]],
+                         k: int = 10,
+                         planes: list[list[float]] | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         probe_hamming: int | None = None) -> DataFrame:
+    """Multi-query :func:`topk_cosine_lsh`: ONE corpus pass answers
+    every query.  Returns ``(q_idx, id, cos_sim)`` where the rows with
+    ``q_idx = i`` are exactly ``topk_cosine_lsh(df, query_vecs[i], …)``
+    (same probe sets, same 6-dp rounding, same (sim desc, id)
+    tie-break — equality is test-pinned).
+
+    Per-query sequential probes each re-scan (and re-compile a
+    literal-heavy plan over) the corpus; batching amortizes both: one
+    projection evaluates every query's bucket-membership + cosine, an
+    explode keeps only in-probe (q, sim) pairs, and one window takes
+    each query's top-k.  The window partitions by query — #queries
+    groups of candidate-fraction size, the same per-query work the
+    sequential loop did."""
+    from pyspark.sql import Window
+
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
+    dim = len(query_vecs[0])
+    planes = planes or hyperplanes(dim)
+    if probe_hamming is None:
+        probe_hamming = derive_probe_hamming(len(planes))
+    if not 0 <= probe_hamming <= len(planes):
+        raise ValueError("probe_hamming must be in [0, n_planes]")
+    bucketed = with_lsh_bucket(df, planes, vec_col)
+    branches = []
+    for i, qv in enumerate(query_vecs):
+        probes = _lsh_probe_buckets(planes, qv, probe_hamming)
+        sim = F.round(cosine(F.col(vec_col), _lit_vec(qv)), 6)
+        branches.append(
+            F.when(F.col("bucket").isin(probes),
+                   F.struct(F.lit(i).alias("q_idx"), sim.alias("cos_sim")))
+        )
+    exploded = (bucketed
+                .select(F.col(id_col),
+                        F.explode(F.filter(
+                            F.array(*branches),
+                            lambda s: s.isNotNull())).alias("__q__"))
+                .select(F.col("__q__.q_idx").alias("q_idx"),
+                        F.col(id_col), F.col("__q__.cos_sim").alias("cos_sim")))
+    w = Window.partitionBy("q_idx").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    return (exploded.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") <= k).drop("__rk__"))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding", out_col: str = "cell",
                ) -> DataFrame:
@@ -207,7 +277,9 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
 
 def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
-              vec_col: str = "embedding") -> list[list[float]]:
+              vec_col: str = "embedding",
+              init_centroids: list[list[float]] | None = None,
+              ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer: init = first ``k`` vectors
     by id order (standard sampled-init for IVF), then ``iters`` Lloyd
     steps.
@@ -216,11 +288,19 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
     ``posexplode`` -> ``groupBy(cell, pos)``, which Catalyst executes with
     map-side partial aggregation — shuffle volume is O(parts * k * d), not
     O(rows * d).  Empty cells keep their previous centroid.
+
+    ``init_centroids`` injects the init (e.g. sliced from ONE collect of
+    the first ``k`` full vectors, as :func:`pq_train` does for its ``m``
+    subspaces) — it must equal what the default init would produce, so
+    results are unchanged; it only skips the per-call sort+collect job.
     """
-    id_cols = [c for c in df.columns if c != vec_col]
-    first = (df.orderBy(*id_cols).limit(k)
-             .select(vec_col).collect())
-    centroids = [[float(x) for x in r[0]] for r in first]
+    if init_centroids is not None:
+        centroids = [[float(x) for x in c] for c in init_centroids]
+    else:
+        id_cols = [c for c in df.columns if c != vec_col]
+        first = (df.orderBy(*id_cols).limit(k)
+                 .select(vec_col).collect())
+        centroids = [[float(x) for x in r[0]] for r in first]
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col=vec_col)
         rows = (
@@ -649,24 +729,26 @@ def ranking_metrics(approx: DataFrame, exact: DataFrame, k: int = 10,
     """
     import math
 
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError("k must be >= 1")
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-    a = (approx.withColumn("rank", F.row_number().over(w))
-         .where(F.col("rank") <= k)
-         .select(F.col(id_col).alias("rid"), "rank"))
-    we = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-    e = (exact.withColumn("rank", F.row_number().over(we))
-         .where(F.col("rank") <= k)
-         .select(F.col(id_col).alias("rid")))
-    n_exact = e.count()
-    hits = a.join(e, "rid")
-    dcg = hits.agg(F.coalesce(
-        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)),
-        F.lit(0.0))).first()[0]
-    n_hits = hits.count()
+    # Both inputs are k-row relations: ONE action each (the top-k cut,
+    # identical to the former row_number-over-(score desc, id) filter),
+    # then the joins/aggregates run driver-side over ≤k rows.  The r10
+    # form re-executed BOTH retrieval pipelines three times (count +
+    # dcg agg + hits count) — ~2-3 s of pure re-planning per call at
+    # bench scale.  dcg sums in ascending-rank order (deterministic);
+    # values agree with the former Spark sum to the ulp, far inside the
+    # 6-dp rounding.
+    a_rows = (approx.orderBy(F.col(score_col).desc(), F.col(id_col))
+              .limit(k).select(F.col(id_col)).collect())
+    e_rows = (exact.orderBy(F.col(score_col).desc(), F.col(id_col))
+              .limit(k).select(F.col(id_col)).collect())
+    n_exact = len(e_rows)
+    exact_ids = {r[0] for r in e_rows}
+    hit_ranks = [rank for rank, r in enumerate(a_rows, 1)
+                 if r[0] in exact_ids]
+    dcg = sum(1.0 / math.log2(rank + 1) for rank in hit_ranks)
+    n_hits = len(hit_ranks)
     ideal = sum(1.0 / math.log2(i + 2) for i in range(min(k, n_exact)))
     recall = n_hits / float(n_exact) if n_exact else 0.0
     spark = approx.sparkSession
@@ -699,23 +781,37 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
     executors idle — the bench stage containing this training measured
     102.6 s serial vs 74.0 s pooled on clean runs).  Results are
     collected by subspace index, so the output is bit-identical to the
-    serial loop.
+    serial loop.  The ``m`` per-subspace init jobs are shared: ONE
+    sort+collect of the first ``k_codes`` full vectors, sliced
+    driver-side (identical rows and values — pinned by
+    test_pq_train_fused_matches_per_subspace).  Fusing the Lloyd
+    steps of all subspaces into one job was tried and REVERTED: the
+    combined expression (m·k_codes lambda-bearing ``aggregate``/
+    ``zip_with`` dots) sent Catalyst analysis superlinear — 44 s of
+    driver planning where the pooled per-subspace jobs, whose
+    expressions stay small, plan in milliseconds.
     """
-    d = len(df.select(vec_col).first()[0])
+    id_cols = [c for c in df.columns if c != vec_col]
+    first = (df.orderBy(*id_cols).limit(k_codes)
+             .select(vec_col).collect())
+    if not first:
+        raise ValueError("pq_train: empty input")
+    d = len(first[0][0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     ds = d // m
-    id_cols = [c for c in df.columns if c != vec_col]
+    inits = [[[float(x) for x in r[0][j * ds:(j + 1) * ds]]
+              for r in first] for j in range(m)]
 
     def train_one(j: int) -> list[list[float]]:
         sliced = df.select(
             *[F.col(c) for c in id_cols],
             F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col))
         return ivf_train(sliced, k=k_codes, iters=iters,
-                         vec_col=vec_col)
+                         vec_col=vec_col, init_centroids=inits[j])
 
-    if m == 1:
-        return [train_one(0)]
+    if m == 1 or iters == 0:
+        return inits if iters == 0 else [train_one(0)]
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
         return list(ex.map(train_one, range(m)))
@@ -772,28 +868,11 @@ def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
     coarse centroids and the score adds the per-cell ``q·centroid``
     offset — one more literal ``element_at`` per row on ``cell_col``.
     """
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    q = [float(x) for x in query_vec]
-    if len(q) != m * ds:
-        raise ValueError(f"query dim {len(q)} != m*ds = {m * ds}")
-    luts = []
-    for j, book in enumerate(codebooks):
-        qj = q[j * ds:(j + 1) * ds]
-        luts.append([sum(a * b for a, b in zip(qj, c)) for c in book])
-    score = None
-    for j, lut in enumerate(luts):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut]),
-            F.element_at(F.col(codes_col), j + 1) + 1)
-        score = term if score is None else score + term
-    if cell_offsets is not None:
-        # residual scoring: q·v ≈ q·centroid[cell] + q·residual — the
-        # per-cell offsets are driver-computed dots shipped as literals,
-        # one element_at on the row's cell; stays in codegen
-        score = score + F.element_at(
-            F.array(*[F.lit(float(x)) for x in cell_offsets]),
-            F.col(cell_col) + 1)
+    # residual scoring: q·v ≈ q·centroid[cell] + q·residual — the
+    # per-cell offsets are driver-computed dots shipped as literals,
+    # one element_at on the row's cell; stays in codegen
+    score = _adc_score(codebooks, query_vec, codes_col, cell_offsets,
+                       cell_col)
     scored = encoded.select(F.col(id_col),
                             F.round(score, 6).alias("adc_sim"))
     return scored.orderBy(F.col("adc_sim").desc(), F.col(id_col)).limit(k)
@@ -1172,9 +1251,19 @@ def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
                           vec_col=vec_col)
     enc_src = (ivf_residuals(assigned, cents, vec_col=vec_col)
                if residual else assigned)
+    # An index BUILD is an eager materialization point (FAISS add):
+    # without it the residual relation (assign + subtract, a wide
+    # codegen expression over the raw vectors) re-executes for every
+    # one of pq_train's Lloyd jobs AND for the encode, and the lazy
+    # codes relation re-encodes the corpus on EVERY subsequent probe
+    # (measured: ~2 s/query re-encode at bench scale).  localCheckpoint
+    # bounds storage at corpus size — the same footprint the saved-index
+    # form writes to parquet.
+    enc_src = enc_src.localCheckpoint()
     books = pq_train(enc_src, m=m, k_codes=k_codes,
                      iters=iters, vec_col=vec_col)
     codes = pq_encode(enc_src, books, vec_col=vec_col)  # keeps cell
+    codes = codes.localCheckpoint()
     return (IvfIndex(assigned, cents, id_col, vec_col),
             PqIndex(codes, books, id_col, residual=residual))
 
@@ -1282,3 +1371,97 @@ def topk_cosine_ivfpq(ivf: IvfIndex, pq: PqIndex,
     ids = [r[pq.id_col] for r in sl.select(pq.id_col).collect()]
     return topk_cosine(_rows_for_ids(raw, pq.id_col, ids),
                        query_vec, k, pq.id_col, ivf.vec_col)
+
+
+def _adc_score(codebooks: list[list[list[float]]], query_vec: list[float],
+               codes_col: str, cell_offsets: list[float] | None,
+               cell_col: str = "cell") -> Column:
+    """The per-row ADC inner-product expression :func:`pq_topk` scores
+    with (lookup tables as literals; optional residual cell offset) —
+    shared so the batched probe cannot diverge from the single-query
+    one."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    if len(q) != m * ds:
+        raise ValueError(f"query dim {len(q)} != m*ds = {m * ds}")
+    score = None
+    for j, book in enumerate(codebooks):
+        qj = q[j * ds:(j + 1) * ds]
+        lut = [sum(a * b for a, b in zip(qj, c)) for c in book]
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.element_at(F.col(codes_col), j + 1) + 1)
+        score = term if score is None else score + term
+    if cell_offsets is not None:
+        score = score + F.element_at(
+            F.array(*[F.lit(float(x)) for x in cell_offsets]),
+            F.col(cell_col) + 1)
+    return score
+
+
+def topk_cosine_ivfpq_many(ivf: IvfIndex, pq: PqIndex,
+                           query_vecs: list[list[float]], raw: DataFrame,
+                           k: int = 10, nprobe: int = 2,
+                           shortlist: int = 50) -> DataFrame:
+    """Multi-query :func:`topk_cosine_ivfpq`: one ADC pass over the
+    codes relation shortlists every query, one refine pass re-ranks
+    every shortlist.  Returns ``(q_idx, id, cos_sim)`` whose ``q_idx =
+    i`` rows equal ``topk_cosine_ivfpq(ivf, pq, query_vecs[i], …)``
+    (same probed cells, ADC tables, rounding and tie-breaks —
+    test-pinned).  The sequential loop paid a corpus-plan compile +
+    scan + a refine join PER query; here the probed-cell filters and
+    per-query ADC scores are branches of one projection and the refine
+    is one scan of the union of shortlists."""
+    from pyspark.sql import Window
+
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
+    branches = []
+    for i, qv in enumerate(query_vecs):
+        probe = _probe_cells(ivf.centroids, qv, nprobe)
+        offs = ([sum(a * b for a, b in zip(qv, c))
+                 for c in ivf.centroids] if pq.residual else None)
+        score = F.round(_adc_score(pq.codebooks, qv, pq.codes_col, offs), 6)
+        branches.append(
+            F.when(F.col("cell").isin(probe),
+                   F.struct(F.lit(i).alias("q_idx"),
+                            score.alias("adc_sim"))))
+    exploded = (pq.codes
+                .select(F.col(pq.id_col),
+                        F.explode(F.filter(
+                            F.array(*branches),
+                            lambda s: s.isNotNull())).alias("__q__"))
+                .select(F.col("__q__.q_idx").alias("q_idx"),
+                        F.col(pq.id_col),
+                        F.col("__q__.adc_sim").alias("adc_sim")))
+    w = Window.partitionBy("q_idx").orderBy(
+        F.col("adc_sim").desc(), F.col(pq.id_col))
+    sls = (exploded.withColumn("__rk__", F.row_number().over(w))
+           .where(F.col("__rk__") <= shortlist)
+           .select("q_idx", pq.id_col).collect())
+    per_q: dict[int, list] = {}
+    for r in sls:
+        per_q.setdefault(r["q_idx"], []).append(r[pq.id_col])
+    union_ids = sorted({r[pq.id_col] for r in sls})
+    cands = _rows_for_ids(raw, pq.id_col, union_ids)
+    rbranches = []
+    for i, qv in enumerate(query_vecs):
+        ids_i = per_q.get(i, [])
+        sim = F.round(cosine(F.col(ivf.vec_col), _lit_vec(qv)), 6)
+        rbranches.append(
+            F.when(F.col(pq.id_col).isin(ids_i),
+                   F.struct(F.lit(i).alias("q_idx"),
+                            sim.alias("cos_sim"))))
+    rexp = (cands
+            .select(F.col(pq.id_col),
+                    F.explode(F.filter(
+                        F.array(*rbranches),
+                        lambda s: s.isNotNull())).alias("__q__"))
+            .select(F.col("__q__.q_idx").alias("q_idx"),
+                    F.col(pq.id_col),
+                    F.col("__q__.cos_sim").alias("cos_sim")))
+    wr = Window.partitionBy("q_idx").orderBy(
+        F.col("cos_sim").desc(), F.col(pq.id_col))
+    return (rexp.withColumn("__rk__", F.row_number().over(wr))
+            .where(F.col("__rk__") <= k).drop("__rk__"))

@@ -1017,3 +1017,79 @@ def test_pq_reconstruction_error_matches_numpy(spark, tables):
     finer = S.pq_train(emb, m=4, k_codes=16, iters=1)
     g3 = S.pq_reconstruction_error(emb, finer).first()
     assert g3["mean_sq_err"] <= got["mean_sq_err"] * 1.0 + 1e-9
+
+
+# -- r11 optimization pins ---------------------------------------------------
+
+def test_pq_train_fused_matches_per_subspace(tables):
+    """The fused (one-job-per-Lloyd-iteration) pq_train must be
+    bit-identical to the reference per-subspace ivf_train loop it
+    replaced (same init rows, same assignment, same elementwise avg)."""
+    from pyspark.sql import functions as F
+    emb = tables["embeddings"]
+    for m, k, iters in ((4, 8, 2), (8, 16, 1)):
+        fused = S.pq_train(emb, m=m, k_codes=k, iters=iters)
+        d = len(emb.select("embedding").first()[0])
+        ds = d // m
+        ref = []
+        for j in range(m):
+            sliced = emb.select(
+                *[F.col(c) for c in emb.columns if c != "embedding"],
+                F.slice(F.col("embedding"), j * ds + 1, ds)
+                .alias("embedding"))
+            ref.append(S.ivf_train(sliced, k=k, iters=iters))
+        assert fused == ref
+
+
+def test_topk_cosine_lsh_many_equals_sequential(tables):
+    emb = tables["embeddings"]
+    planes = S.hyperplanes(64, 8, seed=42)
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(4).collect())
+    qvs = [[float(x) for x in r["embedding"]] for r in rows]
+    many = S.topk_cosine_lsh_many(emb, qvs, 5, planes=planes).collect()
+    got = {}
+    for r in many:
+        got.setdefault(r["q_idx"], []).append((r["vec_id"], r["cos_sim"]))
+    for i, qv in enumerate(qvs):
+        seq = [(r["vec_id"], r["cos_sim"])
+               for r in S.topk_cosine_lsh(emb, qv, 5,
+                                          planes=planes).collect()]
+        assert sorted(got.get(i, [])) == sorted(seq)
+
+
+def test_topk_cosine_ivfpq_many_equals_sequential(tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    ivf, pq = S.ivfpq_build_index(emb, n_cells=4, m=8, k_codes=8,
+                                  iters=1, residual=True)
+    rows = emb.orderBy("vec_id").limit(4).collect()
+    qvs = [[float(x) for x in r["embedding"]] for r in rows]
+    many = S.topk_cosine_ivfpq_many(ivf, pq, qvs, emb, 5, nprobe=2,
+                                    shortlist=30).collect()
+    got = {}
+    for r in many:
+        got.setdefault(r["q_idx"], []).append((r["vec_id"], r["cos_sim"]))
+    for i, qv in enumerate(qvs):
+        seq = [(r["vec_id"], r["cos_sim"])
+               for r in S.topk_cosine_ivfpq(ivf, pq, qv, emb, 5, nprobe=2,
+                                            shortlist=30).collect()]
+        assert sorted(got.get(i, [])) == sorted(seq)
+
+
+def test_ranking_metrics_single_action_per_input(tables, query_vec):
+    """ranking_metrics now runs ONE action per input; values must match
+    the definition computed independently in numpy."""
+    import math
+    emb = tables["embeddings"]
+    exact = S.topk_cosine(emb, query_vec, 10)
+    lsh = S.topk_cosine_lsh(emb, query_vec, 10,
+                            planes=S.hyperplanes(64, 8, seed=42))
+    r = S.ranking_metrics(lsh, exact, 10).first()
+    e_ids = [x["vec_id"] for x in exact.collect()]
+    a_ids = [x["vec_id"] for x in lsh.collect()]
+    hits = [rk for rk, i in enumerate(a_ids, 1) if i in set(e_ids)]
+    dcg = sum(1.0 / math.log2(rk + 1) for rk in hits)
+    ideal = sum(1.0 / math.log2(i + 2) for i in range(min(10, len(e_ids))))
+    assert r["n_hits"] == len(hits)
+    assert abs(r["recall_at_k"] - len(hits) / len(e_ids)) < 1e-9
+    assert abs(r["ndcg_at_k"] - dcg / ideal) < 1e-6
