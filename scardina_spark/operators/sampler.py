@@ -224,9 +224,29 @@ def _interval_draw(df: DataFrame, weight_col: str, order_cols: list[str],
     return out.drop(PID, CUM)
 
 
+class _CheckpointHandle:
+    """``unpersist()``-compatible handle for a ``localCheckpoint``'s
+    backing RDD, so checkpointed sampler intermediates ride the same
+    ``cache_out`` release protocol as the sampler's persists.  Freeing
+    it removes the checkpoint data (the DataFrame's recompute path),
+    so it must only be released once the downstream sample is
+    materialized."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self):
+        try:
+            (self._df._jdf.queryExecution().analyzed()
+             .rdd().unpersist(False))
+        except Exception:
+            pass
+
+
 def pick_one_child_per_sample(
     samples: DataFrame, sample_key: str, child: DataFrame, child_key: str,
     child_table: str, weighted: bool, seed: int,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Attach exactly one child row (columns prefixed ``<child_table>.``) to
     every sample row, picked ∝ child ``__weight__`` when ``weighted`` (A-Res),
@@ -235,6 +255,33 @@ def pick_one_child_per_sample(
     c = child.select(*pref).withColumn(f"__in__:{child_table}", F.lit(True))
     ckey = f"{child_table}.{child_key}"
     cweight = f"{child_table}.{WEIGHT}"
+
+    if weighted:
+        # The A-Res pick both aggregates over ``samples`` (the argmax)
+        # and joins the aggregate back onto ``samples``: without a cut,
+        # the accumulated sample lineage sits on BOTH sides of that
+        # join, doubling the whole upstream plan per weighted edge —
+        # 4 weighted edges = 16 copies of the root-draw subtree
+        # (measured: 482 Exchange / 64 MapInPandas nodes in one prep
+        # plan, plans/r11/imdb_prep_before.txt; Catalyst/AQE re-planned
+        # the exponential DAG on every action).  localCheckpoint
+        # materializes the n-row accumulated sample once per weighted
+        # edge: linear plans, each edge's work executed exactly once —
+        # measured 30.2 s → 21.3 s on the IMDB prep (a .persist() cut
+        # was tried instead and was SLOWER than baseline, 34.5 s: the
+        # InMemoryRelation columnar conversion per edge costs more than
+        # it saves at this width).  Values are unchanged — the
+        # checkpoint only truncates lineage.  The checkpointed RDD
+        # rides on ``cache_out`` as an unpersist()-able handle, released
+        # by prepare_tree_sample once the final sample is materialized
+        # (same protocol as the root draw's persist); NOTE the final
+        # sample's recompute path dies with the handle — callers keep
+        # using it through its own cache, which in local mode spills
+        # rather than evicts (on a cluster, checkpoint the sample to
+        # storage before releasing, operators/pipeline.py).
+        samples = samples.localCheckpoint()
+        if cache_out is not None:
+            cache_out.append(_CheckpointHandle(samples))
 
     cond = _q(sample_key) == _q(ckey)
     joined = samples.join(c, cond, "left_outer")
@@ -336,7 +383,8 @@ def join_sample(
                              .hexdigest()[:8], 16)) % (2 ** 31)
         agg = pick_one_child_per_sample(
             agg, f"{parent}.{parent_key}", weighted_tables[child], child_key,
-            child, weighted=not many_to_one, seed=e_seed)
+            child, weighted=not many_to_one, seed=e_seed,
+            cache_out=cache_out)
 
     if drop_weights:
         agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])

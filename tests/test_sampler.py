@@ -205,3 +205,36 @@ def test_draw_invariant_under_layout_changes(spark, tmp_path):
     fr = fingerprint(weighted_sample_with_replacement(
         rev, "w", ["k", "w"], 2000, seed=11, uniform=True))
     assert ff == fr, (ff, fr)
+
+
+def test_weighted_pick_chain_plan_stays_linear(spark, tables):
+    """r11 pin: the A-Res pick used to carry the accumulated sample
+    lineage on BOTH sides of its argmax re-join, doubling the plan per
+    weighted edge (4 weighted edges = 482 Exchange nodes on the IMDB
+    prep).  The per-edge localCheckpoint keeps the final plan linear:
+    a handful of Exchanges, with checkpoint scans as leaves."""
+    import contextlib
+    import io
+
+    from scardina_spark.estimators.sample import (
+        attach_tree_adj_fanouts, spanning_tree)
+    from scardina_spark.operators.weights import compute_weights
+    from scardina_spark.catalog import build_tpch_schema
+
+    sg = build_tpch_schema()
+    tree = spanning_tree(sg, "nation")   # >= 3 chained weighted edges
+    adj = attach_tree_adj_fanouts(tree, tables)
+    w = compute_weights(tree, adj, "nation")
+    handles: list = []
+    samp = join_sample(tree, w, "nation", 500, seed=42,
+                       cache_out=handles)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        samp.explain("formatted")
+    plan = buf.getvalue()
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 20, f"weighted pick chain re-grew: {n_ex} Exchanges"
+    assert "Scan ExistingRDD" in plan  # the checkpoint leaf
+    assert samp.count() == 500
+    for h in handles:
+        h.unpersist()
