@@ -306,7 +306,18 @@ def prepare_tree_sample(
         w = dict(adj)
         w[root] = w[root].withColumn(WEIGHT, F.lit(1.0))
     else:
-        w = compute_weights(tree, adj, root)
+        w = dict(compute_weights(tree, adj, root))
+        # Persist the weighted root BEFORE the join_size aggregate: the
+        # weight-attach lineage (per-edge fanout groupBys + joins over
+        # every tree table) is otherwise executed TWICE — once by this
+        # aggregate and once more when the interval draw's prefix-sum
+        # sort consumes w[root] (guide §2.4: the aggregate and the draw
+        # share one materialization).  The persist changes no values:
+        # the draw is content-keyed (exact prefix sums in order_cols
+        # total order), so it is layout-independent by construction.
+        # Released with the sampler's other handles once the sample is
+        # materialized.
+        w[root] = w[root].persist()
         row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
         join_size = int(row["s"] or 0)
     n = max(n_min, min(n_max, join_size))
@@ -316,6 +327,8 @@ def prepare_tree_sample(
     # so attach_tree_adj_fanouts adds only literals), hence partition
     # membership is stable across the sampler's two passes.
     handles: list = []
+    if not all_m2o:
+        handles.append(w[root])
     samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True,
                        uniform_root=all_m2o, cache_out=handles)
     if cache:

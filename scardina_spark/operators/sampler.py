@@ -246,7 +246,7 @@ class _CheckpointHandle:
 def pick_one_child_per_sample(
     samples: DataFrame, sample_key: str, child: DataFrame, child_key: str,
     child_table: str, weighted: bool, seed: int,
-    cache_out: list | None = None,
+    cache_out: list | None = None, pick_broadcast: bool = False,
 ) -> DataFrame:
     """Attach exactly one child row (columns prefixed ``<child_table>.``) to
     every sample row, picked ∝ child ``__weight__`` when ``weighted`` (A-Res),
@@ -311,6 +311,16 @@ def pick_one_child_per_sample(
         child_struct = F.struct(*[_q(cc).alias(cc) for cc in c.columns])
         picked = joined.groupBy(SAMPLE_ID).agg(
             F.max_by(child_struct, F.col("__z__")).alias("__c__"))
+        # ``picked`` is one row per sample id — bounded by the DRAW size
+        # (n ≤ n_max, 500k by default), never by data scale, so when the
+        # caller certifies that bound (join_sample does) the join-back
+        # broadcasts it: the full-width accumulated sample then stays in
+        # place instead of paying an Exchange+Sort per weighted edge
+        # (guide §8: the pick decision is the lightweight proxy; attach
+        # it without re-shuffling the wide rows).  Same rows either way —
+        # the join is 1:1 on __sample_id__.
+        if pick_broadcast:
+            picked = F.broadcast(picked)
         out = samples.join(picked, SAMPLE_ID)
         for cc in c.columns:
             out = out.withColumn(cc, F.col("__c__").getField(cc))
@@ -384,7 +394,12 @@ def join_sample(
         agg = pick_one_child_per_sample(
             agg, f"{parent}.{parent_key}", weighted_tables[child], child_key,
             child, weighted=not many_to_one, seed=e_seed,
-            cache_out=cache_out)
+            cache_out=cache_out,
+            # n-row pick relations broadcast safely up to a couple of
+            # million rows (the guide's §8 plan-broadcast envelope);
+            # callers drawing larger samples fall back to the shuffle
+            # join-back automatically
+            pick_broadcast=n <= 2_000_000)
 
     if drop_weights:
         agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])
