@@ -557,11 +557,15 @@ def main() -> None:
         # localize=True so the chained path's HT cross-validation
         # (sample_arbiter) runs as a few vectorized numpy passes per
         # fragment.
+        # fit_processes: the numpy fits run in forked workers instead
+        # of GIL-sharing threads — bit-identical weights (pinned by
+        # test_process_fit_pool_matches_serial), measured 33.8s -> 12.8s
+        # on the 5-center build at sf0.01
         return build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
             lambda center: big if center == "lineitem" else small,
             sample_size=1000, max_rows=32_000, fact_threshold=8,
-            seed=42, localize=True, parallel=True)
+            seed=42, localize=True, parallel=True, fit_processes=True)
 
     nar_cin = timed("joblight_cin_train", build_cin)
     # gated arbiter since round 4 (same protocol as the jm NAR hybrid):
@@ -646,20 +650,26 @@ def main() -> None:
     # NAR-UR: one model per alternative, routed by edge support; zero
     # and CI clamps against the jm HT samples (same protocol as 2a'')
     def train_jm_ur():
-        # two independent per-variant trainings — overlap them (same
-        # rationale/safety as the CIN builds: BLAS capped at 4,
-        # ex.map preserves order, per-model seeded RandomState)
+        # two independent per-variant trainings — thread-overlapped
+        # Spark encodes + forked-process numpy fits (same rationale/
+        # safety as the CIN builds: ex.map preserves order, per-model
+        # seeded RandomState, fit code identical → same weights)
         from concurrent.futures import ThreadPoolExecutor
 
-        def one(ts_):
-            return train_join_estimator(
+        from scardina_spark.model.join_bridge import process_fit_pool
+
+        def one(ts_, pool):
+            d = train_join_estimator(
                 ts_, JM_UR_MODEL_COLUMNS,
                 _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024,
                     seed=42),
-                sample_size=500, max_rows=32_000, fact_threshold=8)
+                sample_size=500, max_rows=32_000, fact_threshold=8,
+                defer_fit=True)
+            return pool.run(d)
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            return list(ex.map(one, jm_ht.samples))
+        with process_fit_pool(max_workers=2) as pool, \
+                ThreadPoolExecutor(max_workers=2) as ex:
+            return list(ex.map(lambda t: one(t, pool), jm_ht.samples))
     jm_urs = timed("jm_nar_train", train_jm_ur)
     # Routing (measured, sf0.1): the suite's tail queries are supported
     # by exactly ONE alternative each (they predicate a specific parallel
@@ -708,12 +718,15 @@ def main() -> None:
     from scardina_spark.estimators.sample import cin_tree as _cin_tree
 
     def build_jm_cin() -> NarCinEstimator:
-        # thread-parallel for the same reason as the jl CIN build:
-        # under the 4-thread BLAS cap one model's Spark prep overlaps
-        # another's numpy fit; ex.map preserves item order, so the
-        # estimator (and every estimate) is identical to the
-        # sequential build
+        # thread-parallel Spark preps + FORKED-process numpy fits (same
+        # shape as the jl CIN build): threads overlap the preps, the
+        # process pool runs the fits truly concurrently instead of
+        # GIL-sharing; ex.map preserves item order and the fit is the
+        # same numpy code, so the estimator (and every estimate) is
+        # bit-identical to the sequential build
         from concurrent.futures import ThreadPoolExecutor
+
+        from scardina_spark.model.join_bridge import process_fit_pool
 
         cfg = _TC(epochs=8, d_word=16, d_ff=64, batch_size=1024, seed=42)
         subs = [ss for ss in jm_sg.cin_subschemas().values()
@@ -722,18 +735,21 @@ def main() -> None:
                  + [(c, _cin_tree(jm_sg, c), CIN_MODEL_COLUMNS[c])
                     for c in ["lineitem", "orders", "supplier", "nation"]])
 
-        def one(item):
+        def one(item, pool):
             center, tree, cols = item
             ts_ = prepare_tree_sample(tree, jm_tables, center,
                                       n_max=50_000, seed=42)
-            m = train_join_estimator(ts_, cols, cfg, sample_size=500,
-                                     max_rows=32_000, fact_threshold=8)
+            d = train_join_estimator(ts_, cols, cfg, sample_size=500,
+                                     max_rows=32_000, fact_threshold=8,
+                                     defer_fit=True)
+            m = pool.run(d)
             ts_.localize()
             return m
 
         cin = NarCinEstimator()
-        with ThreadPoolExecutor(max_workers=len(items)) as ex:
-            for m in ex.map(one, items):
+        with process_fit_pool(max_workers=len(items)) as pool, \
+                ThreadPoolExecutor(max_workers=len(items)) as ex:
+            for m in ex.map(lambda it: one(it, pool), items):
                 cin.add(m)
         return cin
     jm_cin = timed("jm_cin_train", build_jm_cin)

@@ -198,7 +198,7 @@ def build_cin_estimator(sg, tables, model_columns: dict,
                         cfg_for, *, sample_size: int = 1000,
                         max_rows: int = 32_000, fact_threshold: int = 8,
                         seed: int = 42, localize: bool = False,
-                        parallel: bool = False,
+                        parallel: bool = False, fit_processes: bool = False,
                         arch: str = "mlp") -> NarCinEstimator:
     """Prepare + train every CIN subschema model.
 
@@ -219,18 +219,30 @@ def build_cin_estimator(sg, tables, model_columns: dict,
     RandomState, and seq==par estimates are verified bit-identical.
 
     ``cfg_for(center)`` returns the TrainConfig for one center.
+
+    ``fit_processes=True`` (with ``parallel``) additionally routes each
+    center's numpy fit through a forked worker process
+    (:func:`~scardina_spark.model.join_bridge.process_fit_pool`): the
+    thread pool still overlaps the Spark preps, but the fits no longer
+    serialize on the GIL.  Weights — hence every estimate — stay
+    bit-identical to the in-process fit (same numpy code, same BLAS
+    env; pinned by test_process_fit_pool_matches_serial).
     """
     from concurrent.futures import ThreadPoolExecutor
+    from contextlib import nullcontext
 
-    from ..model.join_bridge import train_join_estimator
+    from ..model.join_bridge import process_fit_pool, train_join_estimator
     from .sample import cin_trees, prepare_tree_sample
 
-    def one(item):
+    def one(item, pool=None):
         center, cin_cols, tree = item
         ts = prepare_tree_sample(tree, tables, center, seed=seed)
         m = train_join_estimator(ts, cin_cols, cfg_for(center),
                                  sample_size=sample_size, max_rows=max_rows,
-                                 fact_threshold=fact_threshold, arch=arch)
+                                 fact_threshold=fact_threshold, arch=arch,
+                                 defer_fit=pool is not None)
+        if pool is not None:
+            m = pool.run(m)
         if localize:
             ts.localize()
         return m
@@ -245,8 +257,11 @@ def build_cin_estimator(sg, tables, model_columns: dict,
              for center, cin_cols in model_columns.items()
              for tree in cin_trees(sg, center)]
     if parallel and len(items) > 1:
-        with ThreadPoolExecutor(max_workers=len(items)) as ex:
-            for m in ex.map(one, items):
+        pool_cm = (process_fit_pool(max_workers=len(items))
+                   if fit_processes else nullcontext(None))
+        with pool_cm as pool, \
+                ThreadPoolExecutor(max_workers=len(items)) as ex:
+            for m in ex.map(lambda it: one(it, pool), items):
                 est.add(m)
     else:
         for it in items:

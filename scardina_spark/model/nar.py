@@ -41,9 +41,14 @@ class TrainConfig:
 
 
 def _softmax(z: np.ndarray) -> np.ndarray:
-    z = z - z.max(axis=-1, keepdims=True)
-    e = np.exp(z)
-    return e / e.sum(axis=-1, keepdims=True)
+    """In-place row softmax (same subtract-max / exp / normalize ops as
+    the allocating form, so values are bit-identical — it only reuses
+    ``z``'s buffer).  Every caller passes a fresh logits/scores array it
+    never reads again; pass a copy if the input must survive."""
+    z -= z.max(axis=-1, keepdims=True)
+    np.exp(z, out=z)
+    z /= z.sum(axis=-1, keepdims=True)
+    return z
 
 
 @dataclass
@@ -117,13 +122,18 @@ class NarMLP:
 
     # -- forward ----------------------------------------------------------
 
-    def _encode(self, codes: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    def _encode(self, codes: np.ndarray, mask: np.ndarray,
+                eff: np.ndarray | None = None) -> np.ndarray:
         """codes [B, C] int (float matrix accepted when continuous columns
         exist — categorical entries are cast); mask [B, C] bool (True =
-        masked → MASK emb / zero pair)."""
+        masked → MASK emb / zero pair).  ``eff`` optionally passes the
+        caller's precomputed ``np.where(mask, 0, codes)`` so the train
+        step does not build it twice (identical values either way)."""
         B = codes.shape[0]
         x = np.empty((B, int(self.offs[-1])), dtype=self.W1.dtype)
-        eff = np.where(mask, 0, codes)
+        if eff is None:
+            eff = np.where(mask, 0, codes)
+        cast = eff if eff.dtype == np.int64 else None
         for j in range(self.C):
             sl = slice(self.offs[j], self.offs[j + 1])
             if self.is_cont[j]:
@@ -131,7 +141,9 @@ class NarMLP:
                 val = np.where(mask[:, j], 0.0, codes[:, j].astype(np.float32))
                 x[:, sl] = np.stack([flag, val], axis=1) @ self.emb[j]
             else:
-                x[:, sl] = self.emb[j][eff[:, j].astype(np.int64)]
+                idx = (cast[:, j] if cast is not None
+                       else eff[:, j].astype(np.int64))
+                x[:, sl] = self.emb[j][idx]
         return x
 
     def _trunk(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -246,8 +258,10 @@ class NarMLP:
                                axis=1)[:, :n_mask]
         np.put_along_axis(mask, pick, True, axis=1)
 
-        x = self._encode(codes, mask)
+        eff = np.where(mask, 0, codes)
+        x = self._encode(codes, mask, eff)
         z1, a1, h = self._trunk(x)
+        arange_b = np.arange(B)
 
         gP = [None] * self.C
         gE_out = [None] * self.C
@@ -279,12 +293,12 @@ class NarMLP:
             logits[:, 0] = -1e9                        # MASK never predicted
             p = _softmax(logits)
             y = codes[rows, j].astype(np.int64)
-            total_loss += -np.log(np.maximum(p[np.arange(rows.size), y],
-                                             1e-12)).sum()
+            ar = arange_b[:rows.size]
+            total_loss += -np.log(np.maximum(p[ar, y], 1e-12)).sum()
             total_cnt += rows.size
 
             dlogits = p
-            dlogits[np.arange(rows.size), y] -= 1.0
+            dlogits[ar, y] -= 1.0
             dlogits /= denom
             dproj_all[rows, slices[j]] = dlogits @ self.emb[j]
             gE_out[j] = dlogits.T @ proj                # [dom, d]
@@ -322,8 +336,8 @@ class NarMLP:
         gb1 = dz1.sum(axis=0)
         dx = dz1 @ self.W1.T
 
-        # embedding (input-side) gradients
-        eff = np.where(mask, 0, codes)
+        # embedding (input-side) gradients (``eff`` hoisted above _encode)
+        eff_i64 = eff if eff.dtype == np.int64 else None
         self._adam_t += 1
         pid = 0
         self._adam(pid, self.W1, gW1); pid += 1
@@ -331,9 +345,9 @@ class NarMLP:
         self._adam(pid, self.W2, gW2); pid += 1
         self._adam(pid, self.b2, gb2); pid += 1
         for j in range(self.C):
-            gE = np.zeros_like(self.emb[j])
             dxj = dx[:, self.offs[j]:self.offs[j + 1]]
             if self.is_cont[j]:
+                gE = np.zeros_like(self.emb[j])
                 # input was [flag, value] @ emb over unmasked rows
                 u = ~mask[:, j]
                 if u.any():
@@ -341,14 +355,18 @@ class NarMLP:
                                     codes[u, j].astype(np.float64)], axis=1)
                     gE += inp.T @ dxj[u]
             else:
-                idx = eff[:, j].astype(np.int64)
+                idx = (eff_i64[:, j] if eff_i64 is not None
+                       else eff[:, j].astype(np.int64))
                 if self.doms[j] <= 2048:
                     # scatter-add as a one-hot matmul: BLAS beats
                     # np.add.at's per-element dispatch for small domains
+                    # (writing the product directly — adding it onto a
+                    # zero matrix, as before, gives the same values)
                     onehot = np.zeros((B, self.doms[j]), dtype=np.float32)
-                    onehot[np.arange(B), idx] = 1.0
-                    gE += onehot.T @ dxj
+                    onehot[arange_b, idx] = 1.0
+                    gE = onehot.T @ dxj
                 else:
+                    gE = np.zeros_like(self.emb[j])
                     np.add.at(gE, idx, dxj)
             if gP[j] is not None:
                 self._adam(pid, self.P[j], gP[j])

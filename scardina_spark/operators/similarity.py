@@ -775,21 +775,25 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
     shuffle is O(parts·k·d/m), empty cells keep their centroid) — so
     the x41-verified machinery covers PQ training too.
 
-    The ``m`` subspace trainings are INDEPENDENT Spark jobs, so they
-    submit from a small thread pool and run concurrently (each job is
-    far narrower than the cluster; serial submission left most
-    executors idle — the bench stage containing this training measured
-    102.6 s serial vs 74.0 s pooled on clean runs).  Results are
-    collected by subspace index, so the output is bit-identical to the
-    serial loop.  The ``m`` per-subspace init jobs are shared: ONE
-    sort+collect of the first ``k_codes`` full vectors, sliced
-    driver-side (identical rows and values — pinned by
-    test_pq_train_fused_matches_per_subspace).  Fusing the Lloyd
-    steps of all subspaces into one job was tried and REVERTED: the
-    combined expression (m·k_codes lambda-bearing ``aggregate``/
-    ``zip_with`` dots) sent Catalyst analysis superlinear — 44 s of
-    driver planning where the pooled per-subspace jobs, whose
-    expressions stay small, plan in milliseconds.
+    The ``m`` per-subspace init jobs are shared: ONE sort+collect of
+    the first ``k_codes`` full vectors, sliced driver-side (identical
+    rows and values — pinned by
+    test_pq_train_fused_matches_per_subspace).  The ``m`` subspace
+    Lloyd steps run as ONE action per iteration: each subspace keeps
+    its own small assign+aggregate subtree (identical to its standalone
+    :func:`ivf_train` step) and only the k-ROW per-subspace RESULTS are
+    unioned before a single ``collect`` — so a whole training round
+    costs ``iters`` driver round-trips instead of ``m·iters`` (the r10
+    thread pool overlapped the per-subspace jobs but still paid every
+    job's scheduling/AQE overhead serially on the driver; measured
+    6.6 s → ~2 s for m=8, iters=2 at bench scale).  Values are pinned
+    equal to the per-subspace serial loop
+    (test_pq_train_fused_matches_per_subspace).  NOTE the fusion unions the
+    per-branch AGGREGATES, never the expressions: fusing the m·k_codes
+    lambda-bearing dots into one projection was tried and REVERTED in
+    r10 — Catalyst analysis went superlinear (44 s of planning).  The
+    union's branches each keep the standalone job's small expression,
+    so analysis stays linear in m.
     """
     id_cols = [c for c in df.columns if c != vec_col]
     first = (df.orderBy(*id_cols).limit(k_codes)
@@ -802,19 +806,38 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
     ds = d // m
     inits = [[[float(x) for x in r[0][j * ds:(j + 1) * ds]]
               for r in first] for j in range(m)]
-
-    def train_one(j: int) -> list[list[float]]:
-        sliced = df.select(
-            *[F.col(c) for c in id_cols],
-            F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col))
-        return ivf_train(sliced, k=k_codes, iters=iters,
-                         vec_col=vec_col, init_centroids=inits[j])
-
-    if m == 1 or iters == 0:
-        return inits if iters == 0 else [train_one(0)]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
-        return list(ex.map(train_one, range(m)))
+    if iters == 0:
+        return inits
+    sliced = [df.select(
+        *[F.col(c) for c in id_cols],
+        F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col))
+        for j in range(m)]
+    if m == 1:
+        return [ivf_train(sliced[0], k=k_codes, iters=iters,
+                          vec_col=vec_col, init_centroids=inits[0])]
+    books = [[list(c) for c in b] for b in inits]
+    for _ in range(iters):
+        branches = []
+        for j in range(m):
+            assigned = ivf_assign(sliced[j], books[j], vec_col=vec_col)
+            agg = (assigned
+                   .select("cell", F.posexplode(F.col(vec_col))
+                           .alias("pos", "x"))
+                   .groupBy("cell", "pos")
+                   .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                   .groupBy("cell")
+                   .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                        .alias("pm"))
+                   .select(F.lit(j).alias("sub"), "cell", "pm"))
+            branches.append(agg)
+        un = branches[0]
+        for b in branches[1:]:
+            un = un.unionAll(b)
+        nxt = [list(bk) for bk in books]
+        for r in un.collect():
+            nxt[r["sub"]][r["cell"]] = [float(p["m"]) for p in r["pm"]]
+        books = nxt
+    return books
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],

@@ -211,3 +211,36 @@ def test_skip_high_card_cols_flag(tables):
     assert "lineitem.l_extendedprice" in off
     assert "lineitem.l_returnflag" in on
     assert set(on) <= set(off)
+
+
+def test_process_fit_pool_matches_serial(tables):
+    """defer_fit + forked-process fit must give BIT-IDENTICAL weights to
+    the in-process train_join_estimator (same numpy fit, same BLAS env)
+    — the invariant the bench's multi-model builds rely on."""
+    import hashlib
+
+    import numpy as np
+
+    from scardina_spark.model.join_bridge import process_fit_pool
+
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", n_min=10_000, seed=42)
+    cfg = TrainConfig(epochs=2, d_word=8, d_ff=32, batch_size=1024, seed=42)
+
+    def whash(est):
+        h = hashlib.sha256()
+        m = est.model
+        for a in [m.W1, m.b1, m.W2, m.b2] + m.emb + m.P:
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    serial = train_join_estimator(ts, DATA_COLS, cfg, sample_size=500)
+    deferred = train_join_estimator(ts, DATA_COLS, cfg, sample_size=500,
+                                    defer_fit=True)
+    with process_fit_pool(max_workers=1) as pool:
+        pooled = pool.run(deferred)
+    assert whash(pooled) == whash(serial)
+    # the assembled estimator answers queries identically
+    sql = "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30"
+    assert pooled.estimate(sql) == serial.estimate(sql)
