@@ -284,9 +284,26 @@ def pick_one_child_per_sample(
             cache_out.append(_CheckpointHandle(samples))
 
     cond = _q(sample_key) == _q(ckey)
-    joined = samples.join(c, cond, "left_outer")
-
     if weighted:
+        # Decide with SMALL rows, attach once (guide §8): the A-Res
+        # race needs only (sample_id, join key) from the sample side —
+        # the u-hash is keyed on SAMPLE_ID and the candidate row, never
+        # on the sample's other columns — so the candidate join runs
+        # over a 2-column key relation instead of exchanging the
+        # full-width accumulated sample per weighted edge.  The join is
+        # INNER (a broadcastable shape for the small preserved side;
+        # left-outer cannot build on its preserved side): sample ids
+        # with no candidate simply have no ``picked`` row, and the
+        # left-outer join-back below null-extends them to exactly the
+        # all-NULL child the old left_outer+max_by produced.  The n-row
+        # key relation broadcasts under the same bound as the pick
+        # join-back, which also spares the CHILD side its Exchange (the
+        # checkpointed sample relation has no size statistics, so Spark
+        # would never auto-broadcast it).
+        keys = samples.select(_q(SAMPLE_ID), _q(sample_key))
+        if pick_broadcast:
+            keys = F.broadcast(keys)
+        joined = keys.join(c, cond)
         # A-Res score: u^(1/w) — max per sample picks ∝ w.  The uniform
         # u is HASH-derived from (sample_id, full candidate row), not
         # F.rand: rand() numbers rows by position within their partition,
@@ -301,33 +318,30 @@ def pick_one_child_per_sample(
         u = (F.pmod(F.xxhash64(F.col(SAMPLE_ID), *[_q(cc) for cc in c.columns],
                                F.lit(seed)),
                     F.lit(1 << 53)).cast("double") + F.lit(0.5)) / (1 << 53)
-        z = F.when(
-            _q(f"__in__:{child_table}").isNull(), F.lit(-1.0)
-        ).otherwise(
-            F.pow(u, F.lit(1.0) / F.greatest(_q(cweight).cast("double"),
+        z = F.pow(u, F.lit(1.0) / F.greatest(_q(cweight).cast("double"),
                                              F.lit(1e-300)))
-        )
         joined = joined.withColumn("__z__", z)
         child_struct = F.struct(*[_q(cc).alias(cc) for cc in c.columns])
         picked = joined.groupBy(SAMPLE_ID).agg(
             F.max_by(child_struct, F.col("__z__")).alias("__c__"))
-        # ``picked`` is one row per sample id — bounded by the DRAW size
-        # (n ≤ n_max, 500k by default), never by data scale, so when the
-        # caller certifies that bound (join_sample does) the join-back
-        # broadcasts it: the full-width accumulated sample then stays in
-        # place instead of paying an Exchange+Sort per weighted edge
-        # (guide §8: the pick decision is the lightweight proxy; attach
-        # it without re-shuffling the wide rows).  Same rows either way —
-        # the join is 1:1 on __sample_id__.
+        # ``picked`` is at most one row per sample id — bounded by the
+        # DRAW size (n ≤ n_max, 500k by default), never by data scale,
+        # so when the caller certifies that bound (join_sample does) the
+        # join-back broadcasts it: the full-width accumulated sample then
+        # stays in place instead of paying an Exchange+Sort per weighted
+        # edge (guide §8: the pick decision is the lightweight proxy;
+        # attach it without re-shuffling the wide rows).  Same rows
+        # either way — the join is ≤1:1 on __sample_id__, left-outer so
+        # candidate-less sample rows null-extend.
         if pick_broadcast:
             picked = F.broadcast(picked)
-        out = samples.join(picked, SAMPLE_ID)
+        out = samples.join(picked, SAMPLE_ID, "left_outer")
         for cc in c.columns:
             out = out.withColumn(cc, F.col("__c__").getField(cc))
         out = out.drop("__c__")
     else:
         # many-to-one: the child key is a PK — at most one match
-        out = joined
+        out = samples.join(c, cond, "left_outer")
 
     out = out.withColumn(
         f"__in__:{child_table}",
