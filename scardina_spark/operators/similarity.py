@@ -24,13 +24,55 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal ``array<double>`` built with ONE py4j call.
+
+    ``F.array(*[F.lit(x) ...])`` costs a JVM round-trip per element —
+    ~1 ms each, so a 16-centroid × 64-dim assignment expression spent
+    ~15 s per action just CONSTRUCTING its plan on the driver (measured;
+    the Lloyd collects themselves were ~1 s).  Rendering the vector as
+    one SQL ``array(...)`` string parses to the identical CreateArray-
+    of-Literals node: ``repr`` emits Python's shortest round-trip
+    decimal and the SQL parser's ``Double.parseDouble`` is correctly
+    rounded, so every finite double is reproduced bit-exactly.
+    Non-finite values fall back to the per-element form (SQL has no
+    inf/nan double literal)."""
+    import math
+    vals = [float(x) for x in vec]
+    if vals and all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals])
 
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vec_sql(vec: list[float]) -> str:
+    """SQL source of a finite literal ``array<double>`` (see
+    :func:`_lit_vec` for why strings: one py4j call per EXPRESSION
+    instead of one per element/lambda)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+def _dot_sql(col_sql: str, vec: list[float]) -> str:
+    """SQL source of ``dot(<col_sql>, _lit_vec(vec))`` — parses to the
+    same zip_with/aggregate expression :func:`dot` builds (same 0.0
+    seed, same casts, same fold order ⇒ same doubles), but the Python
+    side pays ONE ``F.expr`` call where the Column-API form pays ~10
+    py4j round-trips per lambda.  Measured on the 16-centroid × 8-way
+    ivf/pq assignment builders: expression CONSTRUCTION was ~13 s of a
+    ~17 s training action — the cluster was idle while the driver
+    chatted with the JVM."""
+    return ("aggregate(zip_with(" + col_sql + ", " + _vec_sql(vec)
+            + ", (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)")
+
+
+def _all_finite(vecs: list[list[float]]) -> bool:
+    import math
+    return all(math.isfinite(float(x)) for v in vecs for x in v)
 
 
 def norm(a: Column) -> Column:
@@ -254,7 +296,15 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     """
     k = len(centroids)
     if k <= 64:
-        sims = F.array(*[dot(F.col(vec_col), _lit_vec(c)) for c in centroids])
+        if _all_finite(centroids):
+            # one F.expr call for the whole k-way score array (the
+            # Column-API build of k lambda-dots dominated Lloyd-step
+            # wall time — see _dot_sql); identical parsed expression
+            sims = F.expr("array(" + ",".join(
+                _dot_sql(f"`{vec_col}`", c) for c in centroids) + ")")
+        else:
+            sims = F.array(*[dot(F.col(vec_col), _lit_vec(c))
+                             for c in centroids])
         cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
         return df.withColumn(out_col, cell)
 
@@ -287,7 +337,12 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
     Each step is assign (no shuffle) + per-cell elementwise mean via
     ``posexplode`` -> ``groupBy(cell, pos)``, which Catalyst executes with
     map-side partial aggregation — shuffle volume is O(parts * k * d), not
-    O(rows * d).  Empty cells keep their previous centroid.
+    O(rows * d).  The k·d mean rows come straight back to the driver and
+    are assembled into centroids there: a second ``groupBy(cell)`` that
+    merely re-packed them into arrays cost one more Exchange per step
+    for zero information (r11; the means themselves are computed by the
+    identical aggregate, so values are unchanged).  Empty cells keep
+    their previous centroid.
 
     ``init_centroids`` injects the init (e.g. sliced from ONE collect of
     the first ``k`` full vectors, as :func:`pq_train` does for its ``m``
@@ -308,13 +363,10 @@ def ivf_train(df: DataFrame, k: int = 16, iters: int = 2,
                             .alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                 .alias("pm"))
             .collect())
-        nxt = list(centroids)
+        nxt = [list(c) for c in centroids]
         for r in rows:
-            nxt[r["cell"]] = [float(p["m"]) for p in r["pm"]]
+            nxt[r["cell"]][r["pos"]] = float(r["m"])
         centroids = nxt
     return centroids
 
@@ -825,17 +877,14 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
                            .alias("pos", "x"))
                    .groupBy("cell", "pos")
                    .agg(F.avg(F.col("x").cast("double")).alias("m"))
-                   .groupBy("cell")
-                   .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                        .alias("pm"))
-                   .select(F.lit(j).alias("sub"), "cell", "pm"))
+                   .select(F.lit(j).alias("sub"), "cell", "pos", "m"))
             branches.append(agg)
         un = branches[0]
         for b in branches[1:]:
             un = un.unionAll(b)
-        nxt = [list(bk) for bk in books]
+        nxt = [[list(c) for c in bk] for bk in books]
         for r in un.collect():
-            nxt[r["sub"]][r["cell"]] = [float(p["m"]) for p in r["pm"]]
+            nxt[r["sub"]][r["cell"]][r["pos"]] = float(r["m"])
         books = nxt
     return books
 
@@ -859,8 +908,13 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     ds = len(codebooks[0][0])
     codes = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), j * ds + 1, ds)
-        sims = F.array(*[dot(sub, _lit_vec(c)) for c in book])
+        if _all_finite(book):
+            sub_sql = f"slice(`{vec_col}`, {j * ds + 1}, {ds})"
+            sims = F.expr("array(" + ",".join(
+                _dot_sql(sub_sql, c) for c in book) + ")")
+        else:
+            sub = F.slice(F.col(vec_col), j * ds + 1, ds)
+            sims = F.array(*[dot(sub, _lit_vec(c)) for c in book])
         codes.append((F.array_position(sims, F.array_max(sims)) - 1)
                      .cast("int"))
     out = df.withColumn(out_col, F.array(*codes))
@@ -1413,12 +1467,12 @@ def _adc_score(codebooks: list[list[list[float]]], query_vec: list[float],
         qj = q[j * ds:(j + 1) * ds]
         lut = [sum(a * b for a, b in zip(qj, c)) for c in book]
         term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut]),
+            _lit_vec(lut),
             F.element_at(F.col(codes_col), j + 1) + 1)
         score = term if score is None else score + term
     if cell_offsets is not None:
         score = score + F.element_at(
-            F.array(*[F.lit(float(x)) for x in cell_offsets]),
+            _lit_vec(cell_offsets),
             F.col(cell_col) + 1)
     return score
 
