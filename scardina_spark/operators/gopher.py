@@ -193,7 +193,23 @@ def repetition_signals(df: DataFrame, col: str = "text",
     # pinned against it property-style (tests/test_gopher.py).
     unit_key = (F.xxhash64("unit") if _hash_units
                 else F.col("unit")).alias("uhash")
-    exploded = unit_relation(df, col, id_col).select(
+    # Hash-partition the DOCUMENTS by id before exploding: every
+    # aggregation below groups by a superset of ``id_col``, so a
+    # partitioning established on the raw docs satisfies all of them
+    # (guide §2.4 — one exchange serves every downstream grouping) and
+    # the ~9×-token-count unit relation aggregates IN PLACE instead of
+    # being shuffled.  Bytes moved: the corpus text once (~6 B/token)
+    # versus the hashed unit rows (~9 rows × 40 B per token) — and the
+    # explode's CPU also spreads across the session's full parallelism
+    # (the minhash_signatures rationale).  Values are unchanged: the
+    # aggregates are exact integer counts/sums, indifferent to grouping
+    # placement.
+    sc = df.sparkSession.sparkContext
+    docs = df.select(F.col(id_col), F.col(col))
+    docs = docs.repartition(
+        max(docs.rdd.getNumPartitions(), sc.defaultParallelism),
+        F.col(id_col))
+    exploded = unit_relation(docs, col, id_col).select(
         id_col, "doc_chars", "kind", unit_key,
         F.length("unit").alias("ulen"))
     per_unit = (exploded
