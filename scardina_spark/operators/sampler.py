@@ -322,7 +322,36 @@ def pick_one_child_per_sample(
                                              F.lit(1e-300)))
         joined = joined.withColumn("__z__", z)
         child_struct = F.struct(*[_q(cc).alias(cc) for cc in c.columns])
-        picked = joined.groupBy(SAMPLE_ID).agg(
+        # Two-pass argmax instead of max_by(child_struct, z): max_by
+        # over a STRUCT has an immutable aggregation buffer, so Spark
+        # plans it as SortAggregate — both the partial and the final
+        # agg SORT every (sample, candidate) row at full child width,
+        # interpreted, no codegen (measured on the synthetic-IMDB
+        # movie_info edge: 29.6M candidates, 399 CPU-s + 76 s JVM GC in
+        # the two sorts; plain max(z) over the same candidates plans as
+        # codegen HashAggregate and runs in 2.8 s).  So: (1) codegen
+        # max(z) per sample; (2) re-enumerate the same candidate join
+        # (codegen too; the broadcast exchange is reused) and keep the
+        # rows whose z EQUALS the per-sample max — z is a deterministic
+        # pure function of (sample_id, candidate row, seed), so the two
+        # evaluations are bit-identical; (3) a max_by tie-break on the
+        # ≤1-row-per-sample winner relation (exact-z ties are either
+        # identical candidate rows — interchangeable by construction —
+        # or 2^-53 hash collisions), whose SortAggregate input is
+        # draw-bounded, never candidate-bounded.  The winning row is
+        # identical to the one-pass max_by's for every non-tied sample,
+        # and tied samples receive content-equal rows.
+        mz = (joined.groupBy(SAMPLE_ID)
+              .agg(F.max("__z__").alias("__mz__"))
+              .select(F.col(SAMPLE_ID).alias("__mz_sid__"),
+                      F.col("__mz__")))
+        if pick_broadcast:
+            mz = F.broadcast(mz)
+        winners = joined.join(
+            mz, (_q(SAMPLE_ID) == _q("__mz_sid__"))
+            & (F.col("__z__") == F.col("__mz__"))
+        ).drop("__mz_sid__", "__mz__")
+        picked = winners.groupBy(SAMPLE_ID).agg(
             F.max_by(child_struct, F.col("__z__")).alias("__c__"))
         # ``picked`` is at most one row per sample id — bounded by the
         # DRAW size (n ≤ n_max, 500k by default), never by data scale,

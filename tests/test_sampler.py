@@ -233,7 +233,12 @@ def test_weighted_pick_chain_plan_stays_linear(spark, tables):
         samp.explain("formatted")
     plan = buf.getvalue()
     n_ex = plan.count("Exchange")
-    assert n_ex <= 20, f"weighted pick chain re-grew: {n_ex} Exchanges"
+    # linear budget: the two-pass argmax (max(z) + equality re-join +
+    # draw-bounded tie-break) costs one Exchange + one BroadcastExchange
+    # more per weighted edge than the one-pass max_by did — still O(1)
+    # per edge; the exponential re-growth this pin guards against was
+    # 482 Exchanges on 4 edges
+    assert n_ex <= 32, f"weighted pick chain re-grew: {n_ex} Exchanges"
     assert "Scan ExistingRDD" in plan  # the checkpoint leaf
     assert samp.count() == 500
     for h in handles:
