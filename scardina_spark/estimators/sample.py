@@ -301,36 +301,34 @@ def prepare_tree_sample(
     # outside the fanout aggregates.
     all_m2o = all(rel.pk_table == child
                   for _, child, rel in tree.join_tree(root))
+    handles: list = []
+    meta: list = []
     if all_m2o:
         join_size = tables[root].count()
         w = dict(adj)
         w[root] = w[root].withColumn(WEIGHT, F.lit(1.0))
+        n = max(n_min, min(n_max, join_size))
+        n_arg: "int | tuple[int, int]" = n
     else:
+        # The weighted root's join size IS the draw's weight total, so
+        # the draw resolves its own n (r12): previously the weight-
+        # attach lineage was persisted and aggregated in a separate
+        # pass before the draw could be sized — one extra full
+        # materialization of the root relation per prep.  Exact for
+        # integer-valued weights, so join_size and n (and hence the
+        # sample) are bit-identical to the two-pass flow.
         w = dict(compute_weights(tree, adj, root))
-        # Persist the weighted root BEFORE the join_size aggregate: the
-        # weight-attach lineage (per-edge fanout groupBys + joins over
-        # every tree table) is otherwise executed TWICE — once by this
-        # aggregate and once more when the interval draw's prefix-sum
-        # sort consumes w[root] (guide §2.4: the aggregate and the draw
-        # share one materialization).  The persist changes no values:
-        # the draw is content-keyed (exact prefix sums in order_cols
-        # total order), so it is layout-independent by construction.
-        # Released with the sampler's other handles once the sample is
-        # materialized.
-        w[root] = w[root].persist()
-        row = w[root].agg(F.sum(WEIGHT).alias("s")).collect()[0]
-        join_size = int(row["s"] or 0)
-    n = max(n_min, min(n_max, join_size))
+        n_arg = (n_min, n_max)
     # all_m2o also certifies the root draw may skip the weight scan and
     # persist: w[root] is a pure projection over the scan (plus at most the
     # loader's deterministic rebalance — the root is FK-side of every edge,
     # so attach_tree_adj_fanouts adds only literals), hence partition
     # membership is stable across the sampler's two passes.
-    handles: list = []
+    samp = join_sample(tree, w, root, n_arg, seed=seed, drop_weights=True,
+                       uniform_root=all_m2o, cache_out=handles,
+                       meta_out=meta)
     if not all_m2o:
-        handles.append(w[root])
-    samp = join_sample(tree, w, root, n, seed=seed, drop_weights=True,
-                       uniform_root=all_m2o, cache_out=handles)
+        join_size, n = meta[0]
     if cache:
         # right-size partitions for the per-query aggregate: ~64k rows per
         # task keeps scheduling overhead off the query path (estimate()

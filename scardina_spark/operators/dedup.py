@@ -239,13 +239,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                  col: str = "text", k_shingle: int = 3) -> DataFrame:
+                  col: str = "text", k_shingle: int = 3,
+                  cache_out: list | None = None) -> DataFrame:
     """Exact Jaccard over word shingles for the given candidate pairs.
 
     Shingles are computed only for documents that appear in ``pairs``
     (semi-join pushdown): candidate sets are tiny relative to the corpus,
     and the shingle projection is the expensive part — without the
-    restriction both join sides would shingle every document."""
+    restriction both join sides would shingle every document.
+
+    Pass ``cache_out`` (a list) to receive the internal shingle
+    checkpoint's release handle — the caller should ``unpersist()`` it
+    once the scored result is materialized (otherwise the
+    candidate-sized shingle relation stays pinned in the block manager
+    for the life of the session)."""
     ids = (pairs.select(F.col("id_a").alias("__id__"))
            .unionByName(pairs.select(F.col("id_b").alias("__id__")))
            .distinct())
@@ -255,6 +262,9 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
           # materialize once: both self-join sides read it, and the table
           # is candidate-sized (bounded by |pairs|), not corpus-sized
           .localCheckpoint())
+    if cache_out is not None:
+        from .storage import CheckpointHandle
+        cache_out.append(CheckpointHandle(sh))
     a = sh.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
     b = sh.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
@@ -279,13 +289,21 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text",
     sigs = minhash_signatures(df, id_col, col, k_shingle, n_hashes,
                               hash_fn=hash_fn).cache()
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands).cache()
+    handles: list = []
     try:
-        scored = ngram_jaccard(df, cands, id_col, col, k_shingle)
+        scored = ngram_jaccard(df, cands, id_col, col, k_shingle,
+                               cache_out=handles)
+        # the returned checkpoint materializes HERE (eager), so every
+        # internal intermediate can be released in the finally block —
+        # only the verified result's own blocks stay (caller-owned;
+        # free with operators.storage.free_checkpoint when done)
         return scored.where(F.col("jaccard") >= threshold) \
             .orderBy("id_a", "id_b").localCheckpoint()
     finally:
         cands.unpersist()
         sigs.unpersist()
+        for h in handles:
+            h.unpersist()
 
 
 def _band_table(sigs: DataFrame, id_col: str, out_id: str,

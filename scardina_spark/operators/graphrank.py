@@ -51,7 +51,10 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     srcs = trans.select("src").distinct().localCheckpoint(eager=True)
+    from .storage import free_checkpoint
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev = None
     for _ in range(n_iter):
         # the dangling mass rides the update plan as a broadcast 1-row
         # relation — ONE job per iteration (the eager checkpoint), no
@@ -72,4 +75,13 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
                              + F.col("dm") / F.lit(float(n))))
                          .alias("rank"))
                  .localCheckpoint(eager=True))
+        # iteration k's checkpoint is fully materialized, so iteration
+        # k-1's blocks are dead — release them NOW instead of pinning
+        # n_iter node-sized copies for the session (guide §5; values
+        # unchanged, the freed blocks are never read again)
+        free_checkpoint(prev)
+        prev = ranks
+    # the helper relations fed only the (now checkpointed) final ranks
+    for aux in (trans, nodes, srcs):
+        free_checkpoint(aux)
     return ranks

@@ -231,6 +231,17 @@ class BigramLM:
         self.contexts = self.contexts.localCheckpoint(eager=True)
         return self.release()
 
+    def free(self) -> "BigramLM":
+        """Release EVERYTHING, including the checkpointed LM relations
+        from :meth:`materialize` — unlike :meth:`release`, the LM is
+        unusable afterwards.  Call when scoring is done; leaked
+        checkpoints otherwise pin vocab-sized blocks for the session."""
+        from .storage import free_checkpoint
+        self.release()
+        free_checkpoint(self.bigrams)
+        free_checkpoint(self.contexts)
+        return self
+
 
 def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, prev, token) rows — the predecessor comes from shifting the
@@ -351,6 +362,16 @@ class KneserNeyLM:
         self.contexts = self.contexts.localCheckpoint(eager=True)
         self.continuations = self.continuations.localCheckpoint(eager=True)
         return self.release()
+
+    def free(self) -> "KneserNeyLM":
+        """Release everything, including :meth:`materialize`'s
+        checkpoints (LM unusable afterwards) — see BigramLM.free."""
+        from .storage import free_checkpoint
+        self.release()
+        free_checkpoint(self.bigrams)
+        free_checkpoint(self.contexts)
+        free_checkpoint(self.continuations)
+        return self
 
     def pcont_oov(self) -> float:
         """Continuation probability of a token never seen in training."""

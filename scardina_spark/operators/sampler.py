@@ -71,6 +71,8 @@ def weighted_sample_with_replacement(
     df: DataFrame, weight_col: str, order_cols: list[str] | None = None,
     n: int = 1, seed: int = 42, n_buckets: int | None = None,
     uniform: bool = False, cache_out: list | None = None,
+    n_bounds: tuple[int, int] | None = None,
+    meta_out: list | None = None,
 ) -> DataFrame:
     """Exactly ``n`` draws with replacement, P(row) ∝ ``weight_col``.
 
@@ -108,12 +110,22 @@ def weighted_sample_with_replacement(
     handle (the sorted relation is read twice) — the caller should
     ``unpersist()`` it once the sample is materialized.  ``n_buckets``
     is accepted for API stability.
+
+    ``n_bounds=(n_min, n_max)`` (weighted path only) resolves ``n`` from
+    the weight total the draw computes anyway — ``n = clamp(int(total))``
+    — so callers sizing the draw by the join size skip their own full
+    aggregation pass over the weighted relation (the total is exact for
+    integer-valued weights, so it equals the separate aggregate
+    bit-for-bit).  ``meta_out`` (a list) receives ``(join_size, n)``.
     """
     sc = df.sparkSession.sparkContext
     order_cols = list(order_cols or df.columns)
     if not uniform:
         return _interval_draw(df, weight_col, order_cols, n, seed,
-                              cache_out)
+                              cache_out, n_bounds=n_bounds,
+                              meta_out=meta_out)
+    if n_bounds is not None:
+        raise ValueError("n_bounds requires the weighted path")
 
     fp_expr = F.min(F.xxhash64(*[_q(c) for c in order_cols])).alias("fp")
     pos = df.withColumn(PID, F.spark_partition_id())
@@ -175,40 +187,78 @@ def weighted_sample_with_replacement(
 
 def _interval_draw(df: DataFrame, weight_col: str, order_cols: list[str],
                    n: int, seed: int,
-                   cache_out: list | None) -> DataFrame:
+                   cache_out: list | None,
+                   n_bounds: tuple[int, int] | None = None,
+                   meta_out: list | None = None) -> DataFrame:
     """Weighted multinomial-with-replacement via interval search over the
-    global exclusive prefix sum (see weighted_sample_with_replacement)."""
-    from .prefix import CUM, with_prefix_sum
+    global exclusive prefix sum (see weighted_sample_with_replacement).
+
+    One fused Arrow pass (r12): the exclusive prefix sum and the
+    interval search run in the SAME ``mapInPandas`` over the sorted
+    relation — previously a ``with_prefix_sum`` pass materialized the
+    cum column through one full-width Python round-trip and a second
+    pass searched it, and a third job re-aggregated the total.  The
+    fused form computes per-batch cums from the broadcast partition
+    offsets (the identical shifted-cumsum arithmetic, bit-for-bit) and
+    derives the total from the same per-partition sums the offsets
+    need, so the draw costs ONE Python stage and ONE tiny aggregate.
+    Join-multiplicity weights are integer-valued (< 2^53), so every
+    partial sum is exact in float64 under any grouping — the fused
+    total and cums equal the old pipeline's exactly (test-pinned);
+    fractional weights keep the documented degrade-gracefully caveat."""
+    from .prefix import _with_sorted_partitions
 
     pos = df.where(_q(weight_col) > 0)
-    cached: list = []
-    cum = with_prefix_sum(pos, weight_col, order_cols, cache_out=cached)
+    d = _with_sorted_partitions(pos, order_cols, None).persist()
     if cache_out is not None:
-        cache_out.extend(cached)
-    # exact for integer-valued weights below 2^53 in any grouping
-    total = float(cached[0].agg(
-        F.sum(_q(weight_col).cast("double"))).first()[0] or 0.0)
+        cache_out.append(d)
+    part_rows = (d.groupBy(PID)
+                 .agg(F.sum(_q(weight_col).cast("double")).alias("s"))
+                 .collect())
+    part_sums = {int(r[PID]): float(r["s"] or 0.0) for r in part_rows}
+    offsets = {}
+    running = 0.0
+    for pid in sorted(part_sums):
+        offsets[pid] = running
+        running += part_sums[pid]
+    total = running
     if not total or total <= 0:
-        for h in cached:
-            h.unpersist()
+        d.unpersist()
+        if cache_out is not None and cache_out and cache_out[-1] is d:
+            cache_out.pop()
         raise ValueError("weighted_sample_with_replacement: no positive weight")
+    # join-size-bounded draws: the weight total IS the join size (exact
+    # integer double), so resolving n here spares the caller a separate
+    # full-relation aggregate
+    if n_bounds is not None:
+        n = max(n_bounds[0], min(n_bounds[1], int(total)))
+    if meta_out is not None:
+        meta_out.append((int(total), n))
 
     rs = np.random.RandomState(seed)
     targets = np.sort(rs.random_sample(n)) * total
     sc = df.sparkSession.sparkContext
     b_t = sc.broadcast(targets)
+    b_off = sc.broadcast(offsets)
 
-    safe, mapping = _safe_names(cum)
-    w_safe, cum_safe = mapping[weight_col], mapping[CUM]
+    safe, mapping = _safe_names(d)
+    w_safe, pid_safe = mapping[weight_col], mapping[PID]
     schema = StructType(safe.schema.fields + [StructField(SAMPLE_ID, LongType())])
 
     def draw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t = b_t.value
+        acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            c0 = pdf[cum_safe].to_numpy(dtype="float64")
-            w = pdf[w_safe].to_numpy(dtype="float64")
+            if acc is None:
+                acc = float(b_off.value.get(int(pdf[pid_safe].iloc[0]),
+                                            0.0))
+            w = pdf[w_safe].astype("float64").fillna(0.0).to_numpy()
+            # exclusive prefix: shifted sequential cumsum + partition
+            # offset — the exact arithmetic with_prefix_sum used
+            c0 = np.concatenate(([0.0], np.cumsum(w)[:-1])) + acc
+            acc += float(w.sum())
             lo = int(np.searchsorted(t, c0[0], side="left"))
             hi = int(np.searchsorted(t, c0[-1] + w[-1], side="left"))
             if lo >= hi:
@@ -221,26 +271,12 @@ def _interval_draw(df: DataFrame, weight_col: str, order_cols: list[str],
     out = safe.mapInPandas(draw, schema)
     for orig, s in mapping.items():
         out = out.withColumnRenamed(s, orig)
-    return out.drop(PID, CUM)
+    return out.drop(PID)
 
 
-class _CheckpointHandle:
-    """``unpersist()``-compatible handle for a ``localCheckpoint``'s
-    backing RDD, so checkpointed sampler intermediates ride the same
-    ``cache_out`` release protocol as the sampler's persists.  Freeing
-    it removes the checkpoint data (the DataFrame's recompute path),
-    so it must only be released once the downstream sample is
-    materialized."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def unpersist(self):
-        try:
-            (self._df._jdf.queryExecution().analyzed()
-             .rdd().unpersist(False))
-        except Exception:
-            pass
+# checkpointed sampler intermediates ride the same ``cache_out``
+# release protocol as the sampler's persists (see operators/storage.py)
+from .storage import CheckpointHandle as _CheckpointHandle  # noqa: E402
 
 
 def pick_one_child_per_sample(
@@ -384,8 +420,9 @@ def pick_one_child_per_sample(
 
 def join_sample(
     ss: Subschema, weighted_tables: dict[str, DataFrame], root: str,
-    n: int, seed: int = 42, drop_weights: bool = True,
+    n: "int | tuple[int, int]", seed: int = 42, drop_weights: bool = True,
     uniform_root: bool = False, cache_out: list | None = None,
+    meta_out: list | None = None,
 ) -> DataFrame:
     """Unbiased sample (size ``n``) of the sub-join, BFS from ``root``.
 
@@ -394,6 +431,13 @@ def join_sample(
     so the root draw can skip weight scans and persist; otherwise
     ``cache_out`` receives the root draw's persist handle to release
     once the sample is materialized.
+
+    ``n`` may be a ``(n_min, n_max)`` tuple (weighted roots only): the
+    draw then sizes itself from the weight total it computes anyway —
+    join size = Σ root weights, ``n = clamp(join_size)`` — sparing the
+    caller a separate full aggregation pass over the weighted root
+    (exact for integer weights, so identical to the two-pass flow).
+    ``meta_out`` (a list) receives ``(join_size, n)``.
     """
     root_df = weighted_tables[root]
     # order by ALL root columns, not just the first: the draw's
@@ -405,9 +449,19 @@ def join_sample(
     # samples at identical seed).  Remaining ties are content-identical
     # rows, which are interchangeable in every downstream pick.
     order = list(root_df.columns)
-    agg = weighted_sample_with_replacement(root_df, WEIGHT, order, n, seed=seed,
+    n_bounds = n if isinstance(n, tuple) else None
+    meta: list = []
+    agg = weighted_sample_with_replacement(root_df, WEIGHT, order,
+                                           n if n_bounds is None else 1,
+                                           seed=seed,
                                            uniform=uniform_root,
-                                           cache_out=cache_out)
+                                           cache_out=cache_out,
+                                           n_bounds=n_bounds,
+                                           meta_out=meta)
+    if n_bounds is not None:
+        _, n = meta[0]
+    if meta_out is not None and meta:
+        meta_out.append(meta[0])
     # The draw inherits the root scan's partitioning, which can be narrow
     # (few files / single row group); the per-edge picks chain onto it as
     # one codegen stage, so rebalance the (narrow, n-row) drawn sample once
@@ -421,6 +475,7 @@ def join_sample(
     ).withColumn(f"__in__:{root}", F.lit(True))
 
     import hashlib
+    n_handles_seen = len(cache_out) if cache_out is not None else 0
     for parent, child, rel in ss.join_tree(root):
         parent_key = rel.pk_col if rel.pk_table == parent else rel.fk_col
         child_key = rel.fk_col if rel.fk_table == child else rel.pk_col
@@ -443,6 +498,25 @@ def join_sample(
             # callers drawing larger samples fall back to the shuffle
             # join-back automatically
             pick_broadcast=n <= 2_000_000)
+        # Release superseded storage EAGERLY (guide §5): each weighted
+        # edge's localCheckpoint materializes everything upstream of it,
+        # so the moment handle k exists, handle k-1's blocks (and, at
+        # the FIRST checkpoint, the root draw's persists) are dead
+        # weight — holding them to end-of-prep pinned one full-width
+        # sample copy PER weighted edge in the block manager (measured
+        # r11: the 32-core preps were GC-bound, scaling ratio 0.28).
+        # Only the newest checkpoint survives on ``cache_out`` for the
+        # caller's end-of-prep release.  Values unchanged: the freed
+        # blocks are never read again (the new checkpoint subsumes
+        # them); the recompute path was already forfeited by the
+        # checkpoint protocol above.
+        if cache_out is not None and len(cache_out) > n_handles_seen \
+                and len(cache_out) > 1:
+            for h in cache_out[:-1]:
+                h.unpersist()
+            del cache_out[:-1]
+        if cache_out is not None:
+            n_handles_seen = len(cache_out)
 
     if drop_weights:
         agg = agg.drop(*[c for c in agg.columns if c.endswith(WEIGHT)])

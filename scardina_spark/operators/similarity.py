@@ -1251,6 +1251,14 @@ class PqIndex:
         meta.coalesce(1).write.mode("overwrite") \
             .json(os.path.join(path, "codebooks"))
 
+    def release(self) -> "PqIndex":
+        """Free the codes relation's checkpoint storage (builders
+        checkpoint it eagerly).  The index is unusable afterwards —
+        call when done probing, or after :meth:`save`."""
+        from .storage import free_checkpoint
+        free_checkpoint(self.codes)
+        return self
+
 
 _PQ_META_SCHEMA = ("subspace int, book array<array<double>>, "
                    "id_col string, codes_col string, residual boolean")
@@ -1341,6 +1349,12 @@ def ivfpq_build_index(df: DataFrame, n_cells: int = 8, m: int = 8,
                      iters=iters, vec_col=vec_col)
     codes = pq_encode(enc_src, books, vec_col=vec_col)  # keeps cell
     codes = codes.localCheckpoint()
+    # the residual relation was only needed to train the books and cut
+    # the codes — once ``codes`` is materialized its blocks are dead
+    # weight (nothing downstream reads it); leaking it pinned a
+    # corpus-width float relation for the rest of the session (§5)
+    from .storage import free_checkpoint
+    free_checkpoint(enc_src)
     return (IvfIndex(assigned, cents, id_col, vec_col),
             PqIndex(codes, books, id_col, residual=residual))
 

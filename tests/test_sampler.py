@@ -243,3 +243,88 @@ def test_weighted_pick_chain_plan_stays_linear(spark, tables):
     assert samp.count() == 500
     for h in handles:
         h.unpersist()
+
+
+def test_fused_interval_draw_matches_two_pass_reference(spark):
+    """r12 pin: the weighted interval draw fuses the exclusive prefix
+    sum and the target search into ONE Arrow pass, deriving the weight
+    total from the same per-partition sums its offsets need.  For
+    integer-valued weights every partial sum is exact in float64, so
+    the fused draw must equal an independent two-pass reference (cum
+    column materialized via with_prefix_sum, then batch-local
+    searchsorted) row for row."""
+    import numpy as np
+
+    from scardina_spark.operators.prefix import CUM, with_prefix_sum
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k: long, w: double")
+    n, seed = 1500, 23
+
+    fused = weighted_sample_with_replacement(df, "w", ["k", "w"], n,
+                                             seed=seed)
+    got = sorted((r["k"], r[SAMPLE_ID]) for r in fused.collect())
+
+    # reference: global exclusive cumsum -> driver-side searchsorted
+    handles: list = []
+    cum = with_prefix_sum(df.where(F.col("w") > 0), "w", ["k", "w"],
+                          cache_out=handles)
+    pdf = cum.orderBy("k", "w").toPandas()
+    total = float(pdf["w"].sum())
+    rs = np.random.RandomState(seed)
+    targets = np.sort(rs.random_sample(n)) * total
+    c0 = pdf[CUM].to_numpy(dtype="float64")
+    idx = np.searchsorted(c0, targets, side="right") - 1
+    want = sorted((int(pdf["k"].iloc[i]), sid)
+                  for sid, i in enumerate(idx))
+    for h in handles:
+        h.unpersist()
+    assert got == want
+
+
+def test_n_bounds_resolves_join_size_like_separate_aggregate(spark):
+    """r12 pin: join_sample's (n_min, n_max) mode sizes the draw from
+    the weight total the draw computes anyway; join_size and n must
+    equal the values a separate sum(weight) aggregate produces, and the
+    sample must equal the explicit-n draw bit for bit."""
+    rows = [(i, float(1 + i % 4)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k: long, w: double")
+    want_join_size = int(df.agg(F.sum("w")).first()[0])
+
+    meta: list = []
+    bounded = weighted_sample_with_replacement(
+        df, "w", ["k", "w"], n_bounds=(100, 2_000), meta_out=meta,
+        seed=5)
+    join_size, n = meta[0]
+    assert join_size == want_join_size
+    assert n == min(2_000, max(100, want_join_size))
+    explicit = weighted_sample_with_replacement(df, "w", ["k", "w"], n,
+                                                seed=5)
+    key = lambda r: (r["k"], r["w"], r[SAMPLE_ID])  # noqa: E731
+    assert sorted(map(key, bounded.collect())) == \
+        sorted(map(key, explicit.collect()))
+
+
+def test_weighted_pick_chain_releases_superseded_handles(spark, tables):
+    """r12 pin: each weighted edge's localCheckpoint supersedes every
+    earlier cache_out handle (the root draw's persist and prior edges'
+    checkpoints), and join_sample releases them EAGERLY — at most the
+    newest handle survives for the caller's end-of-prep release."""
+    from scardina_spark.catalog import build_tpch_schema
+    from scardina_spark.estimators.sample import (
+        attach_tree_adj_fanouts, spanning_tree)
+    from scardina_spark.operators.weights import compute_weights
+
+    sg = build_tpch_schema()
+    tree = spanning_tree(sg, "nation")   # >= 3 chained weighted edges
+    adj = attach_tree_adj_fanouts(tree, tables)
+    w = compute_weights(tree, adj, "nation")
+    handles: list = []
+    samp = join_sample(tree, w, "nation", 500, seed=42,
+                       cache_out=handles)
+    # several weighted edges ran; without eager release there would be
+    # one handle per weighted edge plus the draw's persist
+    assert len(handles) == 1
+    assert samp.count() == 500
+    for h in handles:
+        h.unpersist()
