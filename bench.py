@@ -159,9 +159,34 @@ def main() -> None:
     tables = load_tables(spark, sf_dir)
     sg = build_tpch_schema()
 
+    # A band retry re-enters a stage fn; stages that build caches/
+    # checkpoints must first drop the previous attempt's storage, or the
+    # retry runs against (and the rest of the bench inherits) leaked
+    # blocks — measured r12: one retried prep left a full sample cache
+    # pinned for the remaining 50+ stages.
+    def self_cleaning_prep(build):
+        holder: list = []
+
+        def fn():
+            for old in holder:
+                try:
+                    old.sample.unpersist()
+                except Exception:
+                    pass
+                try:
+                    old.release()
+                except Exception:
+                    pass
+            holder.clear()
+            out = build()
+            holder.append(out)
+            return out
+        return fn
+
     # 1. prep: materialize the UR join sample (fanouts + weights + sample)
-    ts = timed("prep_join_sample", lambda: prepare_tree_sample(
-        spanning_tree(sg, "lineitem"), tables, "lineitem", seed=42))
+    ts = timed("prep_join_sample", self_cleaning_prep(
+        lambda: prepare_tree_sample(
+            spanning_tree(sg, "lineitem"), tables, "lineitem", seed=42)))
     extras["join_sample_rows"] = ts.n_sample
     extras["full_join_size"] = ts.join_size
 
@@ -557,17 +582,34 @@ def main() -> None:
         # localize=True so the chained path's HT cross-validation
         # (sample_arbiter) runs as a few vectorized numpy passes per
         # fragment.
-        # fit_processes: the numpy fits run in forked workers instead
-        # of GIL-sharing threads — bit-identical weights (pinned by
-        # test_process_fit_pool_matches_serial), measured 33.8s -> 12.8s
-        # on the 5-center build at sf0.01
+        # fit_processes REVERTED to False (r12): the r11 fork pool
+        # helped at sf0.01 (33.8s -> 12.8s) but the official r11 runs
+        # regressed this build at BOTH core counts (33.9 -> 64.6s at
+        # 32c, 74.3s at 8c) — the jl fits are small enough that the
+        # thread overlap alone covers them, and the fork adds
+        # per-worker page-table/pickle overhead that is workload-
+        # sensitive.  The jm builds keep the pool (their fits are
+        # heavier and improved 1.6-2.1x on the same official runs).
         return build_cin_estimator(
             sg, tables, CIN_MODEL_COLUMNS,
             lambda center: big if center == "lineitem" else small,
             sample_size=1000, max_rows=32_000, fact_threshold=8,
-            seed=42, localize=True, parallel=True, fit_processes=True)
+            seed=42, localize=True, parallel=True, fit_processes=False)
 
-    nar_cin = timed("joblight_cin_train", build_cin)
+    cin_holder: list = []
+
+    def build_cin_clean():
+        for old in cin_holder:
+            for ts_ in old.samples:
+                try:
+                    ts_.sample.unpersist()
+                except Exception:
+                    pass
+        cin_holder.clear()
+        est_ = build_cin()
+        cin_holder.append(est_)
+        return est_
+    nar_cin = timed("joblight_cin_train", build_cin_clean)
     # gated arbiter since round 4 (same protocol as the jm NAR hybrid):
     # the zero-only hybrid tracked the model's tail (sf0.01 measured
     # hybrid 2.41 where sf0.1 sat at 1.65); the gate bounds it by
@@ -638,7 +680,21 @@ def main() -> None:
             for ts_ in ex.map(one, jm_sample_trees()):
                 se.add(ts_)
         return se
-    jm_ht = timed("jm_prep_samples", prep_jm)
+
+    jm_prep_holder: list = []
+
+    def prep_jm_clean():
+        for old in jm_prep_holder:
+            for ts_ in old.samples:
+                try:
+                    ts_.sample.unpersist()
+                except Exception:
+                    pass
+        jm_prep_holder.clear()
+        se = prep_jm()
+        jm_prep_holder.append(se)
+        return se
+    jm_ht = timed("jm_prep_samples", prep_jm_clean)
     rep_jm = timed("jm_est_ht", lambda: run_benchmark(
         jm_ht, jm_suite, truths=jm_truths))
     s_jm = rep_jm.summary
@@ -752,7 +808,21 @@ def main() -> None:
             for m in ex.map(lambda it: one(it, pool), items):
                 cin.add(m)
         return cin
-    jm_cin = timed("jm_cin_train", build_jm_cin)
+
+    jm_cin_holder: list = []
+
+    def build_jm_cin_clean():
+        for old in jm_cin_holder:
+            for ts_ in old.samples:
+                try:
+                    ts_.sample.unpersist()
+                except Exception:
+                    pass
+        jm_cin_holder.clear()
+        est_ = build_jm_cin()
+        jm_cin_holder.append(est_)
+        return est_
+    jm_cin = timed("jm_cin_train", build_jm_cin_clean)
     jm_cin_ci = HybridEstimator(jm_cin, jm_ht, name="jm-cin-ci", mode="ci")
     jm_cin_arb = HybridEstimator(jm_cin, jm_ht, name="jm-cin-arbiter",
                                  mode="arbiter")
@@ -800,7 +870,9 @@ def main() -> None:
             for nme, df in synth_job_light_tables(spark, scale=1.0,
                                                   seed=42).items():
                 p = os.path.join(imdb_td, f"{nme}.parquet")
-                df.write.parquet(p)
+                # overwrite so a band retry of this stage regenerates
+                # instead of failing on the existing path
+                df.write.mode("overwrite").parquet(p)
                 out[nme] = spark.read.parquet(p)
             return out
         imdb_tables = timed("imdb_jl_gen", gen_imdb)
@@ -821,9 +893,10 @@ def main() -> None:
                        for nme, sql in imdb_suite.items()}
         icon.close()
         imdb_sg = build_job_light_schema()
-        imdb_ts = timed("imdb_jl_prep", lambda: prepare_tree_sample(
-            spanning_tree(imdb_sg, "cast_info"), imdb_tables,
-            "cast_info", n_max=200_000, seed=42))
+        imdb_ts = timed("imdb_jl_prep", self_cleaning_prep(
+            lambda: prepare_tree_sample(
+                spanning_tree(imdb_sg, "cast_info"), imdb_tables,
+                "cast_info", n_max=200_000, seed=42)))
         extras["imdb_jl_join_size"] = float(imdb_ts.join_size)
         extras["imdb_jl_fanout_ratio"] = round(
             imdb_ts.join_size / max(imdb_tables["cast_info"].count(), 1),
@@ -912,12 +985,19 @@ def main() -> None:
     timed("region_revenue", lambda: q_region_revenue(spark, sf_dir).collect())
 
     # 4. dedup: minhash signatures + LSH candidates + jaccard verify
+    from scardina_spark.operators.storage import free_checkpoint
     docs = load_table(spark, sf_dir, "documents")
-    timed("minhash_dedup", lambda: DD.minhash_dedup(
-        docs, threshold=0.5).count())
+
+    def run_minhash(hash_fn: str):
+        # count, then free the returned checkpoint — leaked result
+        # blocks otherwise pin storage for all remaining stages
+        out = DD.minhash_dedup(docs, threshold=0.5, hash_fn=hash_fn)
+        n = out.count()
+        free_checkpoint(out)
+        return n
+    timed("minhash_dedup", lambda: run_minhash("md5"))
     # same verified output, xxhash64 signatures (the 100 TB path)
-    timed("minhash_dedup_xx", lambda: DD.minhash_dedup(
-        docs, threshold=0.5, hash_fn="xxhash64").count())
+    timed("minhash_dedup_xx", lambda: run_minhash("xxhash64"))
 
     def run_dedup_candidate_ratio():
         # the scale ledger for the banded LSH: how many candidate pairs
@@ -1109,8 +1189,9 @@ def main() -> None:
                        F.col("l_suppkey") == F.col("s_suppkey"))
                  .select(F.col("c_nationkey").alias("src"),
                          F.col("s_nationkey").alias("dst")))
-        top = (pagerank(edges, n_iter=6)
-               .orderBy(F.desc("rank")).first())
+        ranks = pagerank(edges, n_iter=6)
+        top = ranks.orderBy(F.desc("rank")).first()
+        free_checkpoint(ranks)
         extras["pagerank_top_node"] = int(top["node"])
         extras["pagerank_top_rank"] = round(float(top["rank"]), 6)
     timed("pagerank_6iter", run_pagerank)
@@ -1132,7 +1213,9 @@ def main() -> None:
         row = (doc_perplexity_kn(docs, lm)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.round(F.avg("ppl"), 4).alias("p")).first())
-        lm.release()
+        # free() (r12), not release(): the materialized LM's checkpoints
+        # otherwise stay pinned for the rest of the bench
+        lm.free()
         extras["kn_docs_scored"] = int(row["n"])
         extras["kn_mean_ppl"] = float(row["p"])
     timed("kneser_ney_ppl", run_kn)
@@ -1231,6 +1314,15 @@ def main() -> None:
         # the clustered-real-corpus figure
         books = pq_train(emb, m=8, k_codes=16, iters=2)
         enc = pq_encode(emb, books).localCheckpoint()
+        try:
+            _run_pq_body(books, enc)
+        finally:
+            # drop the stage's checkpointed intermediates (r12): the
+            # encoded corpus otherwise stays pinned through the rest of
+            # the bench
+            free_checkpoint(enc)
+
+    def _run_pq_body(books, enc):
         qv = [float(x) for x in
               emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = _tc(emb, qv, 10)
@@ -1278,6 +1370,7 @@ def main() -> None:
         tot = sum(len(by_q.get(i, set()) & exact_sets[q][1]) / 10.0
                   for i, q in enumerate(qids))
         extras["ivfpq_mean10_recall_at_10"] = round(tot / 10.0, 3)
+        pqx.release()  # drop the index's checkpointed codes (r12)
     timed("pq_train_encode_search", run_pq)
 
     def run_hll():

@@ -36,7 +36,7 @@ from ..operators.fanout import adj_fanout_col, attach_count, fk_counts
 from ..operators.sampler import join_sample
 from ..operators.weights import WEIGHT, compute_weights
 from ..plans.parse import ParsedQuery, parse_query
-from ..plans.predicates import normalize_predicates, predicates_to_column, Predicate
+from ..plans.predicates import normalize_predicates, Predicate
 from ..schema import Relationship, SchemaGraph, Subschema
 
 
@@ -474,14 +474,25 @@ class SampleEstimator:
     def _contrib_column(ts: TreeSample, preds: list[Predicate],
                         q_tables: set[str]) -> Column:
         """Per-row HT contribution ``1[preds ∧ markers] / Π fanout`` as one
-        Spark Column (the aggregate's input on the distributed path)."""
-        ind = predicates_to_column(preds, qualify=True)
+        Spark Column (the aggregate's input on the distributed path).
+
+        Rendered as ONE SQL string (r12): the Column-API build cost one
+        py4j round-trip per expression node — ~6 s of driver time for
+        an 80-query batch while the cluster idled (guide §4).  The
+        parsed tree is node-for-node what the Column API built (typed
+        literals via predicates.sql_literal), so every estimate is
+        bit-identical — pinned by
+        test_contrib_sql_matches_column_estimates."""
+        from ..plans.predicates import predicates_to_sql
+
+        ind = predicates_to_sql(preds, qualify=True)
         for t in sorted(q_tables):
-            ind = ind & F.col(f"`__in__:{t}`")
-        div = F.lit(1.0)
+            ind = f"{ind} AND `__in__:{t}`"
+        div = "1.0D"
         for c in _divisor_cols(ts, q_tables):
-            div = div * F.greatest(F.col(f"`{c}`").cast("double"), F.lit(1.0))
-        return F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+            div = f"{div} * greatest(CAST(`{c}` AS DOUBLE), 1.0D)"
+        return F.expr(
+            f"CASE WHEN {ind} THEN 1.0D / ({div}) ELSE 0.0D END")
 
     def estimate(self, query: ParsedQuery | str) -> float:
         ts, preds, q_tables = self._route(query)

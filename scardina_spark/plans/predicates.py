@@ -182,6 +182,87 @@ def predicates_to_column(preds: list[Predicate], qualify: bool = False) -> Colum
     return col
 
 
+# --- SQL-string lowering -----------------------------------------------------
+#
+# Building a Column expression tree costs one py4j round-trip per node;
+# a batched estimator aggregate over ~80 queries spent ~6 s of pure
+# driver time in those round-trips while the cluster idled (guide §4 —
+# the same pathology similarity._lit_vec fixed for vector literals).
+# Rendering the predicate as ONE SQL string hands the whole tree to
+# Catalyst's parser in a single call.  The parsed tree is
+# node-for-node the tree the Column API builds (typed literals: bare
+# integers, 'D'-suffixed doubles, TIMESTAMP '...' — so no
+# decimal-vs-double coercion drift), pinned by
+# test_predicates_sql_matches_column.
+
+
+def sql_literal(v: Any) -> str:
+    """Render a predicate literal so Catalyst parses it to the SAME
+    typed literal ``F.lit`` would build."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        # bare integral literals parse as INT when they fit, else
+        # BIGINT — the same rule F.lit applies
+        return str(v)
+    if isinstance(v, float):
+        # shortest-repr round-trips the double exactly; the D suffix
+        # pins DoubleType (a bare decimal would parse as DECIMAL)
+        return repr(v) + "D"
+    if isinstance(v, datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def predicate_to_sql(p: Predicate, qualify: bool = False) -> str:
+    """SQL form of :func:`predicate_to_column` — identical parsed tree."""
+    o = p.o.upper()
+    if o == "OR":
+        return "(" + " OR ".join(
+            predicate_to_sql(b, qualify) for b in p.branches) + ")"
+    name = p.c if qualify else p.column
+    c = f"`{name}`"
+    if o in (">", "<", ">=", "<="):
+        return f"({c} {o} {sql_literal(p.v)})"
+    if o in ("=", "=="):
+        return f"({c} = {sql_literal(p.v)})"
+    if o in ("!=", "<>"):
+        return f"({c} != {sql_literal(p.v)})"
+    if o == "IN":
+        return f"({c} IN (" + ", ".join(
+            sql_literal(x) for x in p.v) + "))"
+    if o == "BETWEEN":
+        lo, hi = p.v
+        return (f"({c} BETWEEN {sql_literal(lo)}"
+                f" AND {sql_literal(hi)})")
+    if o == "IS":
+        return (f"({c} IS NULL)" if p.v is None
+                else f"({c} = {sql_literal(p.v)})")
+    if o == "IS NOT":
+        return (f"({c} IS NOT NULL)" if p.v is None
+                else f"({c} != {sql_literal(p.v)})")
+    if o == "LIKE":
+        return f"({c} RLIKE {sql_literal(_like_to_rlike(p.v))})"
+    if o == "NOT LIKE":
+        return f"(NOT ({c} RLIKE {sql_literal(_like_to_rlike(p.v))}))"
+    if o == "ALL_TRUE":
+        return "TRUE"
+    if o == "ALL_FALSE":
+        return "FALSE"
+    raise ValueError(f"unsupported op: {p.o}")
+
+
+def predicates_to_sql(preds: list[Predicate], qualify: bool = False) -> str:
+    """SQL form of :func:`predicates_to_column` (left-associated AND,
+    matching the Column API's fold order)."""
+    if not preds:
+        return "TRUE"
+    return " AND ".join(predicate_to_sql(p, qualify) for p in preds)
+
+
 def parse_datetime(s: str) -> datetime | None:
     """``datetime`` from an ISO date(time) string, or ``None`` — the ONE
     format list shared by bare literals and the explicit

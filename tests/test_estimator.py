@@ -284,3 +284,52 @@ def test_parallel_edge_subschemas_route_queries(spark):
         truth = orders2.where(F.col(fk) == 3).count()
         assert truth > 0
         assert max(e / truth, truth / e) < 1.5, (fk, e, truth)
+
+
+def test_contrib_sql_matches_column_estimates(spark, tables):
+    """r12 pin: the HT contribution column is rendered as ONE SQL
+    string (driver py4j round-trips dropped per guide §4); the parsed
+    tree must produce BIT-IDENTICAL estimates to the Column-API build
+    for every suite query (typed literals: ints, D-suffixed doubles,
+    TIMESTAMP, RLIKE-lowered LIKE, OR groups)."""
+    from pyspark.sql import functions as F
+
+    from scardina_spark.benchmarks import job_light_suite, or_suite
+    from scardina_spark.catalog import build_tpch_schema
+    from scardina_spark.estimators import SampleEstimator, prepare_tree_sample
+    from scardina_spark.estimators.sample import (
+        _divisor_cols, spanning_tree)
+    from scardina_spark.plans.predicates import predicates_to_column
+
+    sg = build_tpch_schema()
+    ts = prepare_tree_sample(spanning_tree(sg, "lineitem"), tables,
+                             "lineitem", seed=42)
+    est = SampleEstimator()
+    est.add(ts)
+
+    def column_contrib(preds, q_tables):
+        ind = predicates_to_column(preds, qualify=True)
+        for t in sorted(q_tables):
+            ind = ind & F.col(f"`__in__:{t}`")
+        div = F.lit(1.0)
+        for c in _divisor_cols(ts, q_tables):
+            div = div * F.greatest(F.col(f"`{c}`").cast("double"),
+                                   F.lit(1.0))
+        return F.when(ind, F.lit(1.0) / div).otherwise(F.lit(0.0))
+
+    suite = {**job_light_suite(), **or_suite()}
+    checked = 0
+    for name, sql in suite.items():
+        try:
+            routed = est._route(sql)
+        except Exception:
+            continue
+        _, preds, q_tables = routed
+        got = ts.sample.agg(
+            F.avg(est._contrib_column(ts, preds, q_tables))).first()[0]
+        want = ts.sample.agg(
+            F.avg(column_contrib(preds, q_tables))).first()[0]
+        assert got == want, (name, got, want)
+        checked += 1
+    assert checked >= 60
+    ts.sample.unpersist()
