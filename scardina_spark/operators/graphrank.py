@@ -42,6 +42,12 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     ew = (edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
           .agg(F.sum(w).alias("w")))
+    # ew is the only pass over the (possibly expensive) edge lineage and
+    # BOTH trans and nodes consume it — checkpoint the distinct-edge
+    # aggregate once (r12) instead of re-running the upstream joins per
+    # derived relation (§5: reused AND expensive; the relation itself is
+    # distinct-edge-sized, tiny next to its lineage)
+    ew = ew.localCheckpoint(eager=True)
     out_w = ew.groupBy("src").agg(F.sum("w").alias("ow"))
     trans = (ew.join(out_w, "src")
              .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
@@ -53,6 +59,7 @@ def pagerank(edges: DataFrame, n_iter: int = 8, damping: float = 0.85,
     srcs = trans.select("src").distinct().localCheckpoint(eager=True)
     from .storage import free_checkpoint
 
+    free_checkpoint(ew)  # trans/nodes/srcs are materialized; ew is done
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     prev = None
     for _ in range(n_iter):

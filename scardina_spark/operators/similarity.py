@@ -869,21 +869,35 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 16,
                           vec_col=vec_col, init_centroids=inits[0])]
     books = [[list(c) for c in b] for b in inits]
     for _ in range(iters):
-        branches = []
-        for j in range(m):
-            assigned = ivf_assign(sliced[j], books[j], vec_col=vec_col)
-            agg = (assigned
-                   .select("cell", F.posexplode(F.col(vec_col))
-                           .alias("pos", "x"))
-                   .groupBy("cell", "pos")
-                   .agg(F.avg(F.col("x").cast("double")).alias("m"))
-                   .select(F.lit(j).alias("sub"), "cell", "pos", "m"))
-            branches.append(agg)
-        un = branches[0]
-        for b in branches[1:]:
-            un = un.unionAll(b)
+        # ONE aggregate per Lloyd round (r12): the per-subspace cell ids
+        # are exactly pq_encode's codes array (same dots, same
+        # lowest-index tie-break), so one posexplode of the FULL vector
+        # keyed by (subspace, cell, pos-within-subspace) computes every
+        # subspace's elementwise means in a single pass — the r10/r11
+        # union of m per-subspace aggregates paid m codegen functions +
+        # an m-way union per iteration (measured: pq_train m=8 was
+        # plan-compile-bound at 5.4 s for a 2000-row corpus).  The r10
+        # revert of "full cross-subspace fusion" was about LAMBDA-heavy
+        # expressions sending Catalyst analysis superlinear; the cells
+        # expression here is the flat-SQL dot battery (_dot_sql, r11),
+        # which analyzes linearly.  Per-group rows and their
+        # within-partition order are identical to the per-branch form,
+        # so the means are bit-identical
+        # (test_pq_train_fused_matches_per_subspace).
+        enc = pq_encode(df, books, vec_col=vec_col, out_col="__cells__",
+                        drop_vec=False)
+        rows = (enc.select(F.col("__cells__"),
+                           F.posexplode(F.col(vec_col)).alias("p", "x"))
+                .select((F.col("p") / ds).cast("int").alias("sub"),
+                        F.expr("element_at(__cells__, "
+                               f"CAST(p / {ds} AS INT) + 1)").alias("cell"),
+                        F.pmod(F.col("p"), F.lit(ds)).alias("pos"),
+                        F.col("x"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect())
         nxt = [[list(c) for c in bk] for bk in books]
-        for r in un.collect():
+        for r in rows:
             nxt[r["sub"]][r["cell"]][r["pos"]] = float(r["m"])
         books = nxt
     return books
