@@ -161,14 +161,39 @@ def test_bigram_empty_doc_scores_uniform_floor(spark):
     assert got[1] == (0, round(math.exp(-lm.default_floor), 4))
 
 
+def _duckdb_oracle_rows(pq_path: str, sql: str) -> list[tuple]:
+    """Run an oracle SQL over ``create view documents as select * from
+    <pq_path>`` in a FRESH SUBPROCESS and return its rows.
+
+    DuckDB 1.0.0 segfaults natively on some of these queries when the
+    host process's allocator is in a particular state (reproducibly:
+    the fast-tier test ordering crashed ``SQL_BIGRAM_PPL`` here while
+    the same call passed standalone and under the full-suite ordering).
+    A subprocess gives the oracle a clean native heap; the SQL, the
+    view, and the returned rows are identical."""
+    import pickle
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys, pickle, duckdb\n"
+        "pq, sql = pickle.load(sys.stdin.buffer)\n"
+        "con = duckdb.connect()\n"
+        "con.execute(\"create view documents as select * from '\" + pq + \"'\")\n"
+        "sys.stdout.buffer.write(pickle.dumps(con.execute(sql).fetchall()))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", prog],
+                         input=pickle.dumps((pq_path, sql)),
+                         capture_output=True, check=True)
+    return pickle.loads(out.stdout)
+
+
 def test_bigram_oracle_parity_with_empty_docs(spark, tmp_path):
     """The latent class that bit x50/x51/x52 in review: run the x52
     oracle SQL and the Spark engine over a synthetic corpus CONTAINING
     empty, whitespace-only, and NULL texts and require exact parity
     (fixtures today have no empty docs, so the contract gate alone
     cannot pin this)."""
-    import duckdb
-
     from scardina_spark.queries import SQL_BIGRAM_PPL
 
     rows = [(0, "the cat sat"), (1, ""), (2, "   "), (3, None),
@@ -185,11 +210,8 @@ def test_bigram_oracle_parity_with_empty_docs(spark, tmp_path):
     got = {(r["doc_id"], r["n_toks"], r["ppl"]) for r in
            P.doc_perplexity_bigram(docs, lm).collect()}
 
-    con = duckdb.connect()
-    con.execute(
-        f"create view documents as select * from '{pq}'")
     want = {(r[0], r[1], r[2]) for r in
-            con.execute(SQL_BIGRAM_PPL).fetchall()}
+            _duckdb_oracle_rows(pq, SQL_BIGRAM_PPL)}
     assert got == want
     # empty/ws/NULL docs all score the uniform floor with n_toks 0
     floors = {r for r in got if r[0] in (1, 2, 3)}
@@ -204,8 +226,6 @@ def test_unigram_and_chunk_oracle_parity_with_empty_docs(spark, tmp_path):
     import glob
     import shutil
 
-    import duckdb
-
     from scardina_spark.queries import (
         SQL_CHUNK_DOCS, SQL_PERPLEXITY_BAND, q_chunk_docs,
         q_perplexity_band)
@@ -217,14 +237,11 @@ def test_unigram_and_chunk_oracle_parity_with_empty_docs(spark, tmp_path):
     pq = str(tmp_path / "documents.parquet")
     shutil.copy(glob.glob(str(tmp_path / "d" / "*.parquet"))[0], pq)
 
-    con = duckdb.connect()
-    con.execute(f"create view documents as select * from '{pq}'")
-
     sf_dir = str(tmp_path)  # load_table reads <sf_dir>/documents.parquet
     for q_fn, sql in ((q_perplexity_band, SQL_PERPLEXITY_BAND),
                       (q_chunk_docs, SQL_CHUNK_DOCS)):
         got = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
-        want = {tuple(r) for r in con.execute(sql).fetchall()}
+        want = {tuple(r) for r in _duckdb_oracle_rows(pq, sql)}
         assert got == want, (q_fn.__name__, got ^ want)
 
 
