@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 
+from ..localrel import local_df
+
 from .perror import p_error, parse_query
 
 
@@ -33,7 +35,7 @@ def inject_cards(spark, rows: list[dict], url: str | None = None,
     from ..catalog import load_jdbc_table
 
     url = url or f"jdbc:derby:memory:scardina_ppc_{os.getpid()};create=true"
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(i, r["node"], int(r["card"])) for i, r in enumerate(rows)],
         "card_id int, node string, card long")
     (df.write.format("jdbc").option("url", url).option("dbtable", table)

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..localrel import local_df
+
 TOKENS = "__toks__"
 DL = "__dl__"
 
@@ -160,7 +162,7 @@ class Bm25Index:
             os.remove(legacy)
         except OSError:
             pass
-        meta = spark.createDataFrame(
+        meta = local_df(spark,
             [(int(self.n_docs), float(self.avgdl), self.id_col)],
             _META_SCHEMA)
         meta.coalesce(1).write.mode("overwrite") \

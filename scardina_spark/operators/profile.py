@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..localrel import local_df
+
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float",
             "decimal", "long"}
 
@@ -87,7 +89,7 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
         for c in cached:
             c.unpersist()
     spark = df_a.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark,
         [(n_a, n_b, float(best), at)],
         f"n_a long, n_b long, d_stat double, at_value {_sql_type(df_a, col)}")
 
@@ -157,7 +159,7 @@ def chisq_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     if row["k"] < 2:
         raise ValueError("need >= 2 categories for a chi-square test")
     spark = df_a.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark,
         [(n_a, n_b, int(row["k"]), int(row["k"] - 1),
           round(float(row["chi2"]), 4))],
         "n_a long, n_b long, n_categories int, dof int, chi2 double")

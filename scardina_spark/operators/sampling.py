@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..localrel import local_df
+
 from .sketches import HASH_SPACE, kmv_hash
 
 
@@ -237,7 +239,7 @@ def unimax_plan(df: DataFrame, budget_tokens: int,
                      if r["avail_tokens"] else 0.0,
                      bool(cap < fair)))
     spark = df.sparkSession
-    return (spark.createDataFrame(
+    return (local_df(spark,
         rows, f"{group_col} string, n_docs bigint, avail_tokens bigint, "
               "alloc_tokens double, epochs double, capped boolean")
         .orderBy(group_col))

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..localrel import local_df
+
 
 def _lit_vec(vec: list[float]) -> Column:
     """Literal ``array<double>`` built with ONE py4j call.
@@ -424,7 +426,7 @@ class IvfIndex:
         (self.assigned.write.partitionBy("cell")
          .mode("overwrite").parquet(os.path.join(path, "cells")))
         spark = self.assigned.sparkSession
-        meta = spark.createDataFrame(
+        meta = local_df(spark,
             [(i, [float(x) for x in c], self.id_col, self.vec_col)
              for i, c in enumerate(self.centroids)], _IVF_META_SCHEMA)
         meta.coalesce(1).write.mode("overwrite") \
@@ -804,7 +806,7 @@ def ranking_metrics(approx: DataFrame, exact: DataFrame, k: int = 10,
     ideal = sum(1.0 / math.log2(i + 2) for i in range(min(k, n_exact)))
     recall = n_hits / float(n_exact) if n_exact else 0.0
     spark = approx.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark,
         [(k, n_hits, round(recall, 6),
           round(dcg / ideal if ideal else 0.0, 6))],
         "k int, n_hits long, recall_at_k double, ndcg_at_k double")
@@ -1011,7 +1013,7 @@ def _rows_for_ids(raw: DataFrame, id_col: str, ids: list) -> DataFrame:
     if len(ids) <= 1000:
         return raw.where(F.col(id_col).isin(ids))
     spark = raw.sparkSession
-    iddf = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    iddf = local_df(spark, [(i,) for i in ids], f"{id_col} long")
     return raw.join(F.broadcast(iddf), id_col, "left_semi")
 
 
@@ -1088,10 +1090,26 @@ class LshIndex:
 
     def save(self, path: str) -> None:
         import os
-        (self.bucketed.write.partitionBy("bucket")
+        # Repartition by the partition column before the dynamic-
+        # partition write (r12, §6 output layout): without it every
+        # input partition opens a writer per bucket it touches — file
+        # count = partitions x buckets at scale (tiny-file explosion),
+        # and a single-partition corpus serializes all ~2^n_planes file
+        # opens in ONE task.  Hash-clustering by bucket gives each
+        # bucket exactly one writer, so files-per-bucket stays 1.  The
+        # partition COUNT is deliberately not the global shuffle
+        # default: more partitions than buckets is pure task overhead
+        # (measured: 64 shuffle partitions wrote 253 buckets in 3.2 s,
+        # 8 partitions in 0.65 s), so size it from the input and cap at
+        # the bucket count.
+        n_buckets = 1 << len(self.planes)
+        p = min(n_buckets,
+                max(8, self.bucketed.rdd.getNumPartitions()))
+        (self.bucketed.repartition(p, F.col("bucket"))
+         .write.partitionBy("bucket")
          .mode("overwrite").parquet(os.path.join(path, "buckets")))
         spark = self.bucketed.sparkSession
-        meta = spark.createDataFrame(
+        meta = local_df(spark,
             [(len(self.planes[0]), len(self.planes), self._seed,
               self.id_col, self.vec_col)], _LSH_META_SCHEMA)
         meta.coalesce(1).write.mode("overwrite") \
@@ -1136,7 +1154,11 @@ def lsh_append_saved(spark, path: str, new_df: DataFrame) -> int:
     nb = with_lsh_bucket(new_df.select(idx.id_col, idx.vec_col),
                          idx.planes, idx.vec_col)
     n = nb.count()
-    (nb.write.partitionBy("bucket").mode("append")
+    # same pre-write clustering + sizing as LshIndex.save: one writer
+    # per touched bucket instead of partitions x buckets appended files
+    p = min(1 << len(idx.planes), max(8, nb.rdd.getNumPartitions()))
+    (nb.repartition(p, F.col("bucket"))
+     .write.partitionBy("bucket").mode("append")
      .parquet(os.path.join(path, "buckets")))
     return n
 
@@ -1258,7 +1280,7 @@ class PqIndex:
         self.codes.write.mode("overwrite").parquet(
             os.path.join(path, "codes"))
         spark = self.codes.sparkSession
-        meta = spark.createDataFrame(
+        meta = local_df(spark,
             [(j, [[float(x) for x in c] for c in book],
               self.id_col, self.codes_col, bool(self.residual))
              for j, book in enumerate(self.codebooks)], _PQ_META_SCHEMA)
@@ -1386,12 +1408,12 @@ def ivfpq_save_index(ivf: IvfIndex, pq: PqIndex, path: str) -> None:
     (pq.codes.write.partitionBy("cell")
      .mode("overwrite").parquet(os.path.join(path, "codes")))
     spark = pq.codes.sparkSession
-    cmeta = spark.createDataFrame(
+    cmeta = local_df(spark,
         [(i, [float(x) for x in c], ivf.id_col, ivf.vec_col)
          for i, c in enumerate(ivf.centroids)], _IVF_META_SCHEMA)
     cmeta.coalesce(1).write.mode("overwrite") \
         .json(os.path.join(path, "centroids"))
-    bmeta = spark.createDataFrame(
+    bmeta = local_df(spark,
         [(j, [[float(x) for x in c] for c in book],
           pq.id_col, pq.codes_col, bool(pq.residual))
          for j, book in enumerate(pq.codebooks)], _PQ_META_SCHEMA)

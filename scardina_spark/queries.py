@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import build_tpch_schema, load_table, load_tables
+from .localrel import local_df
 from .estimators import ExactEstimator
 from .functions.dictionary import CODE, VALUE, build_dictionary, encode_with_dictionary
 from .functions.factorize import factorization_spec, sub_code_expr
@@ -216,7 +217,7 @@ def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = est.estimate(
         "SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 "
         "AND l_returnflag IN ('R', 'A') AND l_discount > 0.02")
-    return spark.createDataFrame([(n,)], "n long")
+    return local_df(spark, [(n,)], "n long")
 
 
 SQL_FILTER_OPS = """
@@ -240,7 +241,7 @@ def q_or_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT COUNT(*) FROM lineitem l, orders o, customer c "
         "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
         "AND (c.c_mktsegment = 'BUILDING' OR l.l_quantity > 40)")
-    return spark.createDataFrame([(n1, n2)], "n_same_col long, n_cross long")
+    return local_df(spark, [(n1, n2)], "n_same_col long, n_cross long")
 
 
 SQL_OR_FILTERS = """
@@ -263,7 +264,7 @@ def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = est.estimate("SELECT COUNT(*) FROM orders "
                      "WHERE o_orderpriority LIKE '%URGENT' "
                      "AND o_orderstatus IS NOT NULL")
-    return spark.createDataFrame([(n,)], "n long")
+    return local_df(spark, [(n,)], "n long")
 
 
 SQL_FILTER_LIKE = """
@@ -289,7 +290,7 @@ def q_timestamp_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "DATE '2024-01-05' AND '2024-01-25'::timestamp")
     n4 = est.estimate("SELECT COUNT(*) FROM events WHERE ts IN "
                       "(TIMESTAMP '2024-01-05 00:00:00')")
-    return spark.createDataFrame(
+    return local_df(spark,
         [("lt_ts", n1), ("ge_cast", n2), ("between_mixed", n3),
          ("in_exact", n4)],
         "q string, n long").orderBy("q")
@@ -323,7 +324,7 @@ def q_join_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = est.estimate(
         "SELECT COUNT(*) FROM lineitem l, orders o "
         "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'")
-    return spark.createDataFrame([(n,)], "n long")
+    return local_df(spark, [(n,)], "n long")
 
 
 SQL_JOIN_TWO = """
@@ -343,7 +344,7 @@ def q_join_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey "
         "AND l.l_partkey = p.p_partkey AND c.c_mktsegment = 'BUILDING' "
         "AND p.p_size > 20")
-    return spark.createDataFrame([(n,)], "n long")
+    return local_df(spark, [(n,)], "n long")
 
 
 SQL_JOIN_TREE = """
@@ -363,7 +364,7 @@ def q_join_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = est.estimate(
         "SELECT COUNT(*) FROM customer c, supplier s "
         "WHERE c.c_nationkey = s.s_nationkey")
-    return spark.createDataFrame([(n,)], "n long")
+    return local_df(spark, [(n,)], "n long")
 
 
 SQL_JOIN_TRANSLATED = """
@@ -1065,7 +1066,7 @@ def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = cnts.agg(F.count(F.lit(1)).alias("k"),
                        F.sum("count").alias("t")).first()
         rows.append((fk, int(agg["k"]), int(agg["t"])))
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "edge string, n_keys long, total long").orderBy("edge")
 
 
@@ -1122,7 +1123,7 @@ def q_imdb_schema_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = compute_weights(tree, tables, center)
         n = w[center].agg(F.sum(WEIGHT).cast("long")).first()[0]
         out.append((center, int(n)))
-    return spark.createDataFrame(out, "subschema string, join_size long") \
+    return local_df(spark, out, "subschema string, join_size long") \
         .orderBy("subschema")
 
 
@@ -1228,7 +1229,7 @@ def q_single_table_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT COUNT(*) FROM flight_delays WHERE ORIGIN = 'A7'",
         "SELECT COUNT(*) FROM flight_delays WHERE DEP_DELAY > 30",
         run_sampler=True))
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "dataset string, variant string, n_cols int, n_rows long,"
               " q1_cnt long, q2_cnt long, sample_ok boolean") \
         .orderBy("dataset", "variant")
@@ -2384,7 +2385,7 @@ def q_asha_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = max(by_rung)
     finals = [(t.val_loss, t.cfg.d_word, t.cfg.d_ff)
               for t in trials if t.rung == final]
-    return spark.createDataFrame(
+    return local_df(spark,
         [(sorted(starts) == sorted(grid),
           len(promos) == len(set(promos)),
           all(by_rung[r] <= by_rung[r - 1] for r in by_rung if r > 0),
@@ -2642,7 +2643,7 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
     cents1 = SIM.ivf_train(emb, k=8, iters=1)
     # F.round (HALF_UP, matching DuckDB) — NOT Python round (half-even)
-    csum = spark.createDataFrame(
+    csum = local_df(spark,
         [(i, float(sum(v))) for i, v in enumerate(cents1)],
         "cell int, raw double").select(
         "cell", F.round("raw", 4).alias("centroid_sum"))
@@ -2727,7 +2728,7 @@ def q_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.topk_cosine_ivf_indexed(loaded, qv, 10, nprobe=2)
     rows = out.collect()  # materialize before the index dir is removed
     shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def q_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2757,7 +2758,7 @@ def q_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.topk_cosine_ivf_indexed(loaded, qv, 10, nprobe=2)
     rows = out.collect()  # materialize before the index dir is removed
     shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4833,7 +4834,7 @@ def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp.unpersist()
     row = (int(n), int(n_ids), bad_ids == 0, bad_pairs == 0,
            abs(got_rate - exp_rate) <= 0.05, seg_dev <= 0.05)
-    return spark.createDataFrame(
+    return local_df(spark,
         [row], "n_samples long, n_distinct_ids long, ids_valid boolean, "
                "pairs_valid boolean, rate_ok boolean, segments_ok boolean")
 
@@ -4859,7 +4860,7 @@ def _qerror_check_df(spark, est_fn, exact, bench: dict, bound: float
         q = max(e / t, t / e) if e > 0 and t > 0 else (
             1.0 if e == t else float("inf"))
         rows.append((name, int(t), bool(q <= bound)))
-    return (spark.createDataFrame(rows, "query string, truth long, ok boolean")
+    return (local_df(spark, rows, "query string, truth long, ok boolean")
             .orderBy("query"))
 
 
@@ -5024,7 +5025,7 @@ def q_subquery_truths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, sql, recorded in _subquery_slice(sf_dir):
         t = est.estimate(sql)
         out.append((label, int(t), int(t) == recorded))
-    return (spark.createDataFrame(out, "q string, truth long, ok boolean")
+    return (local_df(spark, out, "q string, truth long, ok boolean")
             .orderBy("q"))
 
 
@@ -5066,7 +5067,7 @@ def q_ppc_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(f"node:{r['node']}", int(cards[r["node"]])) for r in rows]
     out.append(("pe_out_is_1", int(pe["pe_out"] == 1.0)))
     out.append(("pe_smj_is_1", int(pe["pe_smj"] == 1.0)))
-    return (spark.createDataFrame(out, "q string, v long").orderBy("q"))
+    return (local_df(spark, out, "q string, v long").orderBy("q"))
 
 
 def _sql_ppc_inject() -> str:
@@ -5114,7 +5115,7 @@ def q_pg_plan_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.append(("pe_truth_is_1", int(res["pe_pg"] == 1.0)))
     out.append(("order_respected", int(res["order_respected"])))
     out.append(("native_le_forced", int(res["native_le_forced"])))
-    return spark.createDataFrame(out, "q string, v long").orderBy("q")
+    return local_df(spark, out, "q string, v long").orderBy("q")
 
 
 def _sql_pg_plan_cost() -> str:
@@ -5211,7 +5212,7 @@ def q_asha_async(spark: SparkSession, sf_dir: str) -> DataFrame:
                key=lambda t: (t.val_loss, t.cfg.d_word, t.cfg.d_ff))
     ok = ok and (best_model.cfg.d_word, best_model.cfg.d_ff) == (
         best.cfg.d_word, best.cfg.d_ff)
-    return spark.createDataFrame(
+    return local_df(spark,
         [(len(grid), _ASHA_ETA, _ASHA_MIN_EPOCHS, _ASHA_MAX_EPOCHS,
           bool(ok))],
         "n_configs int, eta int, min_epochs int, max_epochs int, "
@@ -5290,7 +5291,7 @@ def q_tpe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = ok and (best_model.cfg.d_word, best_model.cfg.d_ff) == (
         best.cfg.d_word, best.cfg.d_ff)
     out = [(t.trial, bool(t.startup), bool(ok)) for t in trials]
-    return (spark.createDataFrame(
+    return (local_df(spark,
         out, "trial int, startup boolean, ok boolean")
         .orderBy("trial"))
 
@@ -5365,7 +5366,7 @@ def q_asha_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = ok and spent < exhaustive
     out = [(rung, budget, (len(by_rung.get(rung, []))), keep, bool(ok))
            for rung, (budget, keep) in enumerate(sched)]
-    return (spark.createDataFrame(
+    return (local_df(spark,
         out, "rung int, epochs int, n_trained int, n_kept int, "
              "ok boolean")
         .orderBy("rung"))
@@ -5418,7 +5419,7 @@ def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   for t in trials)
           and len(trials) == len(d_words) * len(d_ffs))
     rows = [(t.cfg.d_word, t.cfg.d_ff, bool(ok)) for t in trials]
-    return (spark.createDataFrame(rows, "d_word int, d_ff int, ok boolean")
+    return (local_df(spark, rows, "d_word int, d_ff int, ok boolean")
             .orderBy("d_word", "d_ff"))
 
 
@@ -5471,7 +5472,7 @@ def q_spark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                and np.allclose(m_s.W2, m_d.W2, rtol=1e-4, atol=1e-6))
     ok = bool(sched and close and winner and weights)
     rows = [(t.cfg.d_word, t.cfg.d_ff, ok) for t in t_s]
-    return (spark.createDataFrame(rows,
+    return (local_df(spark, rows,
                                   "d_word int, d_ff int, ok boolean")
             .orderBy("d_word", "d_ff"))
 
@@ -5537,7 +5538,7 @@ def q_spark_asha_async(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = max(by_rung)
     finals = [(t.val_loss, t.cfg.d_word, t.cfg.d_ff)
               for t in trials if t.rung == final]
-    return spark.createDataFrame(
+    return local_df(spark,
         [(bool(sched_eq), bool(losses_close), bool(winner_eq),
           sorted(starts) == sorted(grid),
           len(promos) == len(set(promos)),
@@ -5663,7 +5664,7 @@ def q_stage_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumed = (tuple(s1) == tuple(s2)
                and os.path.getmtime(mark) == mtime)
     rows.append(("stage_resume", int(s1["n"]), int(s1["s"]), resumed))
-    out = spark.createDataFrame(
+    out = local_df(spark,
         rows, "sink string, n_rows long, checksum long, ok boolean")
     shutil.rmtree(base, ignore_errors=True)
     return out.orderBy("sink")
@@ -5700,7 +5701,7 @@ def q_benchmark_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = exact.estimate(sql)
         out.append((f"q{i}", int(t),
                     truth_csv is not None and int(truth_csv) == int(t)))
-    return (spark.createDataFrame(
+    return (local_df(spark,
         out, "query string, truth long, ok boolean").orderBy("query"))
 
 
@@ -5826,7 +5827,7 @@ def q_sampling_orderings(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = max(e / t, t / e) if e > 0 and t > 0 else (
             1.0 if e == t else float("inf"))
         rows.append((ob, int(t), bool(q <= 3.0)))
-    return (spark.createDataFrame(
+    return (local_df(spark,
         rows, "ordering string, truth long, ok boolean")
         .orderBy("ordering"))
 
@@ -5897,7 +5898,7 @@ def q_perror(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for cm in ("out", "smj")
                       for ps in ("bushy", "left_deep"))))
             for name, sql in queries.items()]
-    return (spark.createDataFrame(rows, "query string, ok boolean")
+    return (local_df(spark, rows, "query string, ok boolean")
             .orderBy("query"))
 
 
@@ -5969,7 +5970,7 @@ def q_perror_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
                        plan_space="bushy") for cm in ("out", "smj")]
         rows.append((name, bool(max(pes) <= 1.5),
                      bool(max(pes) > 1.0)))
-    return (spark.createDataFrame(rows,
+    return (local_df(spark, rows,
                                   "query string, ok boolean, "
                                   "flipped boolean")
             .orderBy("query"))
@@ -6040,7 +6041,7 @@ def q_jobm_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = max(e / t, t / e) if e > 0 and t > 0 else (
             1.0 if e == t else float("inf"))
         rows.append((name, bool(q <= 3.0)))
-    return (spark.createDataFrame(rows, "query string, ok boolean")
+    return (local_df(spark, rows, "query string, ok boolean")
             .orderBy("query"))
 
 
