@@ -295,6 +295,18 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
             syms = merge_pair(syms, a, b)
         return syms
 
+    # The fold is per-row and partition-independent (see Determinism
+    # above), but its O(len · n_merges) compute inherits the SCAN's
+    # split count — a small or row-group-bound file yields fewer splits
+    # than the cluster has slots and the whole stage serializes onto
+    # those cores (measured: the 5000-doc bench corpus scans as ONE
+    # partition, so the 160-merge fold ran single-threaded).  Spread it
+    # first; at real scale the scan already has >= defaultParallelism
+    # splits and this is a no-op (r12, §2: derive parallelism from the
+    # input, don't inherit an accident of file layout).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     # NULL text tokenizes to the empty document, not NULL (CDC-friendly)
     words = F.coalesce(_words(col), F.array().cast("array<string>"))
     toks = F.flatten(F.transform(words, word_syms))

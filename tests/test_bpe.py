@@ -197,10 +197,27 @@ def test_bpe_apply_validates_merges(spark, tables):
 
 def test_bpe_apply_is_shuffle_free(spark, tables):
     """The scale contract: tokenizer inference is a pure projection —
-    no Exchange anywhere in the physical plan."""
-    plan = (bpe_apply(tables["documents"], APPLY_MERGES)
+    no Exchange anywhere in the physical plan ONCE the input is as
+    parallel as the cluster (the r12 under-parallel-scan guard spreads
+    a too-coarse scan first; on an input with >= defaultParallelism
+    partitions it must stay a no-op)."""
+    par = spark.sparkContext.defaultParallelism
+    wide = tables["documents"].repartition(par)
+    plan = (bpe_apply(wide, APPLY_MERGES)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan
+    # exactly the one Exchange WE added to widen the input; the
+    # tokenizer itself must not introduce another
+    assert plan.count("Exchange") == 1
+
+
+def test_bpe_apply_spreads_underparallel_scan(spark, tables):
+    """A scan with fewer splits than the cluster has slots is
+    repartitioned before the fold (r12) — and the token output is
+    identical either way (the fold is per-row)."""
+    docs = tables["documents"].coalesce(1)
+    got = bpe_apply(docs, APPLY_MERGES)
+    assert got.rdd.getNumPartitions() >= \
+        min(spark.sparkContext.defaultParallelism, 2)
 
 
 def test_merge_pair_is_ansi_safe(spark):
