@@ -304,8 +304,11 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     # first; at real scale the scan already has >= defaultParallelism
     # splits and this is a no-op (r12, §2: derive parallelism from the
     # input, don't inherit an accident of file layout).
+    # (streaming callers skip the guard: a micro-batch's partitioning
+    # is the source's to decide, and .rdd is illegal pre-start)
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if (not df.isStreaming
+            and df.rdd.getNumPartitions() < sc.defaultParallelism):
         df = df.repartition(sc.defaultParallelism)
     # NULL text tokenizes to the empty document, not NULL (CDC-friendly)
     words = F.coalesce(_words(col), F.array().cast("array<string>"))
