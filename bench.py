@@ -96,6 +96,51 @@ def ht_pair(checker, sql):
         return None
 
 
+def steal_snapshot():
+    """(steal_jiffies, demanded_jiffies) from /proc/stat, or None.
+
+    Hypervisor steal is the one co-tenant signal load average cannot
+    see: a host-level neighbour starves this VM's vCPUs while the
+    in-VM process table stays empty (measured r12: 10-37% steal turned
+    a 200 s bench into >1250 s with in-VM load 0.03 at start).
+    demanded = non-idle + steal, so the ratio reads "fraction of the
+    CPU we asked for that the host withheld" — an all-core average
+    would dilute a starved 4-core driver stage with 28 idle vCPUs."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return steal, sum(vals) - idle
+    except Exception:
+        return None
+
+
+def steal_pct(before, after):
+    if not before or not after or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 1)
+
+
+def spin_rate(seconds: float = 0.3) -> float:
+    """Single-core spin throughput (M iters/s) — a host-speed canary.
+
+    Steal accounts for withheld scheduling quanta but not SMT-sibling
+    or memory-bandwidth pollution from host neighbours; that shows up
+    as a depressed spin rate on an otherwise 'clean' box (measured
+    r12: 2x swings at <2% steal)."""
+    x = 0
+    n = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while time.perf_counter() < deadline:
+        for _ in range(100000):
+            x += 1
+        n += 100000
+    return round(n / (time.perf_counter() - t0) / 1e6, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -120,6 +165,9 @@ def main() -> None:
             bands = {k: float(v) for k, v in json.load(f).items()}
     rerun_budget = [4]
     stage_reruns: dict[str, dict] = {}
+    stage_steal: dict[str, float] = {}
+    run_steal0 = steal_snapshot()
+    extras["spin_M_per_s_start"] = spin_rate()
     try:
         extras["load_1min_start"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -130,9 +178,15 @@ def main() -> None:
             load0 = round(os.getloadavg()[0], 2)
         except OSError:
             load0 = None
+        st0 = steal_snapshot()
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
+        sp0 = steal_pct(st0, steal_snapshot())
+        # evidence trail: a stage that ran under >2% hypervisor steal
+        # was externally starved even if it stayed inside its band
+        if sp0 is not None and sp0 > 2.0:
+            stage_steal[name] = sp0
         band = bands.get(name)
         # re-run only when the overrun is worth a retry: a marginal
         # excess on a small stage must not drain the budget the big
@@ -145,13 +199,16 @@ def main() -> None:
                 load1 = round(os.getloadavg()[0], 2)
             except OSError:
                 load1 = None
+            st1 = steal_snapshot()
             t1 = time.perf_counter()
             out = fn()  # stages are idempotent; keep the retry's result
             dt2 = time.perf_counter() - t1
+            sp1 = steal_pct(st1, steal_snapshot())
             stage_reruns[name] = {
                 "first_sec": round(dt, 2), "retry_sec": round(dt2, 2),
                 "band_sec": band, "load_first": load0,
-                "load_retry": load1}
+                "load_retry": load1, "steal_pct_first": sp0,
+                "steal_pct_retry": sp1}
             dt = min(dt, dt2)
         timings[name] = round(dt, 4)
         return out
@@ -1384,6 +1441,12 @@ def main() -> None:
 
     if stage_reruns:
         extras["stage_reruns"] = stage_reruns
+    if stage_steal:
+        extras["stage_steal_pct"] = stage_steal
+    run_sp = steal_pct(run_steal0, steal_snapshot())
+    if run_sp is not None:
+        extras["cpu_steal_pct_run"] = run_sp
+    extras["spin_M_per_s_end"] = spin_rate()
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_bench_sec",
