@@ -141,6 +141,22 @@ def spin_rate(seconds: float = 0.3) -> float:
     return round(n / (time.perf_counter() - t0) / 1e6, 1)
 
 
+def mem_bw_gbps(mb: int = 256, reps: int = 4) -> float:
+    """Single-core memory-copy bandwidth (GB/s) — the canary for host
+    neighbours polluting the shared memory bus: a register-only spin
+    reads full speed while memory-heavy Spark stages run 3-5x slow
+    (measured r12: a 33 s first attempt vs 7 s retry at ~0% steal)."""
+    import numpy as np
+    a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.copyto(b, a)
+    dt = time.perf_counter() - t0
+    return round(reps * a.nbytes / dt / 1e9, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -168,6 +184,7 @@ def main() -> None:
     stage_steal: dict[str, float] = {}
     run_steal0 = steal_snapshot()
     extras["spin_M_per_s_start"] = spin_rate()
+    extras["mem_GBps_start"] = mem_bw_gbps()
     try:
         extras["load_1min_start"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -1447,6 +1464,7 @@ def main() -> None:
     if run_sp is not None:
         extras["cpu_steal_pct_run"] = run_sp
     extras["spin_M_per_s_end"] = spin_rate()
+    extras["mem_GBps_end"] = mem_bw_gbps()
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_bench_sec",

@@ -54,13 +54,29 @@ def run(n_procs: int, seconds: float):
     return steal, rates
 
 
+def mem_bw_gbps(mb: int = 256, reps: int = 4) -> float:
+    """Single-core memory-copy bandwidth — catches host neighbours
+    polluting the shared memory bus, which register-only spins miss."""
+    import numpy as np
+    a = np.ones(mb * 131072, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.copyto(b, a)
+    dt = time.perf_counter() - t0
+    return reps * a.nbytes / dt / 1e9
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     secs = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
     steal, rates = run(n, secs)
     lo, hi = min(rates), max(rates)
+    bw = mem_bw_gbps()
     print(f"procs={n} secs={secs} steal_pct={steal:.1f} "
-          f"spin_M/s per-proc min={lo:.1f} max={hi:.1f}")
+          f"spin_M/s per-proc min={lo:.1f} max={hi:.1f} "
+          f"mem_GBps={bw:.1f}")
     if steal > 5.0:
         print("VERDICT: host is oversubscribed - do not bench now")
     elif steal > 2.0:
