@@ -217,6 +217,9 @@ def main() -> None:
             except OSError:
                 load1 = None
             st1 = steal_snapshot()
+            # memory-bus health at the retry decision: a depressed copy
+            # rate here says the first attempt ran under bus pollution
+            bw1 = mem_bw_gbps(mb=128, reps=2)
             t1 = time.perf_counter()
             out = fn()  # stages are idempotent; keep the retry's result
             dt2 = time.perf_counter() - t1
@@ -225,7 +228,7 @@ def main() -> None:
                 "first_sec": round(dt, 2), "retry_sec": round(dt2, 2),
                 "band_sec": band, "load_first": load0,
                 "load_retry": load1, "steal_pct_first": sp0,
-                "steal_pct_retry": sp1}
+                "steal_pct_retry": sp1, "mem_GBps_at_retry": bw1}
             dt = min(dt, dt2)
         timings[name] = round(dt, 4)
         return out
